@@ -1,0 +1,65 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from scala_data_pipeline_spark.queries import all_queries  # noqa: E402
+from scala_data_pipeline_spark.session import get_session  # noqa: E402
+
+# Headline set: one per operator family; bench runs each to completion
+# (count triggers the full plan; results are not collected to the driver).
+HEADLINE = [
+    "flagship_datamart",
+    "pricing_summary",
+    "join_dims",
+    "pivot_user_events",
+    "topk_parts",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    queries = all_queries()
+    names = [n for n in HEADLINE if n in queries]
+    names += [n for n in sorted(queries) if n not in names]
+
+    spark = get_session("bench")
+    # JVM + parquet-footer warmup so per-query numbers measure the plan,
+    # not session startup.
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        start = time.perf_counter()
+        df = queries[name](spark, sf_dir)
+        df.count()
+        timings[name] = round(time.perf_counter() - start, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,109 @@
+"""Aggregation operators: pivot/unpivot, conditional aggs, top-k
+(SURVEY.md §2.4, §2.6, F18-F19).
+
+Reference parity:
+- ``pivot_counts`` is the reference's workhorse ``groupBy(uid).pivot(k)
+  .count`` (data_mart/data_mart.scala:114,126; users_items/users_items
+  .scala:76-82; features/features.scala:50,80-90). We ALWAYS accept an
+  explicit value list: a dynamic pivot runs an eager distinct job over
+  the full input to discover columns — at 100 TB that is a full extra
+  scan, and the output schema becomes data-dependent (a schema change
+  when a new key appears). Callers pass known values; a
+  ``distinct_values`` helper exists for the exploratory path.
+- ``unpivot_counts`` is the stack()-based melt of
+  users_items/users_items.scala:59-73, on Spark's native
+  ``DataFrame.unpivot`` (Spark ≥3.4) — JVM-side, no generated SQL
+  strings.
+- ``topk`` is features/features.scala:31-38 (top-1000 domains):
+  ``orderBy(desc).limit(k)`` which Catalyst executes as
+  TakeOrderedAndProject — per-partition heap + driver merge, no global
+  sort shuffle. A deterministic tiebreak column is required so the
+  selected SET is stable across partitionings (and matches the oracle).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def sanitize_label(value: str) -> str:
+    """Stable column name from a pivot value: lowercase, non-alnum → _."""
+    return "".join(ch if ch.isalnum() else "_" for ch in value.lower())
+
+
+def pivot_counts(
+    df: DataFrame,
+    key: str,
+    pivot_col: str,
+    values: Sequence[str],
+    prefix: str = "",
+    agg: Column | None = None,
+) -> DataFrame:
+    """groupBy(key).pivot(pivot_col, values).count() with stable column
+    names and zero-fill (P11 ``na.fill(0)`` built in)."""
+    aggregated = df.groupBy(key).pivot(pivot_col, list(values))
+    out = aggregated.agg(agg) if agg is not None else aggregated.count()
+    renames = {v: f"{prefix}{sanitize_label(v)}" for v in values}
+    out = out.withColumnsRenamed(renames)
+    return out.na.fill(0, list(renames.values()))
+
+
+def pivot_counts_sql(
+    table_expr: str,
+    key: str,
+    pivot_col: str,
+    values: Sequence[str],
+    prefix: str = "",
+    value_expr: str = "1",
+) -> str:
+    """DuckDB oracle twin of :func:`pivot_counts` via CASE-sums."""
+    cols = ",\n    ".join(
+        f"CAST(COALESCE(SUM(CASE WHEN {pivot_col} = '{v}' THEN {value_expr} END), 0) AS BIGINT)"
+        f" AS {prefix}{sanitize_label(v)}"
+        for v in values
+    )
+    return f"SELECT {key},\n    {cols}\nFROM {table_expr}\nGROUP BY {key}"
+
+
+def distinct_values(df: DataFrame, col: str) -> list[str]:
+    """Eager distinct-value discovery for dynamic pivots (reference
+    behavior at data_mart/data_mart.scala:114). Runs a job; avoid in the
+    hot path at scale."""
+    return sorted(r[0] for r in df.select(col).distinct().collect() if r[0] is not None)
+
+
+def unpivot_counts(
+    df: DataFrame,
+    key: str,
+    value_cols: Sequence[str],
+    var_name: str = "item_id",
+    value_name: str = "cnt",
+) -> DataFrame:
+    """Melt a wide count matrix back to long form (F19).
+
+    Native ``unpivot`` replaces the reference's generated
+    ``stack(n, 'c1', c1, ...)`` SQL string
+    (users_items/users_items.scala:59-73).
+    """
+    return df.unpivot(
+        ids=[key], values=list(value_cols), variableColumnName=var_name,
+        valueColumnName=value_name,
+    )
+
+
+def topk(
+    df: DataFrame,
+    order_col: str,
+    k: int,
+    tiebreak: str,
+    ascending: bool = False,
+) -> DataFrame:
+    """Deterministic top-k: TakeOrderedAndProject with a total order."""
+    order = [
+        F.col(order_col).asc() if ascending else F.col(order_col).desc(),
+        F.col(tiebreak).asc(),
+    ]
+    return df.orderBy(*order).limit(k)

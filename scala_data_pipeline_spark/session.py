@@ -1,0 +1,68 @@
+"""SparkSession factory.
+
+The reference pins ``spark.sql.session.timeZone=UTC`` in 5 of 7 modules
+(e.g. filter/filter.scala:19, features/features.scala:16); we pin it
+globally — it is also required for DuckDB-oracle determinism (DuckDB
+timestamps are UTC-naive).
+
+Scale posture: AQE on (runtime coalescing + skew-join splitting), shuffle
+partitions sized to the local core count for tests, but overridable via
+``SPARK_GRAFT_CPUS`` / explicit args for cluster runs. At 100 TB the same
+code runs with ``spark.sql.shuffle.partitions`` in the thousands and AQE
+coalesces the tail — nothing in the operator layer assumes a partition
+count.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def get_session(
+    app_name: str = "scala_data_pipeline_spark",
+    *,
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the engine's SparkSession.
+
+    Defaults are tuned for the local[N] test harness; on a real cluster
+    pass ``master=None`` with a pre-set master and bump
+    ``shuffle_partitions`` to ~2-3× total executor cores.
+    """
+    cores = default_parallelism()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions if shuffle_partitions else cores),
+        )
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    if master is not None:
+        builder = builder.master(master)
+    elif "SPARK_MASTER" not in os.environ:
+        builder = builder.master(f"local[{cores}]")
+        # Single-JVM local mode: driver memory is the only knob.
+        builder = builder.config(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
+        )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,55 @@
+"""Test-data table access (parquet scans, S5 in SURVEY.md §2.1).
+
+The reference reads from Cassandra / Elasticsearch / PostgreSQL / HDFS
+(data_mart/data_mart.scala:52-88); the harness substitutes parquet scans
+of the driver-generated star schema. Connector builders for the real
+sources live in ``connectors.py`` (option-compatible, gated on the
+connector jars being present).
+
+Scans stay declarative (``spark.read.parquet``) so Catalyst pushes
+filters and prunes columns into the parquet reader — at 100 TB the scan
+is the dominant cost and pushdown/pruning is the difference between
+reading 100 TB and reading 2 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLE_NAMES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    # Oracle determinism must not depend on the caller's session: DuckDB
+    # timestamps are UTC-naive, so pin the session timezone here (the
+    # reference pins it per-module, e.g. filter/filter.scala:19).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), which Spark rejects
+        # ([PARQUET_TYPE_ILLEGAL]); read it as nanos-long and truncate to
+        # microseconds (matches DuckDB's nanos→µs truncation).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if isinstance(df.schema["ts"].dataType, LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
