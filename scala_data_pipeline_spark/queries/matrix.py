@@ -1,0 +1,90 @@
+"""Matrix-layer queries: users×items pivot, incremental merge
+idempotence, per-user time-feature matrix (SURVEY.md §2 A2/A4/A5/F18/F19)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.timefn import WEEKDAYS
+from ..operators.matrix import (
+    item_values,
+    merge_matrix,
+    user_time_matrix,
+    users_items_matrix,
+)
+from ..sources import load_table
+
+# Oracle twin of the users×items pivot: one CASE-count column per item.
+_ITEM_COLS = ",\n    ".join(
+    f"CAST(COALESCE(SUM(CASE WHEN item = '{v}' THEN 1 END), 0) AS BIGINT) AS {v}"
+    for v in item_values()
+)
+_ITEMS_LONG_SQL = """
+SELECT user_id,
+       (CASE WHEN event_type = 'view' THEN 'view_item' ELSE 'buy_item' END)
+         || CAST(json_extract_string(props, '$.k') AS VARCHAR) AS item
+FROM events
+WHERE user_id IS NOT NULL AND event_type IN ('view', 'purchase')
+"""
+USERS_ITEMS_ORACLE = f"SELECT user_id,\n    {_ITEM_COLS}\nFROM ({_ITEMS_LONG_SQL})\nGROUP BY user_id"
+
+
+def q_users_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return users_items_matrix(load_table(spark, sf_dir, "events"))
+
+
+def q_users_items_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build on the first 20 days, merge the remainder incrementally —
+    must equal the full-data matrix (same oracle)."""
+    events = load_table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-20")
+    old = users_items_matrix(events.filter(F.col("ts") < cutoff))
+    return merge_matrix(old, events.filter(F.col("ts") >= cutoff))
+
+
+def q_user_time_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wide = user_time_matrix(load_table(spark, sf_dir, "events"))
+    # Serialize the packed vector for hash-stable comparison.
+    return wide.withColumn(
+        "hour_vector", F.array_join(F.col("hour_vector"), ",")
+    )
+
+
+_HOUR_COLS = ",\n    ".join(
+    f"CAST(COALESCE(SUM(CASE WHEN EXTRACT(hour FROM ts) = {h} THEN 1 END), 0) AS BIGINT) AS web_hour_{h}"
+    for h in range(24)
+)
+_DAY_COLS = ",\n    ".join(
+    "CAST(COALESCE(SUM(CASE WHEN lower(strftime(ts, '%a')) = '{d}' THEN 1 END), 0) AS BIGINT) AS web_day_{d}".format(d=d)
+    for d in WEEKDAYS
+)
+_HOUR_VECTOR = " || ',' || ".join(
+    f"CAST(CAST(COALESCE(SUM(CASE WHEN EXTRACT(hour FROM ts) = {h} THEN 1 END), 0) AS BIGINT) AS VARCHAR)"
+    for h in range(24)
+)
+USER_TIME_ORACLE = f"""
+SELECT user_id,
+       COUNT(*) AS visits,
+       CAST(COUNT(CASE WHEN EXTRACT(hour FROM ts) BETWEEN 9 AND 17 THEN 1 END) AS DOUBLE) / COUNT(*) AS web_fraction_work_hours,
+       CAST(COUNT(CASE WHEN EXTRACT(hour FROM ts) BETWEEN 18 AND 23 THEN 1 END) AS DOUBLE) / COUNT(*) AS web_fraction_evening_hours,
+       {_HOUR_COLS},
+       {_DAY_COLS},
+       {_HOUR_VECTOR} AS hour_vector
+FROM events
+WHERE user_id IS NOT NULL
+GROUP BY user_id
+"""
+
+
+QUERIES = {
+    "users_items_matrix": q_users_items,
+    "users_items_incremental": q_users_items_incremental,
+    "user_time_matrix": q_user_time_matrix,
+}
+
+ORACLES = {
+    "users_items_matrix": USERS_ITEMS_ORACLE,
+    "users_items_incremental": USERS_ITEMS_ORACLE,
+    "user_time_matrix": USER_TIME_ORACLE,
+}
