@@ -1,0 +1,292 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Five families, all built on DataFrame primitives so Catalyst owns the
+physical plan:
+
+- **exact**      — hash-groupBy on a content digest (md5). One shuffle
+  on the digest; at 100 TB this is the cheapest possible dedup and the
+  digest groupBy is skew-free by construction (hashes are uniform).
+- **MinHash+LSH** — shingle → k independent min-hashes → band → bucket
+  self-join. The band bucket join is the scale trick: instead of the
+  O(n²) pair space, only documents sharing a band bucket meet in the
+  join, and the bucket key is uniform so the shuffle is balanced.
+- **SimHash**    — per-token digest bits, per-bit majority vote →
+  fixed-width signature; identical signatures = near-dup bucket. One
+  explode + one groupBy; no pair join at all.
+- **n-gram Jaccard** — exact verification on a restricted candidate
+  space (here: same (lang, source) block) via a shingle-match join.
+  This is the "verify" stage LSH candidates would feed at scale.
+- **embedding near-dup** — see similarity.py (cosine within coarse
+  buckets).
+
+Hash parity note: every hash here is md5-derived (both engines compute
+identical md5 hex), and min-hash minima are taken over STRINGS — string
+ordering is engine-independent, unlike float accumulation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Digest-grouped duplicates: keeper = min doc_id per digest."""
+    return (
+        docs.withColumn("digest", F.md5(F.col(text_col)))
+        .groupBy("digest")
+        .agg(
+            F.min("doc_id").alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shingling (shared by MinHash and Jaccard)
+# ---------------------------------------------------------------------------
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles: transform over a sliding index sequence.
+    Stays JVM-side (higher-order functions, no UDF)."""
+    tokens = F.split(text, " ")
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(tokens) - (n - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(tokens, i, n)),
+    )
+
+
+def shingles_sql(text_expr: str, n: int = 3) -> str:
+    """DuckDB twin of :func:`shingles` (1-based list_slice, inclusive)."""
+    t = f"string_split({text_expr}, ' ')"
+    return (
+        f"list_transform(range(1, greatest(len({t}) - {n - 1}, 1) + 1), "
+        f"i -> array_to_string(list_slice({t}, i, i + {n - 1}), ' '))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+N_HASHES = 8
+BAND_SIZE = 2  # → 4 bands
+
+
+def minhash_signature(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, mh_0..mh_{k-1}): k independent min-hashes, each the MIN
+    over shingles of md5(seed || shingle) — string minima for parity and
+    engine-independence."""
+    exploded = docs.select(
+        "doc_id", F.explode(shingles(F.col(text_col))).alias("shingle")
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(str(i) + "|"), F.col("shingle")))).alias(f"mh_{i}")
+        for i in range(N_HASHES)
+    ]
+    return exploded.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_band_buckets(signature: DataFrame) -> DataFrame:
+    """Signature → (doc_id, band, bucket): bucket = md5 of the band's
+    concatenated min-hashes. Documents agreeing on ANY band collide."""
+    bands = []
+    for band_idx in range(N_HASHES // BAND_SIZE):
+        cols = [
+            F.col(f"mh_{band_idx * BAND_SIZE + j}") for j in range(BAND_SIZE)
+        ]
+        bands.append(
+            F.struct(
+                F.lit(band_idx).alias("band"),
+                F.md5(F.concat_ws("|", *cols)).alias("bucket"),
+            )
+        )
+    return signature.select(
+        "doc_id", F.explode(F.array(*bands)).alias("b")
+    ).select("doc_id", "b.band", "b.bucket")
+
+
+def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Distinct candidate pairs (a < b) sharing at least one LSH band
+    bucket — the scalable near-dup candidate generator."""
+    buckets = lsh_band_buckets(minhash_signature(docs, text_col))
+    left = buckets.select(
+        F.col("band"), F.col("bucket"), F.col("doc_id").alias("doc_a")
+    )
+    right = buckets.select(
+        F.col("band"), F.col("bucket"), F.col("doc_id").alias("doc_b")
+    )
+    return (
+        left.join(right, on=["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def minhash_lsh_sql(text_col: str = "text", table: str = "documents") -> str:
+    """DuckDB oracle for the full MinHash+LSH candidate-pair pipeline."""
+    mh_cols = ",\n      ".join(
+        f"MIN(md5('{i}|' || shingle)) AS mh_{i}" for i in range(N_HASHES)
+    )
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, {band} AS band, md5({expr}) AS bucket FROM sig".format(
+            band=b,
+            expr=" || '|' || ".join(
+                f"mh_{b * BAND_SIZE + j}" for j in range(BAND_SIZE)
+            ),
+        )
+        for b in range(N_HASHES // BAND_SIZE)
+    )
+    return f"""
+WITH exploded AS (
+  SELECT doc_id, unnest({shingles_sql(text_col)}) AS shingle FROM {table}
+), sig AS (
+  SELECT doc_id,
+      {mh_cols}
+  FROM exploded GROUP BY doc_id
+), buckets AS (
+  {band_rows}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM buckets a JOIN buckets b
+  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+_HIGH_HEX = ("8", "9", "a", "b", "c", "d", "e", "f")
+
+
+def simhash16(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """16-bit SimHash: bit i = majority over tokens of the high bit of
+    md5(token)'s i-th hex digit. Emitted as a 16-char 0/1 string (engine-
+    independent; no integer hex parsing needed)."""
+    tokens = docs.select(
+        "doc_id", F.explode(F.split(F.col(text_col), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    h = F.md5("token")
+    bit_sums = [
+        F.sum(
+            F.when(F.substring(h, i + 1, 1).isin(*_HIGH_HEX), 1).otherwise(-1)
+        ).alias(f"s_{i}")
+        for i in range(16)
+    ]
+    per_doc = tokens.groupBy("doc_id").agg(*bit_sums)
+    sig = F.concat(
+        *[F.when(F.col(f"s_{i}") > 0, "1").otherwise("0") for i in range(16)]
+    )
+    return per_doc.select("doc_id", sig.alias("simhash"))
+
+
+def simhash16_sql(text_col: str = "text", table: str = "documents") -> str:
+    bit_sums = ",\n      ".join(
+        f"SUM(CASE WHEN substr(md5(token), {i + 1}, 1) IN "
+        f"('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS s_{i}"
+        for i in range(16)
+    )
+    concat = " || ".join(
+        f"(CASE WHEN s_{i} > 0 THEN '1' ELSE '0' END)" for i in range(16)
+    )
+    return f"""
+WITH tokens AS (
+  SELECT doc_id, unnest(string_split({text_col}, ' ')) AS token FROM {table}
+), filtered AS (
+  SELECT * FROM tokens WHERE token <> ''
+), sums AS (
+  SELECT doc_id,
+      {bit_sums}
+  FROM filtered GROUP BY doc_id
+)
+SELECT doc_id, {concat} AS simhash FROM sums
+"""
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard verification
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    block_cols: tuple[str, ...] = ("lang", "source"),
+    threshold: float = 0.1,
+) -> DataFrame:
+    """Exact Jaccard over distinct 3-gram shingle sets for pairs inside a
+    blocking key (the verify stage for LSH candidates). Jaccard =
+    |A∩B| / (|A|+|B|-|A∩B|), intersections via a shingle-equality join."""
+    sh = docs.select(
+        "doc_id",
+        *block_cols,
+        F.explode(shingles(F.col(text_col))).alias("shingle"),
+    ).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.select(
+        *block_cols, F.col("doc_id").alias("doc_a"), "shingle"
+    )
+    b = sh.select(
+        *block_cols, F.col("doc_id").alias("doc_b"), "shingle"
+    )
+    inter = (
+        a.join(b, on=[*block_cols, "shingle"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    with_sizes = (
+        inter.join(
+            sizes.withColumnsRenamed({"doc_id": "doc_a", "n_shingles": "size_a"}),
+            on="doc_a",
+        )
+        .join(
+            sizes.withColumnsRenamed({"doc_id": "doc_b", "n_shingles": "size_b"}),
+            on="doc_b",
+        )
+    )
+    jac = F.col("n_common") / (
+        F.col("size_a") + F.col("size_b") - F.col("n_common")
+    )
+    return (
+        with_sizes.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_common", "jaccard")
+    )
+
+
+def ngram_jaccard_sql(
+    text_col: str = "text",
+    table: str = "documents",
+    block_cols: tuple[str, ...] = ("lang", "source"),
+    threshold: float = 0.1,
+) -> str:
+    blocks = ", ".join(block_cols)
+    join_on = " AND ".join(f"a.{c} = b.{c}" for c in block_cols)
+    return f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, {blocks}, shingle FROM (
+    SELECT doc_id, {blocks}, unnest({shingles_sql(text_col)}) AS shingle
+    FROM {table}
+  )
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON {join_on} AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_common,
+       ROUND(CAST(n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_common), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE ROUND(CAST(n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_common), 6) >= {threshold}
+"""

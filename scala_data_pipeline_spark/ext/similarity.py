@@ -1,0 +1,194 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two tiers, mirroring how ANN serving works at scale:
+
+- **brute-force cosine top-k** — the correctness baseline. A broadcast
+  of the (small) query set against the full corpus: the corpus NEVER
+  shuffles; each partition scores its rows against the broadcast queries
+  and a TakeOrderedAndProject (window rank) keeps k per query. At 100 TB
+  of embeddings this is one corpus scan per query batch — the right
+  plan when the query set is small.
+- **IVF-style bucketed search** — the scale path: a coarse quantizer
+  (here the precomputed ``label`` column stands in for the nearest-
+  centroid assignment) restricts scoring to same-bucket rows. The join
+  is bucket-equi, so the shuffle is bounded by bucket sizes instead of
+  the full cross product. A real deployment k-means-fits centroids
+  (pyspark.ml KMeans) and probes the nearest ``nprobe`` buckets.
+
+Float parity: all dot products / norms accumulate per-term values
+rounded to 8 decimals, summed left-to-right identically in Spark
+(``aggregate``/``zip_with`` higher-order functions — JVM-side, no UDF)
+and DuckDB (``list_sum``/``list_transform``/``list_zip``) — verified
+bit-identical. Final cosine rounded to 6.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: F.round(x.cast("double") * y.cast("double"), 8)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return F.round(
+        _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b))), 6
+    )
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(list_zip({a}, {b}), "
+        f"x -> ROUND(CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE), 8)))"
+    )
+
+
+def cosine_sql(a: str, b: str) -> str:
+    return (
+        f"ROUND({_dot_sql(a, b)} / "
+        f"(sqrt({_dot_sql(a, a)}) * sqrt({_dot_sql(b, b)})), 6)"
+    )
+
+
+def topk_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+) -> DataFrame:
+    """Top-k cosine neighbors per query vector; query set broadcast so
+    the corpus scan is shuffle-free until the final per-query rank."""
+    q = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    scored = (
+        corpus.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            cosine(F.col("q_emb"), F.col("embedding")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cos")
+    )
+
+
+def topk_bruteforce_sql(k: int = 5, n_queries: int = 5) -> str:
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+  WHERE vec_id < {n_queries}
+), scored AS (
+  SELECT q.query_id, e.vec_id,
+         {cosine_sql('q.q_emb', 'e.embedding')} AS cos
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id
+), ranked AS (
+  SELECT query_id, vec_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, rank, vec_id, cos FROM ranked WHERE rank <= {k}
+"""
+
+
+def topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    bucket_col: str = "label",
+) -> DataFrame:
+    """IVF-style: score only within the query's coarse bucket."""
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col(bucket_col).alias("bucket"),
+    )
+    scored = (
+        corpus.withColumnRenamed(bucket_col, "bucket")
+        .join(F.broadcast(q), on="bucket")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            cosine(F.col("q_emb"), F.col("embedding")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cos")
+    )
+
+
+def topk_ivf_sql(k: int = 3, n_queries: int = 5, bucket_col: str = "label") -> str:
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS q_emb, {bucket_col} AS bucket
+  FROM embeddings WHERE vec_id < {n_queries}
+), scored AS (
+  SELECT q.query_id, e.vec_id,
+         {cosine_sql('q.q_emb', 'e.embedding')} AS cos
+  FROM embeddings e JOIN q ON e.{bucket_col} = q.bucket
+  WHERE e.vec_id <> q.query_id
+), ranked AS (
+  SELECT query_id, vec_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, rank, vec_id, cos FROM ranked WHERE rank <= {k}
+"""
+
+
+def embedding_neardup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.3,
+    bucket_col: str = "label",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs within coarse buckets — the
+    embedding twin of MinHash candidate generation (dedup.py)."""
+    a = corpus.select(
+        F.col(bucket_col).alias("bucket"),
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+    )
+    b = corpus.select(
+        F.col(bucket_col).alias("bucket"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+    )
+    return (
+        a.join(b, on="bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a", "vec_b", cosine(F.col("emb_a"), F.col("emb_b")).alias("cos")
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+
+
+def embedding_neardup_sql(threshold: float = 0.3, bucket_col: str = "label") -> str:
+    return f"""
+WITH pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         {cosine_sql('a.embedding', 'b.embedding')} AS cos
+  FROM embeddings a JOIN embeddings b
+    ON a.{bucket_col} = b.{bucket_col} AND a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, cos FROM pairs WHERE cos >= {threshold}
+"""

@@ -1,0 +1,175 @@
+"""Text analysis operators: language-ID, quality scoring, token
+counting, document fingerprinting. All JVM-side built-ins (regex,
+higher-order array functions, hash aggregates) — no Python in the hot
+path, so the full corpus scan stays in whole-stage codegen at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+ENGLISH_STOPWORDS = (
+    "the", "a", "of", "and", "to", "in", "is", "it", "for", "on",
+)
+
+# Disjoint marker-word lists for the n-gram language heuristic.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "is"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "et", "les", "une", "est"),
+    "es": ("los", "por", "como", "para", "esta"),
+    "zh": (),  # no latin markers; scores 0 → never argmax under ties
+}
+LANG_ORDER = ("en", "de", "fr", "es", "zh")
+
+
+def tokens_col(text: Column) -> Column:
+    return F.filter(F.split(text, " "), lambda t: t != "")
+
+
+def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality stats: char/token counts (whitespace + a
+    regex word tokenizer), average token length, stopword ratio, and a
+    [0,1] quality score."""
+    text = F.col(text_col)
+    toks = tokens_col(text)
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*ENGLISH_STOPWORDS)))
+    stop_ratio = F.round(n_stop / n_tokens, 6)
+    avg_tok = F.round(
+        (F.length(text) - (n_tokens - 1)) / n_tokens, 6
+    )  # total non-space chars / tokens (single-spaced corpus)
+    # quality: in-range token count + stopword presence, clamped to [0,1]
+    score = F.round(
+        F.least(
+            F.lit(1.0),
+            (n_tokens / F.lit(50.0)) * 0.5 + stop_ratio * 2.0,
+        ),
+        6,
+    )
+    return docs.select(
+        "doc_id",
+        F.length(text).alias("n_chars"),
+        n_tokens.cast("long").alias("n_tokens"),
+        F.regexp_count(text, F.lit("[a-z]+")).cast("long").alias("n_word_tokens"),
+        avg_tok.alias("avg_token_len"),
+        stop_ratio.alias("stopword_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+def quality_features_sql(text_col: str = "text", table: str = "documents") -> str:
+    toks = f"list_filter(string_split({text_col}, ' '), t -> t <> '')"
+    stop_list = ", ".join(f"'{w}'" for w in ENGLISH_STOPWORDS)
+    n_tokens = f"len({toks})"
+    n_stop = f"len(list_filter({toks}, t -> t IN ({stop_list})))"
+    stop_ratio = f"ROUND(CAST({n_stop} AS DOUBLE) / {n_tokens}, 6)"
+    avg_tok = f"ROUND(CAST(length({text_col}) - ({n_tokens} - 1) AS DOUBLE) / {n_tokens}, 6)"
+    score = (
+        f"ROUND(LEAST(1.0, (CAST({n_tokens} AS DOUBLE) / 50.0) * 0.5 + {stop_ratio} * 2.0), 6)"
+    )
+    return f"""
+SELECT doc_id,
+       length({text_col}) AS n_chars,
+       CAST({n_tokens} AS BIGINT) AS n_tokens,
+       CAST(len(regexp_extract_all({text_col}, '[a-z]+')) AS BIGINT) AS n_word_tokens,
+       {avg_tok} AS avg_token_len,
+       {stop_ratio} AS stopword_ratio,
+       {score} AS quality_score
+FROM {table}
+"""
+
+
+def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-word language heuristic: per-language hit counts, argmax
+    with a fixed preference order on ties."""
+    toks = tokens_col(F.col(text_col))
+
+    def marker_score(words: tuple[str, ...]):
+        if not words:
+            return F.lit(0)
+        return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+    scores = {lang: marker_score(words) for lang, words in LANG_MARKERS.items()}
+    pred = F.lit(LANG_ORDER[-1])
+    for lang in reversed(LANG_ORDER[:-1]):
+        others = [scores[o] for o in LANG_ORDER if o != lang]
+        cond = scores[lang] > 0
+        for o in LANG_ORDER:
+            if LANG_ORDER.index(o) < LANG_ORDER.index(lang):
+                cond = cond & (scores[lang] > scores[o])
+            elif o != lang:
+                cond = cond & (scores[lang] >= scores[o])
+        pred = F.when(cond, lang).otherwise(pred)
+    sel = [F.col("doc_id")]
+    sel += [scores[lang].cast("long").alias(f"score_{lang}") for lang in LANG_ORDER]
+    sel.append(pred.alias("predicted_lang"))
+    return docs.select(*sel)
+
+
+def lang_id_sql(text_col: str = "text", table: str = "documents") -> str:
+    toks = f"list_filter(string_split({text_col}, ' '), t -> t <> '')"
+
+    def score(lang: str) -> str:
+        words = LANG_MARKERS[lang]
+        if not words:
+            return "0"
+        lst = ", ".join(f"'{w}'" for w in words)
+        return f"len(list_filter({toks}, t -> t IN ({lst})))"
+
+    score_cols = ",\n       ".join(
+        f"CAST({score(lang)} AS BIGINT) AS score_{lang}" for lang in LANG_ORDER
+    )
+    pred = f"'{LANG_ORDER[-1]}'"
+    for lang in reversed(LANG_ORDER[:-1]):
+        conds = [f"{score(lang)} > 0"]
+        for o in LANG_ORDER:
+            if LANG_ORDER.index(o) < LANG_ORDER.index(lang):
+                conds.append(f"{score(lang)} > {score(o)}")
+            elif o != lang:
+                conds.append(f"{score(lang)} >= {score(o)}")
+        pred = f"CASE WHEN {' AND '.join(conds)} THEN '{lang}' ELSE {pred} END"
+    return f"""
+SELECT doc_id,
+       {score_cols},
+       {pred} AS predicted_lang
+FROM {table}
+"""
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text", k: int = 4) -> DataFrame:
+    """Winnowing-style document fingerprint: the k smallest distinct
+    3-gram shingle digests, concatenated. Near-identical documents agree
+    on most of the minima; the fingerprint doubles as a clustering key."""
+    from .dedup import shingles
+
+    sh = docs.select(
+        "doc_id", F.explode(shingles(F.col(text_col))).alias("shingle")
+    )
+    return (
+        sh.select("doc_id", F.md5("shingle").alias("h"))
+        .distinct()
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.slice(F.array_sort(F.collect_list("h")), 1, k), ""
+            ).alias("fingerprint")
+        )
+    )
+
+
+def fingerprint_sql(text_col: str = "text", table: str = "documents", k: int = 4) -> str:
+    from .dedup import shingles_sql
+
+    return f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, md5(shingle) AS h FROM (
+    SELECT doc_id, unnest({shingles_sql(text_col)}) AS shingle FROM {table}
+  )
+)
+SELECT doc_id,
+       array_to_string(list_slice(list_sort(list(h)), 1, {k}), '') AS fingerprint
+FROM sh
+GROUP BY doc_id
+"""

@@ -1,0 +1,56 @@
+"""ML pipeline operators (SURVEY.md §2.11 M1-M5).
+
+Reference parity: mlproject/train.scala:38-67 — a 4-stage pipeline
+``CountVectorizer → StringIndexer → LogisticRegression → IndexToString``
+predicting a categorical label from an array-of-strings column, saved
+with ``PipelineModel.write.overwrite`` and served both batch
+(dashboard/dashboard.scala:34-44) and per-micro-batch on a stream
+(mlproject/test.scala:71).
+
+The reference fits the StringIndexer EAGERLY before assembling the
+pipeline, because IndexToString needs the label array at construction
+time (train.scala:43-46); reproduced here.
+
+Determinism (SURVEY.md §7.5 risk 7): the token array is sorted before
+vectorizing and input rows are pre-sorted by the id column, which pins
+CountVectorizer's vocabulary and the training order.
+"""
+
+from __future__ import annotations
+
+from pyspark.ml import Pipeline, PipelineModel
+from pyspark.ml.classification import LogisticRegression
+from pyspark.ml.feature import CountVectorizer, IndexToString, StringIndexer
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def prepare_training_frame(
+    docs: DataFrame,
+    text_col: str = "text",
+    label_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """documents → (id, tokens array<string>, label) — the shape the
+    reference builds with collect_list(domain) (train.scala:30-35)."""
+    return docs.select(
+        id_col,
+        F.array_sort(F.split(F.col(text_col), " ")).alias("tokens"),
+        F.col(label_col).alias("label_str"),
+    ).orderBy(id_col)
+
+
+def build_pipeline(train_df: DataFrame, vocab_size: int = 1000) -> Pipeline:
+    cv = CountVectorizer(
+        inputCol="tokens", outputCol="features", vocabSize=vocab_size
+    )
+    indexer = StringIndexer(inputCol="label_str", outputCol="label").fit(train_df)
+    lr = LogisticRegression(maxIter=10, regParam=0.001)
+    converter = IndexToString(
+        inputCol="prediction", outputCol="category", labels=indexer.labels
+    )
+    return Pipeline(stages=[cv, indexer, lr, converter])
+
+
+def train_model(train_df: DataFrame, vocab_size: int = 1000) -> PipelineModel:
+    return build_pipeline(train_df, vocab_size).fit(train_df)

@@ -1,0 +1,57 @@
+"""Dedup extension queries with DuckDB oracles."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..ext.dedup import (
+    exact_dedup_groups,
+    lsh_candidate_pairs,
+    minhash_lsh_sql,
+    ngram_jaccard_pairs,
+    ngram_jaccard_sql,
+    simhash16,
+    simhash16_sql,
+)
+from ..sources import load_table
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup_groups(load_table(spark, sf_dir, "documents"))
+
+
+DEDUP_EXACT_ORACLE = """
+SELECT md5(text) AS digest,
+       MIN(doc_id) AS keeper_id,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY 1
+"""
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lsh_candidate_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash16(load_table(spark, sf_dir, "documents"))
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
+
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+}
+
+ORACLES = {
+    "dedup_exact": DEDUP_EXACT_ORACLE,
+    "dedup_minhash_lsh": minhash_lsh_sql(),
+    "dedup_simhash": simhash16_sql(),
+    "dedup_ngram_jaccard": ngram_jaccard_sql(),
+}

@@ -1,0 +1,45 @@
+"""Similarity-search extension queries with DuckDB oracles."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..ext.similarity import (
+    embedding_neardup_pairs,
+    embedding_neardup_sql,
+    topk_bruteforce,
+    topk_bruteforce_sql,
+    topk_ivf,
+    topk_ivf_sql,
+)
+from ..sources import load_table
+
+N_QUERIES = 5
+
+
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return topk_bruteforce(emb, emb.filter(F.col("vec_id") < N_QUERIES), k=5)
+
+
+def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return topk_ivf(emb, emb.filter(F.col("vec_id") < N_QUERIES), k=3)
+
+
+def sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_neardup_pairs(load_table(spark, sf_dir, "embeddings"))
+
+
+QUERIES = {
+    "sim_topk_bruteforce": sim_topk_bruteforce,
+    "sim_topk_ivf": sim_topk_ivf,
+    "sim_embedding_neardup": sim_embedding_neardup,
+}
+
+ORACLES = {
+    "sim_topk_bruteforce": topk_bruteforce_sql(k=5, n_queries=N_QUERIES),
+    "sim_topk_ivf": topk_ivf_sql(k=3, n_queries=N_QUERIES),
+    "sim_embedding_neardup": embedding_neardup_sql(),
+}

@@ -1,0 +1,59 @@
+"""Text-analysis + multimodal extension queries with DuckDB oracles."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..ext.multimodal import extract_features, to_media_frame
+from ..ext.textstats import (
+    fingerprint,
+    fingerprint_sql,
+    lang_id,
+    lang_id_sql,
+    quality_features,
+    quality_features_sql,
+)
+from ..sources import load_table
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_features(load_table(spark, sf_dir, "documents"))
+
+
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lang_id(load_table(spark, sf_dir, "documents"))
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = to_media_frame(load_table(spark, sf_dir, "documents"))
+    return extract_features(media, fake=True)
+
+
+# documents.text is ASCII → utf-8 bytes == characters; the byte-level
+# fake features are expressible over the text column directly.
+MULTIMODAL_ORACLE = """
+SELECT doc_id,
+       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+       lower(hex(CAST(substr(text, 1, 8) AS BLOB))) AS head_hex,
+       CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS first_byte
+FROM documents
+"""
+
+
+QUERIES = {
+    "text_quality": text_quality,
+    "text_lang_id": text_lang_id,
+    "text_fingerprint": text_fingerprint,
+    "multimodal_features": multimodal_features,
+}
+
+ORACLES = {
+    "text_quality": quality_features_sql(),
+    "text_lang_id": lang_id_sql(),
+    "text_fingerprint": fingerprint_sql(),
+    "multimodal_features": MULTIMODAL_ORACLE,
+}

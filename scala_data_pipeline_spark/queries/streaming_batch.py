@@ -1,0 +1,57 @@
+"""Batch-equivalence twins of the streaming operators (SURVEY.md §2.9).
+
+Structured Streaming's unified model means the SAME ``revenue_window_agg``
+definition runs on a stream (tests/test_streaming.py drives it through a
+file-source micro-batch pipeline) and on a batch frame (here, where the
+DuckDB oracle can check the values). T1/T3 window semantics are checked
+by value; trigger/checkpoint mechanics are checked in the streaming
+tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions.numeric import dsum_sql
+from ..sources import load_table
+from ..streaming.windowed import revenue_window_agg
+
+
+def windowed_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return revenue_window_agg(events, "60 minutes")
+
+
+WINDOWED_REVENUE_ORACLE = f"""
+SELECT time_bucket(INTERVAL '60 minutes', ts) AS window_start,
+       time_bucket(INTERVAL '60 minutes', ts) + INTERVAL '60 minutes' AS window_end,
+       {dsum_sql("CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END", 2)} AS revenue,
+       CAST(SUM(CASE WHEN user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS visitors,
+       COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchases,
+       CASE WHEN COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) > 0
+            THEN {dsum_sql("CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END", 2)}
+                 / COUNT(CASE WHEN event_type = 'purchase' THEN 1 END)
+       END AS aov
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def windowed_revenue_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Finer-grained window to exercise non-hour-aligned bucketing."""
+    events = load_table(spark, sf_dir, "events")
+    return revenue_window_agg(events, "15 minutes")
+
+
+WINDOWED_REVENUE_15M_ORACLE = WINDOWED_REVENUE_ORACLE.replace("60 minutes", "15 minutes")
+
+
+QUERIES = {
+    "windowed_revenue": windowed_revenue,
+    "windowed_revenue_15m": windowed_revenue_15m,
+}
+
+ORACLES = {
+    "windowed_revenue": WINDOWED_REVENUE_ORACLE,
+    "windowed_revenue_15m": WINDOWED_REVENUE_15M_ORACLE,
+}

@@ -1,0 +1,68 @@
+"""ML pipeline mechanics (SURVEY.md §2.11): fit, save/load round-trip,
+batch + streaming inference (T8)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.ml import PipelineModel
+from pyspark.sql import functions as F
+
+from scala_data_pipeline_spark.ml.pipeline import (
+    prepare_training_frame,
+    train_model,
+)
+from scala_data_pipeline_spark.sources import load_table
+
+
+@pytest.fixture(scope="module")
+def model_and_frame(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    train_df = prepare_training_frame(docs).cache()
+    model = train_model(train_df, vocab_size=128)
+    return model, train_df
+
+
+def test_pipeline_stages_and_output(model_and_frame):
+    model, train_df = model_and_frame
+    out = model.transform(train_df)
+    assert {"features", "label", "prediction", "category"} <= set(out.columns)
+    cats = {r.category for r in out.select("category").distinct().collect()}
+    assert cats <= {"en", "de", "fr", "es", "zh"}
+
+
+def test_save_load_roundtrip(model_and_frame, tmp_path):
+    model, train_df = model_and_frame
+    path = str(tmp_path / "model")
+    model.write().overwrite().save(path)  # S14
+    loaded = PipelineModel.load(path)
+    a = model.transform(train_df).select("doc_id", "category").toPandas()
+    b = loaded.transform(train_df).select("doc_id", "category").toPandas()
+    pd.testing.assert_frame_equal(
+        a.sort_values("doc_id", ignore_index=True),
+        b.sort_values("doc_id", ignore_index=True),
+    )
+
+
+def test_streaming_inference(model_and_frame, spark, sf_dir, tmp_path):
+    """T8: PipelineModel.transform on a streaming DataFrame — the
+    mlproject/test.scala serving path, file source standing in for Kafka."""
+    model, train_df = model_and_frame
+    src = str(tmp_path / "stream_src")
+    train_df.repartition(2).write.mode("overwrite").parquet(src)
+    sdf = spark.readStream.schema(train_df.schema).parquet(src)
+    scored = model.transform(sdf).select("doc_id", "category")
+    q = (
+        scored.writeStream.format("memory")
+        .queryName("ml_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=120)
+    got = spark.sql("SELECT * FROM ml_stream").toPandas()
+    want = model.transform(train_df).select("doc_id", "category").toPandas()
+    pd.testing.assert_frame_equal(
+        got.sort_values("doc_id", ignore_index=True),
+        want.sort_values("doc_id", ignore_index=True),
+    )

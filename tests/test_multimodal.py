@@ -1,0 +1,44 @@
+"""Multimodal column plumbing: schema contract, Arrow batch iteration,
+decode-stub gating."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql.types import BinaryType
+
+from scala_data_pipeline_spark.ext.multimodal import (
+    FEATURE_SCHEMA,
+    decode_stub,
+    extract_features,
+    to_media_frame,
+)
+from scala_data_pipeline_spark.sources import load_table
+
+
+def test_media_frame_schema(spark, sf_dir):
+    media = to_media_frame(load_table(spark, sf_dir, "documents"))
+    assert isinstance(media.schema["payload"].dataType, BinaryType)
+    row = media.limit(1).collect()[0]
+    assert row.n_bytes == len(row.payload)
+    assert row.media_type == "fake/utf8"
+
+
+def test_extract_features_fake(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    media = to_media_frame(docs)
+    feats = extract_features(media, fake=True)
+    assert feats.schema == FEATURE_SCHEMA
+    joined = feats.join(docs, on="doc_id").limit(5).collect()
+    for r in joined:
+        assert r.n_bytes == len(r.text.encode())
+        assert r.head_hex == r.text.encode()[:8].hex()
+        assert r.first_byte == r.text.encode()[0]
+
+
+def test_decode_stub_raises(spark, sf_dir):
+    with pytest.raises(NotImplementedError, match="media decoder"):
+        decode_stub(b"bytes", "image/png")
+    media = to_media_frame(load_table(spark, sf_dir, "documents")).limit(2)
+    real_path = extract_features(media, fake=False)
+    with pytest.raises(Exception, match="media decoder|NotImplementedError"):
+        real_path.collect()

