@@ -56,6 +56,42 @@ def cosine_sql(a: str, b: str) -> str:
     )
 
 
+# -- Pair-join fast path: round elements and compute norms ONCE PER ROW,
+# so the per-pair work is one multiply-sum. Parity holds because both
+# engines run identical IEEE double ops in identical (left-to-right)
+# order over identically pre-rounded inputs.
+
+
+def prep_vectors(df: DataFrame, emb_col: str = "embedding") -> DataFrame:
+    rounded = F.transform(F.col(emb_col), lambda x: F.round(x.cast("double"), 8))
+    return df.withColumn("emb_r", rounded).withColumn(
+        "emb_norm",
+        F.sqrt(
+            F.aggregate(
+                F.transform(rounded, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+            )
+        ),
+    )
+
+
+def cosine_prepped(a_emb: Column, a_norm: Column, b_emb: Column, b_norm: Column) -> Column:
+    dot = F.aggregate(
+        F.zip_with(a_emb, b_emb, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return F.round(dot / (a_norm * b_norm), 6)
+
+
+PREP_SQL = (
+    "list_transform({col}, x -> ROUND(CAST(x AS DOUBLE), 8))"
+)
+NORM_SQL = (
+    "sqrt(list_sum(list_transform({r}, x -> x * x)))"
+)
+DOT_PREPPED_SQL = (
+    "list_sum(list_transform(list_zip({a}, {b}), x -> x[1] * x[2]))"
+)
+
+
 def topk_bruteforce(
     corpus: DataFrame,
     queries: DataFrame,
@@ -161,33 +197,48 @@ def embedding_neardup_pairs(
     bucket_col: str = "label",
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs within coarse buckets — the
-    embedding twin of MinHash candidate generation (dedup.py)."""
-    a = corpus.select(
+    embedding twin of MinHash candidate generation (dedup.py). Uses the
+    prepped fast path: element rounding + norms amortized per ROW, so
+    the O(pairs) inner loop is a single multiply-sum."""
+    prepped = prep_vectors(corpus)
+    a = prepped.select(
         F.col(bucket_col).alias("bucket"),
         F.col("vec_id").alias("vec_a"),
-        F.col("embedding").alias("emb_a"),
+        F.col("emb_r").alias("emb_ra"),
+        F.col("emb_norm").alias("norm_a"),
     )
-    b = corpus.select(
+    b = prepped.select(
         F.col(bucket_col).alias("bucket"),
         F.col("vec_id").alias("vec_b"),
-        F.col("embedding").alias("emb_b"),
+        F.col("emb_r").alias("emb_rb"),
+        F.col("emb_norm").alias("norm_b"),
     )
     return (
         a.join(b, on="bucket")
         .filter(F.col("vec_a") < F.col("vec_b"))
         .select(
-            "vec_a", "vec_b", cosine(F.col("emb_a"), F.col("emb_b")).alias("cos")
+            "vec_a",
+            "vec_b",
+            cosine_prepped(
+                F.col("emb_ra"), F.col("norm_a"), F.col("emb_rb"), F.col("norm_b")
+            ).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
     )
 
 
 def embedding_neardup_sql(threshold: float = 0.3, bucket_col: str = "label") -> str:
+    prep = PREP_SQL.format(col="embedding")
+    norm = NORM_SQL.format(r="emb_r")
+    dot = DOT_PREPPED_SQL.format(a="a.emb_r", b="b.emb_r")
     return f"""
-WITH pairs AS (
+WITH prepped AS (
+  SELECT vec_id, {bucket_col}, emb_r, {norm} AS emb_norm
+  FROM (SELECT vec_id, {bucket_col}, {prep} AS emb_r FROM embeddings)
+), pairs AS (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-         {cosine_sql('a.embedding', 'b.embedding')} AS cos
-  FROM embeddings a JOIN embeddings b
+         ROUND({dot} / (a.emb_norm * b.emb_norm), 6) AS cos
+  FROM prepped a JOIN prepped b
     ON a.{bucket_col} = b.{bucket_col} AND a.vec_id < b.vec_id
 )
 SELECT vec_a, vec_b, cos FROM pairs WHERE cos >= {threshold}

@@ -40,15 +40,33 @@ def pivot_counts(
     pivot_col: str,
     values: Sequence[str],
     prefix: str = "",
-    agg: Column | None = None,
+    agg_col: str | None = None,
 ) -> DataFrame:
-    """groupBy(key).pivot(pivot_col, values).count() with stable column
-    names and zero-fill (P11 ``na.fill(0)`` built in)."""
-    aggregated = df.groupBy(key).pivot(pivot_col, list(values))
-    out = aggregated.agg(agg) if agg is not None else aggregated.count()
-    renames = {v: f"{prefix}{sanitize_label(v)}" for v in values}
-    out = out.withColumnsRenamed(renames)
-    return out.na.fill(0, list(renames.values()))
+    """Wide count matrix: semantically ``groupBy(key).pivot(pivot_col,
+    values).count()`` + ``na.fill(0)``, but planned as ONE conditional
+    aggregation instead of Spark's two-phase pivot.
+
+    ``.pivot()`` plans two aggregations (partial on (key, pivot), final
+    re-agg on key) = two shuffles; with an explicit value list the same
+    result is ``count(when(pivot = v, 1))`` per value — a single shuffle
+    on ``key`` with map-side partial aggregation. At 100 TB that halves
+    the shuffle volume of the reference's workhorse operator
+    (users_items/users_items.scala:76-82 et al.).
+
+    ``agg_col``: when given, cells are ``sum(agg_col)`` over matching
+    rows instead of row counts (the merge path of matrix.merge_matrix).
+    """
+    exprs = []
+    for v in values:
+        cond = F.col(pivot_col) == v
+        if agg_col is None:
+            cell = F.count(F.when(cond, 1))
+        else:
+            cell = F.coalesce(
+                F.sum(F.when(cond, F.col(agg_col))), F.lit(0).cast("long")
+            )
+        exprs.append(cell.alias(f"{prefix}{sanitize_label(v)}"))
+    return df.groupBy(key).agg(*exprs)
 
 
 def pivot_counts_sql(

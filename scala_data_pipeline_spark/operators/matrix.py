@@ -77,7 +77,7 @@ def merge_matrix(old_matrix: DataFrame, new_events: DataFrame) -> DataFrame:
     merged = old_long.unionByName(new_long)
     return pivot_counts(
         merged, key="user_id", pivot_col="item", values=item_values(),
-        agg=F.sum("cnt"),
+        agg_col="cnt",
     )
 
 

@@ -1,0 +1,124 @@
+"""End-to-end replay of the reference's module chain on testdata
+(SURVEY.md §5 strategy point 3): filter → users_items (incremental) →
+features, plus the data_mart assembly — asserting schemas and the
+reference's invariants (matrix counts, fractions ∈ [0,1])."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from scala_data_pipeline_spark.jobs import (
+    dashboard_job,
+    data_mart_job,
+    features_job,
+    filter_job,
+    users_items_job,
+)
+from scala_data_pipeline_spark.ml.pipeline import prepare_training_frame, train_model
+from scala_data_pipeline_spark.sources import load_table
+
+
+def test_filter_job_partitioned_json(spark, sf_dir, tmp_path):
+    events = load_table(spark, sf_dir, "events")
+    out = str(tmp_path / "filtered")
+    filter_job.run(events, out, target_files=2)
+    views = spark.read.json(f"{out}/view")
+    buys = spark.read.json(f"{out}/buy")
+    assert "p_date" in views.columns  # partition column survives (S10)
+    assert views.count() == events.filter(F.col("event_type") == "view").count()
+    assert buys.count() == events.filter(F.col("event_type") == "purchase").count()
+    # partition pruning works on the date-partitioned layout
+    one_day = views.filter(F.col("p_date") == 20240105)
+    assert one_day.count() > 0
+
+
+def test_users_items_job_roundtrip(spark, sf_dir, tmp_path):
+    events = load_table(spark, sf_dir, "events")
+    base = str(tmp_path / "ui")
+    path = users_items_job.run(events, base, output_files=2)
+    assert path.endswith(users_items_job.max_date_str(events))
+    matrix = spark.read.parquet(path)
+    assert "view_item0" in matrix.columns and "buy_item99" in matrix.columns
+    totals = matrix.select(
+        sum(F.sum(c) for c in matrix.columns if c != "user_id").alias("t")
+    ).first()["t"]
+    expected = events.filter(
+        F.col("user_id").isNotNull()
+        & F.col("event_type").isin("view", "purchase")
+    ).count()
+    assert totals == expected  # every event lands in exactly one cell
+
+
+def test_features_job_invariants(spark, sf_dir, tmp_path):
+    events = load_table(spark, sf_dir, "events")
+    # visits shape: (uid, domain, ts) — domain derived from props.k
+    visits = events.filter(F.col("user_id").isNotNull()).select(
+        F.col("user_id").alias("uid"),
+        F.concat(F.lit("d"), F.from_json("props", "k INT")["k"]).alias("domain"),
+        "ts",
+    )
+    ui_path = users_items_job.run(events, str(tmp_path / "ui"))
+    users_items = spark.read.parquet(ui_path).withColumnRenamed("user_id", "uid")
+    feats = features_job.build_features(visits, users_items, k=50)
+    assert "domain_features" in feats.columns
+    row = feats.filter(F.col("domain_features").isNotNull()).first()
+    assert len(row["domain_features"]) == 50  # packed vector width = k
+    fr = feats.select(
+        F.min("web_fraction_work_hours").alias("lo"),
+        F.max("web_fraction_work_hours").alias("hi"),
+    ).first()
+    assert fr["lo"] is None or 0.0 <= fr["lo"] <= fr["hi"] <= 1.0
+
+
+def test_data_mart_assembly(spark, sf_dir):
+    customer = load_table(spark, sf_dir, "customer")
+    events = load_table(spark, sf_dir, "events")
+    docs = load_table(spark, sf_dir, "documents")
+    clients = customer.select(
+        F.col("c_custkey").cast("string").alias("uid"),
+        F.when(F.col("c_custkey") % 2 == 0, "M").otherwise("F").alias("gender"),
+        (F.col("c_custkey") % 50 + 18).cast("int").alias("age"),
+    )
+    shop_visits = events.filter(F.col("user_id").isNotNull()).select(
+        F.col("user_id").cast("string").alias("uid"),
+        F.col("event_type").alias("category"),
+    )
+    domain_cats = docs.select(
+        F.concat(F.col("source"), F.lit(".org")).alias("domain"),
+        F.col("lang").alias("category"),
+    ).distinct()
+    logs = (
+        docs.select(
+            F.col("doc_id").cast("string").alias("uid"),
+            F.struct(
+                F.lit(0).cast("long").alias("timestamp"),
+                F.concat(
+                    F.lit("https://www."), F.col("source"), F.lit(".org/x")
+                ).alias("url"),
+            ).alias("visit"),
+        )
+        .groupBy("uid")
+        .agg(F.collect_list("visit").alias("visits"))
+    )
+    mart = data_mart_job.build_data_mart(
+        clients, shop_visits, domain_cats, logs,
+        web_cat_values=["en", "de", "fr", "es", "zh"],
+        shop_cat_values=["click", "error", "purchase", "signup", "view"],
+    )
+    assert {"uid", "gender", "age_cat"} <= set(mart.columns)
+    assert mart.count() > 0
+    age_cats = {r["age_cat"] for r in mart.select("age_cat").distinct().collect()}
+    assert age_cats <= {"18-24", "25-34", "35-44", "45-54", ">=55"}
+
+
+def test_dashboard_job(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents")
+    frame = prepare_training_frame(docs)
+    model_path = str(tmp_path / "model")
+    train_model(frame, vocab_size=64).write().overwrite().save(model_path)
+    out = str(tmp_path / "preds")
+    dashboard_job.run(model_path, frame, out)
+    preds = spark.read.parquet(out)
+    assert {"doc_id", "predicted", "scored_at"} <= set(preds.columns)
+    assert preds.count() == docs.count()

@@ -1,0 +1,77 @@
+"""Plan-shape locks (the 100 TB posture, SURVEY.md §4): headline queries
+must keep their scan pruning, pushdown, broadcast choices, and shuffle
+budgets. A change that adds a shuffle or demotes a broadcast join fails
+here instead of on the cluster."""
+
+from __future__ import annotations
+
+import pytest
+
+from scala_data_pipeline_spark.plans import plan_audit
+from scala_data_pipeline_spark.queries import all_queries
+
+QUERIES = all_queries()
+
+
+@pytest.fixture(scope="module")
+def audits(spark, sf_dir):
+    return {
+        name: plan_audit(QUERIES[name](spark, sf_dir))
+        for name in (
+            "pricing_summary",
+            "join_dims",
+            "flagship_datamart",
+            "pivot_user_events",
+            "filter_project",
+            "topk_parts",
+            "windowed_revenue",
+        )
+    }
+
+
+def test_aggregates_are_partial(audits):
+    """Every groupBy runs map-side combine (partial→final)."""
+    for name in ("pricing_summary", "pivot_user_events", "windowed_revenue"):
+        assert audits[name]["has_partial_agg"], name
+
+
+def test_single_shuffle_for_simple_aggs(audits):
+    """One groupBy = exactly one exchange."""
+    assert audits["pricing_summary"]["n_shuffle_exchanges"] == 1
+    assert audits["pivot_user_events"]["n_shuffle_exchanges"] == 1
+
+
+def test_dim_joins_broadcast(audits):
+    """nation/region joins must be broadcast-hash, not sort-merge."""
+    a = audits["join_dims"]
+    assert a["n_broadcast_joins"] >= 2
+    assert a["n_sortmerge_joins"] == 0
+
+
+def test_column_pruning_reaches_scan(audits):
+    """filter_project reads 4 of events' 6 columns; pricing reads 7 of
+    lineitem's 11."""
+    assert all(
+        "props" not in s for s in audits["filter_project"]["scan_schemas"]
+    )
+    assert all(
+        "l_comment" not in s and "l_orderkey" not in s
+        for s in audits["pricing_summary"]["scan_schemas"]
+    )
+
+
+def test_filter_pushdown_reaches_scan(audits):
+    assert audits["pricing_summary"]["has_pushed_filters"]
+    assert audits["filter_project"]["has_pushed_filters"]
+
+
+def test_no_python_in_hot_paths(audits):
+    """Core relational/agg/streaming queries must stay JVM-side."""
+    for name, a in audits.items():
+        assert a["n_python_udfs"] == 0, f"{name} has Python in the plan"
+
+
+def test_topk_no_global_sort(audits):
+    """orderBy+limit must plan as TakeOrderedAndProject, not a global
+    sort (rangepartitioning exchange)."""
+    assert "TakeOrderedAndProject" in audits["topk_parts"]["plan"]
