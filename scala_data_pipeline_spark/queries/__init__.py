@@ -15,6 +15,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 _MODULES = [
     "core",
+    "core2",
     "functions_batch",
     "matrix",
     "streaming_batch",

@@ -1,0 +1,177 @@
+"""Second core batch: remaining §2 inventory items — dropDuplicates
+(P10), column drop (P9), explicit unpivot (F19), global sort (O1),
+window functions (W1 literal + rank/lag), to_json round-trip (F15/F16)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.aggregates import unpivot_counts
+from ..operators.matrix import users_items_matrix
+from ..operators.windows import stamp_max_literal
+from ..sources import load_table
+
+
+# P9/P10: drop + dropDuplicates on a subset.
+
+def drop_duplicates_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.dropDuplicates(["user_id", "event_type"])
+        .drop("props", "value", "ts", "event_id")
+        .filter(F.col("user_id").isNotNull())
+    )
+
+
+DROP_DUP_ORACLE = """
+SELECT DISTINCT user_id, event_type
+FROM events
+WHERE user_id IS NOT NULL
+"""
+
+
+# F19: explicit unpivot of the users×items matrix back to long form.
+
+def unpivot_matrix_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    matrix = users_items_matrix(load_table(spark, sf_dir, "events"))
+    long = unpivot_counts(
+        matrix,
+        key="user_id",
+        value_cols=[c for c in matrix.columns if c != "user_id"],
+    )
+    return long.filter(F.col("cnt") > 0)
+
+
+UNPIVOT_ORACLE = """
+SELECT user_id,
+       (CASE WHEN event_type = 'view' THEN 'view_item' ELSE 'buy_item' END)
+         || CAST(json_extract_string(props, '$.k') AS VARCHAR) AS item_id,
+       COUNT(*) AS cnt
+FROM events
+WHERE user_id IS NOT NULL AND event_type IN ('view', 'purchase')
+GROUP BY 1, 2
+"""
+
+
+# O1: global sort before write — materialized as a ranked projection so
+# the oracle can check the total order by value.
+
+def global_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    sorted_df = orders.orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    return sorted_df.select(
+        F.row_number()
+        .over(Window.orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc()))
+        .alias("pos"),
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_date"),
+    )
+
+
+GLOBAL_SORT_ORACLE = """
+SELECT ROW_NUMBER() OVER (ORDER BY o_orderdate ASC, o_orderkey ASC) AS pos,
+       o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_date
+FROM orders
+"""
+
+
+# W1 literal: the reference's single-partition window stamping max date.
+
+def window_maxdate_literal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    per_type = events.groupBy("event_type").agg(
+        F.max("ts").alias("type_max_ts")
+    )
+    stamped = stamp_max_literal(per_type, F.col("type_max_ts"), "global_max_ts")
+    return stamped.select(
+        "event_type",
+        F.date_format("type_max_ts", "yyyyMMdd").alias("type_max_date"),
+        F.date_format("global_max_ts", "yyyyMMdd").alias("global_max_date"),
+    )
+
+
+WINDOW_MAXDATE_ORACLE = """
+SELECT event_type,
+       strftime(MAX(ts), '%Y%m%d') AS type_max_date,
+       strftime(MAX(MAX(ts)) OVER (), '%Y%m%d') AS global_max_date
+FROM events
+GROUP BY event_type
+"""
+
+
+# Rank + lag: per-customer order sequence analytics.
+
+def window_rank_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("price"),
+        "o_orderdate",
+    )
+    # o_orderdate ties within a customer would make rank/lag ambiguous —
+    # tiebreak on o_orderkey for a total order (operators.windows.ranked/
+    # with_lag take any order Column; composed inline here).
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    seq = base.withColumn("rnk", F.row_number().over(w)).withColumn(
+        "prev_price", F.lag("price").over(w)
+    )
+    return seq.select("o_custkey", "o_orderkey", "rnk", "price", "prev_price")
+
+
+WINDOW_RANK_ORACLE = """
+SELECT o_custkey, o_orderkey,
+       ROW_NUMBER() OVER w AS rnk,
+       ROUND(o_totalprice, 2) AS price,
+       LAG(ROUND(o_totalprice, 2)) OVER w AS prev_price
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+"""
+
+
+# F15/F16: to_json(struct(*)) serialization round-trip.
+
+def json_serialize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    compact = events.select("event_id", "event_type")
+    as_json = compact.select(
+        F.to_json(F.struct("event_id", "event_type")).alias("payload")
+    )
+    back = as_json.select(
+        F.from_json("payload", "event_id BIGINT, event_type STRING").alias("v")
+    ).select("v.*")
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("event_id").cast("long").alias("id_sum")
+    )
+
+
+JSON_ROUNDTRIP_ORACLE = """
+SELECT event_type, COUNT(*) AS cnt, CAST(SUM(event_id) AS BIGINT) AS id_sum
+FROM events
+GROUP BY event_type
+"""
+
+
+QUERIES = {
+    "drop_duplicates_subset": drop_duplicates_subset,
+    "unpivot_matrix_long": unpivot_matrix_long,
+    "global_sort": global_sort,
+    "window_maxdate_literal": window_maxdate_literal,
+    "window_rank_lag": window_rank_lag,
+    "json_serialize_roundtrip": json_serialize_roundtrip,
+}
+
+ORACLES = {
+    "drop_duplicates_subset": DROP_DUP_ORACLE,
+    "unpivot_matrix_long": UNPIVOT_ORACLE,
+    "global_sort": GLOBAL_SORT_ORACLE,
+    "window_maxdate_literal": WINDOW_MAXDATE_ORACLE,
+    "window_rank_lag": WINDOW_RANK_ORACLE,
+    "json_serialize_roundtrip": JSON_ROUNDTRIP_ORACLE,
+}

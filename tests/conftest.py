@@ -13,8 +13,15 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
 @pytest.fixture(scope="session")
-def spark():
-    session = get_session("tests", shuffle_partitions=8)
+def spark(tmp_path_factory):
+    session = get_session(
+        "tests",
+        shuffle_partitions=8,
+        extra_conf={
+            "spark.sql.warehouse.dir": str(tmp_path_factory.mktemp("warehouse")),
+            "spark.ui.showConsoleProgress": "false",
+        },
+    )
     yield session
 
 
