@@ -16,6 +16,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 _MODULES = [
     "core",
     "core2",
+    "core3",
     "functions_batch",
     "matrix",
     "streaming_batch",

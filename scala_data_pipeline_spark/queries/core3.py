@@ -1,0 +1,262 @@
+"""Third batch: temporal operators (as-of / range joins, session /
+sliding windows) and multi-dimensional aggregates (rollup, cube,
+count-distinct family) — all with DuckDB oracles."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.numeric import dsum, dsum_sql
+from ..operators.temporal import (
+    asof_join,
+    range_band_join,
+    session_agg,
+    sliding_agg,
+)
+from ..sources import load_table
+
+
+# ---------------------------------------------------------------------------
+# As-of join: for each non-purchase event, the user's most recent
+# purchase value at-or-before that moment. Oracle: DuckDB native ASOF.
+# ---------------------------------------------------------------------------
+
+def asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    left = events.filter(F.col("event_type") != "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    right = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts"), F.col("value").alias("last_purchase")
+    )
+    joined = asof_join(
+        left, right, key="user_id", left_ts="ts", right_ts="p_ts",
+        value_cols=["last_purchase"],
+    )
+    return joined.select(
+        "user_id",
+        "event_id",
+        F.round(F.coalesce(F.col("last_purchase"), F.lit(0.0)), 2).alias(
+            "last_purchase"
+        ),
+    )
+
+
+ASOF_ORACLE = """
+WITH lefts AS (
+  SELECT user_id, ts, event_id FROM events
+  WHERE user_id IS NOT NULL AND event_type <> 'purchase'
+), rights AS (
+  SELECT user_id, ts AS p_ts, value AS last_purchase FROM events
+  WHERE user_id IS NOT NULL AND event_type = 'purchase'
+)
+SELECT l.user_id, l.event_id,
+       ROUND(COALESCE(r.last_purchase, 0.0), 2) AS last_purchase
+FROM lefts l ASOF LEFT JOIN rights r
+  ON l.user_id = r.user_id AND l.ts >= r.p_ts
+"""
+
+
+# ---------------------------------------------------------------------------
+# Range (band) join: lineitem priced into static bands, non-equi join.
+# ---------------------------------------------------------------------------
+
+PRICE_BANDS = [
+    ("band_low", 0.0, 20000.0),
+    ("band_mid", 20000.0, 50000.0),
+    ("band_high", 50000.0, 80000.0),
+    ("band_top", 80000.0, 1e18),
+]
+
+
+def range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    bands = spark.createDataFrame(PRICE_BANDS, ["band", "lo", "hi"])
+    joined = range_band_join(lineitem, bands, "l_extendedprice")
+    return joined.groupBy("band").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        dsum(F.col("l_extendedprice")).alias("total_price"),
+    )
+
+
+RANGE_JOIN_ORACLE = f"""
+WITH bands(band, lo, hi) AS (VALUES
+  ('band_low', 0.0, 20000.0),
+  ('band_mid', 20000.0, 50000.0),
+  ('band_high', 50000.0, 80000.0),
+  ('band_top', 80000.0, 1e18)
+)
+SELECT band, COUNT(*) AS cnt,
+       {dsum_sql('l_extendedprice')} AS total_price
+FROM lineitem JOIN bands
+  ON l_extendedprice >= lo AND l_extendedprice < hi
+GROUP BY band
+"""
+
+
+# ---------------------------------------------------------------------------
+# Session windows: per-user sessions with a 30-minute inactivity gap.
+# Oracle: gaps-and-islands (lag + cumulative session counter).
+# ---------------------------------------------------------------------------
+
+def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    sess = session_agg(
+        events,
+        key="user_id",
+        ts_col="ts",
+        gap="30 minutes",
+        aggs=[
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(
+                F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(
+                    0.0
+                ),
+                2,
+            ).alias("session_revenue"),
+        ],
+    )
+    return sess.select(
+        "user_id", "session_start", "n_events", "session_revenue"
+    )
+
+
+SESSION_ORACLE = f"""
+WITH seq AS (
+  SELECT user_id, ts, event_type, value,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL '30 minutes'
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events WHERE user_id IS NOT NULL
+), numbered AS (
+  SELECT *, SUM(new_session) OVER (
+      PARTITION BY user_id ORDER BY ts
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM seq
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       COUNT(*) AS n_events,
+       {dsum_sql("CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END", 2)} AS session_revenue
+FROM numbered
+GROUP BY user_id, session_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Sliding windows: 60-minute windows sliding by 15 — each event lands in
+# four. Oracle enumerates the four containing windows per row.
+# ---------------------------------------------------------------------------
+
+def sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return sliding_agg(
+        events,
+        ts_col="ts",
+        size="60 minutes",
+        slide="15 minutes",
+        aggs=[
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(F.col("user_id").isNotNull(), 1).otherwise(0)).alias(
+                "visitors"
+            ),
+        ],
+    )
+
+
+SLIDING_ORACLE = """
+WITH expanded AS (
+  SELECT e.*, time_bucket(INTERVAL '15 minutes', e.ts)
+           - (i.i * INTERVAL '15 minutes') AS window_start
+  FROM events e
+  CROSS JOIN (SELECT unnest(range(4)) AS i) i
+  WHERE e.ts < time_bucket(INTERVAL '15 minutes', e.ts)
+           - (i.i * INTERVAL '15 minutes') + INTERVAL '60 minutes'
+)
+SELECT window_start,
+       window_start + INTERVAL '60 minutes' AS window_end,
+       COUNT(*) AS n_events,
+       CAST(SUM(CASE WHEN user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS visitors
+FROM expanded
+GROUP BY window_start
+"""
+
+
+# ---------------------------------------------------------------------------
+# Rollup + cube (beyond the reference: "no grouping sets/cube/rollup",
+# SURVEY.md §2.4) and the count-distinct family.
+# ---------------------------------------------------------------------------
+
+def rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            dsum(F.col("o_totalprice")).alias("total"),
+        )
+        .na.fill({"o_orderstatus": "ALL", "o_orderpriority": "ALL"})
+    )
+
+
+ROLLUP_ORACLE = f"""
+SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+       COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+       COUNT(*) AS cnt,
+       {dsum_sql('o_totalprice')} AS total
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+def count_distinct_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.count("user_id").alias("n_rows"),
+    )
+
+
+COUNT_DISTINCT_ORACLE = """
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS exact_users,
+       COUNT(user_id) AS n_rows
+FROM events
+GROUP BY event_type
+"""
+
+
+def approx_count_distinct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL sketch counts — engine-specific estimates, so no value oracle;
+    the rows-only check plus tests/test_temporal.py's error-bound assert
+    cover it."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users")
+    )
+
+
+QUERIES = {
+    "asof_last_purchase": asof_last_purchase,
+    "range_join_price_bands": range_join_price_bands,
+    "session_windows": session_windows,
+    "sliding_windows": sliding_windows,
+    "rollup_orders": rollup_orders,
+    "count_distinct_family": count_distinct_family,
+    "approx_count_distinct": approx_count_distinct_q,
+}
+
+ORACLES = {
+    "asof_last_purchase": ASOF_ORACLE,
+    "range_join_price_bands": RANGE_JOIN_ORACLE,
+    "session_windows": SESSION_ORACLE,
+    "sliding_windows": SLIDING_ORACLE,
+    "rollup_orders": ROLLUP_ORACLE,
+    "count_distinct_family": COUNT_DISTINCT_ORACLE,
+}

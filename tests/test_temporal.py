@@ -1,0 +1,51 @@
+"""Temporal operators: as-of join edge cases, approx-count error bound."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from scala_data_pipeline_spark.operators.temporal import asof_join
+from scala_data_pipeline_spark.sources import load_table
+
+
+def _ts(minute: int) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, 10, minute)
+
+
+def test_asof_join_edges(spark):
+    """Exact-tie timestamps match (>= semantics); keys with no prior
+    right row get null; later right rows never leak backward."""
+    left = spark.createDataFrame(
+        [(1, _ts(10), "a"), (1, _ts(20), "b"), (2, _ts(5), "c"), (3, _ts(30), "d")],
+        "k INT, ts TIMESTAMP, tag STRING",
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(10), 100.0), (1, _ts(15), 150.0), (2, _ts(6), 60.0)],
+        "k INT, rts TIMESTAMP, v DOUBLE",
+    )
+    out = asof_join(
+        left, right, key="k", left_ts="ts", right_ts="rts", value_cols=["v"]
+    )
+    got = {(r["k"], r["tag"]): r["v"] for r in out.collect()}
+    assert got[(1, "a")] == 100.0  # exact tie included
+    assert got[(1, "b")] == 150.0  # latest at-or-before
+    assert got[(2, "c")] is None  # right row is later → no leak backward
+    assert got[(3, "d")] is None  # key absent on right
+
+
+def test_approx_count_distinct_error_bound(spark, sf_dir):
+    """HLL estimate within the configured rsd (2%, allow 4 sigma) of the
+    exact distinct count per group."""
+    events = load_table(spark, sf_dir, "events")
+    joined = (
+        events.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx"),
+            F.countDistinct("user_id").alias("exact"),
+        )
+        .collect()
+    )
+    for r in joined:
+        assert abs(r["approx"] - r["exact"]) <= max(1, 0.08 * r["exact"]), r
