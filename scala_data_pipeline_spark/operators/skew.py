@@ -1,0 +1,65 @@
+"""Skew mitigation operators.
+
+At 100 TB a handful of hot keys (the null user, a bot account, a
+default category) can hold an entire stage hostage. Two mitigations,
+complementing AQE's runtime skew-join splitting (on in session.py):
+
+- ``salted_agg`` — two-phase aggregation: spray each key across
+  ``n_salts`` sub-keys, partially aggregate, then merge the partials.
+  The second shuffle moves one row per (key, salt) instead of the raw
+  rows, so the hot key's data never lands on a single task.
+  Works for any DECOMPOSABLE aggregate (sum/count/min/max — pass the
+  merge form).
+- ``salted_join`` — replicate the small side ``n_salts`` times and salt
+  the big side's key: the hot key's rows split over n_salts tasks.
+  Only needed when the small side is too big to broadcast but the big
+  side is skewed; AQE's skew-join handles the sort-merge case, this is
+  the explicit fallback.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_agg(
+    df: DataFrame,
+    key: str,
+    partial_aggs: Sequence[tuple[Column, str]],
+    merge_aggs: Sequence[tuple[Column, str]],
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-phase skew-proof aggregation.
+
+    partial_aggs: (expr, alias) computed per (key, salt);
+    merge_aggs:   (expr over the partial aliases, final alias).
+    """
+    salted = df.withColumn(
+        "_salt", (F.rand(seed=42) * n_salts).cast("int")
+    )
+    partial = salted.groupBy(key, "_salt").agg(
+        *[expr.alias(name) for expr, name in partial_aggs]
+    )
+    return partial.groupBy(key).agg(
+        *[expr.alias(name) for expr, name in merge_aggs]
+    )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Equi-join with the big side salted and the small side replicated
+    n_salts times — splits each hot key over n_salts tasks."""
+    big_salted = big.withColumn(
+        "_salt", (F.rand(seed=42) * n_salts).cast("int")
+    )
+    small_replicated = small.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return big_salted.join(small_replicated, on=[key, "_salt"]).drop("_salt")

@@ -17,6 +17,7 @@ _MODULES = [
     "core",
     "core2",
     "core3",
+    "sql_api",
     "functions_batch",
     "matrix",
     "streaming_batch",

@@ -53,3 +53,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Expose every table as a temp view so the engine's second entry
+    point — plain ``spark.sql`` — works against the same data. The
+    reference has no SQL entry (SURVEY.md §3); this is part of the
+    PySpark-native surface."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)

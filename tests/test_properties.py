@@ -1,0 +1,48 @@
+"""Property-based invariants (hypothesis): partitioning-invariance of
+the order-independent aggregates and CASE-bucket totality."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from scala_data_pipeline_spark.functions.numeric import dsum
+from scala_data_pipeline_spark.operators.relational import (
+    ACCTBAL_BOUNDS,
+    ACCTBAL_LABELS,
+    bucket_column,
+)
+
+FLOATS = st.floats(
+    min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(FLOATS, min_size=1, max_size=40), st.integers(1, 6))
+def test_dsum_partitioning_invariant(spark, values, n_parts):
+    """dsum result is identical regardless of how rows are partitioned —
+    the reproducibility contract that backs oracle parity at scale."""
+    df = spark.createDataFrame([(v,) for v in values], "x DOUBLE")
+    a = df.coalesce(1).agg(dsum(F.col("x")).alias("s")).first()["s"]
+    b = df.repartition(n_parts).agg(dsum(F.col("x")).alias("s")).first()["s"]
+    assert a == b
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(FLOATS, min_size=1, max_size=30))
+def test_bucket_column_total_and_ordered(spark, values):
+    """Every value lands in exactly one bucket, consistent with bounds."""
+    df = spark.createDataFrame([(v,) for v in values], "x DOUBLE")
+    out = df.select(
+        "x",
+        bucket_column(F.col("x"), ACCTBAL_BOUNDS, ACCTBAL_LABELS).alias("b"),
+    ).collect()
+    for r in out:
+        expected = ACCTBAL_LABELS[-1]
+        for bound, label in zip(ACCTBAL_BOUNDS, ACCTBAL_LABELS):
+            if r["x"] < bound:
+                expected = label
+                break
+        assert r["b"] == expected, (r["x"], r["b"], expected)
