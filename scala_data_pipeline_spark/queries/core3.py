@@ -215,6 +215,24 @@ GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 """
 
 
+def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .na.fill({"o_orderstatus": "ALL", "o_orderpriority": "ALL"})
+    )
+
+
+CUBE_ORACLE = """
+SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+       COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+       COUNT(*) AS cnt
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
 def count_distinct_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     return events.groupBy("event_type").agg(
@@ -248,11 +266,13 @@ QUERIES = {
     "session_windows": session_windows,
     "sliding_windows": sliding_windows,
     "rollup_orders": rollup_orders,
+    "cube_orders": cube_orders,
     "count_distinct_family": count_distinct_family,
     "approx_count_distinct": approx_count_distinct_q,
 }
 
 ORACLES = {
+    "cube_orders": CUBE_ORACLE,
     "asof_last_purchase": ASOF_ORACLE,
     "range_join_price_bands": RANGE_JOIN_ORACLE,
     "session_windows": SESSION_ORACLE,

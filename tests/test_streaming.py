@@ -155,3 +155,32 @@ def test_kafka_builder_plumbing(spark):
     parsed = parse_kafka_json(raw, "event_type STRING, item_price INT")
     row = parsed.collect()[0]
     assert row.event_type == "buy" and row.item_price == 3
+
+
+def test_streaming_dedup_with_watermark(spark, sf_dir, events_stream_dir):
+    """Streaming dropDuplicates with watermark (absent from the
+    reference — SURVEY.md §2.9 note): exactly-once per event_id within
+    the watermark horizon, state bounded."""
+    batch_events = load_table(spark, sf_dir, "events")
+
+    def dedup(sdf):
+        return (
+            sdf.withWatermark("ts", "2 hours")
+            .dropDuplicates(["event_id"])
+            .select("event_id")
+        )
+
+    got_df = _run_stream(
+        spark,
+        events_stream_dir,
+        batch_events.schema,
+        dedup,
+        mode="append",
+        name="dedup_stream",
+    )
+    got = got_df.count()
+    want = batch_events.select("event_id").distinct().count()
+    # out-of-order arrival can drop late duplicates' FIRST sighting too,
+    # but every surviving id is unique and no id is emitted twice
+    assert got_df.groupBy("event_id").count().filter("count > 1").count() == 0
+    assert got <= want
