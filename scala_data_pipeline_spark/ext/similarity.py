@@ -37,8 +37,10 @@ def _dot(a: Column, b: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
+    # try_divide: zero-norm vectors would raise under ANSI mode (Spark 4
+    # default); cosine against the zero vector is undefined → null.
     return F.round(
-        _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b))), 6
+        F.try_divide(_dot(a, b), F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b))), 6
     )
 
 
@@ -78,7 +80,7 @@ def cosine_prepped(a_emb: Column, a_norm: Column, b_emb: Column, b_norm: Column)
     dot = F.aggregate(
         F.zip_with(a_emb, b_emb, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
-    return F.round(dot / (a_norm * b_norm), 6)
+    return F.round(F.try_divide(dot, a_norm * b_norm), 6)
 
 
 PREP_SQL = (

@@ -18,6 +18,7 @@ _MODULES = [
     "core2",
     "core3",
     "sql_api",
+    "stats",
     "functions_batch",
     "matrix",
     "streaming_batch",

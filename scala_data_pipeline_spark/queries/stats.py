@@ -1,0 +1,134 @@
+"""Statistical aggregates batch: exact interpolated percentiles,
+argmin/argmax (min_by/max_by), and moment statistics computed from
+order-independent decimal sums (variance/stddev derived as
+(Σx² − (Σx)²/n)/(n−1) over dsum'd pieces, so the result is
+partitioning-invariant and oracle-exact — a plain F.stddev would be
+float-order-dependent)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.numeric import dsum, dsum_sql
+from ..sources import load_table
+
+
+def percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return lineitem.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("p99"),
+    )
+
+
+PERCENTILE_ORACLE = """
+SELECT l_returnflag,
+       ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+       ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+       ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+def minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per order-status: the orderkey of the cheapest and priciest order
+    (argmin/argmax). Tie-safe because o_totalprice ties are broken by
+    taking min/max orderkey over the tied set via a two-level agg."""
+    orders = load_table(spark, sf_dir, "orders")
+    extremes = orders.groupBy(
+        F.col("o_orderstatus").alias("status")
+    ).agg(
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+    lo = (
+        orders.join(
+            extremes,
+            (F.col("o_orderstatus") == F.col("status"))
+            & (F.col("o_totalprice") == F.col("min_price")),
+        )
+        .groupBy("status")
+        .agg(F.min("o_orderkey").alias("cheapest_order"))
+    )
+    hi = (
+        orders.join(
+            extremes,
+            (F.col("o_orderstatus") == F.col("status"))
+            & (F.col("o_totalprice") == F.col("max_price")),
+        )
+        .groupBy("status")
+        .agg(F.min("o_orderkey").alias("priciest_order"))
+    )
+    return lo.join(hi, on="status")
+
+
+MINMAX_BY_ORACLE = """
+WITH ext AS (
+  SELECT o_orderstatus, MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
+  FROM orders GROUP BY 1
+), lo AS (
+  SELECT e.o_orderstatus AS status, MIN(o.o_orderkey) AS cheapest_order
+  FROM orders o JOIN ext e
+    ON o.o_orderstatus = e.o_orderstatus AND o.o_totalprice = e.min_price
+  GROUP BY 1
+), hi AS (
+  SELECT e.o_orderstatus AS status, MIN(o.o_orderkey) AS priciest_order
+  FROM orders o JOIN ext e
+    ON o.o_orderstatus = e.o_orderstatus AND o.o_totalprice = e.max_price
+  GROUP BY 1
+)
+SELECT lo.status, lo.cheapest_order, hi.priciest_order
+FROM lo JOIN hi USING (status)
+"""
+
+
+def variance_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    agg = lineitem.groupBy("l_linestatus").agg(
+        dsum(F.col("l_quantity")).alias("s"),
+        dsum(F.col("l_quantity") * F.col("l_quantity")).alias("ss"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    # try_divide: a single-row group has n-1 = 0, and ANSI mode (Spark 4
+    # default) turns that division into a runtime error; sample variance
+    # of one observation is genuinely undefined → null.
+    var = F.try_divide(
+        F.col("ss") - F.col("s") * F.col("s") / F.col("n"), F.col("n") - 1
+    )
+    return agg.select(
+        "l_linestatus",
+        "n",
+        F.round(var, 6).alias("var_qty"),
+        F.round(F.sqrt(var), 6).alias("stddev_qty"),
+    )
+
+
+VARIANCE_ORACLE = f"""
+WITH agg AS (
+  SELECT l_linestatus,
+         {dsum_sql('l_quantity')} AS s,
+         {dsum_sql('l_quantity * l_quantity')} AS ss,
+         COUNT(*) AS n
+  FROM lineitem GROUP BY 1
+)
+SELECT l_linestatus, n,
+       ROUND((ss - s * s / n) / NULLIF(n - 1, 0), 6) AS var_qty,
+       ROUND(sqrt((ss - s * s / n) / NULLIF(n - 1, 0)), 6) AS stddev_qty
+FROM agg
+"""
+
+
+QUERIES = {
+    "percentile_prices": percentile_prices,
+    "minmax_by": minmax_by,
+    "variance_stats": variance_stats,
+}
+
+ORACLES = {
+    "percentile_prices": PERCENTILE_ORACLE,
+    "minmax_by": MINMAX_BY_ORACLE,
+    "variance_stats": VARIANCE_ORACLE,
+}
