@@ -23,6 +23,7 @@ _MODULES = [
     "matrix",
     "streaming_batch",
     "ml_queries",
+    "ext_corpus",
     "ext_dedup",
     "ext_similarity",
     "ext_text",

@@ -1,0 +1,65 @@
+"""Corpus-curation pipeline query: the full dedup → quality → lang →
+enrich flow against one composed DuckDB oracle."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..ext.dedup import shingles_sql
+from ..ext.textstats import ENGLISH_STOPWORDS
+from ..jobs.corpus_job import curate
+from ..sources import load_table
+
+MIN_QUALITY = 0.5
+LANGS = ("en", "de", "fr", "es")
+
+
+def corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return curate(
+        load_table(spark, sf_dir, "documents"),
+        min_quality=MIN_QUALITY,
+        langs=LANGS,
+    )
+
+
+_TOKS = "list_filter(string_split(text, ' '), t -> t <> '')"
+_STOPS = ", ".join(f"'{w}'" for w in ENGLISH_STOPWORDS)
+_N_TOKENS = f"len({_TOKS})"
+_STOP_RATIO = (
+    f"ROUND(CAST(len(list_filter({_TOKS}, t -> t IN ({_STOPS}))) AS DOUBLE)"
+    f" / {_N_TOKENS}, 6)"
+)
+_SCORE = (
+    f"ROUND(LEAST(1.0, (CAST({_N_TOKENS} AS DOUBLE) / 50.0) * 0.5"
+    f" + {_STOP_RATIO} * 2.0), 6)"
+)
+
+CORPUS_ORACLE = f"""
+WITH keepers AS (
+  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+), deduped AS (
+  SELECT d.* FROM documents d JOIN keepers USING (doc_id)
+), gated AS (
+  SELECT doc_id, lang, text,
+         CAST({_N_TOKENS} AS BIGINT) AS n_tokens,
+         {_SCORE} AS quality_score
+  FROM deduped
+  WHERE {_SCORE} >= {MIN_QUALITY}
+    AND lang IN ({", ".join(f"'{l}'" for l in LANGS)})
+), prints AS (
+  SELECT doc_id,
+         array_to_string(list_slice(list_sort(list(h)), 1, 4), '') AS fingerprint
+  FROM (
+    SELECT DISTINCT doc_id, md5(shingle) AS h FROM (
+      SELECT doc_id, unnest({shingles_sql('text')}) AS shingle FROM gated
+    )
+  )
+  GROUP BY doc_id
+)
+SELECT g.doc_id, g.lang, g.n_tokens, g.quality_score, p.fingerprint
+FROM gated g JOIN prints p USING (doc_id)
+"""
+
+
+QUERIES = {"corpus_curate": corpus_curate}
+ORACLES = {"corpus_curate": CORPUS_ORACLE}

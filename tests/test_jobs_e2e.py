@@ -122,3 +122,25 @@ def test_dashboard_job(spark, sf_dir, tmp_path):
     preds = spark.read.parquet(out)
     assert {"doc_id", "predicted", "scored_at"} <= set(preds.columns)
     assert preds.count() == docs.count()
+
+
+def test_corpus_curate_near_dup_mode(spark, sf_dir):
+    """The optional near-dup stage removes the b-side of confirmed
+    Jaccard pairs and never removes a doc that exact-dedup kept as the
+    only copy of its content."""
+    from scala_data_pipeline_spark.jobs.corpus_job import curate
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = curate(docs, min_quality=0.0, langs=("en", "de", "fr", "es", "zh"))
+    strict = curate(
+        docs,
+        min_quality=0.0,
+        langs=("en", "de", "fr", "es", "zh"),
+        near_dup=True,
+        jaccard_threshold=0.3,
+    )
+    n_base, n_strict = base.count(), strict.count()
+    assert n_strict <= n_base
+    # every surviving doc in strict mode also survives base mode
+    only_in_strict = strict.select("doc_id").exceptAll(base.select("doc_id"))
+    assert only_in_strict.count() == 0
