@@ -111,22 +111,45 @@ def lsh_band_buckets(signature: DataFrame) -> DataFrame:
     ).select("doc_id", "b.band", "b.bucket")
 
 
+def _pairs_from_sorted_ids(ids: Column) -> Column:
+    """All (a < b) combinations of a sorted id array, generated JVM-side
+    with indexed higher-order transforms.
+
+    PRECONDITION: ids must be duplicate-free (both call sites group a
+    frame that is distinct per (bucket, doc)); duplicated ids would
+    yield self-pairs and double-counted pairs.
+    """
+    return F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + F.lit(2), F.size(ids)),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+
+
 def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Distinct candidate pairs (a < b) sharing at least one LSH band
-    bucket — the scalable near-dup candidate generator."""
+    bucket — the scalable near-dup candidate generator.
+
+    Pairs are generated per bucket from a collected id list instead of a
+    bucket self-join: the signature pipeline runs ONCE (a self-join
+    recomputes it per side — measured 2× the work), and LSH buckets are
+    tiny by construction (a bucket = an exact band-signature match), so
+    the per-bucket combination explode is skew-safe.
+    """
     buckets = lsh_band_buckets(minhash_signature(docs, text_col))
-    left = buckets.select(
-        F.col("band"), F.col("bucket"), F.col("doc_id").alias("doc_a")
+    grouped = buckets.groupBy("band", "bucket").agg(
+        F.array_sort(F.collect_list("doc_id")).alias("ids")
     )
-    right = buckets.select(
-        F.col("band"), F.col("bucket"), F.col("doc_id").alias("doc_b")
+    pairs = (
+        grouped.filter(F.size("ids") >= 2)
+        .select(F.explode(_pairs_from_sorted_ids(F.col("ids"))).alias("p"))
+        .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
     )
-    return (
-        left.join(right, on=["band", "bucket"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
+    return pairs.distinct()
 
 
 def minhash_lsh_sql(text_col: str = "text", table: str = "documents") -> str:
@@ -229,28 +252,33 @@ def ngram_jaccard_pairs(
         *block_cols,
         F.explode(shingles(F.col(text_col))).alias("shingle"),
     ).distinct()
+    # Intersections via per-(block, shingle) combination lists instead of
+    # a shingle self-join (the join recomputed the explode per side — 4
+    # scans measured, 2 now). Per-doc set sizes are a separate cheap
+    # aggregation broadcast onto the (small, post-blocking) pair frame —
+    # deliberately NOT a window over the shingle frame: that would
+    # shuffle every shingle row on doc_id, which dwarfs one extra scan.
+    # The blocking key bounds each list (≤ docs per block), keeping the
+    # combination explode skew-safe.
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    a = sh.select(
-        *block_cols, F.col("doc_id").alias("doc_a"), "shingle"
-    )
-    b = sh.select(
-        *block_cols, F.col("doc_id").alias("doc_b"), "shingle"
-    )
     inter = (
-        a.join(b, on=[*block_cols, "shingle"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
+        sh.groupBy(*block_cols, "shingle")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+        .select(F.explode(_pairs_from_sorted_ids(F.col("ids"))).alias("p"))
+        .groupBy(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    with_sizes = (
-        inter.join(
-            sizes.withColumnsRenamed({"doc_id": "doc_a", "n_shingles": "size_a"}),
-            on="doc_a",
-        )
-        .join(
-            sizes.withColumnsRenamed({"doc_id": "doc_b", "n_shingles": "size_b"}),
-            on="doc_b",
-        )
+    with_sizes = inter.join(
+        F.broadcast(
+            sizes.withColumnsRenamed({"doc_id": "doc_a", "n_shingles": "size_a"})
+        ),
+        on="doc_a",
+    ).join(
+        F.broadcast(
+            sizes.withColumnsRenamed({"doc_id": "doc_b", "n_shingles": "size_b"})
+        ),
+        on="doc_b",
     )
     jac = F.col("n_common") / (
         F.col("size_a") + F.col("size_b") - F.col("n_common")
