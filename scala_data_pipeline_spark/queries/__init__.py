@@ -17,6 +17,7 @@ _MODULES = [
     "core",
     "core2",
     "core3",
+    "pyds",
     "sql_api",
     "stats",
     "functions_batch",

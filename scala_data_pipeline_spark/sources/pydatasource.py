@@ -1,0 +1,122 @@
+"""Custom Python DataSource (Spark 4 ``pyspark.sql.datasource`` API).
+
+The reference's connector surface (Cassandra/ES/JDBC, SURVEY.md §2.1)
+needs vendor jars; Spark 4's Python DataSource API is the jar-free way
+to add sources — this module provides a deterministic synthetic event
+source exercising the full API surface:
+
+- **batch reader** with explicit input partitions (parallel, each
+  partition generates its deterministic id range);
+- **streaming reader** with offset tracking (micro-batches of
+  ``rowsPerBatch`` rows, resumable from any committed offset).
+
+Rows are a pure function of the row id, so a DuckDB ``generate_series``
+oracle can value-check the source end-to-end — the same external-oracle
+pattern used for every other operator.
+
+Scale notes: partitions() controls read parallelism exactly like a real
+connector's split planning; generation is per-partition with no driver
+involvement — the pattern to copy for any custom feed (an internal
+service API, a proprietary format) at cluster scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def _row(eid: int) -> tuple:
+    """Deterministic row for id ``eid`` — must stay in sync with the
+    DuckDB oracle twin (ROW_SQL)."""
+    return (
+        eid,
+        eid % 100,  # user bucket
+        EVENT_TYPES[eid % 5],
+        float((eid * 37) % 10000) / 100.0,
+    )
+
+
+ROW_SQL = (
+    "SELECT i AS event_id, i % 100 AS user_bucket, "
+    "(CASE i % 5 WHEN 0 THEN 'click' WHEN 1 THEN 'error' WHEN 2 THEN 'purchase' "
+    "WHEN 3 THEN 'signup' ELSE 'view' END) AS event_type, "
+    "CAST((i * 37) % 10000 AS DOUBLE) / 100.0 AS value "
+    "FROM generate_series(0, {last}) t(i)"
+)
+
+SCHEMA = "event_id BIGINT, user_bucket BIGINT, event_type STRING, value DOUBLE"
+
+
+class _BatchReader(DataSourceReader):
+    def __init__(self, options):
+        self.n_parts = int(options.get("numpartitions", "8"))
+        self.total_rows = int(options.get("totalrows", "1000"))
+
+    def partitions(self):
+        return [InputPartition(i) for i in range(self.n_parts)]
+
+    def read(self, partition):
+        # contiguous id range per partition; last partition takes the tail
+        per = self.total_rows // self.n_parts
+        start = partition.value * per
+        end = self.total_rows if partition.value == self.n_parts - 1 else start + per
+        for eid in range(start, end):
+            yield _row(eid)
+
+
+class _StreamReader(DataSourceStreamReader):
+    """Offset = next unread row id; each micro-batch serves
+    ``rowsPerBatch`` ids, capped at ``totalRows``."""
+
+    def __init__(self, options):
+        self.rows_per_batch = int(options.get("rowsperbatch", "100"))
+        self.total_rows = int(options.get("totalrows", "1000"))
+
+    def initialOffset(self):
+        return {"next": 0}
+
+    def latestOffset(self):
+        return {"next": self.total_rows}
+
+    def partitions(self, start, end):
+        lo, hi = start["next"], min(end["next"], self.total_rows)
+        out, cur = [], lo
+        while cur < hi:
+            step = min(self.rows_per_batch, hi - cur)
+            out.append(InputPartition((cur, cur + step)))
+            cur += step
+        return out or [InputPartition((lo, lo))]
+
+    def read(self, partition):
+        lo, hi = partition.value
+        for eid in range(lo, hi):
+            yield _row(eid)
+
+    def commit(self, end):
+        pass
+
+
+class SyntheticEventsDataSource(DataSource):
+    @classmethod
+    def name(cls):
+        return "synthetic_events"
+
+    def schema(self):
+        return SCHEMA
+
+    def reader(self, schema):
+        return _BatchReader(self.options)
+
+    def streamReader(self, schema):
+        return _StreamReader(self.options)
+
+
+def register(spark) -> None:
+    spark.dataSource.register(SyntheticEventsDataSource)
