@@ -2,16 +2,27 @@
 ``(spark, sf_dir) -> DataFrame`` callable with (where SQL-expressible) a
 DuckDB oracle twin. ``__spark_entry__.py`` re-exports this registry for
 the driver.
+
+The driver records correctness rows for at most ``DRIVER_QUERY_CAP``
+registry entries (round 1 registered 53 and the last 3 in insertion
+order got no row).  ``all_queries()`` is therefore hard-capped; overflow
+is an error, not a silent drop.  Parameter-variant queries that would
+waste a capped slot live in each module's ``EXTRA_QUERIES`` /
+``EXTRA_ORACLES`` and are oracle-checked locally by
+``tests/test_oracle_parity.py`` instead.
 """
 
 from __future__ import annotations
 
+import warnings
 from collections.abc import Callable
 from importlib import import_module
 
 from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
+
+DRIVER_QUERY_CAP = 50
 
 _MODULES = [
     "core",
@@ -31,26 +42,49 @@ _MODULES = [
 ]
 
 
-def all_queries() -> dict[str, QueryFn]:
-    out: dict[str, QueryFn] = {}
+def _modules():
     for m in _MODULES:
         try:
-            mod = import_module(f"{__name__}.{m}")
-        except ModuleNotFoundError:
+            yield m, import_module(f"{__name__}.{m}")
+        except ModuleNotFoundError as exc:
+            # A missing optional dependency must not silently shrink the
+            # registry (and with it the driver's coverage).
+            warnings.warn(
+                f"query module {m!r} skipped: {exc}", stacklevel=2
+            )
             continue
-        dupes = set(out) & set(mod.QUERIES)
+
+
+def _collect(attr: str) -> dict:
+    out: dict = {}
+    for name, mod in _modules():
+        entries = getattr(mod, attr, {})
+        dupes = set(out) & set(entries)
         if dupes:
-            raise RuntimeError(f"duplicate query names {dupes} in {m}")
-        out.update(mod.QUERIES)
+            raise RuntimeError(f"duplicate query names {dupes} in {name}")
+        out.update(entries)
+    return out
+
+
+def all_queries() -> dict[str, QueryFn]:
+    out = _collect("QUERIES")
+    if len(out) > DRIVER_QUERY_CAP:
+        raise RuntimeError(
+            f"{len(out)} registered queries exceed the driver's "
+            f"{DRIVER_QUERY_CAP}-row correctness cap; demote variants to "
+            f"EXTRA_QUERIES instead"
+        )
     return out
 
 
 def all_oracles() -> dict[str, str]:
-    out: dict[str, str] = {}
-    for m in _MODULES:
-        try:
-            mod = import_module(f"{__name__}.{m}")
-        except ModuleNotFoundError:
-            continue
-        out.update(getattr(mod, "ORACLES", {}))
-    return out
+    return _collect("ORACLES")
+
+
+def extra_queries() -> dict[str, QueryFn]:
+    """Locally-verified queries that don't occupy a driver slot."""
+    return _collect("EXTRA_QUERIES")
+
+
+def extra_oracles() -> dict[str, str]:
+    return _collect("EXTRA_ORACLES")

@@ -115,10 +115,14 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
                 "sum_disc_price"
             ),
+            # price(2dp)*(1-disc)(2dp)*(1+tax)(2dp) has exactly 6 decimal
+            # places; scale must cover the exact width or …xx50 ties round
+            # differently in Spark (HALF_UP) vs DuckDB (HALF_EVEN).
             dsum(
                 F.col("l_extendedprice")
                 * (1 - F.col("l_discount"))
-                * (1 + F.col("l_tax"))
+                * (1 + F.col("l_tax")),
+                scale=6,
             ).alias("sum_charge"),
             (dsum(F.col("l_quantity")) / F.count(F.col("l_quantity"))).alias("avg_qty"),
             (
@@ -134,7 +138,7 @@ SELECT l_returnflag, l_linestatus,
        {dsum_sql('l_quantity')} AS sum_qty,
        {dsum_sql('l_extendedprice')} AS sum_base_price,
        {dsum_sql('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
-       {dsum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+       {dsum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 6)} AS sum_charge,
        {davg_sql('l_quantity')} AS avg_qty,
        {davg_sql('l_extendedprice')} AS avg_price,
        COUNT(*) AS count_order
@@ -343,7 +347,6 @@ QUERIES = {
     "pivot_user_events": pivot_user_events,
     "topk_parts": topk_parts,
     "union_split": union_split,
-    "distinct_max_stamp": distinct_max_stamp,
 }
 
 ORACLES = {
@@ -355,5 +358,10 @@ ORACLES = {
     "pivot_user_events": PIVOT_ORACLE,
     "topk_parts": TOPK_ORACLE,
     "union_split": UNION_ORACLE,
-    "distinct_max_stamp": DISTINCT_MAX_ORACLE,
 }
+
+# Demoted from driver slots (50-row cap): A7 distinct stays green via
+# drop_duplicates_subset, W1 via window_maxdate_literal; this variant is
+# still oracle-checked locally.
+EXTRA_QUERIES = {"distinct_max_stamp": distinct_max_stamp}
+EXTRA_ORACLES = {"distinct_max_stamp": DISTINCT_MAX_ORACLE}

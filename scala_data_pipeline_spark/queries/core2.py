@@ -7,7 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..operators.aggregates import unpivot_counts
+from ..operators.aggregates import distinct_values, pivot_counts, unpivot_counts
 from ..operators.matrix import users_items_matrix
 from ..operators.windows import stamp_max_literal
 from ..sources import load_table
@@ -158,6 +158,28 @@ GROUP BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# Dynamic pivot (data_mart/data_mart.scala:114,126; users_items/
+# users_items.scala:79): the value list is DISCOVERED at runtime via an
+# eager distinct job, then fed to the single-shuffle pivot_counts plan.
+# The data-dependent-schema path the reference uses as its workhorse.
+# Oracle: DuckDB's native dynamic PIVOT discovers the same columns.
+# ---------------------------------------------------------------------------
+
+def pivot_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull()
+    )
+    values = distinct_values(events, "event_type")
+    return pivot_counts(events, "user_id", "event_type", values)
+
+
+PIVOT_DYNAMIC_ORACLE = """
+PIVOT (SELECT user_id, event_type FROM events WHERE event_type IS NOT NULL)
+ON event_type USING COUNT(*) GROUP BY user_id
+"""
+
+
 QUERIES = {
     "drop_duplicates_subset": drop_duplicates_subset,
     "unpivot_matrix_long": unpivot_matrix_long,
@@ -165,6 +187,7 @@ QUERIES = {
     "window_maxdate_literal": window_maxdate_literal,
     "window_rank_lag": window_rank_lag,
     "json_serialize_roundtrip": json_serialize_roundtrip,
+    "pivot_dynamic": pivot_dynamic,
 }
 
 ORACLES = {
@@ -174,4 +197,5 @@ ORACLES = {
     "window_maxdate_literal": WINDOW_MAXDATE_ORACLE,
     "window_rank_lag": WINDOW_RANK_ORACLE,
     "json_serialize_roundtrip": JSON_ROUNDTRIP_ORACLE,
+    "pivot_dynamic": PIVOT_DYNAMIC_ORACLE,
 }

@@ -265,10 +265,8 @@ QUERIES = {
     "range_join_price_bands": range_join_price_bands,
     "session_windows": session_windows,
     "sliding_windows": sliding_windows,
-    "rollup_orders": rollup_orders,
     "cube_orders": cube_orders,
     "count_distinct_family": count_distinct_family,
-    "approx_count_distinct": approx_count_distinct_q,
 }
 
 ORACLES = {
@@ -277,6 +275,17 @@ ORACLES = {
     "range_join_price_bands": RANGE_JOIN_ORACLE,
     "session_windows": SESSION_ORACLE,
     "sliding_windows": SLIDING_ORACLE,
-    "rollup_orders": ROLLUP_ORACLE,
     "count_distinct_family": COUNT_DISTINCT_ORACLE,
+}
+
+# Demoted from driver slots (50-row cap): rollup is a strict subset of
+# cube's grouping sets, and the HLL query is rows-only by design — both
+# stay oracle-/error-bound-checked locally.
+EXTRA_QUERIES = {
+    "rollup_orders": rollup_orders,
+    "approx_count_distinct": approx_count_distinct_q,
+}
+
+EXTRA_ORACLES = {
+    "rollup_orders": ROLLUP_ORACLE,
 }

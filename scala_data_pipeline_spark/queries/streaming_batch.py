@@ -48,10 +48,13 @@ WINDOWED_REVENUE_15M_ORACLE = WINDOWED_REVENUE_ORACLE.replace("60 minutes", "15 
 
 QUERIES = {
     "windowed_revenue": windowed_revenue,
-    "windowed_revenue_15m": windowed_revenue_15m,
 }
 
 ORACLES = {
     "windowed_revenue": WINDOWED_REVENUE_ORACLE,
-    "windowed_revenue_15m": WINDOWED_REVENUE_15M_ORACLE,
 }
+
+# Demoted from driver slots (50-row cap): pure window-width variant of
+# windowed_revenue; still oracle-checked locally.
+EXTRA_QUERIES = {"windowed_revenue_15m": windowed_revenue_15m}
+EXTRA_ORACLES = {"windowed_revenue_15m": WINDOWED_REVENUE_15M_ORACLE}

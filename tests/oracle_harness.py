@@ -2,13 +2,12 @@
 
 Runs a registered Spark query and its DuckDB oracle on the same sf dir,
 normalizes both results (columns sorted by name, rows sorted by all
-columns, floats rounded), and asserts equality. Catching a mismatch here
+columns), and asserts EXACT equality — floats included, matching the
+driver's value-hash semantics. Catching a mismatch here
 is much cheaper than waiting for the driver's CORRECTNESS_r{N}.json.
 """
 
 from __future__ import annotations
-
-import math
 
 import duckdb
 import pandas as pd
@@ -39,12 +38,10 @@ def duckdb_run(sql: str, sf_dir: str) -> pd.DataFrame:
         con.close()
 
 
-def _normalize(df: pd.DataFrame, float_places: int = 6) -> pd.DataFrame:
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
-        if pd.api.types.is_float_dtype(df[c]):
-            df[c] = df[c].round(float_places)
-        elif df[c].dtype == object:
+        if df[c].dtype == object:
             df[c] = df[c].map(
                 lambda v: tuple(v) if isinstance(v, (list, tuple)) else v,
                 na_action="ignore",
@@ -66,10 +63,12 @@ def compare(spark_df, oracle_pdf: pd.DataFrame, name: str = "query") -> None:
     for c in got.columns:
         g, w = got[c], want[c]
         if pd.api.types.is_float_dtype(g) or pd.api.types.is_float_dtype(w):
+            # Exact equality, like the driver's value hash. Any slack here
+            # (round / isclose) masks real driver hash-fails — round 1's
+            # pricing_summary decimal-tie drift passed locally for exactly
+            # that reason.
             ok = [
-                (a == b)
-                or (isinstance(a, float) and isinstance(b, float) and math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-9))
-                or (pd.isna(a) and pd.isna(b))
+                (a == b) or (pd.isna(a) and pd.isna(b))
                 for a, b in zip(g, w)
             ]
             assert all(ok), f"{name}: value mismatch in float col {c}: " + str(

@@ -5,12 +5,19 @@ from __future__ import annotations
 
 import pytest
 
-from scala_data_pipeline_spark.queries import all_oracles, all_queries
+from scala_data_pipeline_spark.queries import (
+    all_oracles,
+    all_queries,
+    extra_oracles,
+    extra_queries,
+)
 
 from .oracle_harness import compare, duckdb_run
 
-QUERIES = all_queries()
-ORACLES = all_oracles()
+# Driver-facing registry plus the locally-verified extras — the full
+# sweep covers both so a demoted variant keeps its oracle check.
+QUERIES = {**all_queries(), **extra_queries()}
+ORACLES = {**all_oracles(), **extra_oracles()}
 
 
 def test_every_oracle_has_query():
