@@ -77,6 +77,17 @@ def shingles_sql(text_expr: str, n: int = 3) -> str:
 N_HASHES = 8
 BAND_SIZE = 2  # → 4 bands
 
+# observe() metric names must be unique within a query; two
+# lsh_candidate_pairs plans meeting in one query (e.g. compared in a
+# test) would otherwise collide.
+_obs_seq = 0
+
+
+def _next_obs_name() -> str:
+    global _obs_seq
+    _obs_seq += 1
+    return f"lsh_buckets_{_obs_seq}"
+
 
 def minhash_signature(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, mh_0..mh_{k-1}): k independent min-hashes, each the MIN
@@ -130,26 +141,51 @@ def _pairs_from_sorted_ids(ids: Column) -> Column:
     )
 
 
-def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def lsh_candidate_pairs(
+    docs: DataFrame, text_col: str = "text", bucket_cap: int = 64
+) -> DataFrame:
     """Distinct candidate pairs (a < b) sharing at least one LSH band
     bucket — the scalable near-dup candidate generator.
 
     Pairs are generated per bucket from a collected id list instead of a
     bucket self-join: the signature pipeline runs ONCE (a self-join
     recomputes it per side — measured 2× the work), and LSH buckets are
-    tiny by construction (a bucket = an exact band-signature match), so
-    the per-bucket combination explode is skew-safe.
+    tiny by construction (a bucket = an exact band-signature match) —
+    EXCEPT on degenerate corpora (N boilerplate/error-template documents
+    share every band bucket), where the combination explode would be
+    O(N²) on one task. Buckets larger than ``bucket_cap`` therefore emit
+    a keeper STAR (min id paired with every other id, N-1 pairs) instead
+    of the full clique: for dedup, candidate pairs only need to preserve
+    the connected component, and a star does exactly that with linear
+    output. Run exact dedup first (corpus_job does) so only true
+    near-dups reach this stage. The overflow count is observable as the
+    ``oversized_buckets`` metric on the returned plan.
     """
     buckets = lsh_band_buckets(minhash_signature(docs, text_col))
-    grouped = buckets.groupBy("band", "bucket").agg(
-        F.array_sort(F.collect_list("doc_id")).alias("ids")
+    grouped = (
+        buckets.groupBy("band", "bucket")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+        .observe(
+            _next_obs_name(),
+            F.sum(
+                F.when(F.size("ids") > bucket_cap, 1).otherwise(0)
+            ).alias("oversized_buckets"),
+        )
     )
-    pairs = (
-        grouped.filter(F.size("ids") >= 2)
+    clique = (
+        grouped.filter(F.size("ids") <= bucket_cap)
         .select(F.explode(_pairs_from_sorted_ids(F.col("ids"))).alias("p"))
         .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
     )
-    return pairs.distinct()
+    star = (
+        grouped.filter(F.size("ids") > bucket_cap)
+        .select(
+            F.element_at("ids", 1).alias("doc_a"),
+            F.explode(F.slice("ids", 2, F.size("ids"))).alias("doc_b"),
+        )
+    )
+    return clique.unionByName(star).distinct()
 
 
 def minhash_lsh_sql(text_col: str = "text", table: str = "documents") -> str:
@@ -243,10 +279,21 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     block_cols: tuple[str, ...] = ("lang", "source"),
     threshold: float = 0.1,
+    max_doc_freq: int = 64,
 ) -> DataFrame:
     """Exact Jaccard over distinct 3-gram shingle sets for pairs inside a
     blocking key (the verify stage for LSH candidates). Jaccard =
-    |A∩B| / (|A|+|B|-|A∩B|), intersections via a shingle-equality join."""
+    |A∩B| / (|A|+|B|-|A∩B|), intersections via a shingle-equality join.
+
+    ``max_doc_freq``: shingles appearing in more than this many documents
+    within a block are excluded from BOTH intersections and set sizes
+    (stop-gram exclusion) — the semantics are "Jaccard over
+    discriminative shingles". This bounds the per-shingle combination
+    explode: without it, N boilerplate documents sharing every shingle
+    put an O(N²) explode on one task. Corpora with that shape should run
+    exact dedup first (corpus_job does); docs whose shingles are ALL
+    ultra-common simply produce no pairs here.
+    """
     sh = docs.select(
         "doc_id",
         *block_cols,
@@ -254,30 +301,33 @@ def ngram_jaccard_pairs(
     ).distinct()
     # Intersections via per-(block, shingle) combination lists instead of
     # a shingle self-join (the join recomputed the explode per side — 4
-    # scans measured, 2 now). Per-doc set sizes are a separate cheap
-    # aggregation broadcast onto the (small, post-blocking) pair frame —
-    # deliberately NOT a window over the shingle frame: that would
-    # shuffle every shingle row on doc_id, which dwarfs one extra scan.
-    # The blocking key bounds each list (≤ docs per block), keeping the
-    # combination explode skew-safe.
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    inter = (
+    # scans measured, 2 now). Per-doc set sizes are re-derived from the
+    # kept lists (one exploded pass) so the df-cap applies consistently
+    # to numerator and denominator — deliberately NOT a window over the
+    # shingle frame: that would shuffle every shingle row on doc_id.
+    kept = (
         sh.groupBy(*block_cols, "shingle")
         .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
-        .filter(F.size("ids") >= 2)
+        .filter(F.size("ids") <= max_doc_freq)
+    )
+    sizes = (
+        kept.select(F.explode("ids").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shingles"))
+    )
+    inter = (
+        kept.filter(F.size("ids") >= 2)
         .select(F.explode(_pairs_from_sorted_ids(F.col("ids"))).alias("p"))
         .groupBy(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
+    # No broadcast hint: sizes has one row per corpus document, far too
+    # big to broadcast at scale — let Catalyst/AQE pick the strategy.
     with_sizes = inter.join(
-        F.broadcast(
-            sizes.withColumnsRenamed({"doc_id": "doc_a", "n_shingles": "size_a"})
-        ),
+        sizes.withColumnsRenamed({"doc_id": "doc_a", "n_shingles": "size_a"}),
         on="doc_a",
     ).join(
-        F.broadcast(
-            sizes.withColumnsRenamed({"doc_id": "doc_b", "n_shingles": "size_b"})
-        ),
+        sizes.withColumnsRenamed({"doc_id": "doc_b", "n_shingles": "size_b"}),
         on="doc_b",
     )
     jac = F.col("n_common") / (
@@ -290,20 +340,67 @@ def ngram_jaccard_pairs(
     )
 
 
+def jaccard_verify_pairs(
+    docs: DataFrame,
+    candidates: DataFrame,
+    text_col: str = "text",
+    threshold: float = 0.1,
+) -> DataFrame:
+    """Exact Jaccard for an explicit (doc_a, doc_b) candidate frame — the
+    verify stage fed by :func:`lsh_candidate_pairs`.
+
+    Shingle sets are built only for documents appearing in a candidate
+    pair (the join prunes the corpus scan), then each pair's sets meet
+    via two hash joins on doc id and an ``array_intersect`` — no
+    combination explode, cost linear in |candidates| + |candidate docs|.
+    """
+    cand_docs = (
+        candidates.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(candidates.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sets_ = docs.join(cand_docs, on="doc_id").select(
+        "doc_id", F.array_distinct(shingles(F.col(text_col))).alias("sh")
+    )
+    joined = candidates.join(
+        sets_.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")),
+        on="doc_a",
+    ).join(
+        sets_.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")),
+        on="doc_b",
+    )
+    n_common = F.size(F.array_intersect("sh_a", "sh_b"))
+    union_size = F.size("sh_a") + F.size("sh_b") - n_common
+    return (
+        joined.select(
+            "doc_a",
+            "doc_b",
+            n_common.alias("n_common"),
+            F.round(F.try_divide(n_common, union_size), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def ngram_jaccard_sql(
     text_col: str = "text",
     table: str = "documents",
     block_cols: tuple[str, ...] = ("lang", "source"),
     threshold: float = 0.1,
+    max_doc_freq: int = 64,
 ) -> str:
     blocks = ", ".join(block_cols)
     join_on = " AND ".join(f"a.{c} = b.{c}" for c in block_cols)
     return f"""
-WITH sh AS (
+WITH allsh AS (
   SELECT DISTINCT doc_id, {blocks}, shingle FROM (
     SELECT doc_id, {blocks}, unnest({shingles_sql(text_col)}) AS shingle
     FROM {table}
   )
+), sh AS (
+  SELECT doc_id, {blocks}, shingle FROM (
+    SELECT *, COUNT(*) OVER (PARTITION BY {blocks}, shingle) AS df FROM allsh
+  ) WHERE df <= {max_doc_freq}
 ), sizes AS (
   SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id
 ), inter AS (

@@ -22,7 +22,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..ext.dedup import exact_dedup_groups, lsh_candidate_pairs, ngram_jaccard_pairs
+from ..ext.dedup import (
+    exact_dedup_groups,
+    jaccard_verify_pairs,
+    lsh_candidate_pairs,
+)
 from ..ext.textstats import fingerprint, quality_features
 
 
@@ -40,11 +44,14 @@ def curate(
     )
     deduped = docs.join(keepers, on="doc_id")  # keeper ids are unique
     if near_dup:
-        # LSH candidates verified by Jaccard; drop the larger doc_id of
-        # each confirmed near-dup pair.
-        confirmed = ngram_jaccard_pairs(
-            deduped, threshold=jaccard_threshold
-        ).select(F.col("doc_b").alias("doc_id")).distinct()
+        # LSH candidates verified by exact Jaccard; drop the larger
+        # doc_id of each confirmed near-dup pair.
+        candidates = lsh_candidate_pairs(deduped)
+        confirmed = (
+            jaccard_verify_pairs(deduped, candidates, threshold=jaccard_threshold)
+            .select(F.col("doc_b").alias("doc_id"))
+            .distinct()
+        )
         deduped = deduped.join(confirmed, on="doc_id", how="left_anti")
     quality = quality_features(deduped).select(
         "doc_id", "n_tokens", "quality_score"

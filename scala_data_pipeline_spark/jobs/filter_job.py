@@ -39,7 +39,12 @@ def write_partitioned_json(
     so each p_date directory gets bounded file counts."""
     if target_files:
         df = df.repartition(target_files, "p_date")
-    df.orderBy("ts").write.mode("overwrite").partitionBy("p_date").json(path)
+    # sortWithinPartitions keeps the repartition's hash placement (a
+    # global orderBy would replace it with a range shuffle and void the
+    # target_files knob) while still writing time-ordered files.
+    df.sortWithinPartitions("ts").write.mode("overwrite").partitionBy(
+        "p_date"
+    ).json(path)
 
 
 def run(events: DataFrame, out_dir: str, target_files: int | None = None) -> None:

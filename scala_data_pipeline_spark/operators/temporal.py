@@ -72,9 +72,19 @@ def asof_join(
         F.col(key),
         "_side",
         F.col("_lts").alias("_left_ts"),
+        # Carry a struct wrapper, not the bare value: the wrapper is
+        # non-null for EVERY right row, so last(ignorenulls) picks the
+        # latest matching right row even when its value column is NULL —
+        # extracting the field then preserves that NULL, matching ASOF
+        # JOIN semantics (a bare-value carry would silently fall back to
+        # an older non-null value).
         *[
-            F.last(F.when(F.col("_side") == 0, F.col(c)), ignorenulls=True)
+            F.last(
+                F.when(F.col("_side") == 0, F.struct(F.col(c).alias("v"))),
+                ignorenulls=True,
+            )
             .over(w)
+            .getField("v")
             .alias(c)
             for c in value_cols
         ],

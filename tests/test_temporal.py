@@ -35,6 +35,25 @@ def test_asof_join_edges(spark):
     assert got[(3, "d")] is None  # key absent on right
 
 
+def test_asof_join_preserves_null_from_latest_right_row(spark):
+    """When the most recent matching right row carries a NULL value, the
+    join must return that NULL — not fall back to an older non-null row
+    (DuckDB ASOF JOIN semantics)."""
+    left = spark.createDataFrame(
+        [(1, _ts(20), "x")], "k INT, ts TIMESTAMP, tag STRING"
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(5), 50.0), (1, _ts(15), None)],
+        "k INT, rts TIMESTAMP, v DOUBLE",
+    )
+    out = asof_join(
+        left, right, key="k", left_ts="ts", right_ts="rts", value_cols=["v"]
+    )
+    rows = out.collect()
+    assert len(rows) == 1
+    assert rows[0]["v"] is None
+
+
 def test_approx_count_distinct_error_bound(spark, sf_dir):
     """HLL estimate within the configured rsd (2%, allow 4 sigma) of the
     exact distinct count per group."""
