@@ -112,10 +112,14 @@ def session_agg(
     ts_col: str,
     gap: str,
     aggs: list[Column],
+    watermark: str | None = None,
 ) -> DataFrame:
     """Per-key session windows with inactivity gap ``gap`` — native
-    session_window, usable in batch AND streaming (watermark required
-    for streaming)."""
+    session_window, usable in batch AND streaming (pass ``watermark``
+    for streaming: sessions finalize once the watermark passes their
+    close, bounding state)."""
+    if watermark is not None:
+        events = events.withWatermark(ts_col, watermark)
     grouped = events.groupBy(
         F.session_window(F.col(ts_col), gap), F.col(key)
     ).agg(*aggs)

@@ -107,13 +107,11 @@ def test_stateful_collect_list_stream(spark, sf_dir, events_stream_dir):
     pd.testing.assert_frame_equal(got, want)
 
 
-def test_watermarked_append_mode(spark, sf_dir, tmp_path_factory):
-    """The idiomatic escape hatch (SURVEY.md T2 note): with a watermark,
-    append mode emits only finalized windows. Files must arrive in event-
-    time order — out-of-order arrival would advance the watermark past
-    windows whose data is still in later files (late-data drop, which
-    test_windowed_agg_stream_equals_batch's watermark-less run tolerates
-    by design)."""
+@pytest.fixture(scope="module")
+def ordered_events_dir(spark, sf_dir, tmp_path_factory):
+    """Events written as weekly files in event-time order (distinct
+    mtimes → the file source processes them in order), so watermark-based
+    append-mode tests see no artificial late data."""
     import time
 
     batch_events = load_table(spark, sf_dir, "events")
@@ -124,7 +122,19 @@ def test_watermarked_append_mode(spark, sf_dir, tmp_path_factory):
             (F.dayofmonth("ts") >= lo) & (F.dayofmonth("ts") < hi)
         )
         chunk.coalesce(1).write.mode("append").parquet(path)
-        time.sleep(1.1)  # distinct mtimes → file-source processes in order
+        time.sleep(1.1)
+    return path
+
+
+def test_watermarked_append_mode(spark, sf_dir, ordered_events_dir):
+    """The idiomatic escape hatch (SURVEY.md T2 note): with a watermark,
+    append mode emits only finalized windows. Files must arrive in event-
+    time order — out-of-order arrival would advance the watermark past
+    windows whose data is still in later files (late-data drop, which
+    test_windowed_agg_stream_equals_batch's watermark-less run tolerates
+    by design)."""
+    batch_events = load_table(spark, sf_dir, "events")
+    path = ordered_events_dir
     got_df = _run_stream(
         spark,
         path,
@@ -155,6 +165,46 @@ def test_kafka_builder_plumbing(spark):
     parsed = parse_kafka_json(raw, "event_type STRING, item_price INT")
     row = parsed.collect()[0]
     assert row.event_type == "buy" and row.item_price == 3
+
+
+def test_streaming_session_windows(spark, sf_dir, ordered_events_dir):
+    """Streaming twin of the session_windows batch query (SURVEY.md
+    §2.9 extension): watermarked session_window agg in append mode —
+    sessions finalize when the watermark passes their close, and every
+    finalized session matches the batch gaps-and-islands result
+    exactly."""
+    from scala_data_pipeline_spark.operators.temporal import session_agg
+
+    batch_events = load_table(spark, sf_dir, "events")
+
+    def sessions(df, watermark=None):
+        return session_agg(
+            df.filter(F.col("user_id").isNotNull()),
+            key="user_id",
+            ts_col="ts",
+            gap="30 minutes",
+            aggs=[F.count(F.lit(1)).alias("n_events")],
+            watermark=watermark,
+        )
+
+    got_df = _run_stream(
+        spark,
+        ordered_events_dir,
+        batch_events.schema,
+        lambda sdf: sessions(sdf, watermark="2 hours"),
+        mode="append",
+        name="session_append",
+    )
+    got = got_df.toPandas().set_index(["user_id", "session_start"])
+    want = sessions(batch_events).toPandas().set_index(
+        ["user_id", "session_start"]
+    )
+    # every finalized session agrees with batch; only the stream tail
+    # (sessions not yet closed by the watermark) may be missing
+    assert 0 < len(got) <= len(want)
+    for idx, row in got.iterrows():
+        assert row["n_events"] == want.loc[idx, "n_events"]
+        assert row["session_end"] == want.loc[idx, "session_end"]
 
 
 def test_streaming_dedup_with_watermark(spark, sf_dir, events_stream_dir):
