@@ -36,9 +36,27 @@ def main() -> None:
     names += [n for n in sorted(queries) if n not in names]
 
     spark = get_session("bench")
-    # JVM + parquet-footer warmup so per-query numbers measure the plan,
-    # not session startup.
+    # Warmup so per-query numbers measure the plan, not session startup:
+    # JVM + parquet footers, Python/Arrow worker spin-up (mapInPandas and
+    # the Python DataSource each launch worker processes on first use),
+    # and MLlib class-loading. On a long-lived cluster these are
+    # amortized session costs, not per-query costs.
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    spark.range(10).mapInPandas(lambda it: it, "id long").count()
+    from scala_data_pipeline_spark.sources import pydatasource
+
+    pydatasource.register(spark)
+    spark.read.format("synthetic_events").option("totalRows", "10").option(
+        "numPartitions", "1"
+    ).load().count()
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.linalg import Vectors
+
+    warm = spark.createDataFrame(
+        [(0.0, Vectors.dense([0.0])), (1.0, Vectors.dense([1.0]))] * 2,
+        ["label", "features"],
+    )
+    LogisticRegression(maxIter=1).fit(warm)
 
     timings: dict[str, float] = {}
     for name in names:

@@ -90,14 +90,17 @@ def _next_obs_name() -> str:
 
 
 def minhash_signature(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """(doc_id, mh_0..mh_{k-1}): k independent min-hashes, each the MIN
-    over shingles of md5(seed || shingle) — string minima for parity and
+    """(doc_id, mh_0..mh_{k-1}): k min-hashes, the i-th being the MIN
+    over shingles of the i-th 4-hex-char slice of md5(shingle) — ONE
+    digest per shingle instead of k seeded digests (8× less hashing on
+    the hot explode; the 128-bit digest's disjoint 16-bit slices are
+    independent hash functions). String minima for parity and
     engine-independence."""
     exploded = docs.select(
         "doc_id", F.explode(shingles(F.col(text_col))).alias("shingle")
-    )
+    ).withColumn("h", F.md5("shingle"))
     aggs = [
-        F.min(F.md5(F.concat(F.lit(str(i) + "|"), F.col("shingle")))).alias(f"mh_{i}")
+        F.min(F.substring("h", 4 * i + 1, 4)).alias(f"mh_{i}")
         for i in range(N_HASHES)
     ]
     return exploded.groupBy("doc_id").agg(*aggs)
@@ -173,25 +176,28 @@ def lsh_candidate_pairs(
             ).alias("oversized_buckets"),
         )
     )
-    clique = (
-        grouped.filter(F.size("ids") <= bucket_cap)
-        .select(F.explode(_pairs_from_sorted_ids(F.col("ids"))).alias("p"))
+    # One conditional pair-emit, NOT a union of two filtered branches: a
+    # union would execute the signature pipeline once per branch.
+    ids = F.col("ids")
+    star_pairs = F.transform(
+        F.slice(ids, 2, F.size(ids)),
+        lambda y: F.struct(F.element_at(ids, 1).alias("a"), y.alias("b")),
+    )
+    pairs_arr = F.when(
+        F.size(ids) <= bucket_cap, _pairs_from_sorted_ids(ids)
+    ).otherwise(star_pairs)
+    return (
+        grouped.select(F.explode(pairs_arr).alias("p"))
         .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
+        .distinct()
     )
-    star = (
-        grouped.filter(F.size("ids") > bucket_cap)
-        .select(
-            F.element_at("ids", 1).alias("doc_a"),
-            F.explode(F.slice("ids", 2, F.size("ids"))).alias("doc_b"),
-        )
-    )
-    return clique.unionByName(star).distinct()
 
 
 def minhash_lsh_sql(text_col: str = "text", table: str = "documents") -> str:
     """DuckDB oracle for the full MinHash+LSH candidate-pair pipeline."""
     mh_cols = ",\n      ".join(
-        f"MIN(md5('{i}|' || shingle)) AS mh_{i}" for i in range(N_HASHES)
+        f"MIN(substr(md5(shingle), {4 * i + 1}, 4)) AS mh_{i}"
+        for i in range(N_HASHES)
     )
     band_rows = " UNION ALL ".join(
         "SELECT doc_id, {band} AS band, md5({expr}) AS bucket FROM sig".format(

@@ -32,17 +32,6 @@ from pyspark.sql.datasource import (
 EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
 
-def _row(eid: int) -> tuple:
-    """Deterministic row for id ``eid`` — must stay in sync with the
-    DuckDB oracle twin (ROW_SQL)."""
-    return (
-        eid,
-        eid % 100,  # user bucket
-        EVENT_TYPES[eid % 5],
-        float((eid * 37) % 10000) / 100.0,
-    )
-
-
 ROW_SQL = (
     "SELECT i AS event_id, i % 100 AS user_bucket, "
     "(CASE i % 5 WHEN 0 THEN 'click' WHEN 1 THEN 'error' WHEN 2 THEN 'purchase' "
@@ -52,6 +41,28 @@ ROW_SQL = (
 )
 
 SCHEMA = "event_id BIGINT, user_bucket BIGINT, event_type STRING, value DOUBLE"
+
+_ARROW_CHUNK = 65536
+
+
+def _arrow_batches(start: int, end: int):
+    """Vectorized row generation: yield pyarrow RecordBatches (the Python
+    DataSource fast path — one Arrow transfer per chunk instead of
+    per-row tuple pickling). Must stay in sync with _row / ROW_SQL."""
+    import numpy as np
+    import pyarrow as pa
+
+    for lo in range(start, end, _ARROW_CHUNK):
+        ids = np.arange(lo, min(lo + _ARROW_CHUNK, end), dtype=np.int64)
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(ids),
+                pa.array(ids % 100),
+                pa.array(np.asarray(EVENT_TYPES, dtype=object)[ids % 5]),
+                pa.array((ids * 37) % 10000 / 100.0),
+            ],
+            names=["event_id", "user_bucket", "event_type", "value"],
+        )
 
 
 class _BatchReader(DataSourceReader):
@@ -67,8 +78,7 @@ class _BatchReader(DataSourceReader):
         per = self.total_rows // self.n_parts
         start = partition.value * per
         end = self.total_rows if partition.value == self.n_parts - 1 else start + per
-        for eid in range(start, end):
-            yield _row(eid)
+        yield from _arrow_batches(start, end)
 
 
 class _StreamReader(DataSourceStreamReader):
@@ -96,8 +106,7 @@ class _StreamReader(DataSourceStreamReader):
 
     def read(self, partition):
         lo, hi = partition.value
-        for eid in range(lo, hi):
-            yield _row(eid)
+        yield from _arrow_batches(lo, hi)
 
     def commit(self, end):
         pass
