@@ -6,6 +6,9 @@ connector, elasticsearch-hadoop, a JDBC driver) are not bundled in this
 container, so these builders produce fully-configured readers/writers —
 option-compatible with the reference — and are exercised for option
 plumbing only; with the jars on the classpath they run unchanged.
+Exception: the JDBC pair (S3/S8) IS executed live — Spark bundles
+embedded Derby, and tests/test_jdbc_roundtrip.py does a real
+write → read-back → compare through these builders.
 
 S9 (the raw ``GRANT SELECT`` JDBC side-channel, data_mart.scala:149-151)
 is deliberately NOT a Spark op — issue it from driver code with any
