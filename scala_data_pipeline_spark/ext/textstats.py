@@ -59,6 +59,18 @@ def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def quality_score_sql(text_col: str = "text") -> str:
+    """DuckDB expression twin of quality_features' quality_score."""
+    toks = f"list_filter(string_split({text_col}, ' '), t -> t <> '')"
+    stop_list = ", ".join(f"'{w}'" for w in ENGLISH_STOPWORDS)
+    n_tokens = f"len({toks})"
+    n_stop = f"len(list_filter({toks}, t -> t IN ({stop_list})))"
+    stop_ratio = f"ROUND(CAST({n_stop} AS DOUBLE) / {n_tokens}, 6)"
+    return (
+        f"ROUND(LEAST(1.0, (CAST({n_tokens} AS DOUBLE) / 50.0) * 0.5 + {stop_ratio} * 2.0), 6)"
+    )
+
+
 def quality_features_sql(text_col: str = "text", table: str = "documents") -> str:
     toks = f"list_filter(string_split({text_col}, ' '), t -> t <> '')"
     stop_list = ", ".join(f"'{w}'" for w in ENGLISH_STOPWORDS)
@@ -66,9 +78,7 @@ def quality_features_sql(text_col: str = "text", table: str = "documents") -> st
     n_stop = f"len(list_filter({toks}, t -> t IN ({stop_list})))"
     stop_ratio = f"ROUND(CAST({n_stop} AS DOUBLE) / {n_tokens}, 6)"
     avg_tok = f"ROUND(CAST(length({text_col}) - ({n_tokens} - 1) AS DOUBLE) / {n_tokens}, 6)"
-    score = (
-        f"ROUND(LEAST(1.0, (CAST({n_tokens} AS DOUBLE) / 50.0) * 0.5 + {stop_ratio} * 2.0), 6)"
-    )
+    score = quality_score_sql(text_col)
     return f"""
 SELECT doc_id,
        length({text_col}) AS n_chars,

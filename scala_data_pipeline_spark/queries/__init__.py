@@ -39,6 +39,7 @@ _MODULES = [
     "ext_dedup",
     "ext_similarity",
     "ext_text",
+    "ext_curation",
 ]
 
 

@@ -75,3 +75,23 @@ def test_topk_no_global_sort(audits):
     """orderBy+limit must plan as TakeOrderedAndProject, not a global
     sort (rangepartitioning exchange)."""
     assert "TakeOrderedAndProject" in audits["topk_parts"]["plan"]
+
+
+def test_incremental_merge_stays_wide(spark, sf_dir):
+    """merge_matrix merges wide (union + column sums): no Expand node
+    (the old long-form path unpivoted 200 columns into per-cell rows)
+    and exactly 2 shuffles — one per side's pivot; the merge agg runs
+    bucket-aligned on the union of the two co-partitioned shuffles
+    without an exchange of its own."""
+    a = plan_audit(QUERIES["users_items_incremental"](spark, sf_dir))
+    assert "Expand" not in a["plan"]
+    assert a["n_shuffle_exchanges"] == 2
+    assert a["has_partial_agg"]
+
+
+def test_lsh_signature_pipeline_runs_once(spark, sf_dir):
+    """The star/clique cap must not fork the plan: documents is scanned
+    exactly once (a union of filtered branches would scan + re-hash the
+    whole signature pipeline per branch)."""
+    a = plan_audit(QUERIES["dedup_minhash_lsh"](spark, sf_dir))
+    assert len(a["scan_schemas"]) == 1, a["scan_schemas"]
