@@ -38,6 +38,21 @@ GROUP BY 1
 """
 
 
+def variant_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-free twin of json_extract_props via Spark 4's VariantType:
+    parse_json keeps the full document (no up-front schema like
+    from_json) and variant_get extracts typed paths lazily — the
+    semi-structured scan pattern for heterogeneous event payloads."""
+    events = load_table(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "int")
+    return (
+        events.withColumn("k", k)
+        .withColumn("k_bucket", F.floor(F.col("k") / 10).cast("long"))
+        .groupBy("k_bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("k").cast("long").alias("k_sum"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # F8-F13: datetime derivations + A4/A5 conditional-count fractions — the
 # features module's time features (features/features.scala:64-76).
@@ -205,3 +220,9 @@ ORACLES = {
     "explode_tokens": EXPLODE_ORACLE,
     "collect_user_events": COLLECT_ORACLE,
 }
+
+# Locally-oracled extra (driver registry at its 50-row cap): VariantType
+# produces the same values as the from_json path, so it shares the
+# oracle.
+EXTRA_QUERIES = {"variant_extract_props": variant_extract_props}
+EXTRA_ORACLES = {"variant_extract_props": JSON_PROPS_ORACLE}
