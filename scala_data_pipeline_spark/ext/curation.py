@@ -107,6 +107,96 @@ WHERE {docs_pred}
 """
 
 
+# PII patterns (RE2/Java-compatible subset; identical semantics in
+# Spark's regexp_replace/regexp_count and DuckDB's regexp_* with 'g').
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\b\d{3}[-.]\d{3}[-.]\d{4}\b",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+
+def pii_redact(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Scrub emails, phone numbers and IPv4 addresses, replacing each
+    with a typed placeholder, and count redactions per document.
+
+    Pure per-row regex work — no shuffle, whole-stage codegen, the scan
+    predicate/projection push down untouched. Order matters: emails are
+    redacted before IPs so ``user@1.2.3.4``-style hostnames never leave
+    a partial address behind.
+    """
+    red = F.col(text_col)
+    counts = {}
+    for kind in ("email", "phone", "ipv4"):
+        # Count on the text as redacted so far, so an IP inside an
+        # already-redacted email host is not double-counted: each count
+        # equals the number of replacements actually applied.
+        counts[kind] = F.regexp_count(red, F.lit(PII_PATTERNS[kind])).cast("long")
+        red = F.regexp_replace(red, PII_PATTERNS[kind], f"<{kind.upper()}>")
+    return docs.select(
+        "doc_id",
+        red.alias("redacted"),
+        counts["email"].alias("n_email"),
+        counts["phone"].alias("n_phone"),
+        counts["ipv4"].alias("n_ipv4"),
+        sum(counts.values()).alias("n_pii"),
+    )
+
+
+def pii_redact_sql(text_expr: str = "text", table: str = "documents") -> str:
+    """DuckDB twin of :func:`pii_redact` over ``text_expr``."""
+    red = text_expr
+    counts = {}
+    for kind in ("email", "phone", "ipv4"):
+        counts[kind] = (
+            f"CAST(len(regexp_extract_all({red}, '{PII_PATTERNS[kind]}')) AS BIGINT)"
+        )
+        red = f"regexp_replace({red}, '{PII_PATTERNS[kind]}', '<{kind.upper()}>', 'g')"
+    total = " + ".join(counts.values())
+    return f"""
+SELECT doc_id,
+       {red} AS redacted,
+       {counts['email']} AS n_email,
+       {counts['phone']} AS n_phone,
+       {counts['ipv4']} AS n_ipv4,
+       {total} AS n_pii
+FROM {table}
+"""
+
+
+def repetition_ratio(
+    docs: DataFrame, text_col: str = "text", n: int = 2
+) -> DataFrame:
+    """Within-document repetition: fraction of word ``n``-grams that are
+    duplicates (1 - distinct/total). The standard boilerplate/spam
+    signal for corpus filtering. Array-local higher-order functions
+    only — per-row, no shuffle, no UDF."""
+    sh = shingles(F.col(text_col), n)
+    ratio = F.round(
+        1 - F.size(F.array_distinct(sh)) / F.size(sh), 6
+    )
+    return docs.select(
+        "doc_id",
+        F.size(sh).cast("long").alias("n_ngrams"),
+        F.size(F.array_distinct(sh)).cast("long").alias("n_distinct"),
+        ratio.alias("repetition_ratio"),
+    )
+
+
+def repetition_ratio_sql(
+    text_expr: str = "text", table: str = "documents", n: int = 2
+) -> str:
+    sh = shingles_sql(text_expr, n)
+    return f"""
+SELECT doc_id,
+       CAST(len({sh}) AS BIGINT) AS n_ngrams,
+       CAST(len(list_distinct({sh})) AS BIGINT) AS n_distinct,
+       ROUND(1 - CAST(len(list_distinct({sh})) AS DOUBLE) / len({sh}), 6)
+         AS repetition_ratio
+FROM {table}
+"""
+
+
 def source_quota(docs: DataFrame, n_per_source: int) -> DataFrame:
     """At most ``n_per_source`` documents per source, best quality
     first, doc_id as the deterministic tiebreak."""

@@ -91,6 +91,47 @@ FROM {table}
 """
 
 
+# GPT-2-style pre-tokenizer (RE2/Java-compatible subset): contraction
+# suffixes, space-prefixed letter runs, digit runs, punctuation runs.
+# Whitespace itself is skipped, so a match count approximates the BPE
+# token count before merges (an upper bound on the merged count).
+BPE_PRETOKEN_PATTERN = (
+    r"'(?:s|t|re|ve|m|ll|d)"
+    r"| ?[A-Za-z]+"
+    r"| ?[0-9]+"
+    r"| ?[^A-Za-z0-9\s]+"
+)
+
+
+def token_count(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document token counts under two tokenizers: whitespace split
+    and the GPT-2-style pre-tokenizer regex — plus chars-per-BPE-token,
+    the usual compression/quality proxy. Pure regex scan, JVM-side,
+    no shuffle."""
+    text = F.col(text_col)
+    ws = F.size(tokens_col(text)).cast("long")
+    bpe = F.regexp_count(text, F.lit(BPE_PRETOKEN_PATTERN)).cast("long")
+    return docs.select(
+        "doc_id",
+        ws.alias("n_ws_tokens"),
+        bpe.alias("n_bpe_tokens"),
+        F.round(F.length(text) / bpe, 6).alias("chars_per_bpe_token"),
+    )
+
+
+def token_count_sql(text_col: str = "text", table: str = "documents") -> str:
+    toks = f"list_filter(string_split({text_col}, ' '), t -> t <> '')"
+    pat = BPE_PRETOKEN_PATTERN.replace("'", "''")
+    bpe = f"len(regexp_extract_all({text_col}, '{pat}'))"
+    return f"""
+SELECT doc_id,
+       CAST(len({toks}) AS BIGINT) AS n_ws_tokens,
+       CAST({bpe} AS BIGINT) AS n_bpe_tokens,
+       ROUND(CAST(length({text_col}) AS DOUBLE) / {bpe}, 6) AS chars_per_bpe_token
+FROM {table}
+"""
+
+
 def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Marker-word language heuristic: per-language hit counts, argmax
     with a fixed preference order on ties."""

@@ -12,6 +12,10 @@ from ..ext.curation import (
     decontaminate_sql,
     deterministic_sample,
     deterministic_sample_sql,
+    pii_redact,
+    pii_redact_sql,
+    repetition_ratio,
+    repetition_ratio_sql,
     source_quota,
 )
 from ..ext.textstats import quality_score_sql
@@ -69,14 +73,52 @@ FROM ranked WHERE rank <= {QUOTA_N}
 QUERIES: dict = {}
 ORACLES: dict[str, str] = {}
 
+def curation_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The synthetic corpus carries no real PII, so the query plants a
+    deterministic email/phone/IP per document (same expression in the
+    oracle) — the redaction regexes are exercised for real, not as a
+    no-op."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com at 10.0."),
+            (F.col("doc_id") % 200).cast("string"),
+            F.lit(".7 or 555-123-4567."),
+        ).alias("text"),
+    )
+    return pii_redact(docs)
+
+
+PII_TEXT_SQL = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR)"
+    " || '@mail.example.com at 10.0.' || CAST(doc_id % 200 AS VARCHAR)"
+    " || '.7 or 555-123-4567.'"
+)
+
+PII_ORACLE = pii_redact_sql(
+    table=f"(SELECT doc_id, {PII_TEXT_SQL} AS text FROM documents)"
+)
+
+
+def curation_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return repetition_ratio(load_table(spark, sf_dir, "documents"))
+
+
 EXTRA_QUERIES = {
     "curation_sample": curation_sample,
     "curation_decontaminate": curation_decontaminate,
     "curation_source_quota": curation_source_quota,
+    "curation_pii_redact": curation_pii_redact,
+    "curation_repetition": curation_repetition,
 }
 
 EXTRA_ORACLES = {
     "curation_sample": SAMPLE_ORACLE,
     "curation_decontaminate": DECON_ORACLE,
     "curation_source_quota": QUOTA_ORACLE,
+    "curation_pii_redact": PII_ORACLE,
+    "curation_repetition": repetition_ratio_sql(),
 }

@@ -12,6 +12,8 @@ from ..ext.textstats import (
     lang_id_sql,
     quality_features,
     quality_features_sql,
+    token_count,
+    token_count_sql,
 )
 from ..sources import load_table
 
@@ -57,3 +59,11 @@ ORACLES = {
     "text_fingerprint": fingerprint_sql(),
     "multimodal_features": MULTIMODAL_ORACLE,
 }
+
+
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_count(load_table(spark, sf_dir, "documents"))
+
+
+EXTRA_QUERIES = {"text_token_count": text_token_count}
+EXTRA_ORACLES = {"text_token_count": token_count_sql()}

@@ -1,0 +1,43 @@
+"""Unit tests for the curation operators' edge cases (the oracle-parity
+sweep covers the happy path on the real tables)."""
+
+from __future__ import annotations
+
+from scala_data_pipeline_spark.ext.curation import pii_redact, repetition_ratio
+
+
+def test_pii_redact_kinds_and_order(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "mail bob@1.2.3.4.example.com then 10.0.0.1 and 555-123-4567"),
+            (1, "clean text with no pii at all"),
+            (2, "a@b.co x@y.org"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in pii_redact(docs).collect()}
+    # Email redacted BEFORE the IP pass: the dotted host must not leave
+    # a stray <IPV4> behind.
+    assert rows[0]["redacted"] == "mail <EMAIL> then <IPV4> and <PHONE>"
+    assert (rows[0]["n_email"], rows[0]["n_phone"], rows[0]["n_ipv4"]) == (1, 1, 1)
+    assert rows[0]["n_pii"] == 3
+    assert rows[1]["redacted"] == "clean text with no pii at all"
+    assert rows[1]["n_pii"] == 0
+    assert rows[2]["redacted"] == "<EMAIL> <EMAIL>"
+    assert rows[2]["n_email"] == 2
+
+
+def test_repetition_ratio_bounds(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "spam spam spam spam spam"),  # all bigrams identical
+            (1, "one two three four five"),  # all bigrams distinct
+            (2, "solo"),  # fewer tokens than n -> single whole-text shingle
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in repetition_ratio(docs).collect()}
+    assert rows[0]["n_ngrams"] == 4 and rows[0]["n_distinct"] == 1
+    assert rows[0]["repetition_ratio"] == 0.75
+    assert rows[1]["repetition_ratio"] == 0.0
+    assert rows[2]["n_ngrams"] == 1 and rows[2]["repetition_ratio"] == 0.0
