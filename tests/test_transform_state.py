@@ -1,0 +1,159 @@
+"""transformWithStateInPandas (Spark 4 stateful API).
+
+The streaming e2e path needs ``google.protobuf`` (the transformWithState
+state server speaks protobuf to the Python worker); it is not installed
+in this container, so the e2e test skips with that probe and the
+processor logic is verified against fake state primitives — same
+pattern as the Kafka/ES connector plumbing tests.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from scala_data_pipeline_spark.sources import load_table
+from scala_data_pipeline_spark.streaming.transform_state import (
+    RECENT_CAP,
+    UserProfileProcessor,
+    user_profile_stream,
+)
+
+try:
+    HAVE_PROTOBUF = importlib.util.find_spec("google.protobuf") is not None
+except ModuleNotFoundError:  # no 'google' namespace package at all
+    HAVE_PROTOBUF = False
+
+ROCKSDB = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+# --- fake state primitives (mirror pyspark.sql.streaming.stateful_processor) -
+class FakeValueState:
+    def __init__(self):
+        self._v = None
+
+    def exists(self):
+        return self._v is not None
+
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+
+class FakeMapState:
+    def __init__(self):
+        self._m = {}
+
+    def containsKey(self, k):
+        return k in self._m
+
+    def getValue(self, k):
+        return self._m[k]
+
+    def updateValue(self, k, v):
+        self._m[k] = v
+
+    def keys(self):
+        return iter(self._m.keys())
+
+
+class FakeListState:
+    def __init__(self):
+        self._l = []
+
+    def appendValue(self, v):
+        self._l.append(v)
+
+    def get(self):
+        return iter(self._l)
+
+    def put(self, rows):
+        self._l = list(rows)
+
+
+def make_processor() -> UserProfileProcessor:
+    p = UserProfileProcessor()
+    p._totals = FakeValueState()
+    p._type_counts = FakeMapState()
+    p._recent = FakeListState()
+    return p
+
+
+def batch(rows):
+    return pd.DataFrame(rows, columns=["user_id", "event_type", "value"])
+
+
+def test_processor_accumulates_across_batches():
+    p = make_processor()
+    b1 = batch([(1, "view", 0.0), (1, "purchase", 10.0), (1, "view", 0.0)])
+    b2 = batch([(1, "purchase", 30.0), (1, "click", 0.0)])
+    (out1,) = list(p.handleInputRows((1,), iter([b1]), None))
+    (out2,) = list(p.handleInputRows((1,), iter([b2]), None))
+    assert out1.iloc[0]["n_events"] == 3 and out2.iloc[0]["n_events"] == 5
+    assert out1.iloc[0]["n_types"] == 2 and out2.iloc[0]["n_types"] == 3
+    assert out2.iloc[0]["revenue"] == 40.0
+    assert out2.iloc[0]["avg_recent_purchase"] == 20.0
+
+
+def test_processor_recent_list_capped():
+    p = make_processor()
+    buys = batch([(1, "purchase", float(i)) for i in range(1, 10)])
+    (out,) = list(p.handleInputRows((1,), iter([buys]), None))
+    # last RECENT_CAP of 1..9 = 5..9 -> avg 7
+    assert out.iloc[0]["avg_recent_purchase"] == 7.0
+    assert len(list(p._recent.get())) == RECENT_CAP
+
+
+def test_processor_no_purchases_yields_null_avg():
+    p = make_processor()
+    (out,) = list(p.handleInputRows((2,), iter([batch([(2, "view", 0.0)])]), None))
+    assert out.iloc[0]["avg_recent_purchase"] is None
+
+
+@pytest.mark.skipif(
+    not HAVE_PROTOBUF,
+    reason="google.protobuf absent: transformWithState state server "
+    "protocol unavailable in this container",
+)
+def test_user_profile_stream_e2e(spark, sf_dir, tmp_path):
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    src = str(tmp_path / "src")
+    events.repartition(3).write.mode("overwrite").parquet(src)
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    spark.conf.set(provider_key, ROCKSDB)
+    try:
+        sdf = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            user_profile_stream(sdf)
+            .writeStream.format("memory")
+            .queryName("tws_profile")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout=180)
+    finally:
+        spark.conf.unset(provider_key)
+    emitted = spark.sql("SELECT * FROM tws_profile").toPandas()
+    final = emitted.groupby("user_id").last().reset_index()
+    want = (
+        events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .toPandas()
+    )
+    merged = final.merge(want, on="user_id", suffixes=("_got", "_want"))
+    assert (merged["n_events_got"] == merged["n_events_want"]).all()
