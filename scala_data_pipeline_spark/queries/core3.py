@@ -260,6 +260,72 @@ def approx_count_distinct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form rollup/cube compile to):
+    totals by (status, priority), by status alone, and the grand total —
+    one shuffle, the grouping-set expansion happens map-side."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupingSets(
+            [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            dsum(F.col("o_totalprice")).alias("total"),
+        )
+        .na.fill({"o_orderstatus": "ALL", "o_orderpriority": "ALL"})
+    )
+
+
+GROUPING_SETS_ORACLE = f"""
+SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+       COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+       COUNT(*) AS cnt,
+       {dsum_sql('o_totalprice')} AS total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+"""
+
+
+def lateral_topn_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery: per region, the top-2 nations by
+    customer count (deterministic tiebreak on name). Catalyst rewrites
+    the correlated limit into a ranked window join — no per-row
+    re-execution, one shuffle on the join key."""
+    for t in ("region", "nation", "customer"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        SELECT r.r_name, t.n_name, t.n_cust
+        FROM region r,
+        LATERAL (
+          SELECT n.n_name, COUNT(c.c_custkey) AS n_cust
+          FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+          WHERE n.n_regionkey = r.r_regionkey
+          GROUP BY n.n_name
+          ORDER BY n_cust DESC, n_name ASC
+          LIMIT 2
+        ) t
+        """
+    )
+
+
+LATERAL_ORACLE = """
+SELECT r.r_name, t.n_name, CAST(t.n_cust AS BIGINT) AS n_cust
+FROM region r,
+LATERAL (
+  SELECT n.n_name, COUNT(c.c_custkey) AS n_cust
+  FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+  WHERE n.n_regionkey = r.r_regionkey
+  GROUP BY n.n_name
+  ORDER BY n_cust DESC, n_name ASC
+  LIMIT 2
+) t
+"""
+
+
 QUERIES = {
     "asof_last_purchase": asof_last_purchase,
     "range_join_price_bands": range_join_price_bands,
@@ -284,8 +350,12 @@ ORACLES = {
 EXTRA_QUERIES = {
     "rollup_orders": rollup_orders,
     "approx_count_distinct": approx_count_distinct_q,
+    "grouping_sets_orders": grouping_sets_orders,
+    "lateral_topn_nations": lateral_topn_nations,
 }
 
 EXTRA_ORACLES = {
     "rollup_orders": ROLLUP_ORACLE,
+    "grouping_sets_orders": GROUPING_SETS_ORACLE,
+    "lateral_topn_nations": LATERAL_ORACLE,
 }
