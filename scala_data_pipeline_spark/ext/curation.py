@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 
 from .dedup import shingles, shingles_sql
 from .textstats import quality_features
+from .util import fan_out
 
 
 def sample_threshold_hex(fraction: float) -> str:
@@ -70,7 +71,7 @@ def decontaminate(
 ) -> DataFrame:
     """Remove from ``docs`` every document sharing at least one word
     ``n``-gram with ``benchmark`` (the eval-set leakage guard)."""
-    doc_grams = docs.select(
+    doc_grams = fan_out(docs).select(
         "doc_id", F.explode(shingles(F.col(text_col), n)).alias("g")
     ).select("doc_id", F.md5("g").alias("h"))
     bench_grams = (

@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .util import fan_out
+
 # ---------------------------------------------------------------------------
 # Exact dedup
 # ---------------------------------------------------------------------------
@@ -104,7 +106,7 @@ def minhash_signature(docs: DataFrame, text_col: str = "text") -> DataFrame:
     the hot explode; the 128-bit digest's disjoint 16-bit slices are
     independent hash functions). String minima for parity and
     engine-independence."""
-    exploded = docs.select(
+    exploded = fan_out(docs).select(
         "doc_id", F.explode(shingles(F.col(text_col))).alias("shingle")
     ).withColumn("h", F.md5("shingle"))
     aggs = [
@@ -308,7 +310,7 @@ def ngram_jaccard_pairs(
     exact dedup first (corpus_job does); docs whose shingles are ALL
     ultra-common simply produce no pairs here.
     """
-    sh = docs.select(
+    sh = fan_out(docs).select(
         "doc_id",
         *block_cols,
         F.explode(shingles(F.col(text_col))).alias("shingle"),

@@ -194,8 +194,9 @@ def fingerprint(docs: DataFrame, text_col: str = "text", k: int = 4) -> DataFram
     3-gram shingle digests, concatenated. Near-identical documents agree
     on most of the minima; the fingerprint doubles as a clustering key."""
     from .dedup import shingles
+    from .util import fan_out
 
-    sh = docs.select(
+    sh = fan_out(docs).select(
         "doc_id", F.explode(shingles(F.col(text_col))).alias("shingle")
     )
     return (
