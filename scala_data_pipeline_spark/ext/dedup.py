@@ -245,7 +245,7 @@ def simhash16(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """16-bit SimHash: bit i = majority over tokens of the high bit of
     md5(token)'s i-th hex digit. Emitted as a 16-char 0/1 string (engine-
     independent; no integer hex parsing needed)."""
-    tokens = docs.select(
+    tokens = fan_out(docs).select(
         "doc_id", F.explode(F.split(F.col(text_col), " ")).alias("token")
     ).filter(F.col("token") != "")
     h = F.md5("token")
@@ -282,6 +282,120 @@ WITH tokens AS (
   FROM filtered GROUP BY doc_id
 )
 SELECT doc_id, {concat} AS simhash FROM sums
+"""
+
+
+def _hamming16(a: Column, b: Column) -> Column:
+    """Hamming distance between two 16-char 0/1 signature strings —
+    16 codegen'd substr compares, identical expression in the oracle."""
+    terms = [
+        F.when(
+            F.substring(a, i + 1, 1) != F.substring(b, i + 1, 1), 1
+        ).otherwise(0)
+        for i in range(16)
+    ]
+    return sum(terms[1:], terms[0])
+
+
+def simhash_neardup_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_hamming: int = 1,
+    bucket_cap: int = 4096,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash: block-LSH candidates verified by
+    exact Hamming distance.
+
+    Candidates: the 16-bit signature splits into two 8-bit halves; by
+    pigeonhole, Hamming distance ≤ 1 implies the pair agrees on at least
+    one half, so bucketing on (half_index, half_value) loses no true
+    pair. Verification joins the signatures back and keeps pairs with
+    exact Hamming ≤ ``max_hamming``.
+
+    Scale shape mirrors lsh_candidate_pairs: per-bucket pair generation
+    from a collected sorted id list (one signature pass, no self-join),
+    with oversized buckets (> ``bucket_cap``) degraded to keeper stars —
+    linear output on degenerate corpora at the cost of completeness
+    inside those buckets (connected components are preserved). The
+    default cap is high because 8-bit halves of clustered corpora
+    legitimately share buckets (unlike minhash band buckets, which are
+    near-exact matches).
+    """
+    sigs = simhash16(docs, text_col)
+    halves = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("block"),
+                        F.substring("simhash", 8 * i + 1, 8).alias("key"),
+                    )
+                    for i in range(2)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.block", "b.key")
+    grouped = (
+        halves.groupBy("block", "key")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    ids = F.col("ids")
+    star_pairs = F.transform(
+        F.slice(ids, 2, F.size(ids)),
+        lambda y: F.struct(F.element_at(ids, 1).alias("a"), y.alias("b")),
+    )
+    pairs_arr = F.when(
+        F.size(ids) <= bucket_cap, _pairs_from_sorted_ids(ids)
+    ).otherwise(star_pairs)
+    cand = (
+        grouped.select(F.explode(pairs_arr).alias("p"))
+        .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
+        .distinct()
+    )
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"))
+    return (
+        cand.join(sa, on="doc_a")
+        .join(sb, on="doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            _hamming16(F.col("sig_a"), F.col("sig_b")).cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def simhash_neardup_sql(
+    text_col: str = "text", table: str = "documents", max_hamming: int = 1
+) -> str:
+    """DuckDB twin (uncapped — the cap only alters degenerate corpora
+    the oracle tables don't contain; same convention as
+    :func:`minhash_lsh_sql`)."""
+    ham = " + ".join(
+        f"(CASE WHEN substr(a.simhash, {i + 1}, 1) <> substr(b.simhash, {i + 1}, 1)"
+        f" THEN 1 ELSE 0 END)"
+        for i in range(16)
+    )
+    return f"""
+WITH sigs AS ({simhash16_sql(text_col, table)}),
+blocks AS (
+  SELECT doc_id, 0 AS block, substr(simhash, 1, 8) AS key FROM sigs
+  UNION ALL
+  SELECT doc_id, 1 AS block, substr(simhash, 9, 8) AS key FROM sigs
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM blocks a JOIN blocks b
+    ON a.block = b.block AND a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b, CAST({ham} AS BIGINT) AS hamming
+FROM cand c
+JOIN sigs a ON a.doc_id = c.doc_a
+JOIN sigs b ON b.doc_id = c.doc_b
+WHERE {ham} <= {max_hamming}
 """
 
 

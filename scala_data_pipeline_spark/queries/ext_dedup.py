@@ -13,6 +13,8 @@ from ..ext.dedup import (
     ngram_jaccard_sql,
     simhash16,
     simhash16_sql,
+    simhash_neardup_pairs,
+    simhash_neardup_sql,
 )
 from ..sources import load_table
 
@@ -55,3 +57,11 @@ ORACLES = {
     "dedup_simhash": simhash16_sql(),
     "dedup_ngram_jaccard": ngram_jaccard_sql(),
 }
+
+
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_neardup_pairs(load_table(spark, sf_dir, "documents"))
+
+
+EXTRA_QUERIES = {"dedup_simhash_pairs": dedup_simhash_pairs}
+EXTRA_ORACLES = {"dedup_simhash_pairs": simhash_neardup_sql()}
