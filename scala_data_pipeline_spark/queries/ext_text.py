@@ -65,5 +65,23 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_count(load_table(spark, sf_dir, "documents"))
 
 
-EXTRA_QUERIES = {"text_token_count": text_token_count}
-EXTRA_ORACLES = {"text_token_count": token_count_sql()}
+def text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ext.chunking import chunk_documents
+
+    return chunk_documents(load_table(spark, sf_dir, "documents"))
+
+
+def _chunks_oracle() -> str:
+    from ..ext.chunking import chunk_documents_sql
+
+    return chunk_documents_sql()
+
+
+EXTRA_QUERIES = {
+    "text_token_count": text_token_count,
+    "text_chunks": text_chunks,
+}
+EXTRA_ORACLES = {
+    "text_token_count": token_count_sql(),
+    "text_chunks": _chunks_oracle(),
+}
