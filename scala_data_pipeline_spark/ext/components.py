@@ -1,0 +1,97 @@
+"""Connected components over candidate-pair edges — the transitivity
+step that turns near-dup PAIRS into dedup CLUSTERS (keep one document
+per component). Standard tail of a MinHash/SimHash dedup pipeline.
+
+Algorithm: min-label propagation. Each vertex starts labeled with its
+own id; every round each vertex takes the min of its label and its
+neighbors' labels; fixpoint = every vertex carries its component's
+minimum id. Rounds needed = graph diameter, which for near-dup graphs
+is small (clusters are cliques or star fragments from the capped pair
+generators — see dedup.lsh_candidate_pairs). Each round is one join +
+one aggregation on the edge list; the driver only evaluates the
+converged? counter, never the data. For adversarial long-chain graphs
+at extreme scale, the alternating large-star/small-star formulation
+(Kiveris et al., "Connected Components in MapReduce") converges in
+O(log n) rounds with the same per-round plan shape — diameter-bound
+propagation is the right default for dedup workloads.
+
+Oracle: a DuckDB recursive CTE computes min-reachable-id per vertex —
+exponential-closure semantics that agree with the fixpoint label.
+"""
+
+from __future__ import annotations
+
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(doc_id, cluster_id) for every vertex appearing in ``pairs``;
+    ``cluster_id`` = min doc_id of the vertex's component."""
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = (
+        edges.select(F.col("src").alias("v"))
+        .distinct()
+        .select("v", F.col("v").alias("label"))
+        # localCheckpoint (not persist): each round's plan must START
+        # from materialized data, or the lineage nests one full copy of
+        # itself per iteration and the driver dies planning an
+        # exponentially-growing tree. Production long-job twin: reliable
+        # checkpoint() to the checkpoint dir (survives executor loss).
+        .localCheckpoint(eager=True)
+    )
+    try:
+        for _ in range(max_iter):
+            nbr = edges.join(
+                labels, edges["dst"] == labels["v"]
+            ).select(F.col("src").alias("v"), "label")
+            new_labels = (
+                labels.union(nbr)
+                .groupBy("v")
+                .agg(F.min("label").alias("label"))
+                .localCheckpoint(eager=True)
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), on="v")
+                .filter(F.col("n.label") != F.col("o.label"))
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                break
+        return labels.select(
+            F.col("v").alias("doc_id"), F.col("label").alias("cluster_id")
+        )
+    finally:
+        edges.unpersist()
+
+
+def connected_components_sql(pairs_sql: str) -> str:
+    """DuckDB twin over the pair query ``pairs_sql`` (must yield columns
+    doc_a, doc_b)."""
+    return f"""
+WITH RECURSIVE pairs AS (
+  {pairs_sql}
+), bi AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+), walk AS (
+  SELECT src AS v, src AS r FROM bi
+  UNION
+  SELECT e.dst AS v, w.r FROM walk w JOIN bi e ON e.src = w.v
+)
+SELECT v AS doc_id, MIN(r) AS cluster_id FROM walk GROUP BY v
+"""

@@ -63,5 +63,26 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_neardup_pairs(load_table(spark, sf_dir, "documents"))
 
 
-EXTRA_QUERIES = {"dedup_simhash_pairs": dedup_simhash_pairs}
-EXTRA_ORACLES = {"dedup_simhash_pairs": simhash_neardup_sql()}
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs → transitive dedup clusters (iterative
+    min-label propagation; recursive-CTE oracle)."""
+    from ..ext.components import connected_components
+
+    pairs = lsh_candidate_pairs(load_table(spark, sf_dir, "documents"))
+    return connected_components(pairs)
+
+
+def _components_oracle() -> str:
+    from ..ext.components import connected_components_sql
+
+    return connected_components_sql(minhash_lsh_sql())
+
+
+EXTRA_QUERIES = {
+    "dedup_simhash_pairs": dedup_simhash_pairs,
+    "dedup_components": dedup_components,
+}
+EXTRA_ORACLES = {
+    "dedup_simhash_pairs": simhash_neardup_sql(),
+    "dedup_components": _components_oracle(),
+}
