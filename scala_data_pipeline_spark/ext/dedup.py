@@ -301,7 +301,7 @@ def simhash_neardup_pairs(
     docs: DataFrame,
     text_col: str = "text",
     max_hamming: int = 1,
-    bucket_cap: int = 4096,
+    bucket_cap: int = 1024,
 ) -> DataFrame:
     """Near-duplicate pairs by SimHash: block-LSH candidates verified by
     exact Hamming distance.
@@ -316,10 +316,14 @@ def simhash_neardup_pairs(
     from a collected sorted id list (one signature pass, no self-join),
     with oversized buckets (> ``bucket_cap``) degraded to keeper stars —
     linear output on degenerate corpora at the cost of completeness
-    inside those buckets (connected components are preserved). The
-    default cap is high because 8-bit halves of clustered corpora
-    legitimately share buckets (unlike minhash band buckets, which are
-    near-exact matches).
+    inside those buckets (connected components are preserved). The cap
+    is also a MEMORY bound, not just an output bound: a bucket's pair
+    array materializes C(n,2) structs in one row before the explode, so
+    the cap must keep that array in task memory — 1024 → ≤524k structs
+    (~16 MB), verified by a 10× scale smoke that OOMed at cap 4096.
+    (Minhash band buckets are near-exact matches and use a far smaller
+    cap; 8-bit simhash halves legitimately cluster, hence the larger
+    default here.)
     """
     sigs = simhash16(docs, text_col)
     halves = sigs.select(
