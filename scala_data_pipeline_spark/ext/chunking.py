@@ -77,6 +77,64 @@ FROM s
 """
 
 
+def pack_sequences(
+    docs: DataFrame,
+    text_col: str = "text",
+    budget: int = 512,
+    shard_col: str = "source",
+) -> DataFrame:
+    """Sequence packing: assign documents to fixed token-budget bins
+    (training sequences are built by concatenating each bin's docs).
+
+    Deterministic streaming-concat packing: within each shard, docs in
+    doc_id order accumulate a running token count; ``bin_id`` =
+    ``floor((cumsum - n_tokens) / budget)`` — a doc opens a new bin when
+    the previous docs already filled it. Bins can overflow by at most
+    one document (standard greedy packing; long docs should be chunked
+    first — see :func:`chunk_documents`).
+
+    Scale: packing is windowed WITHIN a shard (``shard_col``), so the
+    sort is per-partition-group, not global — shards pack in parallel
+    and no single task sees the corpus. A global (unsharded) pack would
+    be a single-partition window: the anti-pattern this signature
+    avoids.
+    """
+    from pyspark.sql import Window
+
+    n_tokens = F.size(F.filter(F.split(F.col(text_col), " "), lambda t: t != ""))
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(n_tokens).over(w)
+    return docs.select(
+        "doc_id",
+        F.col(shard_col).alias("shard"),
+        n_tokens.cast("long").alias("n_tokens"),
+        F.floor((cum - n_tokens) / budget).cast("long").alias("bin_id"),
+    )
+
+
+def pack_sequences_sql(
+    text_col: str = "text",
+    table: str = "documents",
+    budget: int = 512,
+    shard_col: str = "source",
+) -> str:
+    n = f"len(list_filter(string_split({text_col}, ' '), t -> t <> ''))"
+    return f"""
+SELECT doc_id,
+       {shard_col} AS shard,
+       CAST({n} AS BIGINT) AS n_tokens,
+       CAST(floor(CAST(SUM({n}) OVER (
+           PARTITION BY {shard_col} ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) - {n} AS DOUBLE) / {budget}) AS BIGINT) AS bin_id
+FROM {table}
+"""
+
+
 @udtf(returnType="doc_id bigint, chunk_idx int, chunk string, n_tokens bigint")
 class ChunkDocumentsUDTF:
     """Python UDTF twin of :func:`chunk_documents` (same defaults).

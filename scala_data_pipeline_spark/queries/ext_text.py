@@ -77,11 +77,25 @@ def _chunks_oracle() -> str:
     return chunk_documents_sql()
 
 
+def text_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ext.chunking import pack_sequences
+
+    return pack_sequences(load_table(spark, sf_dir, "documents"))
+
+
+def _pack_oracle() -> str:
+    from ..ext.chunking import pack_sequences_sql
+
+    return pack_sequences_sql()
+
+
 EXTRA_QUERIES = {
     "text_token_count": text_token_count,
     "text_chunks": text_chunks,
+    "text_pack_bins": text_pack_bins,
 }
 EXTRA_ORACLES = {
     "text_token_count": token_count_sql(),
     "text_chunks": _chunks_oracle(),
+    "text_pack_bins": _pack_oracle(),
 }

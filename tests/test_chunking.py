@@ -33,6 +33,25 @@ def test_chunk_edges(spark):
     ]
 
 
+def test_pack_sequences_bins(spark):
+    from scala_data_pipeline_spark.ext.chunking import pack_sequences
+
+    docs = spark.createDataFrame(
+        [
+            (0, "s0", " ".join(["w"] * 300)),
+            (1, "s0", " ".join(["w"] * 300)),  # 300+300 > 512 -> overflows bin 0
+            (2, "s0", " ".join(["w"] * 10)),   # cum 600 -> bin 1
+            (3, "s1", " ".join(["w"] * 5)),    # separate shard restarts at bin 0
+        ],
+        ["doc_id", "source", "text"],
+    )
+    got = {
+        r["doc_id"]: (r["bin_id"], r["n_tokens"])
+        for r in pack_sequences(docs).collect()
+    }
+    assert got == {0: (0, 300), 1: (0, 300), 2: (1, 10), 3: (0, 5)}
+
+
 def test_udtf_matches_native(spark, sf_dir):
     from scala_data_pipeline_spark.sources import load_table
 
