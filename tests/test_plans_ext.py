@@ -1,0 +1,59 @@
+"""Plan-shape locks for the session-2 extension operators: the text /
+curation / chunking family must stay scan-shaped (no shuffles, no
+Python), packing must window within shards (hash exchange, not a global
+sort), and fan_out must be a no-op on already-wide inputs."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from scala_data_pipeline_spark.ext.chunking import chunk_documents, pack_sequences
+from scala_data_pipeline_spark.ext.curation import pii_redact, repetition_ratio
+from scala_data_pipeline_spark.ext.textstats import token_count
+from scala_data_pipeline_spark.ext.util import fan_out
+from scala_data_pipeline_spark.plans import plan_audit
+from scala_data_pipeline_spark.sources import load_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+def test_scan_shaped_text_ops(docs):
+    """token_count / pii_redact / repetition_ratio / chunk_documents are
+    pure per-row work: zero shuffles, zero Python, codegen'd."""
+    for name, df in (
+        ("token_count", token_count(docs)),
+        ("pii_redact", pii_redact(docs)),
+        ("repetition_ratio", repetition_ratio(docs)),
+        ("chunk_documents", chunk_documents(docs)),
+    ):
+        a = plan_audit(df)
+        assert a["n_shuffle_exchanges"] == 0, name
+        assert a["n_python_udfs"] == 0, name
+        assert a["codegen_stages"] >= 1, name
+
+
+def test_pack_sequences_shards_not_global(docs):
+    """Packing windows within shards: one hash exchange on the shard
+    key, and no global range partitioning (the single-task sort a
+    naive global pack would plan)."""
+    a = plan_audit(pack_sequences(docs))
+    assert a["n_shuffle_exchanges"] == 1
+    assert "rangepartitioning" not in a["plan"].lower()
+    assert a["n_python_udfs"] == 0
+
+
+def test_fan_out_noop_when_wide(spark):
+    wide = spark.range(0, 1000, 1, spark.sparkContext.defaultParallelism)
+    assert fan_out(wide) is wide  # no-op: no extra shuffle at scale
+    narrow = spark.range(0, 1000, 1, 1)
+    fanned = fan_out(narrow)
+    assert fanned is not narrow
+    assert (
+        fanned.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    )
+    # same data either way
+    assert fanned.agg(F.sum("id")).first()[0] == 499500
