@@ -46,3 +46,32 @@ def test_bucketed_join_no_shuffle(spark, sf_dir, tmp_path):
     assert joined.count() == right.count()
     spark.sql("DROP TABLE IF EXISTS t_left")
     spark.sql("DROP TABLE IF EXISTS t_right")
+
+
+def test_csv_orc_text_roundtrips(spark, sf_dir, tmp_path):
+    """Format coverage beyond parquet/JSON: CSV (header + explicit
+    schema on read — never inferSchema at scale), ORC (columnar
+    alternative, predicate pushdown intact), and line-delimited text."""
+    nation = load_table(spark, sf_dir, "nation")
+    # CSV
+    csv_path = str(tmp_path / "nation_csv")
+    nation.write.mode("overwrite").option("header", True).csv(csv_path)
+    back_csv = (
+        spark.read.schema(nation.schema).option("header", True).csv(csv_path)
+    )
+    assert sorted(map(tuple, back_csv.collect())) == sorted(
+        map(tuple, nation.collect())
+    )
+    # ORC with a pushed filter
+    orc_path = str(tmp_path / "nation_orc")
+    nation.write.mode("overwrite").orc(orc_path)
+    back_orc = spark.read.orc(orc_path).filter(F.col("n_regionkey") == 1)
+    a = plan_audit(back_orc)
+    assert a["has_pushed_filters"], "ORC scan lost predicate pushdown"
+    assert back_orc.count() == nation.filter(F.col("n_regionkey") == 1).count()
+    # text (one line per row)
+    txt_path = str(tmp_path / "nation_txt")
+    nation.select(F.col("n_name").alias("value")).write.mode("overwrite").text(
+        txt_path
+    )
+    assert spark.read.text(txt_path).count() == nation.count()
