@@ -9,6 +9,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .util import fan_out
+
 ENGLISH_STOPWORDS = (
     "the", "a", "of", "and", "to", "in", "is", "it", "for", "on",
 )
@@ -189,12 +191,75 @@ FROM {table}
 """
 
 
+def tf_idf(
+    docs: DataFrame, text_col: str = "text", top_n: int = 5
+) -> DataFrame:
+    """Top-``top_n`` TF-IDF terms per document (deterministic tiebreak
+    on term). tf = in-doc count; idf = ln((N+1)/(df+1)) + 1 (smoothed,
+    sklearn-style). Two aggregations + one join on term: the document-
+    frequency side is tiny (vocabulary-sized) and broadcasts; the
+    corpus-side term explode shuffles once on (doc, term).
+    """
+    from pyspark.sql import Window
+
+    terms = fan_out(docs).select(
+        "doc_id", F.explode(tokens_col(F.col(text_col))).alias("term")
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = docs.count()  # scalar; one lightweight job, reference-style A8
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = df_.select(
+        "term",
+        F.round(F.log((n_docs + 1) / (F.col("df") + 1)) + 1, 6).alias("idf"),
+    )
+    scored = tf.join(F.broadcast(idf), on="term").select(
+        "doc_id",
+        "term",
+        F.round(F.col("tf") * F.col("idf"), 6).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= top_n)
+        .select("doc_id", "rank", "term", "tfidf")
+    )
+
+
+def tf_idf_sql(
+    text_col: str = "text", table: str = "documents", top_n: int = 5
+) -> str:
+    toks = f"list_filter(string_split({text_col}, ' '), t -> t <> '')"
+    return f"""
+WITH terms AS (
+  SELECT doc_id, unnest({toks}) AS term FROM {table}
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY doc_id, term
+), idf AS (
+  SELECT term,
+         ROUND(ln(CAST((SELECT COUNT(*) FROM {table}) + 1 AS DOUBLE)
+                  / (COUNT(*) + 1)) + 1, 6) AS idf
+  FROM tf GROUP BY term
+), scored AS (
+  SELECT tf.doc_id, tf.term, ROUND(tf.tf * idf.idf, 6) AS tfidf
+  FROM tf JOIN idf USING (term)
+), ranked AS (
+  SELECT doc_id, term, tfidf,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, term ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tfidf
+FROM ranked WHERE rank <= {top_n}
+"""
+
+
 def fingerprint(docs: DataFrame, text_col: str = "text", k: int = 4) -> DataFrame:
     """Winnowing-style document fingerprint: the k smallest distinct
     3-gram shingle digests, concatenated. Near-identical documents agree
     on most of the minima; the fingerprint doubles as a clustering key."""
     from .dedup import shingles
-    from .util import fan_out
 
     sh = fan_out(docs).select(
         "doc_id", F.explode(shingles(F.col(text_col))).alias("shingle")

@@ -326,6 +326,39 @@ LATERAL (
 """
 
 
+def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining rank-family window functions in one pass: ntile,
+    percent_rank, cume_dist, nth_value — single window sort per
+    partition key, deterministic tiebreak."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_key"),
+    )
+
+
+WINDOW_FAMILY_ORACLE = """
+SELECT o_orderkey,
+       o_orderpriority,
+       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+       ROUND(percent_rank() OVER w, 6) AS pct_rank,
+       ROUND(cume_dist() OVER w, 6) AS cume,
+       nth_value(o_orderkey, 2) OVER w AS second_key
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority
+             ORDER BY o_totalprice DESC, o_orderkey ASC)
+"""
+
+
 QUERIES = {
     "asof_last_purchase": asof_last_purchase,
     "range_join_price_bands": range_join_price_bands,
@@ -352,10 +385,12 @@ EXTRA_QUERIES = {
     "approx_count_distinct": approx_count_distinct_q,
     "grouping_sets_orders": grouping_sets_orders,
     "lateral_topn_nations": lateral_topn_nations,
+    "window_rank_family": window_rank_family,
 }
 
 EXTRA_ORACLES = {
     "rollup_orders": ROLLUP_ORACLE,
     "grouping_sets_orders": GROUPING_SETS_ORACLE,
     "lateral_topn_nations": LATERAL_ORACLE,
+    "window_rank_family": WINDOW_FAMILY_ORACLE,
 }

@@ -12,6 +12,8 @@ from ..ext.textstats import (
     lang_id_sql,
     quality_features,
     quality_features_sql,
+    tf_idf,
+    tf_idf_sql,
     token_count,
     token_count_sql,
 )
@@ -89,13 +91,19 @@ def _pack_oracle() -> str:
     return pack_sequences_sql()
 
 
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tf_idf(load_table(spark, sf_dir, "documents"))
+
+
 EXTRA_QUERIES = {
     "text_token_count": text_token_count,
     "text_chunks": text_chunks,
     "text_pack_bins": text_pack_bins,
+    "text_tfidf": text_tfidf,
 }
 EXTRA_ORACLES = {
     "text_token_count": token_count_sql(),
     "text_chunks": _chunks_oracle(),
     "text_pack_bins": _pack_oracle(),
+    "text_tfidf": tf_idf_sql(),
 }
