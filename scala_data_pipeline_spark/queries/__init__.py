@@ -40,6 +40,7 @@ _MODULES = [
     "ext_similarity",
     "ext_text",
     "ext_curation",
+    "scd_queries",
 ]
 
 

@@ -1,0 +1,104 @@
+"""SCD2 merge query: a versioned customer dimension (with pre-existing
+history rows) updated by a batch containing changed, unchanged, and
+brand-new keys — every branch of operators/scd.scd2_apply fires."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.scd import OPEN_END, scd2_apply, scd2_apply_sql
+from ..sources import load_table
+
+LOAD_DATE = "2024-06-01"
+ATTRS = ("name", "acctbal")
+
+# dim: every customer current since 2024-01-01; customers with
+# custkey % 11 == 0 also carry one closed history version (balance -50).
+DIM_SQL = f"""
+SELECT c_custkey AS cust_key, c_name AS name, ROUND(c_acctbal, 2) AS acctbal,
+       '2024-01-01' AS effective_from, '{OPEN_END}' AS effective_to,
+       TRUE AS is_current
+FROM customer
+UNION ALL
+SELECT c_custkey, c_name, ROUND(c_acctbal - 50, 2),
+       '2023-01-01', '2024-01-01', FALSE
+FROM customer WHERE c_custkey % 11 = 0
+"""
+
+# updates: % 7 keys change balance (+100), % 5 == 1 keys arrive
+# unchanged (no-op branch), % 97 keys spawn new customers.
+UPDATES_SQL = """
+SELECT c_custkey AS cust_key, c_name AS name,
+       ROUND(c_acctbal + 100, 2) AS acctbal
+FROM customer WHERE c_custkey % 7 = 0
+UNION ALL
+SELECT c_custkey, c_name, ROUND(c_acctbal, 2)
+FROM customer WHERE c_custkey % 5 = 1 AND c_custkey % 7 <> 0
+UNION ALL
+SELECT c_custkey + 1000000, 'NEW_' || c_name, 0.0
+FROM customer WHERE c_custkey % 97 = 0
+"""
+
+
+def _dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    cur = c.select(
+        F.col("c_custkey").alias("cust_key"),
+        F.col("c_name").alias("name"),
+        F.round("c_acctbal", 2).alias("acctbal"),
+        F.lit("2024-01-01").alias("effective_from"),
+        F.lit(OPEN_END).alias("effective_to"),
+        F.lit(True).alias("is_current"),
+    )
+    hist = c.filter(F.col("c_custkey") % 11 == 0).select(
+        F.col("c_custkey").alias("cust_key"),
+        F.col("c_name").alias("name"),
+        F.round(F.col("c_acctbal") - 50, 2).alias("acctbal"),
+        F.lit("2023-01-01").alias("effective_from"),
+        F.lit("2024-01-01").alias("effective_to"),
+        F.lit(False).alias("is_current"),
+    )
+    return cur.unionByName(hist)
+
+
+def _updates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    changed = c.filter(F.col("c_custkey") % 7 == 0).select(
+        F.col("c_custkey").alias("cust_key"),
+        F.col("c_name").alias("name"),
+        F.round(F.col("c_acctbal") + 100, 2).alias("acctbal"),
+    )
+    same = c.filter(
+        (F.col("c_custkey") % 5 == 1) & (F.col("c_custkey") % 7 != 0)
+    ).select(
+        F.col("c_custkey").alias("cust_key"),
+        F.col("c_name").alias("name"),
+        F.round("c_acctbal", 2).alias("acctbal"),
+    )
+    new = c.filter(F.col("c_custkey") % 97 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("cust_key"),
+        F.concat(F.lit("NEW_"), F.col("c_name")).alias("name"),
+        F.lit(0.0).alias("acctbal"),
+    )
+    return changed.unionByName(same).unionByName(new)
+
+
+def scd2_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return scd2_apply(
+        _dim(spark, sf_dir),
+        _updates(spark, sf_dir),
+        key="cust_key",
+        attrs=list(ATTRS),
+        load_date=LOAD_DATE,
+    )
+
+
+SCD2_ORACLE = scd2_apply_sql(
+    DIM_SQL, UPDATES_SQL, key="cust_key", attrs=list(ATTRS), load_date=LOAD_DATE
+)
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+EXTRA_QUERIES = {"scd2_customer": scd2_customer}
+EXTRA_ORACLES = {"scd2_customer": SCD2_ORACLE}
