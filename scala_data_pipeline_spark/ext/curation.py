@@ -108,6 +108,48 @@ WHERE {docs_pred}
 """
 
 
+def stratified_sample(
+    docs: DataFrame,
+    fractions: dict[str, float],
+    strata_col: str = "source",
+    key_col: str = "doc_id",
+    default: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum deterministic sampling: each stratum keeps its own
+    fraction (the data-mixing knob: "30% web, 100% books, 5% logs").
+    Same md5-threshold mechanism as :func:`deterministic_sample` —
+    reproducible, engine-independent, a pure scan predicate (no shuffle,
+    no per-stratum passes)."""
+    digest = F.substring(
+        F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 4
+    )
+    thr = F.lit(sample_threshold_hex(default))
+    for stratum, frac in sorted(fractions.items()):
+        thr = F.when(
+            F.col(strata_col) == stratum, sample_threshold_hex(frac)
+        ).otherwise(thr)
+    return docs.filter(digest < thr)
+
+
+def stratified_sample_sql(
+    fractions: dict[str, float],
+    strata_col: str = "source",
+    key_col: str = "doc_id",
+    default: float = 0.0,
+    salt: str = "",
+) -> str:
+    """WHERE-clause fragment, DuckDB twin of :func:`stratified_sample`."""
+    cases = " ".join(
+        f"WHEN '{s}' THEN '{sample_threshold_hex(f)}'"
+        for s, f in sorted(fractions.items())
+    )
+    thr = f"CASE {strata_col} {cases} ELSE '{sample_threshold_hex(default)}' END"
+    return (
+        f"substr(md5('{salt}' || CAST({key_col} AS VARCHAR)), 1, 4) < {thr}"
+    )
+
+
 # PII patterns (RE2/Java-compatible subset; identical semantics in
 # Spark's regexp_replace/regexp_count and DuckDB's regexp_* with 'g').
 PII_PATTERNS = {

@@ -17,6 +17,8 @@ from ..ext.curation import (
     repetition_ratio,
     repetition_ratio_sql,
     source_quota,
+    stratified_sample,
+    stratified_sample_sql,
 )
 from ..ext.textstats import quality_score_sql
 from ..sources import load_table
@@ -107,12 +109,29 @@ def curation_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_ratio(load_table(spark, sf_dir, "documents"))
 
 
+STRATA_FRACTIONS = {"src0": 0.8, "src1": 0.5, "src2": 0.1}
+
+
+def curation_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_sample(docs, STRATA_FRACTIONS, default=0.05).select(
+        "doc_id", "source"
+    )
+
+
+STRATIFIED_ORACLE = f"""
+SELECT doc_id, source FROM documents
+WHERE {stratified_sample_sql(STRATA_FRACTIONS, default=0.05)}
+"""
+
+
 EXTRA_QUERIES = {
     "curation_sample": curation_sample,
     "curation_decontaminate": curation_decontaminate,
     "curation_source_quota": curation_source_quota,
     "curation_pii_redact": curation_pii_redact,
     "curation_repetition": curation_repetition,
+    "curation_stratified": curation_stratified,
 }
 
 EXTRA_ORACLES = {
@@ -121,4 +140,5 @@ EXTRA_ORACLES = {
     "curation_source_quota": QUOTA_ORACLE,
     "curation_pii_redact": PII_ORACLE,
     "curation_repetition": repetition_ratio_sql(),
+    "curation_stratified": STRATIFIED_ORACLE,
 }

@@ -132,3 +132,40 @@ ORACLES = {
     "minmax_by": MINMAX_BY_ORACLE,
     "variance_stats": VARIANCE_ORACLE,
 }
+
+
+def histogram_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of part retail prices — the profiling
+    primitive. Bucket index computed with explicit arithmetic (identical
+    IEEE ops in the oracle) instead of width_bucket, whose edge handling
+    differs across engines. One aggregation, map-side partial."""
+    lo, hi, n = 900.0, 2000.0, 11
+    part = load_table(spark, sf_dir, "part")
+    width = (hi - lo) / n
+    bucket = F.least(
+        F.greatest(
+            F.floor((F.col("p_retailprice") - lo) / width) + 1, F.lit(1)
+        ),
+        F.lit(n),
+    )
+    return (
+        part.groupBy(bucket.cast("long").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.min("p_retailprice"), 2).alias("lo_price"),
+            F.round(F.max("p_retailprice"), 2).alias("hi_price"),
+        )
+    )
+
+
+HISTOGRAM_ORACLE = """
+SELECT CAST(least(greatest(floor((p_retailprice - 900.0) / ((2000.0 - 900.0) / 11)) + 1, 1), 11) AS BIGINT) AS bucket,
+       COUNT(*) AS cnt,
+       ROUND(MIN(p_retailprice), 2) AS lo_price,
+       ROUND(MAX(p_retailprice), 2) AS hi_price
+FROM part
+GROUP BY 1
+"""
+
+EXTRA_QUERIES = {"histogram_prices": histogram_prices}
+EXTRA_ORACLES = {"histogram_prices": HISTOGRAM_ORACLE}
