@@ -288,3 +288,42 @@ def test_streaming_dedup_with_watermark(spark, sf_dir, events_stream_dir):
     # but every surviving id is unique and no id is emitted twice
     assert got_df.groupBy("event_id").count().filter("count > 1").count() == 0
     assert got <= want
+
+
+def test_rate_source_windowed_agg(spark, tmp_path):
+    """Built-in rate source (timestamp, value) — the jar-free streaming
+    source for load/throughput tests; drives the same windowed-agg
+    operator the file/Kafka paths use."""
+    from scala_data_pipeline_spark.streaming.windowed import revenue_window_agg
+
+    sdf = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 500)
+        .load()
+        .selectExpr(
+            "timestamp AS ts",
+            "value AS user_id",
+            "'purchase' AS event_type",
+            "CAST(value % 10 AS DOUBLE) AS value",
+        )
+    )
+    q = (
+        revenue_window_agg(sdf, "10 seconds")
+        .writeStream.format("memory")
+        .queryName("rate_win")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "rate_ckpt"))
+        .start()
+    )
+    try:
+        # wait until at least one batch with data lands
+        import time
+
+        for _ in range(60):
+            if spark.sql("SELECT count(*) c FROM rate_win").first()["c"] > 0:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT * FROM rate_win").collect()
+    assert rows, "rate source produced no windows"
