@@ -59,3 +59,59 @@ ORACLES = {
     "sql_revenue_by_nation": SQL_REVENUE_BY_NATION,
     "sql_event_funnel": SQL_EVENT_FUNNEL,
 }
+
+
+# Cohort retention: users grouped by first-activity week, distinct
+# actives per (cohort, week offset) — the standard product-analytics
+# matrix. Day arithmetic instead of date_trunc('week', ...) so cohort
+# boundaries are engine-independent.
+SQL_COHORT_RETENTION = """
+WITH firsts AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day
+  FROM events WHERE user_id IS NOT NULL
+  GROUP BY user_id
+), activity AS (
+  SELECT e.user_id,
+         CAST(FLOOR(DATEDIFF(f.first_day, DATE '2024-01-01') / 7.0) AS BIGINT)
+           AS cohort_week,
+         CAST(FLOOR(DATEDIFF(CAST(e.ts AS DATE), f.first_day) / 7.0) AS BIGINT)
+           AS offset_week
+  FROM events e JOIN firsts f ON e.user_id = f.user_id
+  WHERE e.user_id IS NOT NULL
+)
+SELECT cohort_week, offset_week,
+       COUNT(DISTINCT user_id) AS active_users
+FROM activity
+GROUP BY cohort_week, offset_week
+"""
+
+# DuckDB twin: DATEDIFF(a, b) in Spark is a - b in days; DuckDB's
+# date_diff takes (part, start, end).
+SQL_COHORT_RETENTION_DUCKDB = """
+WITH firsts AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day
+  FROM events WHERE user_id IS NOT NULL
+  GROUP BY user_id
+), activity AS (
+  SELECT e.user_id,
+         CAST(FLOOR(date_diff('day', DATE '2024-01-01', f.first_day) / 7.0) AS BIGINT)
+           AS cohort_week,
+         CAST(FLOOR(date_diff('day', f.first_day, CAST(e.ts AS DATE)) / 7.0) AS BIGINT)
+           AS offset_week
+  FROM events e JOIN firsts f ON e.user_id = f.user_id
+  WHERE e.user_id IS NOT NULL
+)
+SELECT cohort_week, offset_week,
+       COUNT(DISTINCT user_id) AS active_users
+FROM activity
+GROUP BY cohort_week, offset_week
+"""
+
+
+def sql_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(SQL_COHORT_RETENTION)
+
+
+EXTRA_QUERIES = {"sql_cohort_retention": sql_cohort_retention}
+EXTRA_ORACLES = {"sql_cohort_retention": SQL_COHORT_RETENTION_DUCKDB}
