@@ -25,3 +25,45 @@ def test_components_long_chain_converges(spark):
     got = connected_components(pairs).collect()
     assert {r["cluster_id"] for r in got} == {0}
     assert len(got) == 13
+
+
+def _union_find_components(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical: min id per component
+    return {v: find(v) for v in list(parent)}
+
+
+def test_components_random_graphs_match_union_find(spark):
+    """Property check against a pure-Python union-find on a batch of
+    random graphs (seeded; one Spark run per graph shape)."""
+    import random
+
+    rng = random.Random(7)
+    for trial in range(4):
+        n = rng.randint(2, 40)
+        m = rng.randint(1, 60)
+        edges = [
+            (rng.randint(0, n), rng.randint(0, n)) for _ in range(m)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        if not edges:
+            continue
+        want = _union_find_components(edges)
+        pairs = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+        got = {
+            r["doc_id"]: r["cluster_id"]
+            for r in connected_components(pairs).collect()
+        }
+        assert got == want, f"trial {trial}: {sorted(edges)}"
