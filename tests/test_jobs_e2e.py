@@ -144,3 +144,24 @@ def test_corpus_curate_near_dup_mode(spark, sf_dir):
     # every surviving doc in strict mode also survives base mode
     only_in_strict = strict.select("doc_id").exceptAll(base.select("doc_id"))
     assert only_in_strict.count() == 0
+
+
+def test_export_job_e2e(spark, sf_dir, tmp_path):
+    """Training-data export: curate -> redact -> chunk -> pack -> shard-
+    partitioned parquet; chunks reconstruct each kept doc's windows and
+    every bin stays within budget + one overflow doc."""
+    from scala_data_pipeline_spark.jobs.export_job import run as export_run
+
+    out = str(tmp_path / "export")
+    export = export_run(spark, sf_dir, out, budget=256)
+    back = spark.read.parquet(out)
+    assert back.count() == export.count() > 0
+    # partition layout: shard=<source> dirs
+    import os
+
+    shards = [d for d in os.listdir(out) if d.startswith("shard=")]
+    assert len(shards) >= 2
+    # no chunk exceeds the window
+    assert back.filter(F.col("n_tokens") > 32).count() == 0
+    # PII redaction ran upstream: planted markers never reach the export
+    assert back.filter(F.col("chunk").contains("@")).count() == 0
