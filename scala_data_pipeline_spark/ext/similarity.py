@@ -224,6 +224,86 @@ SELECT query_id, rank, vec_id, cos FROM ranked WHERE rank <= {k}
 """
 
 
+def quantize_embeddings(
+    corpus: DataFrame, emb_col: str = "embedding", dim: int = 64
+) -> DataFrame:
+    """Scalar int8 quantization: per-DIMENSION min/max over the corpus,
+    then q[i] = floor((x[i]-min[i])/(max[i]-min[i]) * 255 + 0.5) - 128
+    (floor, not round — round's tie behavior differs across engines).
+    4× memory and ~4× scan bandwidth for ANN at the cost of ~0.4% range
+    error per dim.
+
+    Fit is one explode + 64-group aggregation (map-side partials shrink
+    the shuffle to 64 rows per task); the stats pack into two arrays on
+    a single broadcast row, so quantization itself is a per-row
+    transform — no second shuffle, corpus never moves."""
+    rounded = F.transform(F.col(emb_col), lambda x: F.round(x.cast("double"), 8))
+    per_dim = (
+        fan_out(corpus)
+        .select(F.posexplode(rounded).alias("pos", "v"))
+        .groupBy("pos")
+        .agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+    )
+    stats = per_dim.agg(
+        F.array_sort(
+            F.collect_list(F.struct("pos", "lo"))
+        ).alias("lo_s"),
+        F.array_sort(
+            F.collect_list(F.struct("pos", "hi"))
+        ).alias("hi_s"),
+    ).select(
+        F.transform("lo_s", lambda s: s["lo"]).alias("lo_arr"),
+        F.transform("hi_s", lambda s: s["hi"]).alias("hi_arr"),
+    )
+    q = F.transform(
+        rounded,
+        lambda x, i: (
+            F.floor(
+                (x - F.element_at(F.col("lo_arr"), i + 1))
+                / (
+                    F.element_at(F.col("hi_arr"), i + 1)
+                    - F.element_at(F.col("lo_arr"), i + 1)
+                )
+                * 255
+                + 0.5
+            )
+            - 128
+        ).cast("int"),
+    )
+    return (
+        corpus.crossJoin(F.broadcast(stats))
+        .select("vec_id", q.alias("qvec"))
+    )
+
+
+def quantize_embeddings_sql(dim: int = 64) -> str:
+    """DuckDB twin; the quantized vector serialized for hash-stable
+    comparison (match with array_join on the Spark side)."""
+    return f"""
+WITH rounded AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> ROUND(CAST(x AS DOUBLE), 8)) AS emb
+  FROM embeddings
+), per_dim AS (
+  SELECT pos, MIN(v) AS lo, MAX(v) AS hi
+  FROM (SELECT unnest(emb) AS v,
+               generate_subscripts(emb, 1) AS pos
+        FROM rounded)
+  GROUP BY pos
+), stats AS (
+  SELECT list(lo ORDER BY pos) AS lo_arr, list(hi ORDER BY pos) AS hi_arr
+  FROM per_dim
+)
+SELECT vec_id,
+       array_to_string(
+         list_transform(range(1, {dim} + 1),
+           i -> CAST(floor((emb[i] - lo_arr[i]) / (hi_arr[i] - lo_arr[i])
+                           * 255 + 0.5) - 128 AS INT)),
+         ',') AS qvec
+FROM rounded, stats
+"""
+
+
 def embedding_neardup_pairs(
     corpus: DataFrame,
     threshold: float = 0.3,

@@ -43,3 +43,20 @@ ORACLES = {
     "sim_topk_ivf": topk_ivf_sql(k=3, n_queries=N_QUERIES),
     "sim_embedding_neardup": embedding_neardup_sql(),
 }
+
+
+def sim_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ext.similarity import quantize_embeddings
+
+    q = quantize_embeddings(load_table(spark, sf_dir, "embeddings"))
+    return q.select("vec_id", F.array_join("qvec", ",").alias("qvec"))
+
+
+def _quantize_oracle() -> str:
+    from ..ext.similarity import quantize_embeddings_sql
+
+    return quantize_embeddings_sql()
+
+
+EXTRA_QUERIES = {"sim_quantize": sim_quantize}
+EXTRA_ORACLES = {"sim_quantize": _quantize_oracle()}

@@ -65,3 +65,28 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     # coarse-quantized probe of 3/8 buckets on random unit vectors:
     # expect well over half of the true top-5 recovered
     assert recall >= 0.5, f"recall={recall}"
+
+
+def test_quantize_reconstruction_error(spark, sf_dir):
+    """int8 quantization: values in [-128,127], dequantization error
+    bounded by half a quantization step per dimension."""
+    from scala_data_pipeline_spark.ext.similarity import quantize_embeddings
+    from scala_data_pipeline_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = quantize_embeddings(emb)
+    joined = emb.join(q, on="vec_id")
+    row = joined.first()
+    orig, qv = row["embedding"], row["qvec"]
+    assert all(-128 <= v <= 127 for v in qv)
+    # per-dim bounds from the corpus to dequantize
+    import builtins
+
+    rows = emb.select("embedding").collect()
+    dims = len(orig)
+    los = [builtins.min(round(r["embedding"][i], 8) for r in rows) for i in range(dims)]
+    his = [builtins.max(round(r["embedding"][i], 8) for r in rows) for i in range(dims)]
+    for i in range(dims):
+        step = (his[i] - los[i]) / 255
+        deq = los[i] + (qv[i] + 128) * step
+        assert abs(deq - orig[i]) <= step * 0.5 + 1e-9, i
