@@ -327,3 +327,29 @@ def test_rate_source_windowed_agg(spark, tmp_path):
         q.stop()
     rows = spark.sql("SELECT * FROM rate_win").collect()
     assert rows, "rate source produced no windows"
+
+
+def test_streaming_dedup_within_watermark(spark, sf_dir, events_stream_dir):
+    """dropDuplicatesWithinWatermark: unlike dropDuplicates, duplicates
+    with DIFFERENT event times still dedup as long as they arrive within
+    the watermark delay — the right tool when producers re-stamp
+    retries. Same bounded-state guarantee."""
+    batch_events = load_table(spark, sf_dir, "events")
+
+    def dedup(sdf):
+        return (
+            sdf.withWatermark("ts", "2 hours")
+            .dropDuplicatesWithinWatermark(["event_id"])
+            .select("event_id")
+        )
+
+    got_df = _run_stream(
+        spark,
+        events_stream_dir,
+        batch_events.schema,
+        dedup,
+        mode="append",
+        name="dedup_within_stream",
+    )
+    assert got_df.groupBy("event_id").count().filter("count > 1").count() == 0
+    assert 0 < got_df.count() <= batch_events.select("event_id").distinct().count()
