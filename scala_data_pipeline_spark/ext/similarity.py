@@ -276,9 +276,16 @@ def quantize_embeddings(
     )
 
 
-def quantize_embeddings_sql(dim: int = 64) -> str:
-    """DuckDB twin; the quantized vector serialized for hash-stable
-    comparison (match with array_join on the Spark side)."""
+def quantize_embeddings_sql(dim: int = 64, serialize: bool = True) -> str:
+    """DuckDB twin. ``serialize=True`` emits the vector as a CSV string
+    for hash-stable comparison (match with array_join on the Spark
+    side); ``serialize=False`` keeps the INT list for downstream SQL."""
+    qlist = (
+        f"list_transform(range(1, {dim} + 1), "
+        f"i -> CAST(floor((emb[i] - lo_arr[i]) / (hi_arr[i] - lo_arr[i])"
+        f" * 255 + 0.5) - 128 AS INT))"
+    )
+    qcol = f"array_to_string({qlist}, ',')" if serialize else qlist
     return f"""
 WITH rounded AS (
   SELECT vec_id,
@@ -294,13 +301,72 @@ WITH rounded AS (
   SELECT list(lo ORDER BY pos) AS lo_arr, list(hi ORDER BY pos) AS hi_arr
   FROM per_dim
 )
-SELECT vec_id,
-       array_to_string(
-         list_transform(range(1, {dim} + 1),
-           i -> CAST(floor((emb[i] - lo_arr[i]) / (hi_arr[i] - lo_arr[i])
-                           * 255 + 0.5) - 128 AS INT)),
-         ',') AS qvec
+SELECT vec_id, {qcol} AS qvec
 FROM rounded, stats
+"""
+
+
+def topk_quantized(
+    corpus: DataFrame,
+    n_queries: int = 5,
+    k: int = 5,
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k in int8 space: quantize once, then rank by integer dot
+    product (exact int64 arithmetic — no float-parity concerns at all).
+    The production pattern: scan the 4×-smaller quantized corpus for
+    candidates, refine the shortlist with float cosine (refinement
+    omitted here; see topk_bruteforce for the float path)."""
+    q = quantize_embeddings(corpus, emb_col)
+    queries = q.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("qvec").alias("q_qvec")
+    )
+    idot = F.aggregate(
+        F.zip_with(
+            F.col("q_qvec"),
+            F.col("qvec"),
+            lambda x, y: x.cast("long") * y.cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        q.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", idot.alias("iscore"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("iscore").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "iscore")
+    )
+
+
+def topk_quantized_sql(n_queries: int = 5, k: int = 5, dim: int = 64) -> str:
+    quant_list = quantize_embeddings_sql(dim, serialize=False)
+    return f"""
+WITH quant AS ({quant_list}),
+q AS (
+  SELECT vec_id AS query_id, qvec AS q_qvec FROM quant
+  WHERE vec_id < {n_queries}
+), scored AS (
+  SELECT q.query_id, e.vec_id,
+         CAST(list_sum(list_transform(range(1, {dim} + 1),
+              i -> CAST(q.q_qvec[i] AS BIGINT) * e.qvec[i])) AS BIGINT)
+           AS iscore
+  FROM quant e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id
+), ranked AS (
+  SELECT query_id, vec_id, iscore,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY iscore DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, iscore
+FROM ranked WHERE rank <= {k}
 """
 
 

@@ -60,3 +60,19 @@ def _quantize_oracle() -> str:
 
 EXTRA_QUERIES = {"sim_quantize": sim_quantize}
 EXTRA_ORACLES = {"sim_quantize": _quantize_oracle()}
+
+
+def sim_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ext.similarity import topk_quantized
+
+    return topk_quantized(load_table(spark, sf_dir, "embeddings"))
+
+
+def _topk_quantized_oracle() -> str:
+    from ..ext.similarity import topk_quantized_sql
+
+    return topk_quantized_sql()
+
+
+EXTRA_QUERIES["sim_topk_quantized"] = sim_topk_quantized
+EXTRA_ORACLES["sim_topk_quantized"] = _topk_quantized_oracle()

@@ -90,3 +90,29 @@ def test_quantize_reconstruction_error(spark, sf_dir):
         step = (his[i] - los[i]) / 255
         deq = los[i] + (qv[i] + 128) * step
         assert abs(deq - orig[i]) <= step * 0.5 + 1e-9, i
+
+
+def test_quantized_topk_recall(spark, sf_dir):
+    """int8 dot-product candidates recover a meaningful share of the
+    float cosine top-k (ranking differs both by quantization noise and
+    dot-vs-cosine norm effects — production refines the shortlist)."""
+    from pyspark.sql import functions as F
+
+    from scala_data_pipeline_spark.ext.similarity import (
+        topk_bruteforce,
+        topk_quantized,
+    )
+    from scala_data_pipeline_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    f = {
+        (r["query_id"], r["vec_id"])
+        for r in topk_bruteforce(emb, emb.filter(F.col("vec_id") < 5))
+        .select("query_id", "vec_id")
+        .collect()
+    }
+    q = {
+        (r["query_id"], r["vec_id"])
+        for r in topk_quantized(emb).select("query_id", "vec_id").collect()
+    }
+    assert len(f & q) / len(f) >= 0.4
