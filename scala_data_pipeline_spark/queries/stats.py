@@ -169,3 +169,60 @@ GROUP BY 1
 
 EXTRA_QUERIES = {"histogram_prices": histogram_prices}
 EXTRA_ORACLES = {"histogram_prices": HISTOGRAM_ORACLE}
+
+
+def correlation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation + sample covariance from exact decimal sums
+    (same partitioning-invariance contract as variance_stats): built-in
+    corr()/covar_samp() stream doubles in task order and are not
+    reproducible across partitionings."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    agg = lineitem.groupBy("l_linestatus").agg(
+        dsum(x).alias("sx"),
+        dsum(y).alias("sy"),
+        dsum(x * x).alias("sxx"),
+        dsum(y * y).alias("syy"),
+        dsum(x * y).alias("sxy"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    n = F.col("n")
+    cov = F.try_divide(
+        F.col("sxy") - F.col("sx") * F.col("sy") / n, n - 1
+    )
+    corr = F.try_divide(
+        n * F.col("sxy") - F.col("sx") * F.col("sy"),
+        F.sqrt(
+            (n * F.col("sxx") - F.col("sx") * F.col("sx"))
+            * (n * F.col("syy") - F.col("sy") * F.col("sy"))
+        ),
+    )
+    return agg.select(
+        "l_linestatus",
+        "n",
+        F.round(cov, 4).alias("cov_qty_price"),
+        F.round(corr, 6).alias("corr_qty_price"),
+    )
+
+
+CORRELATION_ORACLE = f"""
+WITH agg AS (
+  SELECT l_linestatus,
+         {dsum_sql('l_quantity')} AS sx,
+         {dsum_sql('l_extendedprice')} AS sy,
+         {dsum_sql('l_quantity * l_quantity')} AS sxx,
+         {dsum_sql('l_extendedprice * l_extendedprice')} AS syy,
+         {dsum_sql('l_quantity * l_extendedprice')} AS sxy,
+         COUNT(*) AS n
+  FROM lineitem GROUP BY 1
+)
+SELECT l_linestatus, n,
+       ROUND((sxy - sx * sy / n) / NULLIF(n - 1, 0), 4) AS cov_qty_price,
+       ROUND((n * sxy - sx * sy)
+             / NULLIF(sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 0), 6)
+         AS corr_qty_price
+FROM agg
+"""
+
+EXTRA_QUERIES["correlation_stats"] = correlation_stats
+EXTRA_ORACLES["correlation_stats"] = CORRELATION_ORACLE
