@@ -394,3 +394,47 @@ EXTRA_ORACLES = {
     "lateral_topn_nations": LATERAL_ORACLE,
     "window_rank_family": WINDOW_FAMILY_ORACLE,
 }
+
+
+def rolling_revenue_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window: per customer, total order value over the
+    trailing 7 days (by value, not by row count — the frame is a time
+    interval). Ordering on epoch days keeps the integer RANGE frame
+    engine-independent. One shuffle on the partition key."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    days = F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(days)
+        .rangeBetween(-6, Window.currentRow)
+    )
+    # dsum's outer double-cast must wrap the WINDOWED sum (the .over
+    # attaches to the SUM node, then cast — same shape in the oracle).
+    win_sum = (
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .over(w)
+        .cast("double")
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_orderdate").cast("string").alias("o_orderdate"),
+        win_sum.alias("rolling_7d"),
+    )
+
+
+ROLLING_ORACLE = """
+SELECT o_orderkey, o_custkey,
+       CAST(o_orderdate AS VARCHAR) AS o_orderdate,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+         PARTITION BY o_custkey
+         ORDER BY date_diff('day', DATE '1970-01-01', o_orderdate)
+         RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+       ) AS DOUBLE) AS rolling_7d
+FROM orders
+"""
+
+EXTRA_QUERIES["rolling_revenue_7d"] = rolling_revenue_7d
+EXTRA_ORACLES["rolling_revenue_7d"] = ROLLING_ORACLE
