@@ -1,0 +1,45 @@
+"""observe()-based quality metrics: one pass, values match direct aggs,
+threshold evaluation flags the planted violations."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from scala_data_pipeline_spark.operators.quality import (
+    assert_quality,
+    with_quality_metrics,
+)
+from scala_data_pipeline_spark.sources import load_table
+
+
+def test_metrics_match_direct_aggregates(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    monitored, obs = with_quality_metrics(
+        events, null_cols=["user_id"], bound_cols=["value"]
+    )
+    n = monitored.count()  # the action the metrics ride on
+    m = obs.get
+    assert m["n_rows"] == n
+    direct = events.agg(
+        F.sum(F.when(F.col("user_id").isNull(), 1).otherwise(0)).alias("nn"),
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+    ).first()
+    assert m["n_null_user_id"] == direct["nn"]
+    assert m["min_value"] == direct["lo"]
+    assert m["max_value"] == direct["hi"]
+
+
+def test_assert_quality_flags_violations(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, 5.0), (3, 999.0)], ["id", "v"]
+    )
+    monitored, obs = with_quality_metrics(df, null_cols=["v"], bound_cols=["v"])
+    monitored.count()
+    problems = assert_quality(
+        obs.get, max_null_rate=0.1, bounds={"v": (0.0, 100.0)}
+    )
+    assert any("null rate" in p for p in problems)
+    assert any("max" in p for p in problems)
+    clean = assert_quality(obs.get, max_null_rate=0.5, bounds={"v": (0.0, 1000.0)})
+    assert clean == []
