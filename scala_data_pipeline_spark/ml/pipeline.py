@@ -20,7 +20,12 @@ from __future__ import annotations
 
 from pyspark.ml import Pipeline, PipelineModel
 from pyspark.ml.classification import LogisticRegression
-from pyspark.ml.feature import CountVectorizer, IndexToString, StringIndexer
+from pyspark.ml.feature import (
+    CountVectorizer,
+    HashingTF,
+    IndexToString,
+    StringIndexer,
+)
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -54,3 +59,22 @@ def build_pipeline(train_df: DataFrame, vocab_size: int = 1000) -> Pipeline:
 
 def train_model(train_df: DataFrame, vocab_size: int = 1000) -> PipelineModel:
     return build_pipeline(train_df, vocab_size).fit(train_df)
+
+
+def build_pipeline_hashed(
+    train_df: DataFrame, num_features: int = 1024
+) -> Pipeline:
+    """HashingTF variant: features = hashed term buckets instead of a
+    fitted vocabulary. At 100 TB this removes CountVectorizer's extra
+    full corpus pass (the vocabulary job) — featurization becomes a
+    stateless per-row transform at the cost of hash collisions
+    (mitigated by width). The rest of the pipeline is unchanged."""
+    tf = HashingTF(
+        inputCol="tokens", outputCol="features", numFeatures=num_features
+    )
+    indexer = StringIndexer(inputCol="label_str", outputCol="label").fit(train_df)
+    lr = LogisticRegression(maxIter=10, regParam=0.001)
+    converter = IndexToString(
+        inputCol="prediction", outputCol="category", labels=indexer.labels
+    )
+    return Pipeline(stages=[tf, indexer, lr, converter])

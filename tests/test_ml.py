@@ -66,3 +66,33 @@ def test_streaming_inference(model_and_frame, spark, sf_dir, tmp_path):
         got.sort_values("doc_id", ignore_index=True),
         want.sort_values("doc_id", ignore_index=True),
     )
+
+
+def test_hashed_pipeline_accuracy(spark, sf_dir):
+    """HashingTF variant (no vocabulary pass): trains and predicts with
+    accuracy comparable to the CountVectorizer pipeline."""
+    from pyspark.sql import functions as F
+
+    from scala_data_pipeline_spark.ml.pipeline import (
+        build_pipeline,
+        build_pipeline_hashed,
+        prepare_training_frame,
+    )
+    from scala_data_pipeline_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = prepare_training_frame(docs)
+
+    def accuracy(pipeline):
+        pred = pipeline.fit(train).transform(train)
+        return pred.select(
+            F.avg(
+                (F.col("category") == F.col("label_str")).cast("double")
+            ).alias("acc")
+        ).first()["acc"]
+
+    # hash collisions must not cost meaningful accuracy vs the fitted
+    # vocabulary (on this corpus they are exactly equal)
+    assert accuracy(build_pipeline_hashed(train)) >= accuracy(
+        build_pipeline(train)
+    ) - 0.05
