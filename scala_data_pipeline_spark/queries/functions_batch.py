@@ -226,3 +226,54 @@ ORACLES = {
 # oracle.
 EXTRA_QUERIES = {"variant_extract_props": variant_extract_props}
 EXTRA_ORACLES = {"variant_extract_props": JSON_PROPS_ORACLE}
+
+
+def map_functions_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed column family in one pass: from_json to map, create_map
+    enrichment, map_concat, map_filter, transform_values, and a
+    deterministic serialization (sorted map_entries → k=v CSV). The
+    oracle verifies VALUES; the map API semantics live on the Spark
+    side (DuckDB builds the same strings directly)."""
+    events = load_table(spark, sf_dir, "events")
+    parsed = F.from_json("props", "map<string,string>")
+    enriched = F.map_concat(
+        parsed,
+        F.create_map(
+            F.lit("etype"), F.col("event_type"),
+            F.lit("vbucket"), F.floor(F.coalesce(F.col("value"), F.lit(0.0)))
+            .cast("long").cast("string"),
+        ),
+    )
+    # drop empty/zero buckets, uppercase every value
+    cleaned = F.transform_values(
+        F.map_filter(enriched, lambda k, v: v != "0"),
+        lambda k, v: F.upper(v),
+    )
+    serialized = F.array_join(
+        F.transform(
+            F.array_sort(F.map_entries(cleaned)),
+            lambda e: F.concat(e["key"], F.lit("="), e["value"]),
+        ),
+        ",",
+    )
+    return events.select("event_id", serialized.alias("props_norm"))
+
+
+MAP_FUNCTIONS_ORACLE = """
+SELECT event_id,
+       array_to_string(
+         list_sort(
+           list_filter(
+             [ 'etype=' || upper(event_type),
+               CASE WHEN json_extract_string(props, '$.k') <> '0'
+                    THEN 'k=' || json_extract_string(props, '$.k') END,
+               CASE WHEN CAST(floor(COALESCE(value, 0.0)) AS BIGINT) <> 0
+                    THEN 'vbucket=' || CAST(CAST(floor(COALESCE(value, 0.0)) AS BIGINT) AS VARCHAR)
+               END ],
+             x -> x IS NOT NULL)),
+         ',') AS props_norm
+FROM events
+"""
+
+EXTRA_QUERIES["map_functions_props"] = map_functions_props
+EXTRA_ORACLES["map_functions_props"] = MAP_FUNCTIONS_ORACLE
