@@ -226,3 +226,24 @@ FROM agg
 
 EXTRA_QUERIES["correlation_stats"] = correlation_stats
 EXTRA_ORACLES["correlation_stats"] = CORRELATION_ORACLE
+
+
+def approx_percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based percentiles (Greenwald-Khanna): the at-scale
+    companion to the exact interpolated percentile — single pass,
+    mergeable state, bounded error. Engine-specific estimates, so no
+    value oracle; tests/test_temporal.py-style error bound asserts it
+    stays within accuracy of the exact answer."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return lineitem.groupBy("l_linestatus").agg(
+        F.approx_percentile("l_extendedprice", [0.5, 0.9], 1000).alias(
+            "approx_p50_p90"
+        )
+    ).select(
+        "l_linestatus",
+        F.col("approx_p50_p90")[0].alias("approx_p50"),
+        F.col("approx_p50_p90")[1].alias("approx_p90"),
+    )
+
+
+EXTRA_QUERIES["approx_percentile_prices"] = approx_percentile_prices

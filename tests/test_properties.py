@@ -46,3 +46,29 @@ def test_bucket_column_total_and_ordered(spark, values):
                 expected = label
                 break
         assert r["b"] == expected, (r["x"], r["b"], expected)
+
+
+def test_approx_percentile_error_bound(spark, sf_dir):
+    """GK sketch percentiles stay within rank-error of the exact ones."""
+    from scala_data_pipeline_spark.queries.stats import approx_percentile_prices
+    from scala_data_pipeline_spark.sources import load_table
+
+    approx = {
+        r["l_linestatus"]: (r["approx_p50"], r["approx_p90"])
+        for r in approx_percentile_prices(spark, sf_dir).collect()
+    }
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    exact = {
+        r["l_linestatus"]: (r["p50"], r["p90"])
+        for r in lineitem.groupBy("l_linestatus")
+        .agg(
+            F.percentile("l_extendedprice", 0.5).alias("p50"),
+            F.percentile("l_extendedprice", 0.9).alias("p90"),
+        )
+        .collect()
+    }
+    for status, (a50, a90) in approx.items():
+        e50, e90 = exact[status]
+        # accuracy=1000 -> rank error ~1/1000; generous value tolerance
+        assert abs(a50 - e50) / e50 < 0.05
+        assert abs(a90 - e90) / e90 < 0.05
