@@ -100,3 +100,27 @@ def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
             )
 
     return media.mapInPandas(batches, schema=FEATURE_SCHEMA)
+
+
+def read_media_dir(spark, path: str, glob: str | None = None):
+    """Ingest raw media files as a media frame via Spark's binaryFile
+    source — the canonical 100 TB pattern for image/audio/video: each
+    file becomes (path, modificationTime, length, content) with the
+    blob read ONCE, lazily, split across tasks by file. ``glob`` maps
+    to pathGlobFilter (e.g. ``*.jpg``); recursive lookup is on so a
+    sharded layout (dir per shard) scans in one pass."""
+    from pyspark.sql import functions as F
+
+    reader = (
+        spark.read.format("binaryFile")
+        .option("recursiveFileLookup", "true")
+    )
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    raw = reader.load(path)
+    return raw.select(
+        F.regexp_extract(F.col("path"), r"([^/]+)$", 1).alias("file_name"),
+        F.lit("binary/file").alias("media_type"),
+        F.col("content").alias("payload"),
+        F.col("length").cast("long").alias("n_bytes"),
+    )

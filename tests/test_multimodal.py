@@ -42,3 +42,36 @@ def test_decode_stub_raises(spark, sf_dir):
     real_path = extract_features(media, fake=False)
     with pytest.raises(Exception, match="media decoder|NotImplementedError"):
         real_path.collect()
+
+
+def test_binaryfile_ingest_to_features(spark, tmp_path):
+    """binaryFile source → media frame → Arrow feature extraction: the
+    real multimodal ingest path (payloads here are synthetic bytes; a
+    decoder would slot into extract_features' non-fake branch)."""
+    import os
+
+    from scala_data_pipeline_spark.ext.multimodal import (
+        extract_features,
+        read_media_dir,
+    )
+
+    root = tmp_path / "media" / "shard=0"
+    os.makedirs(root)
+    blobs = {"a.img": b"\x89PNGfakebytes", "b.img": b"RIFFfakewav", "c.txt": b"x"}
+    for name, data in blobs.items():
+        (root / name).write_bytes(data)
+    media = read_media_dir(spark, str(tmp_path / "media"), glob="*.img")
+    rows = {r["file_name"]: r for r in media.collect()}
+    assert set(rows) == {"a.img", "b.img"}  # pathGlobFilter applied
+    assert rows["a.img"]["n_bytes"] == len(blobs["a.img"])
+    assert bytes(rows["a.img"]["payload"]) == blobs["a.img"]
+    # extract_features' Arrow schema types doc_id as long — derive a
+    # stable numeric id from the file name, as a real ingest would
+    from pyspark.sql import functions as F
+
+    with_ids = media.withColumn("doc_id", F.xxhash64("file_name"))
+    id_of = {r["file_name"]: r["doc_id"] for r in with_ids.collect()}
+    feats = extract_features(with_ids, fake=True)
+    got = {r["doc_id"]: r for r in feats.collect()}
+    assert got[id_of["a.img"]]["n_bytes"] == len(blobs["a.img"])
+    assert got[id_of["a.img"]]["first_byte"] == 0x89

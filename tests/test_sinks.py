@@ -75,3 +75,24 @@ def test_csv_orc_text_roundtrips(spark, sf_dir, tmp_path):
         txt_path
     )
     assert spark.read.text(txt_path).count() == nation.count()
+
+
+def test_parquet_schema_evolution_mergeschema(spark, sf_dir, tmp_path):
+    """Data-lake schema evolution: v2 files add a column; mergeSchema
+    reads the union schema with nulls for v1 rows, and readers pinned
+    to the v1 schema still work unchanged against mixed files."""
+    nation = load_table(spark, sf_dir, "nation")
+    path = str(tmp_path / "evolving")
+    nation.write.mode("overwrite").parquet(path)
+    nation.withColumn("n_score", F.col("n_nationkey") * 2).write.mode(
+        "append"
+    ).parquet(path)
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert "n_score" in merged.columns
+    assert merged.count() == 2 * nation.count()
+    # v1 rows surface NULL for the new column; v2 rows carry values
+    assert merged.filter(F.col("n_score").isNull()).count() == nation.count()
+    # a v1-schema reader is unaffected by the new files
+    v1 = spark.read.schema(nation.schema).parquet(path)
+    assert v1.count() == 2 * nation.count()
+    assert "n_score" not in v1.columns
