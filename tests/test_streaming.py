@@ -353,3 +353,31 @@ def test_streaming_dedup_within_watermark(spark, sf_dir, events_stream_dir):
     )
     assert got_df.groupBy("event_id").count().filter("count > 1").count() == 0
     assert 0 < got_df.count() <= batch_events.select("event_id").distinct().count()
+
+
+def test_streaming_chunk_pipeline(spark, sf_dir, tmp_path):
+    """The chunking operator runs UNCHANGED on a stream (pure per-row
+    transform): documents stream in, token-window chunks append out —
+    the streaming ingest half of the training-data export flow."""
+    from scala_data_pipeline_spark.ext.chunking import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    src = str(tmp_path / "docs_src")
+    docs.repartition(3).write.mode("overwrite").parquet(src)
+    sdf = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = str(tmp_path / "chunks_out")
+    q = (
+        chunk_documents(sdf)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=120)
+    got = spark.read.parquet(out)
+    assert got.count() == chunk_documents(docs).count()
