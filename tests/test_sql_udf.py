@@ -43,3 +43,23 @@ def test_table_valued_sql_udf(spark, sf_dir):
     )
     assert [r["n_name"] for r in got] == [r["n_name"] for r in want]
     assert len(got) > 0
+
+
+def test_arrow_udf_vectorized_path(spark, sf_dir):
+    """Spark 4.1 @arrow_udf: Arrow-native vectorized UDF (columnar in,
+    columnar out — no pandas conversion). The documented Python fast
+    path when a computation genuinely can't stay JVM-side; here it
+    mirrors the JVM token count to prove the wiring."""
+    import pyarrow.compute as pc
+    from pyspark.sql.functions import arrow_udf
+
+    @arrow_udf("int")
+    def tok_count(texts):
+        return pc.list_value_length(pc.split_pattern(texts, " "))
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    got = docs.select("doc_id", tok_count("text").alias("n")).collect()
+    want = docs.select(
+        "doc_id", F.size(F.split("text", " ")).alias("n")
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
