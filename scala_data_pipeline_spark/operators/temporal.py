@@ -145,3 +145,43 @@ def sliding_agg(
         F.col("window.end").alias("window_end"),
         *[c for c in grouped.columns if c != "window"],
     )
+
+
+def gap_fill_daily(
+    df: DataFrame,
+    key: str,
+    date_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Regularize a sparse per-key daily series: emit one row per (key,
+    day) over each key's [min_day, max_day] span, carrying the last
+    observed value forward across the gaps (nulls before the first
+    observation).
+
+    PRECONDITION: one row per (key, date) — aggregate first (any
+    within-day reduction here would be task-order-dependent). The spine
+    generates JVM-side per key (``sequence`` of days — no driver loop,
+    no cross join against a global calendar), so spine size is Σ
+    per-key spans, not keys × global range. One shuffle on the key for
+    the span agg, one for the fill window.
+    """
+    from pyspark.sql import Window
+
+    spans = df.groupBy(key).agg(
+        F.min(date_col).alias("d_min"), F.max(date_col).alias("d_max")
+    )
+    spine = spans.select(
+        key, F.explode(F.sequence("d_min", "d_max")).alias(date_col)
+    )
+    observed = df.select(key, date_col, F.col(value_col).alias("_obs"))
+    joined = spine.join(observed, on=[key, date_col], how="left")
+    w = (
+        Window.partitionBy(key)
+        .orderBy(date_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        key,
+        date_col,
+        F.last("_obs", ignorenulls=True).over(w).alias(value_col),
+    )

@@ -438,3 +438,47 @@ FROM orders
 
 EXTRA_QUERIES["rolling_revenue_7d"] = rolling_revenue_7d
 EXTRA_ORACLES["rolling_revenue_7d"] = ROLLING_ORACLE
+
+
+def gap_fill_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user daily purchase series regularized over each user's span:
+    missing days carry the last observed day-max forward."""
+    from ..operators.temporal import gap_fill_daily
+
+    events = load_table(spark, sf_dir, "events")
+    daily = (
+        events.filter(
+            F.col("user_id").isNotNull()
+            & (F.col("event_type") == "purchase")
+        )
+        .groupBy("user_id", F.col("ts").cast("date").alias("day"))
+        .agg(F.round(F.max("value"), 2).alias("day_max"))
+    )
+    filled = gap_fill_daily(daily, key="user_id", date_col="day", value_col="day_max")
+    return filled.select(
+        "user_id", F.col("day").cast("string").alias("day"), "day_max"
+    )
+
+
+GAP_FILL_ORACLE = """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, ROUND(MAX(value), 2) AS day_max
+  FROM events
+  WHERE user_id IS NOT NULL AND event_type = 'purchase'
+  GROUP BY user_id, CAST(ts AS DATE)
+), spans AS (
+  SELECT user_id, MIN(day) AS d_min, MAX(day) AS d_max FROM daily GROUP BY user_id
+), spine AS (
+  SELECT user_id, CAST(unnest(generate_series(d_min, d_max, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM spans
+)
+SELECT s.user_id,
+       CAST(s.day AS VARCHAR) AS day,
+       LAST_VALUE(d.day_max IGNORE NULLS) OVER (
+         PARTITION BY s.user_id ORDER BY s.day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS day_max
+FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+"""
+
+EXTRA_QUERIES["gap_fill_purchases"] = gap_fill_purchases
+EXTRA_ORACLES["gap_fill_purchases"] = GAP_FILL_ORACLE
