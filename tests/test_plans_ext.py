@@ -57,3 +57,18 @@ def test_fan_out_noop_when_wide(spark):
     )
     # same data either way
     assert fanned.agg(F.sum("id")).first()[0] == 499500
+
+
+def test_join_hint_strategies(spark, sf_dir):
+    """Each join hint reaches its physical operator — the explicit
+    strategy-selection surface for when AQE's choice needs overriding."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    cond = orders["o_custkey"] == customer["c_custkey"]
+    cases = {
+        "BroadcastHashJoin": orders.join(F.broadcast(customer), cond),
+        "SortMergeJoin": orders.join(customer.hint("merge"), cond),
+        "ShuffledHashJoin": orders.join(customer.hint("shuffle_hash"), cond),
+    }
+    for op, df in cases.items():
+        assert op in plan_audit(df)["plan"], op
