@@ -63,3 +63,53 @@ FROM gated g JOIN prints p USING (doc_id)
 
 QUERIES = {"corpus_curate": corpus_curate}
 ORACLES = {"corpus_curate": CORPUS_ORACLE}
+
+
+def corpus_export_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full export tail under the hash gate: curate → PII-redact →
+    chunk → pack, exactly jobs/export_job.build_export over the curated
+    corpus (write step elided — the driver compares the frame)."""
+    from pyspark.sql import functions as F
+
+    from ..jobs.export_job import build_export
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = curate(docs, min_quality=MIN_QUALITY, langs=LANGS).select("doc_id")
+    curated = docs.join(kept, on="doc_id").select("doc_id", "text", "source")
+    return build_export(curated).select(
+        "shard", "bin_id", "doc_id", "chunk_idx", "chunk", "n_tokens"
+    )
+
+
+def _export_chain_oracle() -> str:
+    from ..ext.chunking import chunk_documents_sql, pack_sequences_sql
+    from ..ext.curation import PII_PATTERNS
+    from ..ext.textstats import quality_score_sql
+
+    red = "text"
+    for kind in ("email", "phone", "ipv4"):
+        red = (
+            f"regexp_replace({red}, '{PII_PATTERNS[kind]}',"
+            f" '<{kind.upper()}>', 'g')"
+        )
+    langs = ", ".join(f"'{l}'" for l in LANGS)
+    return f"""
+WITH keepers AS (
+  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+), deduped AS (
+  SELECT d.* FROM documents d JOIN keepers USING (doc_id)
+), clean AS (
+  SELECT doc_id, {red} AS text, source FROM deduped
+  WHERE {quality_score_sql()} >= {MIN_QUALITY} AND lang IN ({langs})
+), bins AS (
+  SELECT doc_id, shard, bin_id FROM ({pack_sequences_sql(table='clean')})
+), chunks AS (
+  SELECT * FROM ({chunk_documents_sql(table='clean')})
+)
+SELECT b.shard, b.bin_id, c.doc_id, c.chunk_idx, c.chunk, c.n_tokens
+FROM chunks c JOIN bins b USING (doc_id)
+"""
+
+
+EXTRA_QUERIES = {"corpus_export_chain": corpus_export_chain}
+EXTRA_ORACLES = {"corpus_export_chain": _export_chain_oracle()}
