@@ -381,3 +381,44 @@ def test_streaming_chunk_pipeline(spark, sf_dir, tmp_path):
     q.awaitTermination(timeout=120)
     got = spark.read.parquet(out)
     assert got.count() == chunk_documents(docs).count()
+
+
+def test_checkpoint_restart_no_reprocessing(spark, sf_dir, tmp_path):
+    """Kill-and-resume durability: a restarted query continues from the
+    checkpoint — rows ingested before the stop are not re-emitted, rows
+    added while down are picked up."""
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    first = events.limit(2000)
+    first.repartition(2).write.mode("overwrite").parquet(src)
+
+    def start():
+        return (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .select("event_id")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q = start()
+    q.awaitTermination(timeout=120)
+    n1 = spark.read.parquet(out).count()
+    assert n1 == first.count()
+    # new files land while the query is DOWN
+    second = events.subtract(first)
+    second.repartition(2).write.mode("append").parquet(src)
+    q2 = start()
+    q2.awaitTermination(timeout=120)
+    got = spark.read.parquet(out)
+    # resumed run appended exactly the new rows — nothing reprocessed
+    assert got.count() == events.count()
+    assert got.select("event_id").distinct().count() == events.count()
