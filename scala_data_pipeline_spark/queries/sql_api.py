@@ -115,3 +115,97 @@ def sql_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EXTRA_QUERIES = {"sql_cohort_retention": sql_cohort_retention}
 EXTRA_ORACLES = {"sql_cohort_retention": SQL_COHORT_RETENTION_DUCKDB}
+
+
+def session_funnel_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered in-session funnel: sessions (30-min gap) where a view is
+    followed by a click is followed by a purchase, STRICTLY in time
+    order (the plain funnel counts mere presence). One shuffle: events
+    sessionize via a window, each session collects its sorted
+    (ts, type) array, and the greedy stage timestamps are per-row array
+    lookups — existence under greedy-earliest is exact."""
+    from pyspark.sql import Window, functions as F
+
+    from ..sources import load_table
+
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy("ts")
+    new_sess = F.when(
+        F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+        > 1800,
+        1,
+    ).otherwise(F.lit(1) - F.lag(F.lit(1)).over(w).isNotNull().cast("int"))
+    sess = events.withColumn(
+        "session_id",
+        F.sum(new_sess).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    per = sess.groupBy("user_id", "session_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_type"))
+        ).alias("arr")
+    )
+    def first_after(kind, after):
+        # F.get (0-based) is null on empty matches; element_at would
+        # throw under ANSI for sessions that never reach the stage.
+        return F.get(
+            F.filter(
+                F.col("arr"),
+                lambda e: (e["event_type"] == kind)
+                & (e["ts"] > after if after is not None else F.lit(True)),
+            ),
+            0,
+        )["ts"]
+    staged = (
+        per.withColumn("tv", first_after("view", None))
+        .withColumn("tc", first_after("click", F.col("tv")))
+        .withColumn("tp", first_after("purchase", F.col("tc")))
+    )
+    return staged.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.count("tv").alias("n_view"),
+        F.count("tc").alias("n_view_click"),
+        F.count("tp").alias("n_full_funnel"),
+    )
+
+
+SESSION_FUNNEL_ORACLE = """
+WITH seq AS (
+  SELECT user_id, ts, event_type,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL '30 minutes'
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events WHERE user_id IS NOT NULL
+), numbered AS (
+  SELECT *, SUM(new_session) OVER (
+      PARTITION BY user_id ORDER BY ts
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM seq
+), v AS (
+  SELECT user_id, session_id,
+         MIN(CASE WHEN event_type = 'view' THEN ts END) AS tv
+  FROM numbered GROUP BY user_id, session_id
+), c AS (
+  SELECT v.user_id, v.session_id, v.tv,
+         MIN(CASE WHEN n.event_type = 'click' AND n.ts > v.tv THEN n.ts END) AS tc
+  FROM v JOIN numbered n USING (user_id, session_id)
+  GROUP BY v.user_id, v.session_id, v.tv
+), p AS (
+  SELECT c.user_id, c.session_id, c.tv, c.tc,
+         MIN(CASE WHEN n.event_type = 'purchase' AND n.ts > c.tc THEN n.ts END) AS tp
+  FROM c JOIN numbered n USING (user_id, session_id)
+  GROUP BY c.user_id, c.session_id, c.tv, c.tc
+)
+SELECT COUNT(*) AS n_sessions,
+       COUNT(tv) AS n_view,
+       COUNT(tc) AS n_view_click,
+       COUNT(tp) AS n_full_funnel
+FROM p
+"""
+
+EXTRA_QUERIES["session_funnel_ordered"] = session_funnel_ordered
+EXTRA_ORACLES["session_funnel_ordered"] = SESSION_FUNNEL_ORACLE
