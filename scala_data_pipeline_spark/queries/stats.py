@@ -247,3 +247,50 @@ def approx_percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EXTRA_QUERIES["approx_percentile_prices"] = approx_percentile_prices
+
+
+def winsorize_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization: clip values to their group's [p05, p95] — the
+    outlier treatment applied before training on heavy-tailed numerics.
+    Exact percentiles compute per group in one agg; the clip is a
+    broadcast join back + clamp (no second wide shuffle)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    bounds = lineitem.groupBy("l_linestatus").agg(
+        F.round(F.percentile("l_extendedprice", 0.05), 4).alias("lo"),
+        F.round(F.percentile("l_extendedprice", 0.95), 4).alias("hi"),
+    )
+    clipped = lineitem.join(F.broadcast(bounds), on="l_linestatus").select(
+        "l_linestatus",
+        F.least(
+            F.greatest(F.col("l_extendedprice"), F.col("lo")), F.col("hi")
+        ).alias("clipped"),
+    )
+    return clipped.groupBy("l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(F.col("clipped")).alias("sum_clipped"),
+        F.round(F.min("clipped"), 4).alias("min_clipped"),
+        F.round(F.max("clipped"), 4).alias("max_clipped"),
+    )
+
+
+WINSORIZE_ORACLE = f"""
+WITH bounds AS (
+  SELECT l_linestatus,
+         ROUND(quantile_cont(l_extendedprice, 0.05), 4) AS lo,
+         ROUND(quantile_cont(l_extendedprice, 0.95), 4) AS hi
+  FROM lineitem GROUP BY l_linestatus
+), clipped AS (
+  SELECT l.l_linestatus,
+         LEAST(GREATEST(l.l_extendedprice, b.lo), b.hi) AS clipped
+  FROM lineitem l JOIN bounds b USING (l_linestatus)
+)
+SELECT l_linestatus,
+       COUNT(*) AS n,
+       {dsum_sql('clipped')} AS sum_clipped,
+       ROUND(MIN(clipped), 4) AS min_clipped,
+       ROUND(MAX(clipped), 4) AS max_clipped
+FROM clipped GROUP BY l_linestatus
+"""
+
+EXTRA_QUERIES["winsorize_prices"] = winsorize_prices
+EXTRA_ORACLES["winsorize_prices"] = WINSORIZE_ORACLE

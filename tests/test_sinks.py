@@ -96,3 +96,19 @@ def test_parquet_schema_evolution_mergeschema(spark, sf_dir, tmp_path):
     v1 = spark.read.schema(nation.schema).parquet(path)
     assert v1.count() == 2 * nation.count()
     assert "n_score" not in v1.columns
+
+
+def test_union_by_name_schema_drift(spark):
+    """Multi-source ingestion with drifting schemas: unionByName with
+    allowMissingColumns nulls the gaps instead of mispositioning
+    columns (positional union would silently scramble)."""
+    v1 = spark.createDataFrame([(1, "a")], ["doc_id", "text"])
+    v2 = spark.createDataFrame(
+        [(2, "b", "en")], ["doc_id", "text", "lang"]
+    )
+    # note v2's columns also arrive in a different order
+    v2 = v2.select("lang", "doc_id", "text")
+    merged = v1.unionByName(v2, allowMissingColumns=True)
+    rows = {r["doc_id"]: r for r in merged.collect()}
+    assert rows[1]["lang"] is None and rows[1]["text"] == "a"
+    assert rows[2]["lang"] == "en" and rows[2]["text"] == "b"
