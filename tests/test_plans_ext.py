@@ -72,3 +72,24 @@ def test_join_hint_strategies(spark, sf_dir):
     }
     for op, df in cases.items():
         assert op in plan_audit(df)["plan"], op
+
+
+def test_tfidf_and_winsorize_broadcast_small_sides(spark, sf_dir):
+    """The vocabulary-sized idf frame and the per-group bounds frame
+    must broadcast — corpus/fact never shuffles for these joins."""
+    from scala_data_pipeline_spark.ext.textstats import tf_idf
+    from scala_data_pipeline_spark.queries.stats import winsorize_prices
+
+    a = plan_audit(tf_idf(load_table(spark, sf_dir, "documents")))
+    assert a["n_broadcast_joins"] >= 1
+    b = plan_audit(winsorize_prices(spark, sf_dir))
+    assert b["n_broadcast_joins"] >= 1
+    assert b["n_sortmerge_joins"] == 0
+
+
+def test_scd2_no_cartesian_single_outer_join(spark, sf_dir):
+    from scala_data_pipeline_spark.queries.scd_queries import scd2_customer
+
+    a = plan_audit(scd2_customer(spark, sf_dir))
+    assert "CartesianProduct" not in a["plan"]
+    assert "FullOuter" in a["plan"]
