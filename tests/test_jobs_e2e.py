@@ -165,3 +165,29 @@ def test_export_job_e2e(spark, sf_dir, tmp_path):
     assert back.filter(F.col("n_tokens") > 32).count() == 0
     # PII redaction ran upstream: planted markers never reach the export
     assert back.filter(F.col("chunk").contains("@")).count() == 0
+
+
+def test_compact_job(spark, sf_dir, tmp_path):
+    """Small-file compaction: 40 fragment files collapse to the
+    size-derived count with identical data; provenance via
+    input_file_name confirms the fragment spread beforehand."""
+    from scala_data_pipeline_spark.jobs.compact_job import compact, dataset_bytes
+
+    events = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "fragmented")
+    events.repartition(40).write.mode("overwrite").parquet(src)
+    frag = spark.read.parquet(src)
+    n_src_files = frag.select(
+        F.input_file_name().alias("f")
+    ).distinct().count()
+    assert n_src_files == 40
+    dst = str(tmp_path / "compacted")
+    # target sized so the whole dataset fits in ONE file
+    out = compact(spark, src, dst, target_bytes=dataset_bytes(spark, src) * 2)
+    n_dst_files = out.select(F.input_file_name().alias("f")).distinct().count()
+    assert n_dst_files == 1
+    assert out.count() == events.count()
+    assert (
+        out.agg(F.sum("event_id")).first()[0]
+        == events.agg(F.sum("event_id")).first()[0]
+    )
