@@ -1,0 +1,65 @@
+"""Plan-audit report: run ``python -m scala_data_pipeline_spark.plans.report``
+to regenerate PLAN_AUDIT.md — one row per registry query with its
+shuffle count, join strategies, Python presence, partial-agg and
+pushdown flags, and codegen stage count. The tabular twin of the
+plan-lock tests: locks pin the load-bearing shapes, the report shows
+the whole surface at a glance.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+
+def generate(out_path: str = "PLAN_AUDIT.md", sf_dir: str | None = None) -> str:
+    from ..queries import all_queries
+    from ..session import get_session
+    from .inspect import plan_audit
+
+    sf_dir = sf_dir or os.environ.get(
+        "SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001"
+    )
+    spark = get_session("plan-audit", shuffle_partitions=8)
+    rows = []
+    for name, fn in sorted(all_queries().items()):
+        try:
+            a = plan_audit(fn(spark, sf_dir))
+            rows.append(
+                (
+                    name,
+                    a["n_shuffle_exchanges"],
+                    a["n_broadcast_joins"],
+                    a["n_sortmerge_joins"],
+                    a["n_python_udfs"],
+                    "y" if a["has_partial_agg"] else "",
+                    "y" if a["has_pushed_filters"] else "",
+                    a["codegen_stages"],
+                )
+            )
+        except Exception as exc:  # pragma: no cover - report must not die
+            rows.append((name, "-", "-", "-", "-", "-", "-", str(exc)[:40]))
+    lines = [
+        "# Plan audit (auto-generated — `python -m"
+        " scala_data_pipeline_spark.plans.report`)",
+        "",
+        f"Scale factor dir: `{sf_dir}`. Shuffle = bare Exchange nodes;",
+        "Py = BatchEval/ArrowEval Python operators in the plan (0 across",
+        "the board = hot paths stay JVM-side); partial = map-side combine",
+        "present; pushdown = non-empty PushedFilters on a scan; codegen =",
+        "distinct WholeStageCodegen spans.",
+        "",
+        "| query | shuffles | bcast joins | sortmerge | Py | partial | pushdown | codegen |",
+        "|---|---|---|---|---|---|---|---|",
+    ]
+    for r in rows:
+        lines.append("| " + " | ".join(str(x) for x in r) + " |")
+    text = "\n".join(lines) + "\n"
+    with open(out_path, "w") as fh:
+        fh.write(text)
+    return out_path
+
+
+if __name__ == "__main__":
+    path = generate(*(sys.argv[1:] or []))
+    print(f"wrote {path}")
