@@ -86,3 +86,58 @@ EXTRA_ORACLES = {
     "dedup_simhash_pairs": simhash_neardup_sql(),
     "dedup_components": _components_oracle(),
 }
+
+
+def dedup_cluster_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup loop closed: candidate pairs → connected components →
+    one KEEPER per cluster by quality (not min-id — keep the best copy,
+    the policy real corpus dedup wants), deterministic tiebreak on
+    doc_id. Singleton docs (no near-dup edges) keep themselves
+    implicitly and are not emitted here."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..ext.components import connected_components
+    from ..ext.textstats import quality_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    comp = connected_components(lsh_candidate_pairs(docs))
+    scored = comp.join(
+        quality_features(docs).select("doc_id", "quality_score"), on="doc_id"
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality_score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("keeper_id"),
+            "quality_score",
+        )
+    )
+
+
+def _cluster_keepers_oracle() -> str:
+    from ..ext.components import connected_components_sql
+    from ..ext.textstats import quality_score_sql
+
+    cc = connected_components_sql(minhash_lsh_sql())
+    return f"""
+WITH comp AS ({cc}), scored AS (
+  SELECT c.doc_id, c.cluster_id, {quality_score_sql()} AS quality_score
+  FROM comp c JOIN documents USING (doc_id)
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY cluster_id
+      ORDER BY quality_score DESC, doc_id ASC) AS rnk
+  FROM scored
+)
+SELECT cluster_id, doc_id AS keeper_id, quality_score
+FROM ranked WHERE rnk = 1
+"""
+
+
+EXTRA_QUERIES["dedup_cluster_keepers"] = dedup_cluster_keepers
+EXTRA_ORACLES["dedup_cluster_keepers"] = _cluster_keepers_oracle()
