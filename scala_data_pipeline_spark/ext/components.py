@@ -21,9 +21,19 @@ exponential-closure semantics that agree with the fixpoint label.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+class ComponentsNotConverged(RuntimeError):
+    """Raised when min-label propagation exhausts max_iter without
+    reaching a fixpoint: labels are still moving, so the returned
+    clustering would silently split long-diameter components and
+    downstream dedup would keep multiple copies of the same near-dup
+    group."""
 
 
 def connected_components(
@@ -31,9 +41,15 @@ def connected_components(
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_iter: int = 25,
+    on_unconverged: str = "raise",
 ) -> DataFrame:
     """(doc_id, cluster_id) for every vertex appearing in ``pairs``;
-    ``cluster_id`` = min doc_id of the vertex's component."""
+    ``cluster_id`` = min doc_id of the vertex's component.
+
+    ``on_unconverged``: "raise" (default) raises ComponentsNotConverged
+    if max_iter rounds pass without a fixpoint; "warn" emits a warning
+    and returns the partial labels (callers that can tolerate split
+    clusters, e.g. exploratory profiling)."""
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
@@ -52,6 +68,7 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     try:
+        converged = False
         for _ in range(max_iter):
             nbr = edges.join(
                 labels, edges["dst"] == labels["v"]
@@ -70,7 +87,19 @@ def connected_components(
             )
             labels = new_labels
             if changed == 0:
+                converged = True
                 break
+        if not converged:
+            msg = (
+                f"connected_components: no fixpoint after {max_iter} rounds "
+                f"({changed} labels still moving) — component diameter exceeds "
+                "max_iter; raise max_iter or use a large-star/small-star "
+                "O(log n) formulation"
+            )
+            if on_unconverged == "warn":
+                warnings.warn(msg, RuntimeWarning, stacklevel=2)
+            else:
+                raise ComponentsNotConverged(msg)
         return labels.select(
             F.col("v").alias("doc_id"), F.col("label").alias("cluster_id")
         )

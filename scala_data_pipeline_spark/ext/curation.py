@@ -34,9 +34,13 @@ from .util import fan_out
 
 def sample_threshold_hex(fraction: float) -> str:
     """4-hex-char threshold t such that P[substr(md5(k),1,4) < t] ≈
-    fraction (md5 hex digits are uniform)."""
+    fraction (md5 hex digits are uniform). fraction >= 1.0 returns 'g',
+    which sorts above every hex prefix — 'keep everything' must keep the
+    ~1/65536 of rows whose prefix is 'ffff' too."""
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0,1], got {fraction}")
+    if fraction >= 1.0:
+        return "g"
     return format(min(int(fraction * 65536), 65535), "04x")
 
 

@@ -228,14 +228,19 @@ def quantize_embeddings(
         F.transform("lo_s", lambda s: s["lo"]).alias("lo_arr"),
         F.transform("hi_s", lambda s: s["hi"]).alias("hi_arr"),
     )
+    # greatest(range, 1e-12): a dimension that is constant across the
+    # corpus has hi == lo, and a raw zero divisor throws DIVIDE_BY_ZERO
+    # under Spark 4's default ANSI mode; clamping maps every constant
+    # dim to the fixed code floor(0.5)-128 = -128 (x == lo there).
     q = F.transform(
         rounded,
         lambda x, i: (
             F.floor(
                 (x - F.element_at(F.col("lo_arr"), i + 1))
-                / (
+                / F.greatest(
                     F.element_at(F.col("hi_arr"), i + 1)
-                    - F.element_at(F.col("lo_arr"), i + 1)
+                    - F.element_at(F.col("lo_arr"), i + 1),
+                    F.lit(1e-12),
                 )
                 * 255
                 + 0.5
@@ -255,7 +260,7 @@ def quantize_embeddings_sql(dim: int = 64, serialize: bool = True) -> str:
     side); ``serialize=False`` keeps the INT list for downstream SQL."""
     qlist = (
         f"list_transform(range(1, {dim} + 1), "
-        f"i -> CAST(floor((emb[i] - lo_arr[i]) / (hi_arr[i] - lo_arr[i])"
+        f"i -> CAST(floor((emb[i] - lo_arr[i]) / greatest(hi_arr[i] - lo_arr[i], 1e-12)"
         f" * 255 + 0.5) - 128 AS INT))"
     )
     qcol = f"array_to_string({qlist}, ',')" if serialize else qlist

@@ -117,7 +117,9 @@ def token_count(docs: DataFrame, text_col: str = "text") -> DataFrame:
         "doc_id",
         ws.alias("n_ws_tokens"),
         bpe.alias("n_bpe_tokens"),
-        F.round(F.length(text) / bpe, 6).alias("chars_per_bpe_token"),
+        # try_divide: an empty/whitespace-only doc has bpe == 0, which
+        # would throw DIVIDE_BY_ZERO under Spark 4's default ANSI mode.
+        F.round(F.try_divide(F.length(text), bpe), 6).alias("chars_per_bpe_token"),
     )
 
 
@@ -129,7 +131,7 @@ def token_count_sql(text_col: str = "text", table: str = "documents") -> str:
 SELECT doc_id,
        CAST(len({toks}) AS BIGINT) AS n_ws_tokens,
        CAST({bpe} AS BIGINT) AS n_bpe_tokens,
-       ROUND(CAST(length({text_col}) AS DOUBLE) / {bpe}, 6) AS chars_per_bpe_token
+       ROUND(CAST(length({text_col}) AS DOUBLE) / NULLIF({bpe}, 0), 6) AS chars_per_bpe_token
 FROM {table}
 """
 

@@ -38,7 +38,11 @@ def generate(out_path: str = "PLAN_AUDIT.md", sf_dir: str | None = None) -> str:
                 )
             )
         except Exception as exc:  # pragma: no cover - report must not die
-            rows.append((name, "-", "-", "-", "-", "-", "-", str(exc)[:40]))
+            # Exactly as many cells as the header (name + 7 metric
+            # columns); the error text rides in the last (codegen) cell
+            # so a failing query still renders inside the table grid.
+            err = str(exc).replace("|", "/").replace("\n", " ")[:40]
+            rows.append((name, "-", "-", "-", "-", "-", "-", err))
     lines = [
         "# Plan audit (auto-generated — `python -m"
         " scala_data_pipeline_spark.plans.report`)",

@@ -27,6 +27,26 @@ def test_components_long_chain_converges(spark):
     assert len(got) == 13
 
 
+def test_components_unconverged_raises_and_warn_mode(spark):
+    import warnings
+
+    import pytest
+
+    from scala_data_pipeline_spark.ext.components import ComponentsNotConverged
+
+    # path graph 0-1-...-8 has diameter 8; 2 rounds cannot reach fixpoint
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], ["doc_a", "doc_b"]
+    )
+    with pytest.raises(ComponentsNotConverged):
+        connected_components(pairs, max_iter=2)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        got = connected_components(pairs, max_iter=2, on_unconverged="warn")
+        assert len(got.collect()) == 9  # partial labels still returned
+    assert any("no fixpoint" in str(w.message) for w in caught)
+
+
 def _union_find_components(edges):
     parent = {}
 

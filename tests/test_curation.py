@@ -27,6 +27,25 @@ def test_pii_redact_kinds_and_order(spark):
     assert rows[2]["n_email"] == 2
 
 
+def test_sample_fraction_one_keeps_everything(spark):
+    from scala_data_pipeline_spark.ext.curation import (
+        deterministic_sample,
+        deterministic_sample_sql,
+        sample_threshold_hex,
+    )
+
+    # md5('40691') starts with 'ffff' — the prefix a clamped 'ffff'
+    # threshold silently dropped; fraction 1.0 must keep it.
+    assert sample_threshold_hex(1.0) == "g"
+    docs = spark.createDataFrame(
+        [(40691, "edge"), (1, "a"), (2, "b")], ["doc_id", "text"]
+    )
+    assert deterministic_sample(docs, 1.0).count() == 3
+    assert "'g'" in deterministic_sample_sql(1.0)
+    # sub-1.0 fractions keep the hex-threshold path
+    assert sample_threshold_hex(0.5) == "8000"
+
+
 def test_repetition_ratio_bounds(spark):
     docs = spark.createDataFrame(
         [

@@ -43,3 +43,19 @@ def test_assert_quality_flags_violations(spark):
     assert any("max" in p for p in problems)
     clean = assert_quality(obs.get, max_null_rate=0.5, bounds={"v": (0.0, 1000.0)})
     assert clean == []
+
+
+def test_token_count_empty_doc_null_ratio(spark):
+    """Empty/whitespace-only docs have 0 BPE matches; chars_per_bpe_token
+    must be NULL (try_divide), not a DIVIDE_BY_ZERO crash under ANSI."""
+    from scala_data_pipeline_spark.ext.textstats import token_count
+
+    docs = spark.createDataFrame(
+        [(0, ""), (1, "   "), (2, "two words")], ["doc_id", "text"]
+    )
+    rows = {r["doc_id"]: r for r in token_count(docs).collect()}
+    assert rows[0]["n_bpe_tokens"] == 0
+    assert rows[0]["chars_per_bpe_token"] is None
+    assert rows[1]["chars_per_bpe_token"] is None
+    assert rows[2]["n_bpe_tokens"] == 2
+    assert rows[2]["chars_per_bpe_token"] is not None

@@ -116,3 +116,17 @@ def test_quantized_topk_recall(spark, sf_dir):
         for r in topk_quantized(emb).select("query_id", "vec_id").collect()
     }
     assert len(f & q) / len(f) >= 0.4
+
+
+def test_quantize_constant_dim_no_ansi_crash(spark):
+    """A dimension constant across the corpus has hi == lo; the clamped
+    divisor must give code -128 instead of DIVIDE_BY_ZERO (ANSI mode)."""
+    from scala_data_pipeline_spark.ext.similarity import quantize_embeddings
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.5]), (1, [1.0, 0.7]), (2, [1.0, 0.9])],
+        ["vec_id", "embedding"],
+    )
+    rows = {r["vec_id"]: r["qvec"] for r in quantize_embeddings(emb).collect()}
+    assert all(q[0] == -128 for q in rows.values())  # constant dim -> fixed code
+    assert rows[0][1] == -128 and rows[2][1] == 127  # live dim spans full range
