@@ -96,3 +96,22 @@ def test_hashed_pipeline_accuracy(spark, sf_dir):
     assert accuracy(build_pipeline_hashed(train)) >= accuracy(
         build_pipeline(train)
     ) - 0.05
+
+
+def test_confusion_matrix_matches_frozen_fixture(spark, sf_dir):
+    """The sf0.001 confusion matrix must equal the frozen VALUES-literal
+    fixture the driver oracle serves — this is the determinism pin
+    behind giving a trained-model query a hard oracle. A failure here
+    means the pipeline's row-order/vocabulary determinism broke (or the
+    fixture needs regenerating after an intentional pipeline change:
+    python -m scala_data_pipeline_spark.queries.ml_queries)."""
+    from scala_data_pipeline_spark.queries.ml_queries import (
+        ML_CONFUSION_SF0001,
+        ml_confusion_matrix,
+    )
+
+    got = sorted(
+        (r["actual"], r["predicted"], r["cnt"])
+        for r in ml_confusion_matrix(spark, sf_dir).collect()
+    )
+    assert tuple(got) == ML_CONFUSION_SF0001
