@@ -4,6 +4,33 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+# Scan parallelism memo: (session id, sorted input files) -> partition
+# count. fan_out is called at ~10 operator entry points, and
+# df.rdd.getNumPartitions() forces full physical planning each time;
+# every call site hands fan_out a scan-stage frame (documents/embeddings
+# straight off parquet), so the partition count is a property of the
+# file set, not of the projection on top — one planning pass per
+# distinct source is enough.
+_NPART_CACHE: dict[tuple[int, tuple[str, ...]], int] = {}
+_NPART_CACHE_MAX = 256
+
+
+def _scan_partitions(df: DataFrame) -> int:
+    try:
+        files = tuple(sorted(df.inputFiles()))
+    except Exception:  # non-file-backed frame (createDataFrame, etc.)
+        files = ()
+    if not files:
+        return df.rdd.getNumPartitions()
+    key = (id(df.sparkSession), files)
+    n = _NPART_CACHE.get(key)
+    if n is None:
+        n = df.rdd.getNumPartitions()
+        if len(_NPART_CACHE) >= _NPART_CACHE_MAX:
+            _NPART_CACHE.clear()
+        _NPART_CACHE[key] = n
+    return n
+
 
 def fan_out(df: DataFrame) -> DataFrame:
     """Round-robin repartition a compute-bound frame up to the session's
@@ -15,10 +42,11 @@ def fan_out(df: DataFrame) -> DataFrame:
     row group = one unsplittable task) feeding CPU-heavy per-row work
     (regex shingling, md5, vector math) would otherwise run on ONE core.
     The extra shuffle moves only that small frame, by definition of the
-    trigger condition.
+    trigger condition. The partition probe is memoized per source file
+    set so repeated operator calls don't re-plan the scan.
     """
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    if _scan_partitions(df) < target:
         return df.repartition(target)
     return df

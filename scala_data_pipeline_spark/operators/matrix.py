@@ -30,16 +30,20 @@ from .aggregates import pivot_counts
 ITEM_IDS = tuple(str(i) for i in range(100))  # events props.k domain, all SFs
 
 
-def event_items_long(events: DataFrame) -> DataFrame:
-    """(user_id, item) rows from view/purchase events — the projection
-    users_items.scala:31-45 does per source dir, union built in."""
+def event_items_long(
+    events: DataFrame, extra_cols: Sequence[str] = ()
+) -> DataFrame:
+    """(user_id, item[, *extra_cols]) rows from view/purchase events —
+    the projection users_items.scala:31-45 does per source dir, union
+    built in. ``extra_cols`` keeps additional narrow columns (e.g. ts
+    for an incremental split) without widening the default projection."""
     typed = events.filter(
         F.col("user_id").isNotNull() & F.col("event_type").isin("view", "purchase")
     )
     prefix = F.when(F.col("event_type") == "view", "view_item").otherwise("buy_item")
     k = F.from_json("props", "k INT")["k"]
     return typed.select(
-        "user_id", F.concat(prefix, k.cast("string")).alias("item")
+        "user_id", F.concat(prefix, k.cast("string")).alias("item"), *extra_cols
     )
 
 
@@ -67,10 +71,8 @@ def unpivot_matrix(matrix: DataFrame) -> DataFrame:
     )
 
 
-def merge_matrix(old_matrix: DataFrame, new_events: DataFrame) -> DataFrame:
-    """Incremental users×items update (users_items.scala:56-96
-    semantics): pivot the new events into a wide matrix of their own,
-    union with the old matrix, and sum column-wise per user.
+def merge_matrices(old_matrix: DataFrame, new_matrix: DataFrame) -> DataFrame:
+    """Union two wide users×items matrices and sum column-wise per user.
 
     Merging WIDE beats the long-form round-trip (unpivot old → union →
     re-pivot) measured 2×: the long path expands users × 200 columns
@@ -79,13 +81,19 @@ def merge_matrix(old_matrix: DataFrame, new_events: DataFrame) -> DataFrame:
     side and sums vectors. The fixed, explicit item domain is what makes
     this safe — the wide row width is a constant, not data-dependent.
     """
-    new_matrix = users_items_matrix(new_events)
     cols = [c for c in old_matrix.columns if c != "user_id"]
     return (
         old_matrix.unionByName(new_matrix)
         .groupBy("user_id")
         .agg(*[F.sum(c).alias(c) for c in cols])
     )
+
+
+def merge_matrix(old_matrix: DataFrame, new_events: DataFrame) -> DataFrame:
+    """Incremental users×items update (users_items.scala:56-96
+    semantics): pivot the new events into a wide matrix of their own,
+    then :func:`merge_matrices` with the previous matrix."""
+    return merge_matrices(old_matrix, users_items_matrix(new_events))
 
 
 def user_time_matrix(events: DataFrame) -> DataFrame:

@@ -6,10 +6,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pyspark import StorageLevel
+
 from ..functions.timefn import WEEKDAYS
+from ..operators.aggregates import pivot_counts
 from ..operators.matrix import (
+    event_items_long,
     item_values,
-    merge_matrix,
+    merge_matrices,
     user_time_matrix,
     users_items_matrix,
 )
@@ -36,11 +40,29 @@ def q_users_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_users_items_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Build on the first 20 days, merge the remainder incrementally —
-    must equal the full-data matrix (same oracle)."""
+    must equal the full-data matrix (same oracle).
+
+    The narrow (user_id, item, ts) long frame is projected ONCE and
+    persisted, then split by the cutoff — without it each side re-scans
+    and re-parses events (props JSON included) for its own pivot. In
+    production the old side is yesterday's matrix read from storage;
+    persisting the shared projection is the equivalent one-scan shape
+    when both sides derive from the same batch."""
     events = load_table(spark, sf_dir, "events")
+    long = event_items_long(events, extra_cols=("ts",)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     cutoff = F.lit("2024-01-20")
-    old = users_items_matrix(events.filter(F.col("ts") < cutoff))
-    return merge_matrix(old, events.filter(F.col("ts") >= cutoff))
+    vals = item_values()
+    old = pivot_counts(
+        long.filter(F.col("ts") < cutoff),
+        key="user_id", pivot_col="item", values=vals,
+    )
+    new = pivot_counts(
+        long.filter(F.col("ts") >= cutoff),
+        key="user_id", pivot_col="item", values=vals,
+    )
+    return merge_matrices(old, new)
 
 
 def q_user_time_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:

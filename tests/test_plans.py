@@ -87,6 +87,11 @@ def test_incremental_merge_stays_wide(spark, sf_dir):
     assert "Expand" not in a["plan"]
     assert a["n_shuffle_exchanges"] == 2
     assert a["has_partial_agg"]
+    # The shared (user_id, item, ts) projection is persisted and split:
+    # events' parquet must be scanned exactly once, both pivot branches
+    # reading the cache.
+    assert len(a["scan_schemas"]) == 1, a["scan_schemas"]
+    assert "InMemoryTableScan" in a["plan"]
 
 
 def test_lsh_signature_pipeline_runs_once(spark, sf_dir):
