@@ -78,13 +78,18 @@ def _components_oracle() -> str:
     return connected_components_sql(minhash_lsh_sql())
 
 
+# dedup_components / dedup_cluster_keepers hold driver slots (promoted
+# in round 3 over near-twin matrix variants): they are the flagship
+# iterative + windowed tail of the dedup pipeline, and the recursive-CTE
+# oracle is the strongest non-trivial parity check in the repo.
+QUERIES["dedup_components"] = dedup_components
+ORACLES["dedup_components"] = _components_oracle()
+
 EXTRA_QUERIES = {
     "dedup_simhash_pairs": dedup_simhash_pairs,
-    "dedup_components": dedup_components,
 }
 EXTRA_ORACLES = {
     "dedup_simhash_pairs": simhash_neardup_sql(),
-    "dedup_components": _components_oracle(),
 }
 
 
@@ -139,5 +144,5 @@ FROM ranked WHERE rnk = 1
 """
 
 
-EXTRA_QUERIES["dedup_cluster_keepers"] = dedup_cluster_keepers
-EXTRA_ORACLES["dedup_cluster_keepers"] = _cluster_keepers_oracle()
+QUERIES["dedup_cluster_keepers"] = dedup_cluster_keepers
+ORACLES["dedup_cluster_keepers"] = _cluster_keepers_oracle()

@@ -205,7 +205,6 @@ GROUP BY user_id
 
 QUERIES = {
     "json_extract_props": json_extract_props,
-    "user_time_fractions": user_time_fractions,
     "date_roundtrip": date_roundtrip,
     "url_pipeline": url_pipeline,
     "explode_tokens": explode_tokens,
@@ -214,18 +213,25 @@ QUERIES = {
 
 ORACLES = {
     "json_extract_props": JSON_PROPS_ORACLE,
-    "user_time_fractions": TIME_FRACTIONS_ORACLE,
     "date_roundtrip": DATE_ROUNDTRIP_ORACLE,
     "url_pipeline": URL_PIPELINE_ORACLE,
     "explode_tokens": EXPLODE_ORACLE,
     "collect_user_events": COLLECT_ORACLE,
 }
 
-# Locally-oracled extra (driver registry at its 50-row cap): VariantType
+# Locally-oracled extras (driver registry at its 50-row cap): VariantType
 # produces the same values as the from_json path, so it shares the
-# oracle.
-EXTRA_QUERIES = {"variant_extract_props": variant_extract_props}
-EXTRA_ORACLES = {"variant_extract_props": JSON_PROPS_ORACLE}
+# oracle; user_time_fractions is a strict subset of user_time_matrix's
+# oracle, so it was demoted to free a driver slot for a flagship dedup
+# query (round-2 verdict).
+EXTRA_QUERIES = {
+    "variant_extract_props": variant_extract_props,
+    "user_time_fractions": user_time_fractions,
+}
+EXTRA_ORACLES = {
+    "variant_extract_props": JSON_PROPS_ORACLE,
+    "user_time_fractions": TIME_FRACTIONS_ORACLE,
+}
 
 
 def map_functions_props(spark: SparkSession, sf_dir: str) -> DataFrame:

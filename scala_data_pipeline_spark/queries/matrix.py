@@ -101,12 +101,17 @@ GROUP BY user_id
 
 QUERIES = {
     "users_items_matrix": q_users_items,
-    "users_items_incremental": q_users_items_incremental,
     "user_time_matrix": q_user_time_matrix,
 }
 
 ORACLES = {
     "users_items_matrix": USERS_ITEMS_ORACLE,
-    "users_items_incremental": USERS_ITEMS_ORACLE,
     "user_time_matrix": USER_TIME_ORACLE,
 }
+
+# Demoted to a locally-oracled extra (round-3 registry swap): the
+# incremental merge must equal the full rebuild, so it shares
+# USERS_ITEMS_ORACLE with users_items_matrix — a near-twin driver row.
+# Its plan lock (tests/test_plans.py) and local parity check remain.
+EXTRA_QUERIES = {"users_items_incremental": q_users_items_incremental}
+EXTRA_ORACLES = {"users_items_incremental": USERS_ITEMS_ORACLE}

@@ -8,9 +8,9 @@ from __future__ import annotations
 import pytest
 
 from scala_data_pipeline_spark.plans import plan_audit
-from scala_data_pipeline_spark.queries import all_queries
+from scala_data_pipeline_spark.queries import all_queries, extra_queries
 
-QUERIES = all_queries()
+QUERIES = {**all_queries(), **extra_queries()}
 
 
 @pytest.fixture(scope="module")
