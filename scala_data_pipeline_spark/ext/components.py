@@ -26,6 +26,7 @@ import warnings
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
 
 
 class ComponentsNotConverged(RuntimeError):
@@ -67,8 +68,24 @@ def connected_components(
         # checkpoint() to the checkpoint dir (survives executor loss).
         .localCheckpoint(eager=True)
     )
+    numeric_label = not isinstance(
+        labels.schema["label"].dataType, StringType
+    )
+
+    def _label_sum(frame: DataFrame):
+        # Min-label propagation only ever DECREASES labels, so the label
+        # sum is strictly monotone while anything moves: sum unchanged ⟺
+        # fixpoint. This convergence probe is one aggregate over the
+        # checkpointed frame — the join-and-count alternative costs a
+        # full extra join per round. decimal(38,0) keeps the sum exact
+        # (no float drift, no bigint overflow at cluster scale).
+        return frame.agg(
+            F.sum(F.col("label").cast("decimal(38,0)"))
+        ).first()[0]
+
     try:
         converged = False
+        prev = _label_sum(labels) if numeric_label else None
         for _ in range(max_iter):
             nbr = edges.join(
                 labels, edges["dst"] == labels["v"]
@@ -79,12 +96,17 @@ def connected_components(
                 .agg(F.min("label").alias("label"))
                 .localCheckpoint(eager=True)
             )
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), on="v")
-                .filter(F.col("n.label") != F.col("o.label"))
-                .count()
-            )
+            if numeric_label:
+                cur = _label_sum(new_labels)
+                changed = int(cur != prev)
+                prev = cur
+            else:  # string ids: exact per-vertex compare (no sum order)
+                changed = (
+                    new_labels.alias("n")
+                    .join(labels.alias("o"), on="v")
+                    .filter(F.col("n.label") != F.col("o.label"))
+                    .count()
+                )
             labels = new_labels
             if changed == 0:
                 converged = True
@@ -92,7 +114,7 @@ def connected_components(
         if not converged:
             msg = (
                 f"connected_components: no fixpoint after {max_iter} rounds "
-                f"({changed} labels still moving) — component diameter exceeds "
+                "(labels still moving) — component diameter exceeds "
                 "max_iter; raise max_iter or use a large-star/small-star "
                 "O(log n) formulation"
             )
