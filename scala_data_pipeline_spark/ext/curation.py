@@ -258,3 +258,150 @@ def source_quota(docs: DataFrame, n_per_source: int) -> DataFrame:
         .filter(F.col("rank") <= n_per_source)
         .select("doc_id", "source", "quality_score", "rank")
     )
+
+
+def mixture_sample(
+    docs: DataFrame,
+    target_rows: int,
+    strata_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "mix",
+) -> DataFrame:
+    """Temperature-weighted mixture sampling (α = 0.5): per-source
+    sampling shares p_s ∝ sqrt(n_s) — the standard training-mixture
+    reweighting that upsamples rare sources relative to their corpus
+    share — then each source keeps fraction min(1, p_s·target/n_s) of
+    its rows via the md5-threshold mechanism.
+
+    Engine-exactness: α is fixed at 0.5 because sqrt is IEEE
+    correctly-rounded in both Spark and DuckDB (a general pow() is not);
+    per-source sqrt weights are rounded to 8 decimals and summed as
+    decimal(18,8) so the normalizer is order-independent; the keep
+    fraction is converted to a 4-hex md5 threshold IN-ENGINE (floor,
+    hex, lpad) so both engines derive identical thresholds.
+
+    Scale shape: one tiny aggregation (n_sources rows), an unpartitioned
+    window over that tiny frame, and a broadcast join back — the corpus
+    itself never shuffles; the filter is a scan predicate.
+    """
+    counts = docs.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n_s"))
+    w_all = Window.partitionBy()
+    rates = (
+        counts.withColumn("w_s", F.round(F.sqrt(F.col("n_s")), 8))
+        .withColumn(
+            "w_total",
+            F.sum(F.col("w_s").cast("decimal(18,8)")).over(w_all)
+            .cast("double"),
+        )
+        .withColumn(
+            "keep_frac",
+            F.least(
+                F.lit(1.0),
+                F.col("w_s") / F.col("w_total")
+                * F.lit(float(target_rows)) / F.col("n_s").cast("double"),
+            ),
+        )
+        .withColumn(
+            "thr",
+            F.when(F.col("keep_frac") >= 1.0, F.lit("g")).otherwise(
+                F.lpad(
+                    F.lower(
+                        F.hex(F.floor(F.col("keep_frac") * F.lit(65536.0)))
+                    ),
+                    4,
+                    "0",
+                )
+            ),
+        )
+        .select(strata_col, "n_s", "thr")
+    )
+    digest = F.substring(
+        F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 4
+    )
+    return (
+        docs.join(F.broadcast(rates), on=strata_col)
+        .filter(digest < F.col("thr"))
+        .select(key_col, strata_col)
+    )
+
+
+def mixture_sample_sql(
+    target_rows: int,
+    strata_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "mix",
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`mixture_sample` — identical float ops in
+    identical order (sqrt → round 8 → decimal-sum normalizer → same
+    multiply/divide sequence → floor/hex threshold)."""
+    return f"""
+WITH counts AS (
+  SELECT {strata_col}, COUNT(*) AS n_s FROM {table} GROUP BY {strata_col}
+), rates AS (
+  SELECT {strata_col}, n_s,
+         LEAST(1.0,
+           ROUND(sqrt(n_s), 8)
+             / CAST(SUM(CAST(ROUND(sqrt(n_s), 8) AS DECIMAL(18,8))) OVER () AS DOUBLE)
+             * {float(target_rows)} / CAST(n_s AS DOUBLE)) AS keep_frac
+  FROM counts
+), thresholds AS (
+  SELECT {strata_col},
+         CASE WHEN keep_frac >= 1.0 THEN 'g'
+              ELSE lpad(lower(to_hex(CAST(floor(keep_frac * 65536.0) AS BIGINT))), 4, '0')
+         END AS thr
+  FROM rates
+)
+SELECT d.{key_col}, d.{strata_col}
+FROM {table} d JOIN thresholds t USING ({strata_col})
+WHERE substr(md5('{salt}' || CAST(d.{key_col} AS VARCHAR)), 1, 4) < t.thr
+"""
+
+
+def training_shuffle(
+    docs: DataFrame,
+    key_col: str = "doc_id",
+    salt: str = "shuf",
+    shard_hex_chars: int = 2,
+) -> DataFrame:
+    """Deterministic global shuffle + sharding for training order:
+    shard = first ``shard_hex_chars`` hex chars of md5(salt||key) (256
+    shards at 2 chars), position = rank of the full digest within the
+    shard. (shard, pos) is a reproducible, engine-independent random
+    total order — the pattern for writing shuffled training shards
+    without a global sort: one shuffle on the shard key, per-shard
+    ranking, each shard written independently. Re-salt to re-shuffle
+    between epochs."""
+    digest = F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+    w = Window.partitionBy("shard").orderBy("digest", key_col)
+    return (
+        docs.select(
+            key_col,
+            digest.alias("digest"),
+        )
+        .withColumn("shard", F.substring("digest", 1, shard_hex_chars))
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .select(key_col, "shard", "pos")
+    )
+
+
+def training_shuffle_sql(
+    key_col: str = "doc_id",
+    salt: str = "shuf",
+    shard_hex_chars: int = 2,
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`training_shuffle`."""
+    return f"""
+WITH hashed AS (
+  SELECT {key_col},
+         md5('{salt}' || CAST({key_col} AS VARCHAR)) AS digest
+  FROM {table}
+)
+SELECT {key_col},
+       substr(digest, 1, {shard_hex_chars}) AS shard,
+       CAST(ROW_NUMBER() OVER (
+           PARTITION BY substr(digest, 1, {shard_hex_chars})
+           ORDER BY digest, {key_col}) AS BIGINT) AS pos
+FROM hashed
+"""

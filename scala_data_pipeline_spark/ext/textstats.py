@@ -292,3 +292,76 @@ SELECT doc_id,
 FROM sh
 GROUP BY doc_id
 """
+
+
+def unigram_surprisal(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Language-model-free perplexity proxy: score each document by the
+    average unigram surprisal -log2 p(token) of its tokens under the
+    corpus's own unigram distribution. Low = templated/repetitive text,
+    high = rare-token-heavy (both tails are curation filter targets).
+    Documents with no tokens are absent from the output.
+
+    Scale shape: the token-frequency table is vocabulary-sized (millions
+    of rows at web scale, ~100 MB — broadcastable), the total-count
+    frame is one row; the corpus explodes once and aggregates back on
+    doc_id — two bounded shuffles, everything else broadcast.
+
+    Engine-exactness: p = n_tok/n_total in double (one correctly-rounded
+    division), per-token surprisal rounded to 8 decimals, then
+    decimal(18,8)-summed per document (order-independent) and divided by
+    the token count in double.
+    """
+    toks = fan_out(docs).select(
+        "doc_id", F.explode(tokens_col(F.col(text_col))).alias("tok")
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n_tok"))
+    total = freq.agg(F.sum("n_tok").alias("n_total"))
+    scored_vocab = freq.crossJoin(F.broadcast(total)).select(
+        "tok",
+        F.round(
+            -F.log2(
+                F.col("n_tok").cast("double") / F.col("n_total").cast("double")
+            ),
+            8,
+        ).alias("surprisal"),
+    )
+    return (
+        toks.join(F.broadcast(scored_vocab), on="tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.sum(F.col("surprisal").cast("decimal(18,8)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_surprisal"),
+        )
+    )
+
+
+def unigram_surprisal_sql(
+    text_col: str = "text", table: str = "documents"
+) -> str:
+    """DuckDB twin of :func:`unigram_surprisal` — identical float ops in
+    identical order."""
+    toks = f"list_filter(string_split({text_col}, ' '), t -> t <> '')"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({toks}) AS tok FROM {table}
+), freq AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_tok FROM toks GROUP BY tok
+), tot AS (
+  SELECT CAST(SUM(n_tok) AS BIGINT) AS n_total FROM freq
+), sc AS (
+  SELECT tok,
+         ROUND(-log2(CAST(n_tok AS DOUBLE) / CAST(n_total AS DOUBLE)), 8)
+           AS surprisal
+  FROM freq, tot
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       ROUND(CAST(SUM(CAST(surprisal AS DECIMAL(18,8))) AS DOUBLE)
+             / COUNT(*), 6) AS avg_surprisal
+FROM toks JOIN sc USING (tok)
+GROUP BY doc_id
+"""

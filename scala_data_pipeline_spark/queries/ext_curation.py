@@ -12,6 +12,8 @@ from ..ext.curation import (
     decontaminate_sql,
     deterministic_sample,
     deterministic_sample_sql,
+    mixture_sample,
+    mixture_sample_sql,
     pii_redact,
     pii_redact_sql,
     repetition_ratio,
@@ -19,6 +21,8 @@ from ..ext.curation import (
     source_quota,
     stratified_sample,
     stratified_sample_sql,
+    training_shuffle,
+    training_shuffle_sql,
 )
 from ..ext.textstats import quality_score_sql
 from ..sources import load_table
@@ -125,7 +129,25 @@ WHERE {stratified_sample_sql(STRATA_FRACTIONS, default=0.05)}
 """
 
 
+MIXTURE_TARGET = 200
+
+
+def curation_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted (α=0.5) source-mixture sampling toward a
+    ~200-row training mix."""
+    return mixture_sample(
+        load_table(spark, sf_dir, "documents"), MIXTURE_TARGET
+    )
+
+
+def curation_training_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic shuffle-shard assignment for training order."""
+    return training_shuffle(load_table(spark, sf_dir, "documents"))
+
+
 EXTRA_QUERIES = {
+    "curation_mixture_sample": curation_mixture_sample,
+    "curation_training_shuffle": curation_training_shuffle,
     "curation_sample": curation_sample,
     "curation_decontaminate": curation_decontaminate,
     "curation_source_quota": curation_source_quota,
@@ -135,6 +157,8 @@ EXTRA_QUERIES = {
 }
 
 EXTRA_ORACLES = {
+    "curation_mixture_sample": mixture_sample_sql(MIXTURE_TARGET),
+    "curation_training_shuffle": training_shuffle_sql(),
     "curation_sample": SAMPLE_ORACLE,
     "curation_decontaminate": DECON_ORACLE,
     "curation_source_quota": QUOTA_ORACLE,

@@ -16,6 +16,8 @@ from ..ext.textstats import (
     tf_idf_sql,
     token_count,
     token_count_sql,
+    unigram_surprisal,
+    unigram_surprisal_sql,
 )
 from ..sources import load_table
 
@@ -95,15 +97,21 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tf_idf(load_table(spark, sf_dir, "documents"))
 
 
+def text_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return unigram_surprisal(load_table(spark, sf_dir, "documents"))
+
+
 EXTRA_QUERIES = {
     "text_token_count": text_token_count,
     "text_chunks": text_chunks,
     "text_pack_bins": text_pack_bins,
     "text_tfidf": text_tfidf,
+    "text_surprisal": text_surprisal,
 }
 EXTRA_ORACLES = {
     "text_token_count": token_count_sql(),
     "text_chunks": _chunks_oracle(),
     "text_pack_bins": _pack_oracle(),
     "text_tfidf": tf_idf_sql(),
+    "text_surprisal": unigram_surprisal_sql(),
 }
