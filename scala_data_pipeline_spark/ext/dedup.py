@@ -26,7 +26,7 @@ ordering is engine-independent, unlike float accumulation.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .util import fan_out
@@ -400,6 +400,182 @@ FROM cand c
 JOIN sigs a ON a.doc_id = c.doc_a
 JOIN sigs b ON b.doc_id = c.doc_b
 WHERE {ham} <= {max_hamming}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Segment-level (paragraph) dedup — CCNet-style
+# ---------------------------------------------------------------------------
+
+SEGMENT_TOKENS = 8
+
+
+def segment_dedup(
+    docs: DataFrame, text_col: str = "text", seg_tokens: int = SEGMENT_TOKENS
+) -> DataFrame:
+    """Paragraph-granularity dedup (the CCNet recipe, with fixed
+    ``seg_tokens``-token windows standing in for paragraphs — the corpus
+    has no newline structure): hash every non-overlapping segment, keep
+    only the FIRST corpus-wide occurrence of each distinct segment
+    (ordered by (doc_id, seg_idx) — deterministic, engine-independent),
+    and reassemble each document from its surviving segments.
+
+    Returns (doc_id, n_segments, n_kept, dedup_text); a document whose
+    every segment already appeared elsewhere keeps ``dedup_text = ''``
+    (dropping it is the caller's policy decision).
+
+    Scale shape: segmentation is a per-row array transform (no shuffle);
+    first-occurrence ranking is ONE row_number window partitioned by the
+    segment hash (uniform key — md5 — so skew-free); reassembly is ONE
+    groupBy(doc_id). Two bounded shuffles total, no pair joins, and the
+    shuffled payload is segments (≈ corpus size), never pairs.
+    """
+    tokens = F.split(F.col(text_col), " ")
+    n_seg = F.greatest(
+        F.ceil(F.size(tokens) / F.lit(seg_tokens)), F.lit(1)
+    ).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), n_seg - 1),
+        lambda i: F.struct(
+            i.alias("seg_idx"),
+            F.array_join(
+                F.slice(tokens, i * seg_tokens + 1, seg_tokens), " "
+            ).alias("seg"),
+        ),
+    )
+    exploded = (
+        fan_out(docs)
+        .select("doc_id", F.explode(segs).alias("s"))
+        .select("doc_id", "s.seg_idx", "s.seg")
+        .withColumn("h", F.md5("seg"))
+    )
+    w = Window.partitionBy("h").orderBy("doc_id", "seg_idx")
+    ranked = exploded.withColumn("rn", F.row_number().over(w))
+    kept = F.when(F.col("rn") == 1, F.struct("seg_idx", "seg"))
+    return ranked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept)), lambda s: s["seg"]
+            ),
+            " ",
+        ).alias("dedup_text"),
+    )
+
+
+def segment_dedup_sql(
+    text_col: str = "text",
+    table: str = "documents",
+    seg_tokens: int = SEGMENT_TOKENS,
+) -> str:
+    """DuckDB twin of :func:`segment_dedup` (1-based list_slice)."""
+    t = f"string_split({text_col}, ' ')"
+    k = seg_tokens
+    return f"""
+WITH segs AS (
+  SELECT doc_id, s.seg_idx AS seg_idx, s.seg AS seg, md5(s.seg) AS h
+  FROM (
+    SELECT doc_id, unnest(list_transform(
+        range(0, greatest(CAST(ceil(len({t}) / {k}.0) AS BIGINT), 1)),
+        i -> struct_pack(
+            seg_idx := i,
+            seg := array_to_string(
+                list_slice({t}, i * {k} + 1, i * {k} + {k}), ' ')))) AS s
+    FROM {table}
+  )
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY h ORDER BY doc_id, seg_idx) AS rn
+  FROM segs
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_segments,
+       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       COALESCE(string_agg(seg, ' ' ORDER BY seg_idx)
+                FILTER (WHERE rn = 1), '') AS dedup_text
+FROM ranked GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Hot-n-gram flagging (corpus-frequency contamination signal)
+# ---------------------------------------------------------------------------
+
+
+def hot_ngram_flags(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    hot_df: int = 4,
+    flag_frac: float = 0.2,
+) -> DataFrame:
+    """Per-document boilerplate signal from corpus-wide n-gram document
+    frequency (the repeated-substring signal of Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better", at
+    shingle granularity): a shingle is HOT when it occurs in more than
+    ``hot_df`` documents; a document is flagged when ≥ ``flag_frac`` of
+    its distinct shingles are hot. Catches template/boilerplate text
+    that exact and near-dup pair generators miss (no single pair is
+    similar, but every copy shares the hot core).
+
+    Scale shape: distinct (doc, shingle) → ONE count window partitioned
+    by shingle (uniform text key) → ONE groupBy(doc_id). No joins, no
+    pair space; cost linear in corpus shingles.
+    """
+    sh = (
+        fan_out(docs)
+        .select(
+            "doc_id", F.explode(shingles(F.col(text_col), n)).alias("shingle")
+        )
+        .distinct()
+    )
+    per = sh.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+    )
+    agg = per.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum(F.when(F.col("df") > hot_df, 1).otherwise(0)).alias("n_hot"),
+    )
+    hot_frac = F.round(F.try_divide(F.col("n_hot"), F.col("n_shingles")), 6)
+    return agg.select(
+        "doc_id",
+        "n_shingles",
+        "n_hot",
+        hot_frac.alias("hot_frac"),
+        (hot_frac >= flag_frac).alias("flagged"),
+    )
+
+
+def hot_ngram_flags_sql(
+    text_col: str = "text",
+    table: str = "documents",
+    n: int = 3,
+    hot_df: int = 4,
+    flag_frac: float = 0.2,
+) -> str:
+    frac = (
+        f"ROUND(CAST(n_hot AS DOUBLE) / NULLIF(n_shingles, 0), 6)"
+    )
+    return f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id, unnest({shingles_sql(text_col, n)}) AS shingle
+    FROM {table}
+  )
+), with_df AS (
+  SELECT doc_id, COUNT(*) OVER (PARTITION BY shingle) AS df FROM sh
+), agg AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_shingles,
+         CAST(SUM(CASE WHEN df > {hot_df} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hot
+  FROM with_df GROUP BY doc_id
+)
+SELECT doc_id, n_shingles, n_hot,
+       {frac} AS hot_frac,
+       ({frac} >= {flag_frac}) AS flagged
+FROM agg
 """
 
 

@@ -7,10 +7,14 @@ from pyspark.sql import functions as F
 
 from ..ext.dedup import (
     exact_dedup_groups,
+    hot_ngram_flags,
+    hot_ngram_flags_sql,
     lsh_candidate_pairs,
     minhash_lsh_sql,
     ngram_jaccard_pairs,
     ngram_jaccard_sql,
+    segment_dedup,
+    segment_dedup_sql,
     simhash16,
     simhash16_sql,
     simhash_neardup_pairs,
@@ -85,11 +89,38 @@ def _components_oracle() -> str:
 QUERIES["dedup_components"] = dedup_components
 ORACLES["dedup_components"] = _components_oracle()
 
+def dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same clustering as dedup_components via the O(log n)
+    large-star/small-star contraction (adversarial-diameter scale path);
+    shares the recursive-CTE oracle."""
+    from ..ext.components import connected_components_star
+
+    pairs = lsh_candidate_pairs(load_table(spark, sf_dir, "documents"))
+    return connected_components_star(pairs)
+
+
+def dedup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style paragraph dedup over fixed token segments."""
+    return segment_dedup(load_table(spark, sf_dir, "documents"))
+
+
+def dedup_hot_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency boilerplate flags (Lee et al.-style repeated
+    n-gram signal)."""
+    return hot_ngram_flags(load_table(spark, sf_dir, "documents"))
+
+
 EXTRA_QUERIES = {
     "dedup_simhash_pairs": dedup_simhash_pairs,
+    "dedup_segments": dedup_segments,
+    "dedup_hot_ngrams": dedup_hot_ngrams,
+    "dedup_components_star": dedup_components_star,
 }
 EXTRA_ORACLES = {
     "dedup_simhash_pairs": simhash_neardup_sql(),
+    "dedup_segments": segment_dedup_sql(),
+    "dedup_hot_ngrams": hot_ngram_flags_sql(),
+    "dedup_components_star": _components_oracle(),
 }
 
 

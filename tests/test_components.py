@@ -87,3 +87,44 @@ def test_components_random_graphs_match_union_find(spark):
             for r in connected_components(pairs).collect()
         }
         assert got == want, f"trial {trial}: {sorted(edges)}"
+
+
+def test_star_components_long_chain_logarithmic(spark):
+    """large-star/small-star resolves a diameter-30 path in far fewer
+    rounds than the diameter (the O(log n) claim): max_iter=12 would
+    fail propagation but must succeed here."""
+    from scala_data_pipeline_spark.ext.components import (
+        connected_components_star,
+    )
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], ["doc_a", "doc_b"]
+    )
+    got = connected_components_star(pairs, max_iter=12).collect()
+    assert {r["cluster_id"] for r in got} == {0}
+    assert len(got) == 31
+
+
+def test_star_components_random_graphs_match_union_find(spark):
+    from scala_data_pipeline_spark.ext.components import (
+        connected_components_star,
+    )
+    import random
+
+    rng = random.Random(11)
+    for trial in range(4):
+        n = rng.randint(2, 40)
+        m = rng.randint(1, 60)
+        edges = [
+            (rng.randint(0, n), rng.randint(0, n)) for _ in range(m)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        if not edges:
+            continue
+        want = _union_find_components(edges)
+        pairs = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+        got = {
+            r["doc_id"]: r["cluster_id"]
+            for r in connected_components_star(pairs).collect()
+        }
+        assert got == want, f"trial {trial}: {sorted(edges)}"
