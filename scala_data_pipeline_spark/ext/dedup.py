@@ -404,6 +404,102 @@ WHERE {ham} <= {max_hamming}
 
 
 # ---------------------------------------------------------------------------
+# LSH quality metrics (precision / recall vs exact Jaccard)
+# ---------------------------------------------------------------------------
+
+
+def lsh_quality_metrics(
+    docs: DataFrame, text_col: str = "text", threshold: float = 0.1
+) -> DataFrame:
+    """One-row quality report for the MinHash+LSH candidate generator —
+    the "measure, don't guess" check that should accompany any
+    approximate dedup before it runs at 100 TB:
+
+    - ``precision``: fraction of LSH candidate pairs whose EXACT corpus-
+      wide shingle Jaccard clears ``threshold`` (via
+      :func:`jaccard_verify_pairs`).
+    - ``recall``: fraction of the blocked exact-Jaccard duplicate pairs
+      (:func:`ngram_jaccard_pairs` ground truth, (lang, source) blocks
+      with stop-gram exclusion) that LSH also surfaced.
+
+    The two references differ deliberately — verify is corpus-wide and
+    uncapped (what a production verify stage computes on candidates),
+    truth is the blocked discriminative-shingle formulation (the only
+    exact pair set computable without an O(n²) sweep) — so precision
+    and recall are each well-defined against their own denominator.
+
+    Scale shape: candidates are persisted and reused by both branches
+    (the signature pipeline runs once); everything downstream joins on
+    doc ids or (doc_a, doc_b) — no new pair space is created.
+    """
+    cand = lsh_candidate_pairs(docs, text_col).persist()
+    verified = jaccard_verify_pairs(docs, cand, text_col, threshold)
+    truth = ngram_jaccard_pairs(docs, text_col, threshold=threshold)
+    matched = truth.join(cand, on=["doc_a", "doc_b"], how="left_semi")
+    counts = (
+        cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+        .crossJoin(verified.agg(F.count(F.lit(1)).alias("n_verified")))
+        .crossJoin(truth.agg(F.count(F.lit(1)).alias("n_truth")))
+        .crossJoin(matched.agg(F.count(F.lit(1)).alias("n_truth_matched")))
+    )
+    return counts.select(
+        "n_candidates",
+        "n_verified",
+        F.round(
+            F.try_divide(F.col("n_verified"), F.col("n_candidates")), 6
+        ).alias("precision"),
+        "n_truth",
+        "n_truth_matched",
+        F.round(
+            F.try_divide(F.col("n_truth_matched"), F.col("n_truth")), 6
+        ).alias("recall"),
+    )
+
+
+def lsh_quality_metrics_sql(
+    text_col: str = "text", table: str = "documents", threshold: float = 0.1
+) -> str:
+    """DuckDB twin: candidates from :func:`minhash_lsh_sql`, corpus-wide
+    verify jaccard inline, truth from :func:`ngram_jaccard_sql`."""
+    return f"""
+WITH cand AS ({minhash_lsh_sql(text_col, table)}),
+truth AS ({ngram_jaccard_sql(text_col, table, threshold=threshold)}),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id, unnest({shingles_sql(text_col)}) AS shingle FROM {table}
+  )
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1
+), common AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+), verified AS (
+  SELECT c.doc_a, c.doc_b
+  FROM common c
+  JOIN sizes sa ON sa.doc_id = c.doc_a
+  JOIN sizes sb ON sb.doc_id = c.doc_b
+  WHERE ROUND(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6)
+        >= {threshold}
+), matched AS (
+  SELECT t.doc_a FROM truth t
+  WHERE EXISTS (SELECT 1 FROM cand c
+                WHERE c.doc_a = t.doc_a AND c.doc_b = t.doc_b)
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_candidates,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM verified) AS n_verified,
+       ROUND(CAST((SELECT COUNT(*) FROM verified) AS DOUBLE)
+             / NULLIF((SELECT COUNT(*) FROM cand), 0), 6) AS precision,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_truth,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM matched) AS n_truth_matched,
+       ROUND(CAST((SELECT COUNT(*) FROM matched) AS DOUBLE)
+             / NULLIF((SELECT COUNT(*) FROM truth), 0), 6) AS recall
+"""
+
+
+# ---------------------------------------------------------------------------
 # Segment-level (paragraph) dedup — CCNet-style
 # ---------------------------------------------------------------------------
 

@@ -400,3 +400,81 @@ WITH prepped AS (
 )
 SELECT vec_a, vec_b, cos FROM pairs WHERE cos >= {threshold}
 """
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup-style): near-dup pairs → clusters → keeper
+# ---------------------------------------------------------------------------
+
+
+def semantic_dedup_keepers(
+    corpus: DataFrame, threshold: float = 0.3, bucket_col: str = "label"
+) -> DataFrame:
+    """The embedding-space dedup loop closed (the SemDeDup recipe,
+    Abbas et al. 2023, on DataFrame primitives): cosine near-dup pairs
+    within coarse buckets → connected components → ONE keeper per
+    semantic cluster. Keeper policy: the member with the largest
+    (rounded) embedding norm — a stand-in for "most informative copy" —
+    with a deterministic vec_id tiebreak.
+
+    Returns (cluster_id, keeper_id, n_members) for clusters of size ≥ 2
+    (singletons keep themselves implicitly, as in dedup_cluster_keepers).
+
+    Scale shape: the pair space is bounded by the coarse buckets
+    (bucket-equi join, see :func:`embedding_neardup_pairs`); components
+    iterate over the PAIRS (tiny vs the corpus); the final window
+    shuffles one row per clustered vector.
+    """
+    from .components import connected_components
+
+    pairs = embedding_neardup_pairs(corpus, threshold, bucket_col)
+    comp = connected_components(
+        pairs, a_col="vec_a", b_col="vec_b"
+    ).withColumnRenamed("doc_id", "vec_id")
+    norms = prep_vectors(fan_out(corpus)).select(
+        "vec_id", F.round(F.col("emb_norm"), 6).alias("nrm")
+    )
+    scored = comp.join(norms, on="vec_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("nrm").desc(), F.col("vec_id").asc()
+    )
+    cnt = Window.partitionBy("cluster_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_members", F.count(F.lit(1)).over(cnt))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("vec_id").alias("keeper_id"),
+            F.col("n_members").cast("long").alias("n_members"),
+        )
+    )
+
+
+def semantic_dedup_keepers_sql(
+    threshold: float = 0.3, bucket_col: str = "label"
+) -> str:
+    from .components import connected_components_sql
+
+    pairs = (
+        "SELECT vec_a AS doc_a, vec_b AS doc_b FROM ("
+        + embedding_neardup_sql(threshold, bucket_col)
+        + ")"
+    )
+    prep = PREP_SQL.format(col="embedding")
+    norm = NORM_SQL.format(r="emb_r")
+    return f"""
+WITH cc AS ({connected_components_sql(pairs)}),
+norms AS (
+  SELECT vec_id, ROUND({norm}, 6) AS nrm
+  FROM (SELECT vec_id, {prep} AS emb_r FROM embeddings)
+), ranked AS (
+  SELECT cc.cluster_id, cc.doc_id AS vec_id, n.nrm,
+         ROW_NUMBER() OVER (PARTITION BY cc.cluster_id
+                            ORDER BY n.nrm DESC, cc.doc_id ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY cc.cluster_id) AS n_members
+  FROM cc JOIN norms n ON n.vec_id = cc.doc_id
+)
+SELECT cluster_id, vec_id AS keeper_id, CAST(n_members AS BIGINT) AS n_members
+FROM ranked WHERE rn = 1
+"""

@@ -13,7 +13,7 @@ import sys
 
 
 def generate(out_path: str = "PLAN_AUDIT.md", sf_dir: str | None = None) -> str:
-    from ..queries import all_queries
+    from ..queries import all_queries, extra_queries
     from ..session import get_session
     from .inspect import plan_audit
 
@@ -22,7 +22,14 @@ def generate(out_path: str = "PLAN_AUDIT.md", sf_dir: str | None = None) -> str:
     )
     spark = get_session("plan-audit", shuffle_partitions=8)
     rows = []
-    for name, fn in sorted(all_queries().items()):
+    # Driver registry plus the locally-oracled extras ("*name" rows):
+    # the audit should cover the whole checked surface, not just the
+    # 50 driver slots.
+    audited = dict(sorted(all_queries().items()))
+    audited.update(
+        (f"*{n}", fn) for n, fn in sorted(extra_queries().items())
+    )
+    for name, fn in audited.items():
         try:
             a = plan_audit(fn(spark, sf_dir))
             rows.append(
@@ -51,7 +58,8 @@ def generate(out_path: str = "PLAN_AUDIT.md", sf_dir: str | None = None) -> str:
         "Py = BatchEval/ArrowEval Python operators in the plan (0 across",
         "the board = hot paths stay JVM-side); partial = map-side combine",
         "present; pushdown = non-empty PushedFilters on a scan; codegen =",
-        "distinct WholeStageCodegen spans.",
+        "distinct WholeStageCodegen spans. `*name` rows are the",
+        "locally-oracled EXTRA queries beyond the 50 driver slots.",
         "",
         "| query | shuffles | bcast joins | sortmerge | Py | partial | pushdown | codegen |",
         "|---|---|---|---|---|---|---|---|",

@@ -10,6 +10,8 @@ from ..ext.dedup import (
     hot_ngram_flags,
     hot_ngram_flags_sql,
     lsh_candidate_pairs,
+    lsh_quality_metrics,
+    lsh_quality_metrics_sql,
     minhash_lsh_sql,
     ngram_jaccard_pairs,
     ngram_jaccard_sql,
@@ -99,6 +101,12 @@ def dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components_star(pairs)
 
 
+def dedup_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall of the LSH candidate generator vs exact
+    Jaccard."""
+    return lsh_quality_metrics(load_table(spark, sf_dir, "documents"))
+
+
 def dedup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style paragraph dedup over fixed token segments."""
     return segment_dedup(load_table(spark, sf_dir, "documents"))
@@ -115,12 +123,14 @@ EXTRA_QUERIES = {
     "dedup_segments": dedup_segments,
     "dedup_hot_ngrams": dedup_hot_ngrams,
     "dedup_components_star": dedup_components_star,
+    "dedup_lsh_quality": dedup_lsh_quality,
 }
 EXTRA_ORACLES = {
     "dedup_simhash_pairs": simhash_neardup_sql(),
     "dedup_segments": segment_dedup_sql(),
     "dedup_hot_ngrams": hot_ngram_flags_sql(),
     "dedup_components_star": _components_oracle(),
+    "dedup_lsh_quality": lsh_quality_metrics_sql(),
 }
 
 

@@ -8,6 +8,8 @@ from pyspark.sql import functions as F
 from ..ext.similarity import (
     embedding_neardup_pairs,
     embedding_neardup_sql,
+    semantic_dedup_keepers,
+    semantic_dedup_keepers_sql,
     topk_bruteforce,
     topk_bruteforce_sql,
     topk_ivf,
@@ -76,3 +78,13 @@ def _topk_quantized_oracle() -> str:
 
 EXTRA_QUERIES["sim_topk_quantized"] = sim_topk_quantized
 EXTRA_ORACLES["sim_topk_quantized"] = _topk_quantized_oracle()
+
+
+def sim_semantic_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup loop closed: embedding near-dup pairs → components →
+    best-norm keeper per semantic cluster."""
+    return semantic_dedup_keepers(load_table(spark, sf_dir, "embeddings"))
+
+
+EXTRA_QUERIES["sim_semantic_keepers"] = sim_semantic_keepers
+EXTRA_ORACLES["sim_semantic_keepers"] = semantic_dedup_keepers_sql()
