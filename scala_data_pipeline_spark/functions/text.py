@@ -28,14 +28,19 @@ from pyspark.sql.functions import pandas_udf, udf
 from pyspark.sql.types import StringType
 
 
-@udf(returnType=StringType())
-def url_decode(url: str | None) -> str:
+def _url_decode(url):
+    # No type hints: under `from __future__ import annotations` they are
+    # strings, and Spark 4's udf() tries (and fails) to infer the eval
+    # type from them, warning on every import.
     if url is None:
         return ""
     try:
         return unquote(url, errors="strict")
     except Exception:
         return ""
+
+
+url_decode = udf(_url_decode, returnType=StringType())
 
 
 @pandas_udf(StringType())
