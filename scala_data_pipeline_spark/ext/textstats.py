@@ -6,7 +6,7 @@ path, so the full corpus scan stays in whole-stage codegen at 100 TB.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .util import fan_out
@@ -364,4 +364,78 @@ SELECT doc_id,
              / COUNT(*), 6) AS avg_surprisal
 FROM toks JOIN sc USING (tok)
 GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# BPE pair counting (tokenizer-induction step at corpus scale)
+# ---------------------------------------------------------------------------
+
+
+def bpe_pair_counts(
+    docs: DataFrame, text_col: str = "text", top_k: int = 20
+) -> DataFrame:
+    """The counting step of one BPE merge iteration, at corpus scale:
+    adjacent character-pair frequencies inside tokens, weighted by
+    corpus token frequency — the candidate list a tokenizer trainer
+    would merge from. Returns the ``top_k`` pairs as
+    (pair, n_occurrences, rank), deterministic tiebreak on the pair
+    string.
+
+    Scale shape: token vocabulary first (one groupBy — the explode
+    shrinks from corpus tokens to DISTINCT tokens before any character
+    work), then per-token character pairs via a JVM-side indexed
+    transform, one more groupBy on the pair, and a global rank over the
+    (tiny) pair vocabulary. The expensive explode is over vocabulary ×
+    token length, not corpus size.
+    """
+    vocab = (
+        fan_out(docs)
+        .select(F.explode(tokens_col(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    pairs = vocab.filter(F.length("token") >= 2).select(
+        "n",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("token") - 1),
+                lambda i: F.col("token").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+    )
+    agg = pairs.groupBy("pair").agg(F.sum("n").alias("n_occurrences"))
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("pair").asc())
+    return (
+        agg.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= top_k)
+        .select("pair", "n_occurrences", "rank")
+    )
+
+
+def bpe_pair_counts_sql(
+    text_col: str = "text", table: str = "documents", top_k: int = 20
+) -> str:
+    return f"""
+WITH vocab AS (
+  SELECT token, COUNT(*) AS n FROM (
+    SELECT unnest(list_filter(string_split({text_col}, ' '),
+                              t -> t <> '')) AS token
+    FROM {table}
+  ) GROUP BY token
+), pairs AS (
+  SELECT substr(token, CAST(i AS INTEGER), 2) AS pair, n
+  FROM (
+    SELECT token, n, unnest(range(1, length(token))) AS i
+    FROM vocab WHERE length(token) >= 2
+  )
+), agg AS (
+  SELECT pair, CAST(SUM(n) AS BIGINT) AS n_occurrences
+  FROM pairs GROUP BY pair
+)
+SELECT pair, n_occurrences, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT *, ROW_NUMBER() OVER (
+      ORDER BY n_occurrences DESC, pair ASC) AS rank
+  FROM agg
+) WHERE rank <= {top_k}
 """

@@ -115,3 +115,21 @@ EXTRA_ORACLES = {
     "text_tfidf": tf_idf_sql(),
     "text_surprisal": unigram_surprisal_sql(),
 }
+
+
+def text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top adjacent-character-pair counts over the token vocabulary —
+    the counting step of a BPE tokenizer-training iteration."""
+    from ..ext.textstats import bpe_pair_counts
+
+    return bpe_pair_counts(load_table(spark, sf_dir, "documents"))
+
+
+def _bpe_oracle() -> str:
+    from ..ext.textstats import bpe_pair_counts_sql
+
+    return bpe_pair_counts_sql()
+
+
+EXTRA_QUERIES["text_bpe_pairs"] = text_bpe_pairs
+EXTRA_ORACLES["text_bpe_pairs"] = _bpe_oracle()
