@@ -1,0 +1,88 @@
+"""Edge-input behavior for the round-3 dedup/text operators: empty and
+whitespace-only documents, single tokens, and fully-duplicate corpora —
+shapes the oracle parquet corpus doesn't contain, exercised under
+Spark 4's default ANSI mode (no DIVIDE_BY_ZERO, no silent drops)."""
+
+from __future__ import annotations
+
+import pytest
+
+from scala_data_pipeline_spark.ext.dedup import (
+    hot_ngram_flags,
+    segment_dedup,
+)
+from scala_data_pipeline_spark.ext.textstats import bpe_pair_counts
+
+
+@pytest.fixture(scope="module")
+def edge_docs(spark):
+    rows = [
+        (0, ""),  # empty
+        (1, " "),  # whitespace-only
+        (2, "solo"),  # single token (< one segment)
+        (3, "a b c d e f g h i j k l m n o p"),  # two full segments
+        (4, "a b c d e f g h i j k l m n o p"),  # exact duplicate of 3
+        (5, "a b c d e f g h zz yy xx ww vv uu tt ss"),  # shares seg 1 of 3
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_segment_dedup_edges(spark, edge_docs):
+    got = {
+        r["doc_id"]: r for r in segment_dedup(edge_docs).collect()
+    }
+    # Every document survives (no silent drops), even degenerate ones.
+    assert set(got) == {0, 1, 2, 3, 4, 5}
+    for r in got.values():
+        assert 0 <= r["n_kept"] <= r["n_segments"]
+    # Doc 3 keeps both segments; its exact duplicate keeps none.
+    assert got[3]["n_kept"] == 2
+    assert got[3]["dedup_text"] == "a b c d e f g h i j k l m n o p"
+    assert got[4]["n_kept"] == 0
+    assert got[4]["dedup_text"] == ""
+    # Doc 5 loses its first segment (shared with doc 3) and keeps the
+    # second.
+    assert got[5]["n_kept"] == 1
+    assert got[5]["dedup_text"] == "zz yy xx ww vv uu tt ss"
+    # Degenerate docs each keep their single fallback segment ("", " ",
+    # "solo" are three distinct segments — nothing vanishes).
+    for d in (0, 1, 2):
+        assert got[d]["n_segments"] == 1 and got[d]["n_kept"] == 1
+
+
+def test_hot_ngram_flags_edges(spark, edge_docs):
+    # Must not raise under ANSI (empty doc → whole-text fallback
+    # shingle; divisions are try_divide-guarded).
+    got = {r["doc_id"]: r for r in hot_ngram_flags(edge_docs).collect()}
+    assert set(got) == {0, 1, 2, 3, 4, 5}
+    for r in got.values():
+        assert r["n_shingles"] >= 1
+        assert 0 <= r["n_hot"] <= r["n_shingles"]
+        assert r["hot_frac"] is not None
+
+
+def test_hot_ngram_flags_boiler_corpus(spark):
+    # 30 identical docs: every shingle has df=30 > hot_df → all flagged.
+    rows = [(i, "error page not found please try again later") for i in range(30)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = hot_ngram_flags(docs, hot_df=4, flag_frac=0.2).collect()
+    assert len(out) == 30
+    assert all(r["flagged"] for r in out)
+    assert all(r["hot_frac"] == 1.0 for r in out)
+
+
+def test_bpe_pair_counts_edges(spark):
+    docs = spark.createDataFrame(
+        [(0, ""), (1, "x"), (2, "ab ab ba"), (3, "aaa")],
+        ["doc_id", "text"],
+    )
+    got = {r["pair"]: r for r in bpe_pair_counts(docs, top_k=10).collect()}
+    # 'ab' appears twice (token 'ab' × corpus count 2); 'aa' twice
+    # (two adjacent pairs inside one 'aaa'); 'ba' once. Single-char and
+    # empty tokens contribute nothing.
+    assert got["ab"]["n_occurrences"] == 2
+    assert got["aa"]["n_occurrences"] == 2
+    assert got["ba"]["n_occurrences"] == 1
+    # Ranks are dense, deterministic, tie-broken by pair string.
+    ranks = sorted(r["rank"] for r in got.values())
+    assert ranks == list(range(1, len(got) + 1))
