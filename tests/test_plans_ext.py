@@ -93,3 +93,49 @@ def test_scd2_no_cartesian_single_outer_join(spark, sf_dir):
     a = plan_audit(scd2_customer(spark, sf_dir))
     assert "CartesianProduct" not in a["plan"]
     assert "FullOuter" in a["plan"]
+
+
+def test_runtime_bloom_filter_join_pruning(spark, sf_dir):
+    """Runtime Bloom-filter semi-join pruning: a selective dim-side
+    filter injects a bloom_filter_agg on the build side and a
+    might_contain predicate into the FACT scan's filter — at 100 TB
+    this is the optimizer skipping most of the big-side scan at
+    runtime. Locally the application-side scan is far below the 10 GB
+    default threshold (that default is tuned for exactly the
+    cluster-scale case), so the test lowers it to 0 to demonstrate the
+    injection, and disables broadcast to force the SMJ path the filter
+    targets."""
+    from scala_data_pipeline_spark.plans import explain_str
+
+    keys = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter"
+        ".applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {}
+    for k, v in keys.items():
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+        spark.conf.set(k, v)
+    try:
+        li = load_table(spark, sf_dir, "lineitem")
+        orders = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_totalprice") > 500000
+        )
+        j = (
+            li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = explain_str(j)
+        assert "might_contain" in plan
+        assert "bloom_filter_agg" in plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
