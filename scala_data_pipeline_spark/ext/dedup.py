@@ -19,6 +19,11 @@ physical plan:
 - **embedding near-dup** — see similarity.py (cosine within coarse
   buckets).
 
+Round-3 additions: segment-level (paragraph) dedup, hot-n-gram
+boilerplate flags, LSH precision/recall metrics, and incremental LSH
+(new batch vs existing index) — each section documents its own scale
+shape.
+
 Hash parity note: every hash here is md5-derived (both engines compute
 identical md5 hex), and min-hash minima are taken over STRINGS — string
 ordering is engine-independent, unlike float accumulation.
@@ -820,4 +825,123 @@ FROM inter
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
 WHERE ROUND(CAST(n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_common), 6) >= {threshold}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Incremental LSH dedup (new batch vs existing corpus index)
+# ---------------------------------------------------------------------------
+
+
+def lsh_incremental_pairs(
+    old_docs: DataFrame,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    bucket_cap: int = 64,
+) -> DataFrame:
+    """Candidate near-dup pairs INVOLVING AT LEAST ONE NEW DOCUMENT —
+    the production dedup shape at 100 TB: the corpus index (band
+    buckets) already exists; an arriving batch is shingled, bucketed,
+    and joined against it, and old-vs-old pairs are never re-emitted.
+
+    Here both sides are computed from their doc frames (a registry
+    query cannot persist state between calls); in production
+    ``old_docs``'s band-bucket frame is a stored table bucketed by
+    (band, bucket) — everything from the union down is identical, and
+    the per-batch cost is O(|new batch|) shingling plus the bucket
+    join.
+
+    Capped like :func:`lsh_candidate_pairs`: oversized buckets emit a
+    keeper star to each NEW member instead of the full clique —
+    connectivity of every new document to the bucket's component is
+    preserved with linear output.
+    """
+    b_old = lsh_band_buckets(minhash_signature(old_docs, text_col)).withColumn(
+        "is_new", F.lit(False)
+    )
+    b_new = lsh_band_buckets(minhash_signature(new_docs, text_col)).withColumn(
+        "is_new", F.lit(True)
+    )
+    grouped = (
+        b_old.unionByName(b_new)
+        .groupBy("band", "bucket")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("doc_id", "is_new"))
+            ).alias("ids")
+        )
+        .filter(
+            (F.size("ids") >= 2)
+            & F.exists("ids", lambda x: x["is_new"])
+        )
+    )
+    ids = F.col("ids")
+
+    def _pair(x, y):
+        return F.struct(
+            x["doc_id"].alias("a"),
+            y["doc_id"].alias("b"),
+            (x["is_new"] | y["is_new"]).alias("keep"),
+        )
+
+    full = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + F.lit(2), F.size(ids)), lambda y: _pair(x, y)
+            ),
+        )
+    )
+    keeper = F.element_at(ids, 1)
+    star = F.transform(
+        F.slice(ids, 2, F.size(ids)), lambda y: _pair(keeper, y)
+    )
+    pairs_arr = F.when(F.size(ids) <= bucket_cap, full).otherwise(star)
+    return (
+        grouped.select(F.explode(pairs_arr).alias("p"))
+        .filter(F.col("p.keep"))
+        .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
+        .distinct()
+    )
+
+
+def lsh_incremental_sql(
+    new_pred_sql: str, text_col: str = "text", table: str = "documents"
+) -> str:
+    """DuckDB twin (uncapped, same convention as :func:`minhash_lsh_sql`):
+    full-corpus band buckets, pairs where either side satisfies
+    ``new_pred_sql`` (a boolean SQL expression over ``{table}``
+    columns)."""
+    mh_cols = ",\n      ".join(
+        f"MIN(substr(md5(shingle), {4 * i + 1}, 4)) AS mh_{i}"
+        for i in range(N_HASHES)
+    )
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, {band} AS band, md5({expr}) AS bucket FROM sig".format(
+            band=b,
+            expr=" || '|' || ".join(
+                f"mh_{b * BAND_SIZE + j}" for j in range(BAND_SIZE)
+            ),
+        )
+        for b in range(N_HASHES // BAND_SIZE)
+    )
+    return f"""
+WITH exploded AS (
+  SELECT doc_id, unnest({shingles_sql(text_col)}) AS shingle FROM {table}
+), sig AS (
+  SELECT doc_id,
+      {mh_cols}
+  FROM exploded GROUP BY doc_id
+), buckets AS (
+  {band_rows}
+), flags AS (
+  SELECT doc_id, ({new_pred_sql}) AS is_new FROM {table}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM buckets a
+JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
+              AND a.doc_id < b.doc_id
+JOIN flags fa ON fa.doc_id = a.doc_id
+JOIN flags fb ON fb.doc_id = b.doc_id
+WHERE fa.is_new OR fb.is_new
 """

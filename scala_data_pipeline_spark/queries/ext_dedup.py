@@ -187,3 +187,27 @@ FROM ranked WHERE rnk = 1
 
 QUERIES["dedup_cluster_keepers"] = dedup_cluster_keepers
 ORACLES["dedup_cluster_keepers"] = _cluster_keepers_oracle()
+
+
+NEW_SOURCES = ("src18", "src19")
+
+
+def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: candidate pairs involving the arriving batch
+    (sources src18/src19) against the existing corpus — old-vs-old
+    pairs never re-emitted."""
+    from ..ext.dedup import lsh_incremental_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_new = F.col("source").isin(*NEW_SOURCES)
+    return lsh_incremental_pairs(docs.filter(~is_new), docs.filter(is_new))
+
+
+def _incremental_oracle() -> str:
+    from ..ext.dedup import lsh_incremental_sql
+
+    return lsh_incremental_sql("source IN ('src18', 'src19')")
+
+
+EXTRA_QUERIES["dedup_incremental_lsh"] = dedup_incremental_lsh
+EXTRA_ORACLES["dedup_incremental_lsh"] = _incremental_oracle()
