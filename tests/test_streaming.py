@@ -422,3 +422,45 @@ def test_checkpoint_restart_no_reprocessing(spark, sf_dir, tmp_path):
     # resumed run appended exactly the new rows — nothing reprocessed
     assert got.count() == events.count()
     assert got.select("event_id").distinct().count() == events.count()
+
+
+def test_stream_static_antijoin_dedup(spark, sf_dir, tmp_path):
+    """Stream-static LEFT ANTI join: arriving documents are deduped
+    against a STATIC digest index (the streaming half of incremental
+    dedup — ext.dedup.lsh_incremental_pairs is the batch half). The
+    static side is a plain DataFrame re-read per micro-batch; no state
+    store involved. Result must equal the batch anti-join exactly."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    index = (
+        docs.filter(~F.col("source").isin("src18", "src19"))
+        .select(F.md5("text").alias("digest"))
+        .distinct()
+    )
+    src = str(tmp_path / "docs_src")
+    docs.repartition(3).write.mode("overwrite").parquet(src)
+    sdf = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+    def fresh_only(stream_df):
+        return stream_df.withColumn("digest", F.md5("text")).join(
+            index, on="digest", how="left_anti"
+        ).select("doc_id")
+
+    got_df = _run_stream(
+        spark, src, docs.schema, fresh_only, mode="append",
+        name="ss_anti_dedup",
+    )
+    want = (
+        docs.withColumn("digest", F.md5("text"))
+        .join(index, on="digest", how="left_anti")
+        .select("doc_id")
+    )
+    assert {r["doc_id"] for r in got_df.collect()} == {
+        r["doc_id"] for r in want.collect()
+    }
+    assert got_df.count() == want.count()
