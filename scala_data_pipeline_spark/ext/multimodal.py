@@ -124,3 +124,125 @@ def read_media_dir(spark, path: str, glob: str | None = None):
         F.col("content").alias("payload"),
         F.col("length").cast("long").alias("n_bytes"),
     )
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("frame_hex", StringType()),
+        StructField("frame_n_bytes", LongType()),
+    ]
+)
+
+
+def sample_frames(
+    media: DataFrame, frame_bytes: int = 32, every_k: int = 2
+) -> DataFrame:
+    """Frame sampling for video-like payloads — the one-to-MANY media
+    transform (one blob row → several frame rows), Arrow-batched. The
+    deterministic fake treats the payload as a sequence of
+    ``frame_bytes``-sized frames and emits every ``every_k``-th one as
+    hex; a real pipeline replaces the slicing with av/ffmpeg keyframe
+    extraction at exactly this point (``decode_stub``'s contract).
+
+    Scale notes: output fan-out is bounded by payload size /
+    (frame_bytes × every_k); Arrow batch memory stays bounded by
+    maxRecordsPerBatch on the INPUT side, and each yielded frame batch
+    is proportional to one input batch.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"doc_id": [], "frame_idx": [], "frame_hex": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                n_frames = (len(b) + frame_bytes - 1) // frame_bytes
+                for i in range(0, n_frames, every_k):
+                    fr = b[i * frame_bytes : (i + 1) * frame_bytes]
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["frame_hex"].append(fr.hex())
+            frames = pd.DataFrame(out)
+            if len(frames):
+                frames["frame_n_bytes"] = (
+                    frames["frame_hex"].str.len() // 2
+                ).astype("int64")
+            else:
+                frames["frame_n_bytes"] = pd.Series([], dtype="int64")
+            yield frames
+
+    return media.mapInPandas(batches, schema=FRAME_SCHEMA)
+
+
+def sample_frames_sql(
+    frame_bytes: int = 32, every_k: int = 2, table: str = "documents"
+) -> str:
+    """DuckDB twin over the utf-8 fake payload (hex arithmetic)."""
+    fb2 = frame_bytes * 2
+    return f"""
+WITH media AS (
+  SELECT doc_id, lower(hex(encode(text))) AS hx FROM {table}
+), idx AS (
+  SELECT doc_id, hx,
+         unnest(range(0, CAST(ceil(length(hx) / {fb2}.0) AS BIGINT))) AS i
+  FROM media
+)
+SELECT doc_id,
+       CAST(i AS BIGINT) AS frame_idx,
+       substr(hx, CAST(i * {fb2} + 1 AS INTEGER), {fb2}) AS frame_hex,
+       CAST(length(substr(hx, CAST(i * {fb2} + 1 AS INTEGER), {fb2})) / 2
+            AS BIGINT) AS frame_n_bytes
+FROM idx WHERE i % {every_k} = 0
+"""
+
+
+THUMB_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("thumb_hex", StringType()),
+        StructField("thumb_n_bytes", LongType()),
+    ]
+)
+
+
+def resize_thumbnail(media: DataFrame, max_bytes: int = 16) -> DataFrame:
+    """Resize/thumbnail stand-in — the one-to-one media transform with a
+    size contract (output payload ≤ ``max_bytes``). The fake truncates;
+    a real pipeline calls PIL's ``Image.thumbnail`` at the
+    ``decode_stub`` plug point and re-encodes.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = pdf["payload"].map(bytes)
+            thumbs = payloads.map(lambda b: b[:max_bytes].hex())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": payloads.map(len).astype("int64"),
+                    "thumb_hex": thumbs,
+                    "thumb_n_bytes": (thumbs.str.len() // 2).astype(
+                        "int64"
+                    ),
+                }
+            )
+
+    return media.mapInPandas(batches, schema=THUMB_SCHEMA)
+
+
+def resize_thumbnail_sql(
+    max_bytes: int = 16, table: str = "documents"
+) -> str:
+    mb2 = max_bytes * 2
+    return f"""
+WITH media AS (
+  SELECT doc_id, lower(hex(encode(text))) AS hx FROM {table}
+)
+SELECT doc_id,
+       CAST(length(hx) / 2 AS BIGINT) AS n_bytes,
+       substr(hx, 1, {mb2}) AS thumb_hex,
+       CAST(length(substr(hx, 1, {mb2})) / 2 AS BIGINT) AS thumb_n_bytes
+FROM media
+"""

@@ -133,3 +133,41 @@ def _bpe_oracle() -> str:
 
 EXTRA_QUERIES["text_bpe_pairs"] = text_bpe_pairs
 EXTRA_ORACLES["text_bpe_pairs"] = _bpe_oracle()
+
+
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-to-many media transform: every 2nd 32-byte frame of each
+    payload, Arrow-batched."""
+    from ..ext.multimodal import sample_frames, to_media_frame
+
+    return sample_frames(
+        to_media_frame(load_table(spark, sf_dir, "documents"))
+    )
+
+
+def multimodal_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-to-one media transform with a size contract (resize/thumbnail
+    stand-in)."""
+    from ..ext.multimodal import resize_thumbnail, to_media_frame
+
+    return resize_thumbnail(
+        to_media_frame(load_table(spark, sf_dir, "documents"))
+    )
+
+
+def _frame_oracle() -> str:
+    from ..ext.multimodal import sample_frames_sql
+
+    return sample_frames_sql()
+
+
+def _thumb_oracle() -> str:
+    from ..ext.multimodal import resize_thumbnail_sql
+
+    return resize_thumbnail_sql()
+
+
+EXTRA_QUERIES["multimodal_frame_sample"] = multimodal_frame_sample
+EXTRA_ORACLES["multimodal_frame_sample"] = _frame_oracle()
+EXTRA_QUERIES["multimodal_thumbnail"] = multimodal_thumbnail
+EXTRA_ORACLES["multimodal_thumbnail"] = _thumb_oracle()

@@ -75,3 +75,49 @@ def test_binaryfile_ingest_to_features(spark, tmp_path):
     got = {r["doc_id"]: r for r in feats.collect()}
     assert got[id_of["a.img"]]["n_bytes"] == len(blobs["a.img"])
     assert got[id_of["a.img"]]["first_byte"] == 0x89
+
+
+def test_sample_frames_fanout_and_contract(spark):
+    from scala_data_pipeline_spark.ext.multimodal import (
+        sample_frames,
+        to_media_frame,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "x" * 100), (1, "y" * 31), (2, "")], ["doc_id", "text"]
+    )
+    frames = sample_frames(
+        to_media_frame(docs), frame_bytes=32, every_k=2
+    ).collect()
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # 100 bytes → 4 frames (32,32,32,4), every 2nd → idx 0 and 2
+    assert sorted(r["frame_idx"] for r in by_doc[0]) == [0, 2]
+    assert all(r["frame_n_bytes"] <= 32 for r in by_doc[0])
+    # 31 bytes → 1 frame, kept
+    assert [r["frame_n_bytes"] for r in by_doc[1]] == [31]
+    # empty payload → no frames, doc absent (one-to-many can be
+    # one-to-zero)
+    assert 2 not in by_doc
+
+
+def test_resize_thumbnail_size_contract(spark):
+    from scala_data_pipeline_spark.ext.multimodal import (
+        resize_thumbnail,
+        to_media_frame,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "abcdefghijklmnopqrstuvwxyz"), (1, "ab"), (2, "")],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: r
+        for r in resize_thumbnail(to_media_frame(docs), max_bytes=16).collect()
+    }
+    assert got[0]["thumb_n_bytes"] == 16  # truncated to the contract
+    assert got[0]["n_bytes"] == 26
+    assert got[1]["thumb_n_bytes"] == 2  # already under the cap
+    assert got[2]["thumb_n_bytes"] == 0 and got[2]["thumb_hex"] == ""
+    assert bytes.fromhex(got[0]["thumb_hex"]) == b"abcdefghijklmnop"
