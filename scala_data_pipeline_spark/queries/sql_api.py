@@ -209,3 +209,34 @@ FROM p
 
 EXTRA_QUERIES["session_funnel_ordered"] = session_funnel_ordered
 EXTRA_ORACLES["session_funnel_ordered"] = SESSION_FUNNEL_ORACLE
+
+
+# TPC-H Q3 shape (shipping priority), adapted to the fixture schema
+# (o_orderpriority stands in for o_shippriority; timestamps, not
+# dates). One SQL string drives BOTH engines — revenue goes through the
+# dsum decimal rounding so the top-10 selection is order- and
+# partitioning-independent, with an l_orderkey tiebreak for determinism.
+SQL_SHIPPING_PRIORITY = f"""
+SELECT l_orderkey,
+       {dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue,
+       o_orderdate,
+       o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def sql_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(SQL_SHIPPING_PRIORITY)
+
+
+EXTRA_QUERIES["sql_shipping_priority"] = sql_shipping_priority
+EXTRA_ORACLES["sql_shipping_priority"] = SQL_SHIPPING_PRIORITY
