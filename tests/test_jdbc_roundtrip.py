@@ -57,3 +57,49 @@ def test_jdbc_overwrite_mode_replaces(spark, sf_dir, derby_url):
         driver=DERBY_DRIVER,
     ).load()
     assert sorted(r["v"] for r in back.collect()) == [100, 101, 102]
+
+
+def test_streaming_upsert_into_derby(spark, sf_dir, derby_url, tmp_path):
+    """Streaming update-mode aggregation upserted into a LIVE JDBC
+    store per micro-batch (foreachBatch stage + delete/insert): the
+    executed twin of the reference's streaming ES sink
+    (dashboard.scala:46-60). Final table state must equal the batch
+    aggregation exactly."""
+    from scala_data_pipeline_spark.streaming.jdbc_sink import jdbc_upsert_sink
+
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull()
+    )
+    src = str(tmp_path / "events_src")
+    events.repartition(4).write.mode("overwrite").parquet(src)
+
+    agg = lambda df: df.groupBy("event_type").agg(  # noqa: E731
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    sdf = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)  # several micro-batches → several upserts
+        .parquet(src)
+    )
+    q = (
+        agg(sdf)
+        .writeStream.outputMode("update")
+        .foreachBatch(
+            jdbc_upsert_sink(
+                spark, derby_url, "evt_counts", ("event_type",),
+                user="app", password="app", driver=DERBY_DRIVER,
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=120)
+    assert not q.isActive
+    back = jdbc_reader(
+        spark, derby_url, "evt_counts", user="app", password="app",
+        driver=DERBY_DRIVER,
+    ).load()
+    got = {r["event_type"]: r["cnt"] for r in back.collect()}
+    want = {r["event_type"]: r["cnt"] for r in agg(events).collect()}
+    assert got == want
