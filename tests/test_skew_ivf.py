@@ -130,3 +130,34 @@ def test_quantize_constant_dim_no_ansi_crash(spark):
     rows = {r["vec_id"]: r["qvec"] for r in quantize_embeddings(emb).collect()}
     assert all(q[0] == -128 for q in rows.values())  # constant dim -> fixed code
     assert rows[0][1] == -128 and rows[2][1] == 127  # live dim spans full range
+
+
+def test_ivf_index_persistence_and_pruned_serving(spark, sf_dir, tmp_path):
+    """The stored-index lifecycle at 100 TB: fit once → persist the
+    quantizer (MLWriter) → reload → identical assignments → write the
+    indexed corpus PARTITIONED BY bucket so a probe reads nprobe/k of
+    the data (partition pruning asserted on the scan)."""
+    from pyspark.ml.clustering import KMeansModel
+
+    from scala_data_pipeline_spark.plans import explain_str
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    model = fit_ivf(emb, k=8)
+    mpath = str(tmp_path / "ivf_model")
+    model.write().overwrite().save(mpath)
+    reloaded = KMeansModel.load(mpath)
+
+    a1 = assign_buckets(emb, model).select("vec_id", "ivf_bucket")
+    a2 = assign_buckets(emb, reloaded).select("vec_id", "ivf_bucket")
+    assert {tuple(r) for r in a1.collect()} == {
+        tuple(r) for r in a2.collect()
+    }
+
+    ipath = str(tmp_path / "ivf_index")
+    assign_buckets(emb, model).drop("embedding").write.partitionBy(
+        "ivf_bucket"
+    ).mode("overwrite").parquet(ipath)
+    probe = spark.read.parquet(ipath).filter(F.col("ivf_bucket") == 0)
+    plan = explain_str(probe)
+    assert "PartitionFilters" in plan and "ivf_bucket" in plan
+    assert probe.count() == a1.filter(F.col("ivf_bucket") == 0).count()
