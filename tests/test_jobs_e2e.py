@@ -191,3 +191,43 @@ def test_compact_job(spark, sf_dir, tmp_path):
         out.agg(F.sum("event_id")).first()[0]
         == events.agg(F.sum("event_id")).first()[0]
     )
+
+
+def test_incremental_job_e2e(spark, sf_dir, tmp_path):
+    """Incremental corpus maintenance: batch classified against the
+    existing corpus, updated index written partitioned by band.
+    Decisions partition the batch; exact dups of indexed docs are
+    dropped from the index; fresh docs enter it."""
+    from pyspark.sql import functions as F
+
+    from scala_data_pipeline_spark.jobs.incremental_job import run
+    from scala_data_pipeline_spark.sources import load_table
+
+    idx_path = str(tmp_path / "dedup_index")
+    decisions = run(spark, sf_dir, idx_path)
+    docs = load_table(spark, sf_dir, "documents")
+    n_new = docs.filter(F.col("source").isin("src18", "src19")).count()
+    rows = decisions.collect()
+    assert len(rows) == n_new
+    assert {r["decision"] for r in rows} <= {
+        "drop_exact", "review_near", "keep"
+    }
+    # exact-dup ⟺ drop; near candidates ⟹ review
+    for r in rows:
+        if r["is_exact_dup"]:
+            assert r["decision"] == "drop_exact"
+        elif r["n_near_candidates"] > 0:
+            assert r["decision"] == "review_near"
+        else:
+            assert r["decision"] == "keep"
+
+    idx = spark.read.parquet(idx_path)
+    n_old = docs.count() - n_new
+    n_dropped = sum(1 for r in rows if r["decision"] == "drop_exact")
+    # 4 bands per doc; dropped exact dups are not indexed
+    assert idx.count() == 4 * (docs.count() - n_dropped)
+    assert idx.select("band").distinct().count() == 4
+    # the index carries both digest and bucket per doc
+    assert set(idx.columns) == {"doc_id", "band", "bucket", "digest"}
+    assert idx.filter(F.col("digest").isNull()).count() == 0
+    assert n_old > 0
