@@ -240,3 +240,32 @@ def sql_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EXTRA_QUERIES["sql_shipping_priority"] = sql_shipping_priority
 EXTRA_ORACLES["sql_shipping_priority"] = SQL_SHIPPING_PRIORITY
+
+
+# TPC-H Q18 shape (large-volume customers): IN-subquery over a HAVING
+# aggregate — the correlated-membership surface the other SQL queries
+# don't exercise. Quantity sums go through the dsum decimal rounding so
+# the HAVING cut is partitioning-independent in both engines.
+SQL_BIG_ORDERS = f"""
+SELECT c_name,
+       o_orderkey,
+       o_totalprice,
+       o_orderdate
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+WHERE o_orderkey IN (
+    SELECT l_orderkey
+    FROM lineitem
+    GROUP BY l_orderkey
+    HAVING {dsum_sql('l_quantity')} > 300
+)
+"""
+
+
+def sql_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(SQL_BIG_ORDERS)
+
+
+EXTRA_QUERIES["sql_big_orders"] = sql_big_orders
+EXTRA_ORACLES["sql_big_orders"] = SQL_BIG_ORDERS
