@@ -58,9 +58,14 @@ def connected_components(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     labels = (
-        edges.select(F.col("src").alias("v"))
-        .distinct()
-        .select("v", F.col("v").alias("label"))
+        # Fused first round: the identity labeling's round 1 reduces to
+        # min(v, min(neighbors)) — one groupBy over the edge list, no
+        # join and no separate identity materialization. Saves a full
+        # join+checkpoint round per call (clique/star components, the
+        # common near-dup shape, then need only the confirming round).
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("mn"))
+        .select(F.col("src").alias("v"), F.least("mn", "src").alias("label"))
         # localCheckpoint (not persist): each round's plan must START
         # from materialized data, or the lineage nests one full copy of
         # itself per iteration and the driver dies planning an
