@@ -59,6 +59,7 @@ def _frozen_oracle() -> str:
     for checksum, matrix in (
         (153156, ML_CONFUSION_SF0001),
         (149174, ML_CONFUSION_SF001),
+        (1485576, ML_CONFUSION_SF01),
     ):
         rows = ",\n  ".join(f"('{a}', '{p}', {c})" for a, p, c in matrix)
         blocks.append(
@@ -126,6 +127,19 @@ ML_CONFUSION_SF001: tuple[tuple[str, str, int], ...] = (
     ("zh", "zh", 14),
 )
 
+ML_CONFUSION_SF01: tuple[tuple[str, str, int], ...] = (
+    ("de", "de", 1),
+    ("de", "en", 700),
+    ("de", "es", 1),
+    ("en", "en", 2056),
+    ("en", "es", 3),
+    ("es", "de", 1),
+    ("es", "en", 743),
+    ("fr", "en", 742),
+    ("zh", "en", 752),
+    ("zh", "es", 1),
+)
+
 QUERIES = {"ml_confusion_matrix": ml_confusion_matrix}
 ORACLES: dict[str, str] = {}
 if ML_CONFUSION_SF001:
@@ -136,7 +150,11 @@ if __name__ == "__main__":
     from ..session import get_session
 
     spark = get_session()
-    for label, sf in (("SF0001", "sf0.001"), ("SF001", "sf0.01")):
+    for label, sf in (
+        ("SF0001", "sf0.001"),
+        ("SF001", "sf0.01"),
+        ("SF01", "sf0.1"),
+    ):
         got = sorted(
             (r["actual"], r["predicted"], r["cnt"])
             for r in ml_confusion_matrix(
