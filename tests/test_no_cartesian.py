@@ -1,0 +1,43 @@
+"""Registry-wide negative plan lock: no query — driver slot or extra —
+may plan a CartesianProduct, and BroadcastNestedLoopJoin is allowed
+only where the broadcast side is structurally tiny (a scalar stats row,
+a bounded query set, or literal band boundaries). A new query that
+accidentally cross-joins two big frames fails here before it ever
+reaches a cluster."""
+
+from __future__ import annotations
+
+import pytest
+
+from scala_data_pipeline_spark.plans import explain_str
+from scala_data_pipeline_spark.queries import all_queries, extra_queries
+
+# Each of these broadcasts a provably-small side (see the operator's
+# docstring): scalar aggregate rows (distinct_max_stamp, sim_quantize,
+# text_surprisal's vocab stats), bounded query batches (sim_topk_*),
+# literal price bands (range_join_price_bands), or the one-row metric
+# cross-joins of dedup_lsh_quality.
+BNLJ_ALLOWED = {
+    "dedup_lsh_quality",
+    "distinct_max_stamp",
+    "range_join_price_bands",
+    "sim_quantize",
+    "sim_topk_bruteforce",
+    "sim_topk_quantized",
+    "text_surprisal",
+}
+
+QUERIES = {**all_queries(), **extra_queries()}
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_no_cartesian_product(spark, sf_dir, name):
+    plan = explain_str(QUERIES[name](spark, sf_dir))
+    assert "CartesianProduct" not in plan, (
+        f"{name} plans a CartesianProduct"
+    )
+    if name not in BNLJ_ALLOWED:
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            f"{name} plans a BroadcastNestedLoopJoin but is not in the "
+            "tiny-broadcast-side allowlist"
+        )
