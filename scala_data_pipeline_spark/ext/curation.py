@@ -405,3 +405,102 @@ SELECT {key_col},
            ORDER BY digest, {key_col}) AS BIGINT) AS pos
 FROM hashed
 """
+
+
+# ---------------------------------------------------------------------------
+# Epoch oversampling (the upsampling half of mixture building)
+# ---------------------------------------------------------------------------
+
+
+def _epoch_rate_rows(
+    rates: dict[str, float], salt_frac_bits: int = 65536
+) -> list[tuple[str, int, str]]:
+    """(source, n_full, extra-copy hex threshold) — thresholds computed
+    in PYTHON so neither engine does any float math at all; the rate
+    config is literal, exactly like a real mixing config file."""
+    import math
+
+    rows = []
+    for src, rate in sorted(rates.items()):
+        n_full = int(math.floor(rate))
+        frac = rate - n_full
+        thr = "g" if frac >= 1 else format(
+            int(math.floor(frac * salt_frac_bits)), "04x"
+        )
+        rows.append((src, n_full, thr))
+    return rows
+
+
+def epoch_oversample(
+    docs: DataFrame,
+    rates: dict[str, float],
+    strata_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "epoch",
+) -> DataFrame:
+    """Per-source repeat-factor sampling — the UPSAMPLING direction
+    mixture_sample (pure downsampling) cannot express: a source with
+    rate 2.5 contributes every document twice plus a deterministic half
+    of them a third time (epochs 1..3); rate 0.25 keeps a quarter at
+    epoch 1. This is how small high-quality sources (books, reference
+    text) are repeated against a large web corpus in real training
+    mixtures; the ``epoch`` column keeps repeated copies
+    distinguishable downstream (per-epoch shuffle salts, loss masking).
+
+    Sources absent from ``rates`` are dropped — the config IS the
+    mixture definition. Determinism: the fractional extra copy keeps
+    exactly the documents whose salted md5 prefix clears a
+    Python-precomputed hex threshold; both engines compare strings
+    only.
+
+    Scale shape: the rate table is a literal broadcast; the corpus
+    never shuffles — per-row explode of at most ceil(rate) epochs.
+    """
+    spark = docs.sparkSession
+    rates_df = spark.createDataFrame(
+        _epoch_rate_rows(rates), [strata_col, "n_full", "thr"]
+    )
+    digest = F.substring(
+        F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 4
+    )
+    n_copies = F.col("n_full") + F.when(digest < F.col("thr"), 1).otherwise(0)
+    return (
+        docs.join(F.broadcast(rates_df), on=strata_col)
+        .withColumn("n_copies", n_copies)
+        .filter(F.col("n_copies") > 0)
+        .select(
+            key_col,
+            strata_col,
+            F.explode(F.sequence(F.lit(1), F.col("n_copies"))).alias(
+                "epoch"
+            ),
+        )
+        .withColumn("epoch", F.col("epoch").cast("long"))
+    )
+
+
+def epoch_oversample_sql(
+    rates: dict[str, float],
+    strata_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "epoch",
+    table: str = "documents",
+) -> str:
+    values = ", ".join(
+        f"('{s}', {n}, '{t}')" for s, n, t in _epoch_rate_rows(rates)
+    )
+    return f"""
+WITH rates({strata_col}, n_full, thr) AS (VALUES {values}),
+j AS (
+  SELECT d.{key_col}, d.{strata_col},
+         r.n_full + (CASE WHEN substr(
+             md5('{salt}' || CAST(d.{key_col} AS VARCHAR)), 1, 4) < r.thr
+             THEN 1 ELSE 0 END) AS n_copies
+  FROM {table} d JOIN rates r USING ({strata_col})
+)
+SELECT {key_col}, {strata_col}, CAST(epoch AS BIGINT) AS epoch
+FROM (
+  SELECT {key_col}, {strata_col}, unnest(range(1, n_copies + 1)) AS epoch
+  FROM j WHERE n_copies > 0
+)
+"""

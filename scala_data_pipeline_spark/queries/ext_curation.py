@@ -166,3 +166,26 @@ EXTRA_ORACLES = {
     "curation_repetition": repetition_ratio_sql(),
     "curation_stratified": STRATIFIED_ORACLE,
 }
+
+
+EPOCH_RATES = {"src0": 2.5, "src1": 1.0, "src2": 0.25, "src3": 1.75}
+
+
+def curation_epoch_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-factor mixture: oversample small sources (epochs), keep a
+    deterministic fraction where the rate is fractional."""
+    from ..ext.curation import epoch_oversample
+
+    return epoch_oversample(
+        load_table(spark, sf_dir, "documents"), EPOCH_RATES
+    )
+
+
+def _epoch_oracle() -> str:
+    from ..ext.curation import epoch_oversample_sql
+
+    return epoch_oversample_sql(EPOCH_RATES)
+
+
+EXTRA_QUERIES["curation_epoch_mixture"] = curation_epoch_mixture
+EXTRA_ORACLES["curation_epoch_mixture"] = _epoch_oracle()
