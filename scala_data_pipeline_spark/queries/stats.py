@@ -294,3 +294,31 @@ FROM clipped GROUP BY l_linestatus
 
 EXTRA_QUERIES["winsorize_prices"] = winsorize_prices
 EXTRA_ORACLES["winsorize_prices"] = WINSORIZE_ORACLE
+
+
+def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass column profile of the orders table (nulls, exact
+    distincts, numeric/timestamp min-max)."""
+    from ..operators.profile import profile_table
+
+    return profile_table(load_table(spark, sf_dir, "orders"))
+
+
+def _profile_oracle() -> str:
+    from ..operators.profile import profile_table_sql
+
+    return profile_table_sql(
+        "orders",
+        [
+            ("o_orderkey", "num"),
+            ("o_custkey", "num"),
+            ("o_orderstatus", "str"),
+            ("o_totalprice", "num"),
+            ("o_orderdate", "ts"),
+            ("o_orderpriority", "str"),
+        ],
+    )
+
+
+EXTRA_QUERIES["profile_orders"] = profile_orders
+EXTRA_ORACLES["profile_orders"] = _profile_oracle()
