@@ -161,6 +161,16 @@ def connected_components_star(
     the probe stabilizes — sums alone could collide, the exact check
     never lies and runs once.
     """
+    # Vertices seen ONLY in self-pairs survive the a != b edge filter as
+    # nothing — remember the full vertex set so they re-enter the output
+    # labeled with their own id, matching connected_components (whose
+    # fused first round labels them least(v, v) = v) and the
+    # recursive-CTE oracle.
+    vertices = (
+        pairs.select(F.col(a_col).alias("doc_id"))
+        .union(pairs.select(F.col(b_col).alias("doc_id")))
+        .distinct()
+    )
     edges = (
         pairs.select(
             F.greatest(F.col(a_col), F.col(b_col)).alias("a"),
@@ -228,8 +238,9 @@ def connected_components_star(
             "rounds — raise max_iter"
         )
     # Fixpoint edge set is a star forest (child a → root b): labels are
-    # the child edges plus one self-edge per root.
-    return (
+    # the child edges plus one self-edge per root, plus identity labels
+    # for vertices whose only incident pairs were self-loops.
+    labeled = (
         edges.select(F.col("a").alias("doc_id"), F.col("b").alias("cluster_id"))
         .union(
             edges.select(
@@ -238,6 +249,10 @@ def connected_components_star(
         )
         .distinct()
     )
+    isolated = vertices.join(labeled, on="doc_id", how="left_anti").select(
+        "doc_id", F.col("doc_id").alias("cluster_id")
+    )
+    return labeled.union(isolated)
 
 
 def connected_components_sql(pairs_sql: str) -> str:

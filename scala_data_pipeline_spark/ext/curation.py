@@ -457,6 +457,15 @@ def epoch_oversample(
     never shuffles — per-row explode of at most ceil(rate) epochs.
     """
     spark = docs.sparkSession
+    if not rates:
+        # Empty mixture config keeps nothing; schema inference over an
+        # empty row list would crash, so short-circuit with an empty
+        # frame of the output shape.
+        return (
+            docs.select(key_col, strata_col)
+            .filter(F.lit(False))
+            .withColumn("epoch", F.lit(1).cast("long"))
+        )
     rates_df = spark.createDataFrame(
         _epoch_rate_rows(rates), [strata_col, "n_full", "thr"]
     )
@@ -486,8 +495,16 @@ def epoch_oversample_sql(
     salt: str = "epoch",
     table: str = "documents",
 ) -> str:
+    if not rates:
+        return (
+            f"SELECT {key_col}, {strata_col}, CAST(1 AS BIGINT) AS epoch "
+            f"FROM {table} WHERE FALSE"
+        )
     values = ", ".join(
-        f"('{s}', {n}, '{t}')" for s, n, t in _epoch_rate_rows(rates)
+        "('{s}', {n}, '{t}')".format(
+            s=s.replace("'", "''"), n=n, t=t  # escape quotes in names
+        )
+        for s, n, t in _epoch_rate_rows(rates)
     )
     return f"""
 WITH rates({strata_col}, n_full, thr) AS (VALUES {values}),

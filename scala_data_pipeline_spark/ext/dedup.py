@@ -435,30 +435,40 @@ def lsh_quality_metrics(
 
     Scale shape: candidates are persisted and reused by both branches
     (the signature pipeline runs once); everything downstream joins on
-    doc ids or (doc_a, doc_b) — no new pair space is created.
+    doc ids or (doc_a, doc_b) — no new pair space is created. The
+    report is EAGER (one row, computed here) so the candidate cache can
+    be released before returning — a lazy return would leak the persist
+    for the session or force a recompute per downstream action.
     """
     cand = lsh_candidate_pairs(docs, text_col).persist()
-    verified = jaccard_verify_pairs(docs, cand, text_col, threshold)
-    truth = ngram_jaccard_pairs(docs, text_col, threshold=threshold)
-    matched = truth.join(cand, on=["doc_a", "doc_b"], how="left_semi")
-    counts = (
-        cand.agg(F.count(F.lit(1)).alias("n_candidates"))
-        .crossJoin(verified.agg(F.count(F.lit(1)).alias("n_verified")))
-        .crossJoin(truth.agg(F.count(F.lit(1)).alias("n_truth")))
-        .crossJoin(matched.agg(F.count(F.lit(1)).alias("n_truth_matched")))
-    )
-    return counts.select(
-        "n_candidates",
-        "n_verified",
-        F.round(
-            F.try_divide(F.col("n_verified"), F.col("n_candidates")), 6
-        ).alias("precision"),
-        "n_truth",
-        "n_truth_matched",
-        F.round(
-            F.try_divide(F.col("n_truth_matched"), F.col("n_truth")), 6
-        ).alias("recall"),
-    )
+    try:
+        verified = jaccard_verify_pairs(docs, cand, text_col, threshold)
+        truth = ngram_jaccard_pairs(docs, text_col, threshold=threshold)
+        matched = truth.join(cand, on=["doc_a", "doc_b"], how="left_semi")
+        counts = (
+            cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+            .crossJoin(verified.agg(F.count(F.lit(1)).alias("n_verified")))
+            .crossJoin(truth.agg(F.count(F.lit(1)).alias("n_truth")))
+            .crossJoin(
+                matched.agg(F.count(F.lit(1)).alias("n_truth_matched"))
+            )
+        )
+        report = counts.select(
+            "n_candidates",
+            "n_verified",
+            F.round(
+                F.try_divide(F.col("n_verified"), F.col("n_candidates")), 6
+            ).alias("precision"),
+            "n_truth",
+            "n_truth_matched",
+            F.round(
+                F.try_divide(F.col("n_truth_matched"), F.col("n_truth")), 6
+            ).alias("recall"),
+        )
+        rows = report.collect()
+        return docs.sparkSession.createDataFrame(rows, report.schema)
+    finally:
+        cand.unpersist()
 
 
 def lsh_quality_metrics_sql(
@@ -901,6 +911,11 @@ def lsh_incremental_pairs(
         grouped.select(F.explode(pairs_arr).alias("p"))
         .filter(F.col("p.keep"))
         .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
+        # Guard against a doc_id present in BOTH sides (a re-delivered
+        # batch): its bucket entry appears once per side and the pair
+        # builder would emit a keep=true self-pair — drop those rather
+        # than require callers to guarantee id-disjointness.
+        .filter(F.col("doc_a") != F.col("doc_b"))
         .distinct()
     )
 

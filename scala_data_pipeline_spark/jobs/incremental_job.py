@@ -101,14 +101,25 @@ def run(
     is_new = F.col("source").isin(*new_sources)
     old_docs, new_docs = docs.filter(~is_new), docs.filter(is_new)
 
+    # The persist serves the index write below (kept_ids reads
+    # decisions); it is released before returning so the cache does not
+    # outlive the job — a caller re-collecting the returned frame pays
+    # one recompute, which beats a session-lifetime cache leak. Callers
+    # that iterate over decisions repeatedly should persist it
+    # themselves.
     decisions = classify_batch(old_docs, new_docs).persist()
-    kept_ids = decisions.filter(F.col("decision") != "drop_exact").select(
-        "doc_id"
-    )
-    updated = build_index(
-        old_docs.select("doc_id", "text").unionByName(
-            new_docs.join(kept_ids, on="doc_id").select("doc_id", "text")
+    try:
+        kept_ids = decisions.filter(
+            F.col("decision") != "drop_exact"
+        ).select("doc_id")
+        updated = build_index(
+            old_docs.select("doc_id", "text").unionByName(
+                new_docs.join(kept_ids, on="doc_id").select("doc_id", "text")
+            )
         )
-    )
-    updated.write.mode("overwrite").partitionBy("band").parquet(index_path)
+        updated.write.mode("overwrite").partitionBy("band").parquet(
+            index_path
+        )
+    finally:
+        decisions.unpersist()
     return decisions

@@ -16,6 +16,7 @@ count.
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -51,6 +52,13 @@ def get_session(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Embedded Derby (JDBC tests) writes derby.log to
+        # derby.system.home, which defaults to the CWD — point it at a
+        # temp dir so runs leave no droppings at the repo root.
+        .config(
+            "spark.driver.extraJavaOptions",
+            f"-Dderby.system.home={tempfile.gettempdir()}",
+        )
     )
     if master is not None:
         builder = builder.master(master)

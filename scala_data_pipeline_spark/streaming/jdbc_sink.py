@@ -25,9 +25,16 @@ form.
 
 from __future__ import annotations
 
+import uuid
+
 from pyspark.sql import DataFrame, SparkSession
 
 from ..sources.connectors import jdbc_writer
+
+# Derby's VARCHAR ceiling; CLOB keys are cast to this for comparison.
+# Keys longer than this are a schema-design error for an upsert key —
+# the cast would raise a 22001 truncation error mid-batch.
+_KEY_VARCHAR_MAX = 32672
 
 
 def _raw_connection(spark: SparkSession, url: str, user: str, password: str):
@@ -45,8 +52,14 @@ def jdbc_upsert_sink(
     staging: str | None = None,
 ):
     """Returns a ``foreachBatch`` function upserting each micro-batch
-    into ``target`` keyed on ``key_cols``."""
-    staging = staging or f"{target}_staging"
+    into ``target`` keyed on ``key_cols``.
+
+    The default staging table name carries a per-sink random suffix so
+    two queries upserting into the SAME target cannot clobber each
+    other's staging rows mid-batch; pass ``staging`` explicitly to pin
+    a stable name (single-writer deployments that want restart reuse).
+    """
+    staging = staging or f"{target}_staging_{uuid.uuid4().hex[:8]}"
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.columns:
@@ -69,10 +82,12 @@ def jdbc_upsert_sink(
             # Spark's JDBC writer quotes column identifiers (they stay
             # lowercase in Derby — unquoted names would be uppercased
             # and miss) and maps StringType to CLOB, which Derby cannot
-            # compare directly — cast key columns to VARCHAR.
+            # compare directly — cast key columns to VARCHAR at Derby's
+            # maximum length so long keys compare instead of raising a
+            # 22001 truncation error.
             pred = " AND ".join(
-                f'CAST(t."{k}" AS VARCHAR(512)) ='
-                f' CAST(s."{k}" AS VARCHAR(512))'
+                f'CAST(t."{k}" AS VARCHAR({_KEY_VARCHAR_MAX})) ='
+                f' CAST(s."{k}" AS VARCHAR({_KEY_VARCHAR_MAX}))'
                 for k in key_cols
             )
             st.executeUpdate(

@@ -128,3 +128,26 @@ def test_star_components_random_graphs_match_union_find(spark):
             for r in connected_components_star(pairs).collect()
         }
         assert got == want, f"trial {trial}: {sorted(edges)}"
+
+
+def test_star_components_self_loop_only_vertices_labeled(spark):
+    # ADVICE r3: a vertex appearing ONLY in self-pairs must still be
+    # labeled with its own id, matching the propagation variant and the
+    # recursive-CTE oracle.
+    from scala_data_pipeline_spark.ext.components import (
+        connected_components_star,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (7, 7), (9, 9)], ["doc_a", "doc_b"]
+    )
+    star = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components_star(pairs).collect()
+    }
+    prop = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(pairs).collect()
+    }
+    assert star == {1: 1, 2: 1, 7: 7, 9: 9}
+    assert star == prop

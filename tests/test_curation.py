@@ -60,3 +60,26 @@ def test_repetition_ratio_bounds(spark):
     assert rows[0]["repetition_ratio"] == 0.75
     assert rows[1]["repetition_ratio"] == 0.0
     assert rows[2]["n_ngrams"] == 1 and rows[2]["repetition_ratio"] == 0.0
+
+
+def test_epoch_oversample_empty_rates_returns_empty(spark, sf_dir):
+    # ADVICE r3: empty mixture config = keep nothing (not a crash).
+    from scala_data_pipeline_spark.ext.curation import (
+        epoch_oversample,
+        epoch_oversample_sql,
+    )
+    from scala_data_pipeline_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = epoch_oversample(docs, {})
+    assert out.columns == ["doc_id", "source", "epoch"]
+    assert out.count() == 0
+    assert "WHERE FALSE" in epoch_oversample_sql({})
+
+
+def test_epoch_oversample_sql_escapes_quotes():
+    # source names with single quotes must not break the VALUES list
+    from scala_data_pipeline_spark.ext.curation import epoch_oversample_sql
+
+    sql = epoch_oversample_sql({"o'brien": 1.0})
+    assert "'o''brien'" in sql

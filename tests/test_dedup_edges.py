@@ -86,3 +86,24 @@ def test_bpe_pair_counts_edges(spark):
     # Ranks are dense, deterministic, tie-broken by pair string.
     ranks = sorted(r["rank"] for r in got.values())
     assert ranks == list(range(1, len(got) + 1))
+
+
+def test_incremental_lsh_overlapping_ids_no_self_pairs(spark):
+    # ADVICE r3: a doc_id present in BOTH old and new (re-delivered
+    # batch) must not surface as a keep=true self-pair.
+    from scala_data_pipeline_spark.ext.dedup import lsh_incremental_pairs
+
+    docs = spark.createDataFrame(
+        [
+            ("d1", "the quick brown fox jumps over the lazy dog again"),
+            ("d2", "the quick brown fox jumps over the lazy dog again"),
+        ],
+        ["doc_id", "text"],
+    )
+    # same doc in both sides: d1 old+new; d2 only new
+    pairs = lsh_incremental_pairs(
+        docs.filter("doc_id = 'd1'"), docs
+    ).collect()
+    assert all(r["doc_a"] != r["doc_b"] for r in pairs)
+    # the genuine near-dup pair is still surfaced
+    assert {(r["doc_a"], r["doc_b"]) for r in pairs} == {("d1", "d2")}
