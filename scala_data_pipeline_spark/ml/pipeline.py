@@ -37,10 +37,27 @@ def prepare_training_frame(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """documents → (id, tokens array<string>, label) — the shape the
-    reference builds with collect_list(domain) (train.scala:30-35)."""
+    reference builds with collect_list(domain) (train.scala:30-35).
+
+    Tokens are unigrams PLUS joined bigrams: the test corpus's language
+    classes share one vocabulary with near-uniform unigram frequencies
+    (a per-language Markov generator), so all class signal lives in
+    token ADJACENCY — unigram-only features collapse to the majority
+    class once the corpus is large enough to wash out sampling noise
+    (the sf0.1 all-"en" matrix round 3 flagged). Bigrams restore a
+    majority-diagonal confusion matrix at every SF. The combined array
+    is sorted AFTER bigram construction, so determinism (fixed
+    CountVectorizer vocabulary order) is preserved without destroying
+    adjacency information.
+    """
+    toks = F.split(F.col(text_col), " ")
+    bigrams = F.transform(
+        F.slice(toks, 1, F.size(toks) - 1),
+        lambda x, i: F.concat_ws("_", x, F.element_at(toks, i + F.lit(2))),
+    )
     return docs.select(
         id_col,
-        F.array_sort(F.split(F.col(text_col), " ")).alias("tokens"),
+        F.array_sort(F.concat(toks, bigrams)).alias("tokens"),
         F.col(label_col).alias("label_str"),
     ).orderBy(id_col)
 

@@ -33,7 +33,10 @@ def ml_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     train_df = (
         prepare_training_frame(docs).coalesce(1).sortWithinPartitions("doc_id")
     )
-    model = train_model(train_df, vocab_size=256)
+    # 1024 covers the full uni+bigram feature space (31 unigrams + ~900
+    # observed bigrams); 256 truncated it to mostly-uninformative
+    # unigram slots and was part of the sf0.1 collapse.
+    model = train_model(train_df, vocab_size=1024)
     predictions = model.transform(prepare_training_frame(docs))
     return (
         predictions.groupBy(
@@ -73,71 +76,50 @@ def _frozen_oracle() -> str:
 # Frozen confusion matrices — regenerate via __main__ below. Each
 # verified identical across local[8]/shuffle=200 and local[32]/shuffle=17.
 ML_CONFUSION_SF0001: tuple[tuple[str, str, int], ...] = (
-    ("de", "de", 20),
-    ("de", "en", 43),
-    ("de", "es", 1),
-    ("de", "fr", 6),
-    ("de", "zh", 1),
-    ("en", "de", 6),
-    ("en", "en", 160),
-    ("en", "es", 9),
-    ("en", "fr", 10),
-    ("en", "zh", 8),
-    ("es", "de", 5),
-    ("es", "en", 55),
-    ("es", "es", 15),
-    ("es", "fr", 3),
-    ("es", "zh", 2),
-    ("fr", "de", 1),
-    ("fr", "en", 57),
-    ("fr", "es", 2),
-    ("fr", "fr", 20),
-    ("fr", "zh", 2),
-    ("zh", "de", 6),
-    ("zh", "en", 49),
-    ("zh", "es", 4),
-    ("zh", "fr", 4),
-    ("zh", "zh", 11),
+    ("de", "de", 71),
+    ("en", "en", 193),
+    ("es", "es", 80),
+    ("fr", "en", 1),
+    ("fr", "fr", 81),
+    ("zh", "zh", 74),
 )
 
 ML_CONFUSION_SF001: tuple[tuple[str, str, int], ...] = (
-    ("de", "de", 5),
-    ("de", "en", 59),
-    ("de", "es", 1),
-    ("de", "fr", 2),
-    ("de", "zh", 3),
-    ("en", "de", 3),
-    ("en", "en", 198),
-    ("en", "es", 3),
-    ("en", "fr", 6),
-    ("en", "zh", 8),
-    ("es", "de", 1),
-    ("es", "en", 55),
-    ("es", "es", 9),
-    ("es", "fr", 4),
-    ("es", "zh", 4),
-    ("fr", "en", 49),
-    ("fr", "es", 1),
-    ("fr", "fr", 13),
-    ("fr", "zh", 1),
-    ("zh", "de", 1),
-    ("zh", "en", 53),
-    ("zh", "es", 5),
-    ("zh", "fr", 2),
-    ("zh", "zh", 14),
+    ("de", "de", 69),
+    ("de", "en", 1),
+    ("en", "de", 1),
+    ("en", "en", 217),
+    ("es", "es", 73),
+    ("fr", "fr", 64),
+    ("zh", "zh", 75),
 )
 
 ML_CONFUSION_SF01: tuple[tuple[str, str, int], ...] = (
-    ("de", "de", 1),
-    ("de", "en", 700),
-    ("de", "es", 1),
-    ("en", "en", 2056),
-    ("en", "es", 3),
-    ("es", "de", 1),
-    ("es", "en", 743),
-    ("fr", "en", 742),
-    ("zh", "en", 752),
-    ("zh", "es", 1),
+    ("de", "de", 322),
+    ("de", "en", 252),
+    ("de", "es", 30),
+    ("de", "fr", 43),
+    ("de", "zh", 55),
+    ("en", "de", 100),
+    ("en", "en", 1603),
+    ("en", "es", 131),
+    ("en", "fr", 117),
+    ("en", "zh", 108),
+    ("es", "de", 39),
+    ("es", "en", 267),
+    ("es", "es", 339),
+    ("es", "fr", 47),
+    ("es", "zh", 52),
+    ("fr", "de", 45),
+    ("fr", "en", 269),
+    ("fr", "es", 57),
+    ("fr", "fr", 317),
+    ("fr", "zh", 54),
+    ("zh", "de", 45),
+    ("zh", "en", 296),
+    ("zh", "es", 61),
+    ("zh", "fr", 45),
+    ("zh", "zh", 306),
 )
 
 QUERIES = {"ml_confusion_matrix": ml_confusion_matrix}
