@@ -145,6 +145,11 @@ def curation_training_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return training_shuffle(load_table(spark, sf_dir, "documents"))
 
 
+# curation_stratified promoted to a driver slot round 4 (per-stratum
+# deterministic sampling — the curation family's first hard driver row).
+QUERIES["curation_stratified"] = curation_stratified
+ORACLES["curation_stratified"] = STRATIFIED_ORACLE
+
 EXTRA_QUERIES = {
     "curation_mixture_sample": curation_mixture_sample,
     "curation_training_shuffle": curation_training_shuffle,
@@ -153,7 +158,6 @@ EXTRA_QUERIES = {
     "curation_source_quota": curation_source_quota,
     "curation_pii_redact": curation_pii_redact,
     "curation_repetition": curation_repetition,
-    "curation_stratified": curation_stratified,
 }
 
 EXTRA_ORACLES = {
@@ -164,7 +168,6 @@ EXTRA_ORACLES = {
     "curation_source_quota": QUOTA_ORACLE,
     "curation_pii_redact": PII_ORACLE,
     "curation_repetition": repetition_ratio_sql(),
-    "curation_stratified": STRATIFIED_ORACLE,
 }
 
 

@@ -118,16 +118,19 @@ def dedup_hot_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hot_ngram_flags(load_table(spark, sf_dir, "documents"))
 
 
+# dedup_segments promoted to a driver slot round 4 (never had a hard
+# driver row; CCNet-style segment dedup is a headline LLM-pipeline op).
+QUERIES["dedup_segments"] = dedup_segments
+ORACLES["dedup_segments"] = segment_dedup_sql()
+
 EXTRA_QUERIES = {
     "dedup_simhash_pairs": dedup_simhash_pairs,
-    "dedup_segments": dedup_segments,
     "dedup_hot_ngrams": dedup_hot_ngrams,
     "dedup_components_star": dedup_components_star,
     "dedup_lsh_quality": dedup_lsh_quality,
 }
 EXTRA_ORACLES = {
     "dedup_simhash_pairs": simhash_neardup_sql(),
-    "dedup_segments": segment_dedup_sql(),
     "dedup_hot_ngrams": hot_ngram_flags_sql(),
     "dedup_components_star": _components_oracle(),
     "dedup_lsh_quality": lsh_quality_metrics_sql(),
@@ -209,5 +212,7 @@ def _incremental_oracle() -> str:
     return lsh_incremental_sql("source IN ('src18', 'src19')")
 
 
-EXTRA_QUERIES["dedup_incremental_lsh"] = dedup_incremental_lsh
-EXTRA_ORACLES["dedup_incremental_lsh"] = _incremental_oracle()
+# Promoted to a driver slot round 4: the incremental batch-vs-index
+# shape is the production dedup path and deserves a hard driver row.
+QUERIES["dedup_incremental_lsh"] = dedup_incremental_lsh
+ORACLES["dedup_incremental_lsh"] = _incremental_oracle()

@@ -101,18 +101,22 @@ def text_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_surprisal(load_table(spark, sf_dir, "documents"))
 
 
+# text_tfidf promoted to a driver slot round 4 (corpus-statistics
+# aggregation — a different shape from the per-row text scans already
+# holding driver rows).
+QUERIES["text_tfidf"] = text_tfidf
+ORACLES["text_tfidf"] = tf_idf_sql()
+
 EXTRA_QUERIES = {
     "text_token_count": text_token_count,
     "text_chunks": text_chunks,
     "text_pack_bins": text_pack_bins,
-    "text_tfidf": text_tfidf,
     "text_surprisal": text_surprisal,
 }
 EXTRA_ORACLES = {
     "text_token_count": token_count_sql(),
     "text_chunks": _chunks_oracle(),
     "text_pack_bins": _pack_oracle(),
-    "text_tfidf": tf_idf_sql(),
     "text_surprisal": unigram_surprisal_sql(),
 }
 

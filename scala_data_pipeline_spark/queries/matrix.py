@@ -100,18 +100,23 @@ GROUP BY user_id
 
 
 QUERIES = {
-    "users_items_matrix": q_users_items,
     "user_time_matrix": q_user_time_matrix,
 }
 
 ORACLES = {
-    "users_items_matrix": USERS_ITEMS_ORACLE,
     "user_time_matrix": USER_TIME_ORACLE,
 }
 
-# Demoted to a locally-oracled extra (round-3 registry swap): the
-# incremental merge must equal the full rebuild, so it shares
-# USERS_ITEMS_ORACLE with users_items_matrix — a near-twin driver row.
-# Its plan lock (tests/test_plans.py) and local parity check remain.
-EXTRA_QUERIES = {"users_items_incremental": q_users_items_incremental}
-EXTRA_ORACLES = {"users_items_incremental": USERS_ITEMS_ORACLE}
+# users_items_incremental: demoted round 3 (merge must equal the full
+# rebuild, so it shares USERS_ITEMS_ORACLE — a near-twin driver row).
+# users_items_matrix: demoted round 4 (same 201-column conditional-agg
+# machinery as user_time_matrix, which keeps the driver slot). Plan
+# locks (tests/test_plans.py) and local parity checks remain for both.
+EXTRA_QUERIES = {
+    "users_items_incremental": q_users_items_incremental,
+    "users_items_matrix": q_users_items,
+}
+EXTRA_ORACLES = {
+    "users_items_incremental": USERS_ITEMS_ORACLE,
+    "users_items_matrix": USERS_ITEMS_ORACLE,
+}

@@ -98,7 +98,10 @@ SCD2_ORACLE = scd2_apply_sql(
     DIM_SQL, UPDATES_SQL, key="cust_key", attrs=list(ATTRS), load_date=LOAD_DATE
 )
 
-QUERIES: dict = {}
-ORACLES: dict[str, str] = {}
-EXTRA_QUERIES = {"scd2_customer": scd2_customer}
-EXTRA_ORACLES = {"scd2_customer": SCD2_ORACLE}
+# scd2_customer promoted to a driver slot round 4 (type-2 slowly-
+# changing-dimension apply — a merge shape nothing else in the
+# registry exercises).
+QUERIES = {"scd2_customer": scd2_customer}
+ORACLES = {"scd2_customer": SCD2_ORACLE}
+EXTRA_QUERIES: dict = {}
+EXTRA_ORACLES: dict[str, str] = {}
