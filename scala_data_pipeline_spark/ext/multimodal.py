@@ -2,13 +2,13 @@
 metadata, processed by Arrow-batched ``mapInPandas``.
 
 The Spark-side plumbing is real and tested: schema contract, binary
-payload column, per-partition batch iteration, typed output schema. The
-actual media decode is STUBBED (`NotImplementedError`) because no
-image/audio libraries exist in this container — ``decode_stub`` marks
-exactly where PIL/librosa/av would plug in, and the ``fake`` path
-computes deterministic features from the raw bytes so the pipeline is
-end-to-end testable (and oracle-checkable, since the fakes are pure
-byte arithmetic).
+payload column, per-partition batch iteration, typed output schema.
+Image decode is a real Pillow path behind an optional-import guard
+(``HAS_PIL``; the container lacks Pillow and installs are forbidden —
+ENV_PROBES.md); audio/video decode still raises at the ``decode_stub``
+plug point. The ``fake`` path computes deterministic features from the
+raw bytes so the pipeline is end-to-end testable (and
+oracle-checkable, since the fakes are pure byte arithmetic).
 
 Scale notes: ``mapInPandas`` streams Arrow batches — memory is bounded
 by ``spark.sql.execution.arrow.maxRecordsPerBatch`` regardless of
@@ -19,6 +19,7 @@ Partitioning: media blobs are large; repartition by size (bin-packing on
 
 from __future__ import annotations
 
+import io
 from collections.abc import Iterator
 
 import pandas as pd
@@ -63,13 +64,70 @@ def to_media_frame(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# Optional-import guard: the real image decoder activates when Pillow
+# is importable. Probe 2026-08-13: `import PIL` → ModuleNotFoundError
+# in this container and installs are not permitted (see ENV_PROBES.md),
+# so the PIL branch is exercised only where the library exists; the
+# deterministic fake path stays the tested default either way.
+try:
+    from PIL import Image as _PILImage
+
+    HAS_PIL = True
+except ImportError:  # pragma: no cover - container has no Pillow
+    _PILImage = None
+    HAS_PIL = False
+
+
 def decode_stub(payload: bytes, media_type: str):
-    """Where a real decoder plugs in (PIL.Image.open / librosa.load /
-    av.open). Not implementable in this container."""
+    """Real-decoder plug point. ``image/*`` payloads decode via Pillow
+    when it is importable (width/height/mode); every other media type —
+    and any environment without the decoder — raises, so a pipeline
+    never silently fakes a decode it claims to have done."""
+    if media_type.startswith("image/") and HAS_PIL:
+        img = _PILImage.open(io.BytesIO(payload))
+        return {"width": img.width, "height": img.height, "mode": img.mode}
     raise NotImplementedError(
         f"no media decoder available for {media_type!r}; "
         "install pillow/librosa/av and dispatch on media_type here"
     )
+
+
+IMAGE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("mode", StringType()),
+    ]
+)
+
+
+def image_features(media: DataFrame) -> DataFrame:
+    """Real image metadata via the Pillow branch of :func:`decode_stub`,
+    Arrow-batched like every other media transform. Raises per-task
+    where Pillow is absent (deliberate — see decode_stub); gated test:
+    tests/test_multimodal.py::test_image_features_real_decode."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = [
+                decode_stub(bytes(p), str(mt))
+                for p, mt in zip(pdf["payload"], pdf["media_type"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": pd.Series(
+                        [f["width"] for f in feats], dtype="int64"
+                    ),
+                    "height": pd.Series(
+                        [f["height"] for f in feats], dtype="int64"
+                    ),
+                    "mode": [f["mode"] for f in feats],
+                }
+            )
+
+    return media.mapInPandas(batches, schema=IMAGE_SCHEMA)
 
 
 def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:

@@ -36,12 +36,42 @@ def test_extract_features_fake(spark, sf_dir):
 
 
 def test_decode_stub_raises(spark, sf_dir):
+    from scala_data_pipeline_spark.ext.multimodal import HAS_PIL
+
+    if not HAS_PIL:
+        with pytest.raises(NotImplementedError, match="media decoder"):
+            decode_stub(b"bytes", "image/png")
+    # Non-image media types have no decoder regardless of Pillow.
     with pytest.raises(NotImplementedError, match="media decoder"):
-        decode_stub(b"bytes", "image/png")
+        decode_stub(b"bytes", "audio/wav")
     media = to_media_frame(load_table(spark, sf_dir, "documents")).limit(2)
     real_path = extract_features(media, fake=False)
     with pytest.raises(Exception, match="media decoder|NotImplementedError"):
         real_path.collect()
+
+
+def test_image_features_real_decode(spark):
+    """Real Pillow decode through the Arrow path — runs wherever Pillow
+    is importable (absent in this container: ENV_PROBES.md)."""
+    from scala_data_pipeline_spark.ext.multimodal import (
+        HAS_PIL,
+        image_features,
+    )
+
+    if not HAS_PIL:
+        pytest.skip("Pillow not importable in this container (ENV_PROBES.md)")
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (7, 5)).save(buf, format="PNG")
+    media = spark.createDataFrame(
+        [(1, "image/png", bytearray(buf.getvalue()), len(buf.getvalue()))],
+        schema="doc_id long, media_type string, payload binary, n_bytes long",
+    )
+    row = image_features(media).collect()[0]
+    assert (row.width, row.height, row.mode) == (7, 5, "RGB")
 
 
 def test_binaryfile_ingest_to_features(spark, tmp_path):
