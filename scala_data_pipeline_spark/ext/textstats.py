@@ -439,3 +439,127 @@ SELECT pair, n_occurrences, CAST(rank AS BIGINT) AS rank FROM (
   FROM agg
 ) WHERE rank <= {top_k}
 """
+
+
+# ---------------------------------------------------------------------------
+# Bigram LM perplexity (CCNet-style quality filter)
+# ---------------------------------------------------------------------------
+
+
+def bigram_lm_perplexity(
+    docs: DataFrame, text_col: str = "text", alpha: float = 0.5
+) -> DataFrame:
+    """CCNet-style LM quality score: each document's average bigram
+    surprisal -log2 P(b|a) — and the corresponding perplexity — under
+    the corpus's OWN add-alpha-smoothed bigram language model. The
+    production filter drops both tails (templated/boilerplate text
+    scores low, garbled text scores high); CCNet buckets a corpus into
+    head/middle/tail by exactly this number. Documents with fewer than
+    two tokens have no bigrams and are absent from the output.
+
+    Scale shape: the LM is vocabulary²-BOUNDED, not corpus-bound — the
+    bigram-count table collapses to distinct adjacent pairs (web-scale:
+    ~10⁸ rows, broadcastable after df-capping; here trivially small),
+    the context-count and vocab-size frames are aggregations of it. The
+    corpus explodes once into (doc, a, b), joins the broadcast LM, and
+    aggregates back on doc_id — two uniform-key shuffles + broadcasts,
+    the unigram_surprisal shape one order up. If the bigram table ever
+    outgrew broadcast, the join is still an equi-join on hash-uniform
+    keys (no skew).
+
+    Engine-exactness (house style): P computed in double (one division),
+    per-bigram surprisal rounded to 8 decimals, decimal(18,8)-summed per
+    document (order-independent), averaged in double, rounded to 6;
+    perplexity = round(2^avg, 4).
+    """
+    toks = tokens_col(F.col(text_col))
+    bigrams_arr = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.slice(toks, 1, F.size(toks) - 1),
+            lambda x, i: F.struct(
+                x.alias("a"), F.element_at(toks, i + F.lit(2)).alias("b")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+    bg = (
+        fan_out(docs)
+        .select("doc_id", F.explode(bigrams_arr).alias("p"))
+        .select("doc_id", "p.a", "p.b")
+    )
+    counts = bg.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n_ab"))
+    ctx = counts.groupBy("a").agg(F.sum("n_ab").alias("n_a"))
+    vocab = bg.select(F.col("b").alias("tok")).union(
+        bg.select(F.col("a").alias("tok"))
+    ).agg(F.countDistinct("tok").alias("v"))
+    lm = (
+        counts.join(F.broadcast(ctx), on="a")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "a",
+            "b",
+            F.round(
+                -F.log2(
+                    (F.col("n_ab") + F.lit(alpha)).cast("double")
+                    / (F.col("n_a") + F.lit(alpha) * F.col("v")).cast("double")
+                ),
+                8,
+            ).alias("surprisal"),
+        )
+    )
+    avg = F.round(
+        F.sum(F.col("surprisal").cast("decimal(18,8)")).cast("double")
+        / F.count(F.lit(1)),
+        6,
+    )
+    return (
+        bg.join(F.broadcast(lm), on=["a", "b"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            avg.alias("avg_bigram_surprisal"),
+            F.round(F.pow(F.lit(2.0), avg), 4).alias("perplexity"),
+        )
+    )
+
+
+def bigram_lm_perplexity_sql(
+    text_col: str = "text", table: str = "documents", alpha: float = 0.5
+) -> str:
+    """DuckDB twin of :func:`bigram_lm_perplexity` — identical float ops
+    in identical order."""
+    toks = f"list_filter(string_split({text_col}, ' '), t -> t <> '')"
+    return f"""
+WITH t AS (
+  SELECT doc_id, {toks} AS toks FROM {table}
+), idx AS (
+  SELECT doc_id, toks,
+         unnest(range(1, greatest(len(toks), 1))) AS i
+  FROM t
+), bg AS (
+  SELECT doc_id, toks[i] AS a, toks[i + 1] AS b FROM idx
+), counts AS (
+  SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n_ab FROM bg GROUP BY a, b
+), ctx AS (
+  SELECT a, CAST(SUM(n_ab) AS BIGINT) AS n_a FROM counts GROUP BY a
+), vocab AS (
+  SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v FROM (
+    SELECT b AS tok FROM bg UNION ALL SELECT a AS tok FROM bg
+  )
+), lm AS (
+  SELECT counts.a, counts.b,
+         ROUND(-log2(CAST(counts.n_ab + {alpha} AS DOUBLE)
+                     / CAST(ctx.n_a + {alpha} * vocab.v AS DOUBLE)), 8)
+           AS surprisal
+  FROM counts JOIN ctx USING (a), vocab
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       ROUND(CAST(SUM(CAST(surprisal AS DECIMAL(18,8))) AS DOUBLE)
+             / COUNT(*), 6) AS avg_bigram_surprisal,
+       ROUND(pow(2.0, ROUND(CAST(SUM(CAST(surprisal AS DECIMAL(18,8)))
+                                 AS DOUBLE) / COUNT(*), 6)), 4)
+         AS perplexity
+FROM bg JOIN lm USING (a, b)
+GROUP BY doc_id
+"""

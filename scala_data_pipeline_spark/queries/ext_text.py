@@ -6,6 +6,8 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..ext.multimodal import extract_features, to_media_frame
 from ..ext.textstats import (
+    bigram_lm_perplexity,
+    bigram_lm_perplexity_sql,
     fingerprint,
     fingerprint_sql,
     lang_id,
@@ -101,6 +103,10 @@ def text_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_surprisal(load_table(spark, sf_dir, "documents"))
 
 
+def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bigram_lm_perplexity(load_table(spark, sf_dir, "documents"))
+
+
 # text_tfidf promoted to a driver slot round 4 (corpus-statistics
 # aggregation — a different shape from the per-row text scans already
 # holding driver rows).
@@ -112,12 +118,14 @@ EXTRA_QUERIES = {
     "text_chunks": text_chunks,
     "text_pack_bins": text_pack_bins,
     "text_surprisal": text_surprisal,
+    "text_lm_perplexity": text_lm_perplexity,
 }
 EXTRA_ORACLES = {
     "text_token_count": token_count_sql(),
     "text_chunks": _chunks_oracle(),
     "text_pack_bins": _pack_oracle(),
     "text_surprisal": unigram_surprisal_sql(),
+    "text_lm_perplexity": bigram_lm_perplexity_sql(),
 }
 
 

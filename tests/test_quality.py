@@ -59,3 +59,27 @@ def test_token_count_empty_doc_null_ratio(spark):
     assert rows[1]["chars_per_bpe_token"] is None
     assert rows[2]["n_bpe_tokens"] == 2
     assert rows[2]["chars_per_bpe_token"] is not None
+
+
+def test_bigram_lm_perplexity_semantics(spark):
+    from scala_data_pipeline_spark.ext.textstats import bigram_lm_perplexity
+
+    docs = spark.createDataFrame(
+        [
+            # templated: one repeated bigram -> near-certain LM -> low ppl
+            (0, "a b a b a b a b a b a b a b a b"),
+            # same vocab, adversarial order: rare bigrams -> high ppl
+            (1, "a a b b a a b b a a b b a a b b"),
+            (2, "solo"),  # <2 tokens: no bigrams, absent from output
+            (3, ""),  # empty: absent
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in bigram_lm_perplexity(docs).collect()}
+    assert set(got) == {0, 1}
+    assert got[0]["n_bigrams"] == 15 and got[1]["n_bigrams"] == 15
+    assert got[0]["perplexity"] < got[1]["perplexity"]
+    # perplexity is 2^avg_surprisal (rounded contract)
+    assert got[0]["perplexity"] == round(
+        2.0 ** got[0]["avg_bigram_surprisal"], 4
+    )
