@@ -185,7 +185,6 @@ QUERIES = {
     "unpivot_matrix_long": unpivot_matrix_long,
     "global_sort": global_sort,
     "window_rank_lag": window_rank_lag,
-    "json_serialize_roundtrip": json_serialize_roundtrip,
 }
 
 ORACLES = {
@@ -193,7 +192,6 @@ ORACLES = {
     "unpivot_matrix_long": UNPIVOT_ORACLE,
     "global_sort": GLOBAL_SORT_ORACLE,
     "window_rank_lag": WINDOW_RANK_ORACLE,
-    "json_serialize_roundtrip": JSON_ROUNDTRIP_ORACLE,
 }
 
 # Round-4 registry rotation: near-twin slots freed for never-driver-
@@ -201,11 +199,16 @@ ORACLES = {
 # window_maxdate_literal's W1 semantics are covered by window_rank_lag's
 # window machinery + its own local parity check). Both stay green in
 # tests/test_oracle_parity.py.
+# Round-5 rotation: json_serialize_roundtrip (F15/F16, green since
+# round 1; json_extract_props keeps the from_json/to_json family under
+# a driver row) demoted for a never-checked flagship extra.
 EXTRA_QUERIES = {
     "window_maxdate_literal": window_maxdate_literal,
     "pivot_dynamic": pivot_dynamic,
+    "json_serialize_roundtrip": json_serialize_roundtrip,
 }
 EXTRA_ORACLES = {
     "window_maxdate_literal": WINDOW_MAXDATE_ORACLE,
     "pivot_dynamic": PIVOT_DYNAMIC_ORACLE,
+    "json_serialize_roundtrip": JSON_ROUNDTRIP_ORACLE,
 }

@@ -480,5 +480,6 @@ SELECT s.user_id,
 FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
 """
 
-EXTRA_QUERIES["gap_fill_purchases"] = gap_fill_purchases
-EXTRA_ORACLES["gap_fill_purchases"] = GAP_FILL_ORACLE
+# Promoted to a driver slot in round 5 (never driver-checked before).
+QUERIES["gap_fill_purchases"] = gap_fill_purchases
+ORACLES["gap_fill_purchases"] = GAP_FILL_ORACLE

@@ -150,11 +150,15 @@ def curation_training_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["curation_stratified"] = curation_stratified
 ORACLES["curation_stratified"] = STRATIFIED_ORACLE
 
+# curation_decontaminate promoted to a driver slot in round 5 (never
+# driver-checked before).
+QUERIES["curation_decontaminate"] = curation_decontaminate
+ORACLES["curation_decontaminate"] = DECON_ORACLE
+
 EXTRA_QUERIES = {
     "curation_mixture_sample": curation_mixture_sample,
     "curation_training_shuffle": curation_training_shuffle,
     "curation_sample": curation_sample,
-    "curation_decontaminate": curation_decontaminate,
     "curation_source_quota": curation_source_quota,
     "curation_pii_redact": curation_pii_redact,
     "curation_repetition": curation_repetition,
@@ -164,7 +168,6 @@ EXTRA_ORACLES = {
     "curation_mixture_sample": mixture_sample_sql(MIXTURE_TARGET),
     "curation_training_shuffle": training_shuffle_sql(),
     "curation_sample": SAMPLE_ORACLE,
-    "curation_decontaminate": DECON_ORACLE,
     "curation_source_quota": QUOTA_ORACLE,
     "curation_pii_redact": PII_ORACLE,
     "curation_repetition": repetition_ratio_sql(),

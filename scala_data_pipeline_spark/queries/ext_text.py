@@ -113,19 +113,22 @@ def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["text_tfidf"] = text_tfidf
 ORACLES["text_tfidf"] = tf_idf_sql()
 
+# text_lm_perplexity promoted to a driver slot in round 5 (never
+# driver-checked before).
+QUERIES["text_lm_perplexity"] = text_lm_perplexity
+ORACLES["text_lm_perplexity"] = bigram_lm_perplexity_sql()
+
 EXTRA_QUERIES = {
     "text_token_count": text_token_count,
     "text_chunks": text_chunks,
     "text_pack_bins": text_pack_bins,
     "text_surprisal": text_surprisal,
-    "text_lm_perplexity": text_lm_perplexity,
 }
 EXTRA_ORACLES = {
     "text_token_count": token_count_sql(),
     "text_chunks": _chunks_oracle(),
     "text_pack_bins": _pack_oracle(),
     "text_surprisal": unigram_surprisal_sql(),
-    "text_lm_perplexity": bigram_lm_perplexity_sql(),
 }
 
 

@@ -205,17 +205,13 @@ GROUP BY user_id
 
 QUERIES = {
     "json_extract_props": json_extract_props,
-    "date_roundtrip": date_roundtrip,
     "url_pipeline": url_pipeline,
-    "explode_tokens": explode_tokens,
     "collect_user_events": collect_user_events,
 }
 
 ORACLES = {
     "json_extract_props": JSON_PROPS_ORACLE,
-    "date_roundtrip": DATE_ROUNDTRIP_ORACLE,
     "url_pipeline": URL_PIPELINE_ORACLE,
-    "explode_tokens": EXPLODE_ORACLE,
     "collect_user_events": COLLECT_ORACLE,
 }
 
@@ -224,13 +220,21 @@ ORACLES = {
 # oracle; user_time_fractions is a strict subset of user_time_matrix's
 # oracle, so it was demoted to free a driver slot for a flagship dedup
 # query (round-2 verdict).
+# Round-5 rotation: date_roundtrip / explode_tokens (long-green since
+# round 1; their F8-F13 / F17 machinery is also exercised by
+# user_time_matrix and collect_user_events) freed driver slots for
+# never-checked flagship extras. Still green via test_oracle_parity.
 EXTRA_QUERIES = {
     "variant_extract_props": variant_extract_props,
     "user_time_fractions": user_time_fractions,
+    "date_roundtrip": date_roundtrip,
+    "explode_tokens": explode_tokens,
 }
 EXTRA_ORACLES = {
     "variant_extract_props": JSON_PROPS_ORACLE,
     "user_time_fractions": TIME_FRACTIONS_ORACLE,
+    "date_roundtrip": DATE_ROUNDTRIP_ORACLE,
+    "explode_tokens": EXPLODE_ORACLE,
 }
 
 

@@ -51,13 +51,11 @@ def sql_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "sql_revenue_by_nation": sql_revenue_by_nation,
-    "sql_event_funnel": sql_event_funnel,
 }
 
 # The Spark SQL strings are themselves ANSI enough for DuckDB.
 ORACLES = {
     "sql_revenue_by_nation": SQL_REVENUE_BY_NATION,
-    "sql_event_funnel": SQL_EVENT_FUNNEL,
 }
 
 
@@ -113,8 +111,17 @@ def sql_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(SQL_COHORT_RETENTION)
 
 
-EXTRA_QUERIES = {"sql_cohort_retention": sql_cohort_retention}
-EXTRA_ORACLES = {"sql_cohort_retention": SQL_COHORT_RETENTION_DUCKDB}
+# Round-5 rotation: sql_event_funnel (long-green, mere-presence funnel)
+# demoted to an extra so its driver slot goes to the never-checked
+# ordered funnel below; still oracle-checked in test_oracle_parity.
+EXTRA_QUERIES = {
+    "sql_cohort_retention": sql_cohort_retention,
+    "sql_event_funnel": sql_event_funnel,
+}
+EXTRA_ORACLES = {
+    "sql_cohort_retention": SQL_COHORT_RETENTION_DUCKDB,
+    "sql_event_funnel": SQL_EVENT_FUNNEL,
+}
 
 
 def session_funnel_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -132,9 +139,13 @@ def session_funnel_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user_id").isNotNull()
     )
     w = Window.partitionBy("user_id").orderBy("ts")
+    # Timestamp subtraction yields a day-time interval under both
+    # TIMESTAMP and TIMESTAMP_NTZ (a bigint cast analyzes only for the
+    # former), so this stays valid whatever shape the events fixture
+    # takes.
     new_sess = F.when(
-        F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
-        > 1800,
+        F.col("ts") - F.lag(F.col("ts")).over(w)
+        > F.expr("INTERVAL 30 MINUTES"),
         1,
     ).otherwise(F.lit(1) - F.lag(F.lit(1)).over(w).isNotNull().cast("int"))
     sess = events.withColumn(
@@ -207,8 +218,9 @@ SELECT COUNT(*) AS n_sessions,
 FROM p
 """
 
-EXTRA_QUERIES["session_funnel_ordered"] = session_funnel_ordered
-EXTRA_ORACLES["session_funnel_ordered"] = SESSION_FUNNEL_ORACLE
+# Promoted to a driver slot in round 5 (never driver-checked before).
+QUERIES["session_funnel_ordered"] = session_funnel_ordered
+ORACLES["session_funnel_ordered"] = SESSION_FUNNEL_ORACLE
 
 
 # TPC-H Q3 shape (shipping priority), adapted to the fixture schema

@@ -121,13 +121,12 @@ FROM agg
 """
 
 
-QUERIES = {
-    "percentile_prices": percentile_prices,
-}
+# Round-5 rotation: percentile_prices (green since round 2) demoted to
+# an extra; its driver slot goes to the never-checked profile_orders
+# (registered below, after its definition).
+QUERIES = {}
 
-ORACLES = {
-    "percentile_prices": PERCENTILE_ORACLE,
-}
+ORACLES = {}
 
 
 
@@ -171,11 +170,13 @@ EXTRA_QUERIES = {
     "histogram_prices": histogram_prices,
     "minmax_by": minmax_by,
     "variance_stats": variance_stats,
+    "percentile_prices": percentile_prices,
 }
 EXTRA_ORACLES = {
     "histogram_prices": HISTOGRAM_ORACLE,
     "minmax_by": MINMAX_BY_ORACLE,
     "variance_stats": VARIANCE_ORACLE,
+    "percentile_prices": PERCENTILE_ORACLE,
 }
 
 
@@ -328,5 +329,6 @@ def _profile_oracle() -> str:
     )
 
 
-EXTRA_QUERIES["profile_orders"] = profile_orders
-EXTRA_ORACLES["profile_orders"] = _profile_oracle()
+# Promoted to a driver slot in round 5 (never driver-checked before).
+QUERIES["profile_orders"] = profile_orders
+ORACLES["profile_orders"] = _profile_oracle()

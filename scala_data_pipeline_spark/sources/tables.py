@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
+from pyspark.sql.types import LongType, TimestampNTZType
 
 TABLE_NAMES = (
     "region",
@@ -40,13 +40,30 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # reference pins it per-module, e.g. filter/filter.scala:19).
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark rejects
-        # ([PARQUET_TYPE_ILLEGAL]); read it as nanos-long and truncate to
-        # microseconds (matches DuckDB's nanos→µs truncation).
+        # The driver has generated events.ts in two physical shapes over
+        # time, and both must normalize to a session-TZ TIMESTAMP (the
+        # streaming layer needs a real event-time column for
+        # withWatermark, and DuckDB reads the same file UTC-naive):
+        #  - TIMESTAMP(NANOS): Spark rejects it ([PARQUET_TYPE_ILLEGAL]);
+        #    read as nanos-long and truncate to microseconds (matches
+        #    DuckDB's nanos→µs truncation).
+        #  - naive timestamp[us] (current shape): Spark ≥3.4 infers
+        #    TIMESTAMP_NTZ, which withWatermark rejects
+        #    (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE). Disable NTZ inference
+        #    so the scan itself yields TIMESTAMP — the raw micros are
+        #    taken as a UTC instant, value-identical to DuckDB under the
+        #    UTC session pinned above, and `ts` predicates keep pushing
+        #    into the parquet reader (a post-scan cast would block that).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if isinstance(df.schema["ts"].dataType, LongType):
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(ts_type, TimestampNTZType):
+            # Belt-and-braces if NTZ inference ever re-activates: with
+            # the UTC session the NTZ→TIMESTAMP cast is value-preserving.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 

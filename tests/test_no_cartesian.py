@@ -14,7 +14,8 @@ from scala_data_pipeline_spark.queries import all_queries, extra_queries
 
 # Each of these broadcasts a provably-small side (see the operator's
 # docstring): scalar aggregate rows (distinct_max_stamp, sim_quantize,
-# text_surprisal's vocab stats), bounded query batches (sim_topk_*),
+# text_surprisal's vocab stats, text_lm_perplexity's one-row vocab-size
+# scalar at ext/textstats.py:497), bounded query batches (sim_topk_*),
 # literal price bands (range_join_price_bands), or the one-row metric
 # cross-joins of dedup_lsh_quality.
 BNLJ_ALLOWED = {
@@ -24,6 +25,7 @@ BNLJ_ALLOWED = {
     "sim_quantize",
     "sim_topk_bruteforce",
     "sim_topk_quantized",
+    "text_lm_perplexity",
     "text_surprisal",
 }
 
