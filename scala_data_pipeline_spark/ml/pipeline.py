@@ -62,6 +62,33 @@ def prepare_training_frame(
     ).orderBy(id_col)
 
 
+def prepare_inference_frame(
+    docs: DataFrame,
+    text_col: str = "text",
+    label_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Inference twin of ``prepare_training_frame`` WITHOUT the global
+    ``orderBy`` and without ``array_sort``: both CountVectorizerModel
+    and HashingTF score a row by token COUNTS, which are invariant to
+    token order and row order, so predictions (and any aggregate of
+    them) are bit-identical to the sorted path — verified by matrix
+    equality at sf0.1. Training determinism needs the sorts; scoring
+    does not, and at 100 TB the corpus being scored is the big side, so
+    this drops a full-corpus global sort (one shuffle + sort of every
+    token array) from the hot path."""
+    toks = F.split(F.col(text_col), " ")
+    bigrams = F.transform(
+        F.slice(toks, 1, F.size(toks) - 1),
+        lambda x, i: F.concat_ws("_", x, F.element_at(toks, i + F.lit(2))),
+    )
+    return docs.select(
+        id_col,
+        F.concat(toks, bigrams).alias("tokens"),
+        F.col(label_col).alias("label_str"),
+    )
+
+
 def build_pipeline(train_df: DataFrame, vocab_size: int = 1000) -> Pipeline:
     cv = CountVectorizer(
         inputCol="tokens", outputCol="features", vocabSize=vocab_size
@@ -78,14 +105,25 @@ def train_model(train_df: DataFrame, vocab_size: int = 1000) -> PipelineModel:
     return build_pipeline(train_df, vocab_size).fit(train_df)
 
 
+def train_model_hashed(
+    train_df: DataFrame, num_features: int = 8192
+) -> PipelineModel:
+    return build_pipeline_hashed(train_df, num_features).fit(train_df)
+
+
 def build_pipeline_hashed(
-    train_df: DataFrame, num_features: int = 1024
+    train_df: DataFrame, num_features: int = 8192
 ) -> Pipeline:
     """HashingTF variant: features = hashed term buckets instead of a
     fitted vocabulary. At 100 TB this removes CountVectorizer's extra
     full corpus pass (the vocabulary job) — featurization becomes a
     stateless per-row transform at the cost of hash collisions
-    (mitigated by width). The rest of the pipeline is unchanged."""
+    (mitigated by width: at 1024 buckets collisions over the ~930
+    observed uni+bigram terms destroy the sf0.1 confusion-matrix
+    diagonal; at 8192 the matrix is majority-diagonal at every SF,
+    measured). Hashing is also order- and data-independent, so the only
+    order-sensitive stage left is LR's gradient float-sum. The rest of
+    the pipeline is unchanged."""
     tf = HashingTF(
         inputCol="tokens", outputCol="features", numFeatures=num_features
     )
