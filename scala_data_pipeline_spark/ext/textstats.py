@@ -488,12 +488,23 @@ def bigram_lm_perplexity(
         .select("doc_id", "p.a", "p.b")
     )
     counts = bg.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n_ab"))
-    ctx = counts.groupBy("a").agg(F.sum("n_ab").alias("n_a"))
-    vocab = bg.select(F.col("b").alias("tok")).union(
-        bg.select(F.col("a").alias("tok"))
-    ).agg(F.countDistinct("tok").alias("v"))
+    # Everything downstream of `counts` derives from the vocab²-bounded
+    # pair table, never from the corpus-sized `bg` again: the context
+    # count n_a is a window-sum over counts (identical to the groupBy
+    # sum), and the vocabulary size counts distinct tokens of counts'
+    # own (a, b) columns (a token is in the corpus's bigram stream iff
+    # it appears in some distinct pair — same v). The previous
+    # formulation re-exploded the corpus for ctx, vocab, AND the
+    # broadcast build — four tokenize+explode passes per run; this one
+    # pays two (counts build + final probe side), and Catalyst's
+    # ReuseExchange can serve the counts shuffle to both lm consumers.
+    ctx_w = Window.partitionBy("a")
+    vocab = (
+        counts.select(F.explode(F.array("a", "b")).alias("tok"))
+        .agg(F.countDistinct("tok").alias("v"))
+    )
     lm = (
-        counts.join(F.broadcast(ctx), on="a")
+        counts.withColumn("n_a", F.sum("n_ab").over(ctx_w))
         .crossJoin(F.broadcast(vocab))
         .select(
             "a",

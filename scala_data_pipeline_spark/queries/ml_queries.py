@@ -27,19 +27,16 @@ from ..sources import load_table
 
 
 def ml_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    # Small-file fan-out: the test fixture ships documents as ONE
-    # unsplittable parquet row group, so every downstream map (tokenize
-    # + hash + LR transform) would run as a single serial task. At
-    # 100 TB the corpus arrives in thousands of splits and this branch
-    # never fires; when the scan yields fewer partitions than cores,
-    # fanning the (small, by implication) input out once costs one tiny
-    # shuffle and parallelizes all per-row work. Row-order determinism
-    # is unaffected: the training frame below re-sorts, and everything
-    # else is count-aggregated.
-    par = spark.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < par:
-        docs = docs.repartition(par)
+    from ..ext.util import fan_out
+
+    # Small-file fan-out (ext.util.fan_out): the test fixture ships
+    # documents as ONE unsplittable parquet row group, so every
+    # downstream map (tokenize + hash + LR transform) would run as a
+    # single serial task; at 100 TB the corpus arrives in thousands of
+    # splits and fan_out is a no-op. Row-order determinism is
+    # unaffected: the training frame below re-sorts on the unique
+    # doc_id, and everything else is count-aggregated.
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     # One sorted partition for the fit: the labeled training set is
     # small relative to the cluster, and a single fixed row order pins
     # LR's gradient-sum float order across sessions (HashingTF itself is
