@@ -15,6 +15,13 @@ Reference parity:
   day and weekday count pivots left-joined onto per-user work/evening
   fractions (J6 chain), with the packed feature vector (F18) emitted as
   an ``array<bigint>``.
+
+Scan parallelism: the matrix builders wrap their events input in
+``ext.util.fan_out`` — the sf0.1 events fixture is one unsplittable
+parquet row group, which would run the from_json + 200-condition pivot
+agg's map side on a single core; at real scale events arrive in many
+splits and fan_out is a no-op. All downstream aggregates are
+count/sum-based, so the repartition cannot change results.
 """
 
 from __future__ import annotations
@@ -24,6 +31,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..ext.util import fan_out
 from ..functions.timefn import WEEKDAYS, in_hour_range, weekday_name
 from .aggregates import pivot_counts
 
@@ -37,7 +45,7 @@ def event_items_long(
     the projection users_items.scala:31-45 does per source dir, union
     built in. ``extra_cols`` keeps additional narrow columns (e.g. ts
     for an incremental split) without widening the default projection."""
-    typed = events.filter(
+    typed = fan_out(events).filter(
         F.col("user_id").isNotNull() & F.col("event_type").isin("view", "purchase")
     )
     prefix = F.when(F.col("event_type") == "view", "view_item").otherwise("buy_item")
@@ -99,7 +107,7 @@ def merge_matrix(old_matrix: DataFrame, new_events: DataFrame) -> DataFrame:
 def user_time_matrix(events: DataFrame) -> DataFrame:
     """Per-user time-features: visits, work/evening fractions, hour and
     weekday count pivots, packed hour vector (features.scala:50-100)."""
-    visits = events.filter(F.col("user_id").isNotNull())
+    visits = fan_out(events).filter(F.col("user_id").isNotNull())
     fractions = (
         visits.groupBy("user_id")
         .agg(

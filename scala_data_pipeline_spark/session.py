@@ -50,6 +50,14 @@ def get_session(
             str(shuffle_partitions if shuffle_partitions else cores),
         )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # The users×items pivot family plans ~200-column aggregates and
+        # expands; the default codegen cutoff (maxFields=100) silently
+        # drops those stages to interpreted row-at-a-time evaluation —
+        # measured 1.5x on unpivot_matrix_long at sf0.1. 300 keeps the
+        # engine's widest matrices inside whole-stage codegen while
+        # staying far below JIT method-size trouble (Spark splits
+        # generated methods; the hugeMethodLimit fallback still guards).
+        .config("spark.sql.codegen.maxFields", "300")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # Embedded Derby (JDBC tests) writes derby.log to
