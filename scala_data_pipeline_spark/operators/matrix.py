@@ -16,12 +16,13 @@ Reference parity:
   fractions (J6 chain), with the packed feature vector (F18) emitted as
   an ``array<bigint>``.
 
-Scan parallelism: the matrix builders wrap their events input in
+Scan parallelism: ``event_items_long`` wraps its events input in
 ``ext.util.fan_out`` — the sf0.1 events fixture is one unsplittable
 parquet row group, which would run the from_json + 200-condition pivot
 agg's map side on a single core; at real scale events arrive in many
 splits and fan_out is a no-op. All downstream aggregates are
 count/sum-based, so the repartition cannot change results.
+``user_time_matrix`` deliberately does NOT fan out (see inline note).
 """
 
 from __future__ import annotations
@@ -107,7 +108,12 @@ def merge_matrix(old_matrix: DataFrame, new_events: DataFrame) -> DataFrame:
 def user_time_matrix(events: DataFrame) -> DataFrame:
     """Per-user time-features: visits, work/evening fractions, hour and
     weekday count pivots, packed hour vector (features.scala:50-100)."""
-    visits = fan_out(events).filter(F.col("user_id").isNotNull())
+    # No fan_out here (unlike event_items_long): this map side is cheap
+    # (hour extraction + ≤24 conditions), and each of the three pivot
+    # branches would embed its own copy of the round-robin exchange —
+    # measured 0.43 → 0.75 s at sf0.1 with fan_out, so the serial scan
+    # wins at fixture scale and is irrelevant at cluster scale.
+    visits = events.filter(F.col("user_id").isNotNull())
     fractions = (
         visits.groupBy("user_id")
         .agg(
