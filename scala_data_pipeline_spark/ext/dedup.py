@@ -610,6 +610,146 @@ FROM ranked GROUP BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# Substring-level duplication (cross-document repeated spans)
+# ---------------------------------------------------------------------------
+
+SPAN_TOKENS = 10
+
+
+def duplicated_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = SPAN_TOKENS,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Substring-level dedup signal (the ExactSubstr recipe of Lee et
+    al. 2021, "Deduplicating Training Data Makes Language Models
+    Better", approximated at k-token granularity): find every k-token
+    span occurring in ≥ ``min_docs`` DISTINCT documents, merge each
+    document's duplicated span positions into maximal intervals
+    (gaps-and-islands), and report per-document coverage — the exact
+    numbers a span-excision pass would act on. Distinct from
+    ``segment_dedup`` (non-overlapping fixed segments, first-occurrence
+    policy) and ``hot_ngram_flags`` (df-threshold flags): this measures
+    arbitrary-position OVERLAPPING span sharing, the boilerplate/quote
+    duplication that survives document- and segment-level dedup.
+
+    Returns (doc_id, n_dup_positions, n_spans, dup_tokens, n_tokens,
+    dup_fraction) for documents with at least one duplicated span.
+
+    Scale shape: the corpus explodes once to (doc, pos, md5(span)) —
+    corpus × avg_tokens rows, the bigram-LM order of magnitude; the
+    duplicated-span set is ONE count-distinct agg on the span digest
+    (md5 → uniform keys, skew-free); membership is an equi-JOIN on the
+    digest (never a broadcast — at 100 TB the duplicated-span set
+    scales with the corpus); interval merging is one doc-keyed window.
+    Three bounded shuffles, no pair joins. md5 rather than xxhash64 so
+    the DuckDB oracle computes byte-identical keys; production would
+    swap in xxhash64 (same plan, half the shuffle bytes).
+    """
+    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    n_toks = F.size(toks)
+    # sequence(1, n) with n < 1 would generate a DESCENDING range, so
+    # short documents must yield an empty position array explicitly.
+    positions = F.when(
+        n_toks >= k, F.sequence(F.lit(1), n_toks - F.lit(k - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    spans = F.transform(
+        positions,
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.md5(F.array_join(F.slice(toks, i, k), " ")).alias("g"),
+        ),
+    )
+    grams = (
+        fan_out(docs)
+        .select(
+            "doc_id",
+            n_toks.cast("long").alias("n_tokens"),
+            F.explode(spans).alias("s"),
+        )
+        .select("doc_id", "n_tokens", "s.pos", "s.g")
+    )
+    dup = (
+        grams.groupBy("g")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("g")
+    )
+    hits = grams.join(dup, on="g")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    # Two length-k spans at p1 < p2 cover a contiguous token range iff
+    # p2 <= p1 + k; a larger gap starts a new island.
+    prev = F.lag("pos").over(w)
+    island = F.sum(
+        F.when(prev.isNull() | (F.col("pos") - prev > k), 1).otherwise(0)
+    ).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    islands = hits.withColumn("island", island)
+    per_span = islands.groupBy("doc_id", "island").agg(
+        F.count(F.lit(1)).alias("n_pos"),
+        F.min("pos").alias("lo"),
+        F.max("pos").alias("hi"),
+        F.max("n_tokens").alias("n_tokens"),
+    )
+    return per_span.groupBy("doc_id").agg(
+        F.sum("n_pos").alias("n_dup_positions"),
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("hi") + F.lit(k) - F.col("lo")).alias("dup_tokens"),
+        F.max("n_tokens").alias("n_tokens"),
+        F.round(
+            F.sum(F.col("hi") + F.lit(k) - F.col("lo")).cast("double")
+            / F.max("n_tokens"),
+            6,
+        ).alias("dup_fraction"),
+    )
+
+
+def duplicated_spans_sql(
+    text_col: str = "text",
+    table: str = "documents",
+    k: int = SPAN_TOKENS,
+    min_docs: int = 2,
+) -> str:
+    """DuckDB twin of :func:`duplicated_spans` — identical md5 span
+    keys (1-based inclusive list_slice ≡ Spark's 1-based slice) and
+    identical island arithmetic."""
+    t = f"list_filter(string_split({text_col}, ' '), x -> x <> '')"
+    return f"""
+WITH t AS (
+  SELECT doc_id, {t} AS toks FROM {table}
+), grams AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, i AS pos,
+         md5(array_to_string(list_slice(toks, i, i + {k} - 1), ' ')) AS g
+  FROM t, unnest(range(1, greatest(len(toks) - {k} + 2, 1))) AS u(i)
+), dup AS (
+  SELECT g FROM grams GROUP BY g HAVING COUNT(DISTINCT doc_id) >= {min_docs}
+), hits AS (
+  SELECT doc_id, n_tokens, pos,
+         LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+  FROM grams WHERE g IN (SELECT g FROM dup)
+), isl AS (
+  SELECT doc_id, n_tokens, pos,
+         SUM(CASE WHEN prev IS NULL OR pos - prev > {k} THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM hits
+), spans AS (
+  SELECT doc_id, island, COUNT(*) AS n_pos, MIN(pos) AS lo, MAX(pos) AS hi,
+         MAX(n_tokens) AS n_tokens
+  FROM isl GROUP BY doc_id, island
+)
+SELECT doc_id,
+       CAST(SUM(n_pos) AS BIGINT) AS n_dup_positions,
+       CAST(COUNT(*) AS BIGINT) AS n_spans,
+       CAST(SUM(hi + {k} - lo) AS BIGINT) AS dup_tokens,
+       MAX(n_tokens) AS n_tokens,
+       ROUND(CAST(SUM(hi + {k} - lo) AS DOUBLE) / MAX(n_tokens), 6)
+         AS dup_fraction
+FROM spans GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Hot-n-gram flagging (corpus-frequency contamination signal)
 # ---------------------------------------------------------------------------
 

@@ -6,6 +6,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..ext.dedup import (
+    duplicated_spans,
+    duplicated_spans_sql,
     exact_dedup_groups,
     hot_ngram_flags,
     hot_ngram_flags_sql,
@@ -123,17 +125,25 @@ def dedup_hot_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["dedup_segments"] = dedup_segments
 ORACLES["dedup_segments"] = segment_dedup_sql()
 
+def dedup_common_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated k-token spans (ExactSubstr-style,
+    Lee et al. 2021) with merged-interval per-doc coverage."""
+    return duplicated_spans(load_table(spark, sf_dir, "documents"))
+
+
 EXTRA_QUERIES = {
     "dedup_simhash_pairs": dedup_simhash_pairs,
     "dedup_hot_ngrams": dedup_hot_ngrams,
     "dedup_components_star": dedup_components_star,
     "dedup_lsh_quality": dedup_lsh_quality,
+    "dedup_common_spans": dedup_common_spans,
 }
 EXTRA_ORACLES = {
     "dedup_simhash_pairs": simhash_neardup_sql(),
     "dedup_hot_ngrams": hot_ngram_flags_sql(),
     "dedup_components_star": _components_oracle(),
     "dedup_lsh_quality": lsh_quality_metrics_sql(),
+    "dedup_common_spans": duplicated_spans_sql(),
 }
 
 

@@ -107,3 +107,33 @@ def test_incremental_lsh_overlapping_ids_no_self_pairs(spark):
     assert all(r["doc_a"] != r["doc_b"] for r in pairs)
     # the genuine near-dup pair is still surfaced
     assert {(r["doc_a"], r["doc_b"]) for r in pairs} == {("d1", "d2")}
+
+
+def test_duplicated_spans_semantics(spark):
+    """Hand-built corpus with a known shared span: interval merging,
+    coverage arithmetic, and the short-document / unique-document
+    exclusions, all at k=4."""
+    from scala_data_pipeline_spark.ext.dedup import duplicated_spans
+
+    shared = "w1 w2 w3 w4 w5 w6"  # 6 tokens shared verbatim by docs 0+1
+    rows = [
+        (0, shared + " a1 a2 a3 a4"),
+        (1, "b1 b2 " + shared),
+        (2, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10"),  # unique content
+        (3, "w1 w2 w3"),  # shorter than k — no spans at all
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in duplicated_spans(docs, k=4).collect()}
+
+    # Only the two sharing docs appear.
+    assert set(got) == {0, 1}
+    for doc_id in (0, 1):
+        r = got[doc_id]
+        # 6 shared tokens at k=4 → 3 overlapping duplicated positions,
+        # merging into ONE island covering exactly the 6 shared tokens.
+        assert r["n_dup_positions"] == 3
+        assert r["n_spans"] == 1
+        assert r["dup_tokens"] == 6
+        assert r["n_tokens"] == (10 if doc_id == 0 else 8)
+    assert got[0]["dup_fraction"] == 0.6
+    assert got[1]["dup_fraction"] == 0.75
