@@ -704,6 +704,151 @@ def duplicated_spans(
     )
 
 
+def excise_duplicated_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = SPAN_TOKENS,
+    min_docs: int = 2,
+) -> DataFrame:
+    """The ACTION half of :func:`duplicated_spans` (Lee et al. 2021's
+    ExactSubstr cut, at k-token granularity): for every cross-document
+    duplicated span, the corpus-wide FIRST occurrence (ordered by
+    (doc_id, pos) — deterministic, engine-independent) keeps its copy;
+    every other occurrence is excised. Non-keeper hit positions merge
+    into maximal intervals per document and the covered tokens are cut;
+    each document is reassembled from its surviving tokens.
+
+    Returns (doc_id, n_tokens, n_removed, dedup_text) for EVERY
+    document (no silent drops — untouched docs come back verbatim with
+    n_removed = 0, house rule shared with segment_dedup).
+
+    Scale shape: duplicated_spans' plan plus ONE row_number window on
+    the span digest (uniform md5 key, skew-free) for keeper election
+    and ONE left join of the corpus against its per-doc interval lists
+    (equi-join on doc_id). The token-level cut is a per-row lambda over
+    (token, interval-list) — no shuffle of its own.
+    """
+    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    n_toks = F.size(toks)
+    positions = F.when(
+        n_toks >= k, F.sequence(F.lit(1), n_toks - F.lit(k - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    spans = F.transform(
+        positions,
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.md5(F.array_join(F.slice(toks, i, k), " ")).alias("g"),
+        ),
+    )
+    base = fan_out(docs).select("doc_id", toks.alias("toks"), spans.alias("spans"))
+    grams = base.select("doc_id", F.explode("spans").alias("s")).select(
+        "doc_id", "s.pos", "s.g"
+    )
+    dup = (
+        grams.groupBy("g")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("g")
+    )
+    hits = grams.join(dup, on="g")
+    # Keeper election: the corpus-wide first occurrence of each span
+    # survives; only NON-keeper occurrences generate cut intervals.
+    w_g = Window.partitionBy("g").orderBy("doc_id", "pos")
+    losers = hits.withColumn("rn", F.row_number().over(w_g)).filter(
+        F.col("rn") > 1
+    )
+    w_d = Window.partitionBy("doc_id").orderBy("pos")
+    prev = F.lag("pos").over(w_d)
+    island = F.sum(
+        F.when(prev.isNull() | (F.col("pos") - prev > k), 1).otherwise(0)
+    ).over(w_d.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    intervals = (
+        losers.withColumn("island", island)
+        .groupBy("doc_id", "island")
+        .agg(F.min("pos").alias("lo"), (F.max("pos") + F.lit(k - 1)).alias("hi"))
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("lo", "hi"))).alias("ivs")
+        )
+    )
+    cut = base.join(intervals, on="doc_id", how="left").withColumn(
+        "ivs",
+        F.coalesce(
+            "ivs", F.array().cast("array<struct<lo:int,hi:bigint>>")
+        ),
+    )
+    survivors = F.filter(
+        F.transform(
+            F.col("toks"),
+            lambda x, i: F.struct(x.alias("tok"), (i + 1).alias("pos")),
+        ),
+        lambda s: ~F.exists(
+            F.col("ivs"),
+            lambda iv: (s["pos"] >= iv["lo"]) & (s["pos"] <= iv["hi"]),
+        ),
+    )
+    return cut.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        (F.size("toks") - F.size(survivors)).cast("long").alias("n_removed"),
+        F.array_join(
+            F.transform(survivors, lambda s: s["tok"]), " "
+        ).alias("dedup_text"),
+    )
+
+
+def excise_duplicated_spans_sql(
+    text_col: str = "text",
+    table: str = "documents",
+    k: int = SPAN_TOKENS,
+    min_docs: int = 2,
+) -> str:
+    """DuckDB twin of :func:`excise_duplicated_spans` — same keeper
+    election, same island arithmetic, same token-position cut."""
+    t = f"list_filter(string_split({text_col}, ' '), x -> x <> '')"
+    return f"""
+WITH t AS (
+  SELECT doc_id, {t} AS toks FROM {table}
+), grams AS (
+  SELECT doc_id, i AS pos,
+         md5(array_to_string(list_slice(toks, i, i + {k} - 1), ' ')) AS g
+  FROM t, unnest(range(1, greatest(len(toks) - {k} + 2, 1))) AS u(i)
+), dup AS (
+  SELECT g FROM grams GROUP BY g HAVING COUNT(DISTINCT doc_id) >= {min_docs}
+), losers AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos,
+           ROW_NUMBER() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
+    FROM grams WHERE g IN (SELECT g FROM dup)
+  ) WHERE rn > 1
+), isl AS (
+  SELECT doc_id, pos,
+         SUM(CASE WHEN prev IS NULL OR pos - prev > {k} THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM (SELECT doc_id, pos,
+               LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        FROM losers)
+), ivs AS (
+  SELECT doc_id, list_sort(list(struct_pack(
+           lo := lo, hi := hi))) AS ivs
+  FROM (SELECT doc_id, island, MIN(pos) AS lo, MAX(pos) + {k - 1} AS hi
+        FROM isl GROUP BY doc_id, island)
+  GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(len(t.toks) AS BIGINT) AS n_tokens,
+       CAST(len(t.toks) - len(list_filter(t.toks, (x, i) ->
+         len(list_filter(COALESCE(ivs.ivs, []),
+             iv -> i >= iv.lo AND i <= iv.hi)) = 0)) AS BIGINT)
+         AS n_removed,
+       COALESCE(array_to_string(list_filter(t.toks, (x, i) ->
+         len(list_filter(COALESCE(ivs.ivs, []),
+             iv -> i >= iv.lo AND i <= iv.hi)) = 0), ' '), '') AS dedup_text
+FROM t LEFT JOIN ivs ON t.doc_id = ivs.doc_id
+"""
+
+
 def duplicated_spans_sql(
     text_col: str = "text",
     table: str = "documents",

@@ -9,6 +9,8 @@ from ..ext.dedup import (
     duplicated_spans,
     duplicated_spans_sql,
     exact_dedup_groups,
+    excise_duplicated_spans,
+    excise_duplicated_spans_sql,
     hot_ngram_flags,
     hot_ngram_flags_sql,
     lsh_candidate_pairs,
@@ -131,12 +133,19 @@ def dedup_common_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicated_spans(load_table(spark, sf_dir, "documents"))
 
 
+def dedup_span_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr cut: first occurrence keeps each duplicated span,
+    every other occurrence is excised and docs are reassembled."""
+    return excise_duplicated_spans(load_table(spark, sf_dir, "documents"))
+
+
 EXTRA_QUERIES = {
     "dedup_simhash_pairs": dedup_simhash_pairs,
     "dedup_hot_ngrams": dedup_hot_ngrams,
     "dedup_components_star": dedup_components_star,
     "dedup_lsh_quality": dedup_lsh_quality,
     "dedup_common_spans": dedup_common_spans,
+    "dedup_span_excise": dedup_span_excise,
 }
 EXTRA_ORACLES = {
     "dedup_simhash_pairs": simhash_neardup_sql(),
@@ -144,6 +153,7 @@ EXTRA_ORACLES = {
     "dedup_components_star": _components_oracle(),
     "dedup_lsh_quality": lsh_quality_metrics_sql(),
     "dedup_common_spans": duplicated_spans_sql(),
+    "dedup_span_excise": excise_duplicated_spans_sql(),
 }
 
 

@@ -137,3 +137,36 @@ def test_duplicated_spans_semantics(spark):
         assert r["n_tokens"] == (10 if doc_id == 0 else 8)
     assert got[0]["dup_fraction"] == 0.6
     assert got[1]["dup_fraction"] == 0.75
+
+
+def test_excise_duplicated_spans_semantics(spark):
+    """Keeper election and reassembly: the corpus-wide first occurrence
+    keeps its copy, later occurrences are cut, untouched and
+    sub-k-length docs come back verbatim — and a second pass over the
+    excised corpus finds nothing left to cut (the dedup is a
+    fixed point on this corpus)."""
+    from scala_data_pipeline_spark.ext.dedup import excise_duplicated_spans
+
+    shared = "w1 w2 w3 w4 w5 w6"
+    rows = [
+        (0, shared + " a1 a2 a3 a4"),
+        (1, "b1 b2 " + shared),
+        (2, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10"),
+        (3, "w1 w2 w3"),  # shorter than k
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in excise_duplicated_spans(docs, k=4).collect()}
+
+    assert set(got) == {0, 1, 2, 3}
+    assert got[0]["dedup_text"] == shared + " a1 a2 a3 a4"  # keeper
+    assert got[0]["n_removed"] == 0
+    assert got[1]["dedup_text"] == "b1 b2"  # loser: span cut
+    assert got[1]["n_removed"] == 6
+    assert got[2]["n_removed"] == 0  # unique content untouched
+    assert got[3]["dedup_text"] == "w1 w2 w3"  # < k tokens, untouched
+
+    second = spark.createDataFrame(
+        [(d, r["dedup_text"]) for d, r in got.items()], ["doc_id", "text"]
+    )
+    again = excise_duplicated_spans(second, k=4).collect()
+    assert all(r["n_removed"] == 0 for r in again)
