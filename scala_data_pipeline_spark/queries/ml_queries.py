@@ -18,11 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..ml.pipeline import (
-    prepare_inference_frame,
-    prepare_training_frame,
-    train_model_hashed,
-)
+from ..ml.pipeline import prepare_inference_frame, train_model_hashed
 from ..sources import load_table
 
 
