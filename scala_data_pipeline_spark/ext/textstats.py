@@ -257,6 +257,127 @@ FROM ranked WHERE rank <= {top_n}
 """
 
 
+BM25_QUERY_TERMS = ("spark", "data", "query", "filter")
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: tuple[str, ...] = BM25_QUERY_TERMS,
+    text_col: str = "text",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    top_n: int = 20,
+) -> DataFrame:
+    """BM25 relevance of every document against a fixed query — the
+    retrieval-grade companion to :func:`tf_idf` (corpus quality
+    filtering by query relevance, dedup-candidate scoring, eval-set
+    mining). Okapi BM25 with Lucene's non-negative idf:
+    ``idf = ln((N - df + 0.5)/(df + 0.5) + 1)``;
+    ``score = Σ_t idf_t · tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl))``.
+
+    Scale shape: per-term tf and doc length are PER-ROW array
+    expressions (``size(filter(tokens, = t))`` — codegen, no explode,
+    no shuffle for the tf side); corpus stats (N, avgdl, per-term df)
+    are ONE one-row aggregate broadcast back via crossJoin (the
+    BNLJ-allowlist scalar pattern shared with text_surprisal); the
+    top-n is a TakeOrderedAndProject. Two corpus scans total, zero
+    wide shuffles. Engine-exactness: every input to the score (tf, dl,
+    df, N) is an exact integer, avgdl is an exact-integer-sum average,
+    and the per-term components are summed in fixed expression order —
+    so the double arithmetic is bit-identical in DuckDB and the result
+    can carry a value-hash oracle despite being floating-point.
+    """
+    toks = tokens_col(F.col(text_col))
+
+    def _tf(term: str) -> Column:
+        # NB: a default-arg lambda (``lambda x, t=t``) would be read by
+        # PySpark as the two-parameter (element, index) form — the
+        # closure keeps the predicate single-argument.
+        return F.size(F.filter(toks, lambda x: x == F.lit(term)))
+
+    per_doc = fan_out(docs).select(
+        "doc_id",
+        F.size(toks).cast("long").alias("dl"),
+        *[
+            _tf(t).cast("long").alias(f"tf_{i}")
+            for i, t in enumerate(query_terms)
+        ],
+    )
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(query_terms))
+        ],
+    )
+    comps = []
+    for i in range(len(query_terms)):
+        idf = F.log(
+            (F.col("n_docs") - F.col(f"df_{i}") + 0.5)
+            / (F.col(f"df_{i}") + 0.5)
+            + 1
+        )
+        tf = F.col(f"tf_{i}").cast("double")
+        norm = (tf * (k1 + 1)) / (
+            tf + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+        )
+        comps.append(idf * norm)
+    total = comps[0]
+    for c in comps[1:]:
+        total = total + c
+    return (
+        per_doc.crossJoin(F.broadcast(stats))
+        .select("doc_id", "dl", F.round(total, 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(top_n)
+    )
+
+
+def bm25_scores_sql(
+    query_terms: tuple[str, ...] = BM25_QUERY_TERMS,
+    text_col: str = "text",
+    table: str = "documents",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    top_n: int = 20,
+) -> str:
+    """DuckDB twin of :func:`bm25_scores` — identical double ops in
+    identical (fixed expression) order."""
+    t = f"list_filter(string_split({text_col}, ' '), x -> x <> '')"
+    tf_cols = ",\n         ".join(
+        f"CAST(len(list_filter(toks, x -> x = '{term}')) AS BIGINT) AS tf_{i}"
+        for i, term in enumerate(query_terms)
+    )
+    df_cols = ",\n         ".join(
+        f"SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+        for i in range(len(query_terms))
+    )
+    comps = " + ".join(
+        f"(ln((n_docs - df_{i} + 0.5) / (df_{i} + 0.5) + 1) * "
+        f"(CAST(tf_{i} AS DOUBLE) * {k1 + 1}) / "
+        f"(CAST(tf_{i} AS DOUBLE) + {k1} * (1 - {b} + {b} * dl / avgdl)))"
+        for i in range(len(query_terms))
+    )
+    return f"""
+WITH per_doc AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+         {tf_cols}
+  FROM (SELECT doc_id, {t} AS toks FROM {table})
+), stats AS (
+  SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl,
+         {df_cols}
+  FROM per_doc
+)
+SELECT doc_id, dl, ROUND({comps}, 6) AS bm25
+FROM per_doc, stats
+ORDER BY bm25 DESC, doc_id ASC
+LIMIT {top_n}
+"""
+
+
 def fingerprint(docs: DataFrame, text_col: str = "text", k: int = 4) -> DataFrame:
     """Winnowing-style document fingerprint: the k smallest distinct
     3-gram shingle digests, concatenated. Near-identical documents agree

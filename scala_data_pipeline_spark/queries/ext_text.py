@@ -8,6 +8,8 @@ from ..ext.multimodal import extract_features, to_media_frame
 from ..ext.textstats import (
     bigram_lm_perplexity,
     bigram_lm_perplexity_sql,
+    bm25_scores,
+    bm25_scores_sql,
     fingerprint,
     fingerprint_sql,
     lang_id,
@@ -118,17 +120,24 @@ ORACLES["text_tfidf"] = tf_idf_sql()
 QUERIES["text_lm_perplexity"] = text_lm_perplexity
 ORACLES["text_lm_perplexity"] = bigram_lm_perplexity_sql()
 
+def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 documents for a fixed query over the corpus."""
+    return bm25_scores(load_table(spark, sf_dir, "documents"))
+
+
 EXTRA_QUERIES = {
     "text_token_count": text_token_count,
     "text_chunks": text_chunks,
     "text_pack_bins": text_pack_bins,
     "text_surprisal": text_surprisal,
+    "text_bm25": text_bm25,
 }
 EXTRA_ORACLES = {
     "text_token_count": token_count_sql(),
     "text_chunks": _chunks_oracle(),
     "text_pack_bins": _pack_oracle(),
     "text_surprisal": unigram_surprisal_sql(),
+    "text_bm25": bm25_scores_sql(),
 }
 
 

@@ -25,6 +25,7 @@ BNLJ_ALLOWED = {
     "sim_quantize",
     "sim_topk_bruteforce",
     "sim_topk_quantized",
+    "text_bm25",
     "text_lm_perplexity",
     "text_surprisal",
 }
