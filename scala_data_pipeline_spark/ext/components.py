@@ -37,12 +37,69 @@ class ComponentsNotConverged(RuntimeError):
     group."""
 
 
+# Bidirectional-edge count at or below which the component graph is
+# solved in one pass on the driver instead of by iterative rounds. At
+# 200k rows × two ids this is a few MB of driver memory — far below the
+# other documented bounded-driver sets' ceilings — while each avoided
+# iteration round costs 3 jobs (join + checkpoint + probe).
+SMALL_GRAPH_EDGES = 200_000
+
+
+def _solve_small_graph(edges: DataFrame) -> DataFrame:
+    """Exact union-find over a collected (bounded) edge list.
+
+    The post-LSH component graph is EDGES-bounded, not corpus-bounded —
+    the capped pair generators emit at most cap·buckets edges, and
+    after banding most corpora yield a graph orders of magnitude
+    smaller than the document count. When that graph fits the
+    SMALL_GRAPH_EDGES bound, 10+ driver-scheduled iteration jobs
+    (join + localCheckpoint + convergence probe per round) cost far
+    more than one bounded collect — the same driver-side-scalar
+    pattern as the dynamic pivot value list, with the same documented
+    bound. Labels are the component minimum, bit-identical to the
+    propagation fixpoint and the recursive-CTE oracle, and independent
+    of edge order (so of partitioning)."""
+    rows = edges.collect()
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in rows:
+        ra, rb = find(r["src"]), find(r["dst"])
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    vertices = {v for r in rows for v in (r["src"], r["dst"])}
+    comp_min: dict = {}
+    for v in vertices:
+        root = find(v)
+        if root not in comp_min or v < comp_min[root]:
+            comp_min[root] = v
+    labels = sorted((v, comp_min[find(v)]) for v in vertices)
+    id_type = edges.schema["src"].dataType
+    from pyspark.sql.types import StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("doc_id", id_type, nullable=False),
+            StructField("cluster_id", id_type, nullable=False),
+        ]
+    )
+    return edges.sparkSession.createDataFrame(labels, schema)
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_iter: int = 25,
     on_unconverged: str = "raise",
+    small_graph_bound: int = SMALL_GRAPH_EDGES,
 ) -> DataFrame:
     """(doc_id, cluster_id) for every vertex appearing in ``pairs``;
     ``cluster_id`` = min doc_id of the vertex's component.
@@ -50,13 +107,27 @@ def connected_components(
     ``on_unconverged``: "raise" (default) raises ComponentsNotConverged
     if max_iter rounds pass without a fixpoint; "warn" emits a warning
     and returns the partial labels (callers that can tolerate split
-    clusters, e.g. exploratory profiling)."""
+    clusters, e.g. exploratory profiling).
+
+    ``small_graph_bound``: bidirectional-edge count at or below which
+    the graph is solved exactly in one driver pass
+    (:func:`_solve_small_graph`) instead of by iteration — identical
+    labels, ~10× fewer jobs on small graphs. Pass 0 to force the
+    iterative path (tests of iteration semantics do)."""
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    if small_graph_bound:
+        # One job over the persisted edge list; the collect below then
+        # reads the cache rather than re-deriving the pair pipeline.
+        if edges.count() <= small_graph_bound:
+            try:
+                return _solve_small_graph(edges)
+            finally:
+                edges.unpersist()
     labels = (
         # Fused first round: the identity labeling's round 1 reduces to
         # min(v, min(neighbors)) — one groupBy over the edge list, no

@@ -18,11 +18,13 @@ def test_components_chain_and_islands(spark):
 
 
 def test_components_long_chain_converges(spark):
-    # path graph 0-1-2-...-12: diameter > a couple rounds, still converges
+    # path graph 0-1-2-...-12: diameter > a couple rounds, still
+    # converges. small_graph_bound=0 forces the ITERATIVE path (the
+    # default would take the single-pass small-graph solve).
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(12)], ["doc_a", "doc_b"]
     )
-    got = connected_components(pairs).collect()
+    got = connected_components(pairs, small_graph_bound=0).collect()
     assert {r["cluster_id"] for r in got} == {0}
     assert len(got) == 13
 
@@ -39,10 +41,12 @@ def test_components_unconverged_raises_and_warn_mode(spark):
         [(i, i + 1) for i in range(8)], ["doc_a", "doc_b"]
     )
     with pytest.raises(ComponentsNotConverged):
-        connected_components(pairs, max_iter=2)
+        connected_components(pairs, max_iter=2, small_graph_bound=0)
     with warnings.catch_warnings(record=True) as caught:
         warnings.simplefilter("always")
-        got = connected_components(pairs, max_iter=2, on_unconverged="warn")
+        got = connected_components(
+            pairs, max_iter=2, on_unconverged="warn", small_graph_bound=0
+        )
         assert len(got.collect()) == 9  # partial labels still returned
     assert any("no fixpoint" in str(w.message) for w in caught)
 
@@ -82,11 +86,16 @@ def test_components_random_graphs_match_union_find(spark):
             continue
         want = _union_find_components(edges)
         pairs = spark.createDataFrame(edges, ["doc_a", "doc_b"])
-        got = {
-            r["doc_id"]: r["cluster_id"]
-            for r in connected_components(pairs).collect()
-        }
-        assert got == want, f"trial {trial}: {sorted(edges)}"
+        # Both paths must agree with the reference union-find: the
+        # default (small-graph single-pass solve) and the forced
+        # iterative propagation.
+        for bound in (None, 0):
+            kwargs = {} if bound is None else {"small_graph_bound": 0}
+            got = {
+                r["doc_id"]: r["cluster_id"]
+                for r in connected_components(pairs, **kwargs).collect()
+            }
+            assert got == want, f"trial {trial} bound={bound}: {sorted(edges)}"
 
 
 def test_star_components_long_chain_logarithmic(spark):
