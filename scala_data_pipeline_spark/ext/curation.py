@@ -67,6 +67,78 @@ def deterministic_sample_sql(
     )
 
 
+# 16^13 = 2^52: thirteen md5 hex chars parse to an integer that a
+# double represents EXACTLY, so u = (v+1)/2^52 is the same double in
+# every engine.
+_U52 = 16**13
+
+
+def weighted_sample(
+    docs: DataFrame,
+    n: int,
+    weight_col: str = "n_chars",
+    key_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement — the
+    Efraimidis-Spirakis A-ES scheme with the random draw replaced by the
+    house md5-uniform: u = (md5(salt||key)[:13 hex] + 1) / 2^52 ∈ (0,1],
+    priority = -ln(u)/w, keep the n smallest. P[selected] scales with
+    weight w (quality-weighted corpus subsampling, importance-weighted
+    eval picks), the draw is reproducible and engine-independent, and
+    a different ``salt`` yields an independent sample over the same
+    keys. Zero/negative-weight rows are outside the A-ES domain and are
+    excluded (loudly documented rather than silently kept).
+
+    Scale shape: one scan computing a per-row priority (codegen —
+    md5 + conv + ln, no shuffle), then a global top-n
+    (TakeOrderedAndProject — per-partition heaps, one tiny merge). The
+    ONLY float risk across engines is ln's last ulp; priorities are
+    rounded to 6 before ordering (doc_id tiebreak) so selection and
+    hash agree unless a value lands exactly on a rounding boundary —
+    the same exactness class as text_bm25's oracle.
+    """
+    digest = F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+    u = (F.conv(F.substring(digest, 1, 13), 16, 10).cast("long") + 1) / F.lit(
+        float(_U52)
+    )
+    w = F.col(weight_col).cast("double")
+    score = F.round(-F.log(u) / w, 6)
+    return (
+        docs.filter(w > 0)
+        .select(
+            key_col,
+            F.col(weight_col).cast("long").alias("weight"),
+            score.alias("priority"),
+        )
+        .orderBy(F.col("priority").asc(), F.col(key_col).asc())
+        .limit(n)
+    )
+
+
+def weighted_sample_sql(
+    n: int,
+    weight_col: str = "n_chars",
+    key_col: str = "doc_id",
+    salt: str = "",
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`weighted_sample` — identical md5→uniform
+    mapping (hex-literal cast ≡ Spark's conv(…,16,10)) and identical
+    double ops in identical order."""
+    digest = f"md5('{salt}' || CAST({key_col} AS VARCHAR))"
+    u = f"(CAST(concat('0x', substr({digest}, 1, 13)) AS BIGINT) + 1) / {float(_U52)!r}"
+    return f"""
+SELECT {key_col},
+       CAST({weight_col} AS BIGINT) AS weight,
+       ROUND(-ln({u}) / CAST({weight_col} AS DOUBLE), 6) AS priority
+FROM {table}
+WHERE CAST({weight_col} AS DOUBLE) > 0
+ORDER BY priority ASC, {key_col} ASC
+LIMIT {n}
+"""
+
+
 def decontaminate(
     docs: DataFrame,
     benchmark: DataFrame,

@@ -23,6 +23,8 @@ from ..ext.curation import (
     stratified_sample_sql,
     training_shuffle,
     training_shuffle_sql,
+    weighted_sample,
+    weighted_sample_sql,
 )
 from ..ext.textstats import quality_score_sql
 from ..sources import load_table
@@ -155,6 +157,12 @@ ORACLES["curation_stratified"] = STRATIFIED_ORACLE
 QUERIES["curation_decontaminate"] = curation_decontaminate
 ORACLES["curation_decontaminate"] = DECON_ORACLE
 
+def curation_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-ES weighted sample: top-50 docs by md5-uniform priority
+    scaled to the n_chars weight."""
+    return weighted_sample(load_table(spark, sf_dir, "documents"), n=50)
+
+
 EXTRA_QUERIES = {
     "curation_mixture_sample": curation_mixture_sample,
     "curation_training_shuffle": curation_training_shuffle,
@@ -162,6 +170,7 @@ EXTRA_QUERIES = {
     "curation_source_quota": curation_source_quota,
     "curation_pii_redact": curation_pii_redact,
     "curation_repetition": curation_repetition,
+    "curation_weighted_sample": curation_weighted_sample,
 }
 
 EXTRA_ORACLES = {
@@ -171,6 +180,7 @@ EXTRA_ORACLES = {
     "curation_source_quota": QUOTA_ORACLE,
     "curation_pii_redact": PII_ORACLE,
     "curation_repetition": repetition_ratio_sql(),
+    "curation_weighted_sample": weighted_sample_sql(n=50),
 }
 
 

@@ -83,3 +83,36 @@ def test_epoch_oversample_sql_escapes_quotes():
 
     sql = epoch_oversample_sql({"o'brien": 1.0})
     assert "'o''brien'" in sql
+
+
+def test_weighted_sample_biases_toward_heavy_rows(spark, sf_dir):
+    """A-ES with w = n_chars must overrepresent long documents: the
+    sampled mean weight exceeds the corpus mean (deterministic given the
+    fixed md5 draw), the sample is exactly n rows, and a different salt
+    yields a different (independent) selection."""
+    from pyspark.sql import functions as F
+
+    from scala_data_pipeline_spark.ext.curation import weighted_sample
+    from scala_data_pipeline_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    sample = weighted_sample(docs, n=50)
+    rows = sample.collect()
+    assert len(rows) == 50
+    corpus_mean = docs.agg(F.avg("n_chars")).first()[0]
+    sample_mean = sum(r["weight"] for r in rows) / len(rows)
+    assert sample_mean > corpus_mean
+    resalted = {
+        r["doc_id"] for r in weighted_sample(docs, n=50, salt="x").collect()
+    }
+    assert resalted != {r["doc_id"] for r in rows}
+
+
+def test_weighted_sample_excludes_nonpositive_weights(spark):
+    from scala_data_pipeline_spark.ext.curation import weighted_sample
+
+    docs = spark.createDataFrame(
+        [(1, 0), (2, -5), (3, 10), (4, 3)], ["doc_id", "n_chars"]
+    )
+    got = {r["doc_id"] for r in weighted_sample(docs, n=10).collect()}
+    assert got == {3, 4}
