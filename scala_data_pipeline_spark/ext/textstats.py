@@ -655,6 +655,67 @@ def bigram_lm_perplexity(
     )
 
 
+def perplexity_buckets(
+    docs: DataFrame,
+    text_col: str = "text",
+    lo: float = 0.3,
+    hi: float = 0.7,
+) -> DataFrame:
+    """CCNet's corpus partitioning step: bucket documents into
+    head / middle / tail by LM perplexity percentile (head = lowest-
+    perplexity ``lo`` fraction — the cleanest text; tail = above the
+    ``hi`` cut). This is the decision the CCNet pipeline actually
+    ships: train on head+middle, sample or drop tail.
+
+    Scale shape: thresholds are ONE exact-percentile aggregate over the
+    perplexity frame broadcast back as a one-row crossJoin (the
+    BNLJ-allowlist scalar pattern) — no global sort, no single-
+    partition window, unlike an ntile formulation. Bucketing is a
+    per-row comparison. Engine-exactness: perplexity values are already
+    hash-exact across engines (see bigram_lm_perplexity); Spark
+    ``percentile`` and DuckDB ``quantile_cont`` share the same linear
+    interpolation (parity established by percentile_prices); the bucket
+    is a comparison of identical doubles.
+    """
+    ppl = bigram_lm_perplexity(docs, text_col)
+    cuts = ppl.agg(
+        F.expr(f"percentile(perplexity, {lo})").alias("t_lo"),
+        F.expr(f"percentile(perplexity, {hi})").alias("t_hi"),
+    )
+    return ppl.crossJoin(F.broadcast(cuts)).select(
+        "doc_id",
+        "perplexity",
+        F.when(F.col("perplexity") <= F.col("t_lo"), "head")
+        .when(F.col("perplexity") <= F.col("t_hi"), "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )
+
+
+def perplexity_buckets_sql(
+    text_col: str = "text",
+    table: str = "documents",
+    lo: float = 0.3,
+    hi: float = 0.7,
+) -> str:
+    """DuckDB twin of :func:`perplexity_buckets` — wraps the perplexity
+    twin and applies identical percentile cuts and comparisons."""
+    return f"""
+WITH ppl AS (
+{bigram_lm_perplexity_sql(text_col, table)}
+), cuts AS (
+  SELECT quantile_cont(perplexity, {lo}) AS t_lo,
+         quantile_cont(perplexity, {hi}) AS t_hi
+  FROM ppl
+)
+SELECT doc_id, perplexity,
+       CASE WHEN perplexity <= t_lo THEN 'head'
+            WHEN perplexity <= t_hi THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM ppl, cuts
+"""
+
+
 def bigram_lm_perplexity_sql(
     text_col: str = "text", table: str = "documents", alpha: float = 0.5
 ) -> str:

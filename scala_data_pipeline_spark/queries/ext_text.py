@@ -14,6 +14,8 @@ from ..ext.textstats import (
     fingerprint_sql,
     lang_id,
     lang_id_sql,
+    perplexity_buckets,
+    perplexity_buckets_sql,
     quality_features,
     quality_features_sql,
     tf_idf,
@@ -125,12 +127,18 @@ def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_scores(load_table(spark, sf_dir, "documents"))
 
 
+def text_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail corpus partition by LM perplexity."""
+    return perplexity_buckets(load_table(spark, sf_dir, "documents"))
+
+
 EXTRA_QUERIES = {
     "text_token_count": text_token_count,
     "text_chunks": text_chunks,
     "text_pack_bins": text_pack_bins,
     "text_surprisal": text_surprisal,
     "text_bm25": text_bm25,
+    "text_ppl_buckets": text_ppl_buckets,
 }
 EXTRA_ORACLES = {
     "text_token_count": token_count_sql(),
@@ -138,6 +146,7 @@ EXTRA_ORACLES = {
     "text_pack_bins": _pack_oracle(),
     "text_surprisal": unigram_surprisal_sql(),
     "text_bm25": bm25_scores_sql(),
+    "text_ppl_buckets": perplexity_buckets_sql(),
 }
 
 

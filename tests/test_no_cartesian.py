@@ -27,6 +27,7 @@ BNLJ_ALLOWED = {
     "sim_topk_quantized",
     "text_bm25",
     "text_lm_perplexity",
+    "text_ppl_buckets",
     "text_surprisal",
 }
 
