@@ -1000,6 +1000,29 @@ def ngram_jaccard_pairs(
     exact dedup first (corpus_job does); docs whose shingles are ALL
     ultra-common simply produce no pairs here.
     """
+    with_sizes = _block_pair_intersections(
+        docs, text_col, block_cols, max_doc_freq
+    )
+    jac = F.col("n_common") / (
+        F.col("size_a") + F.col("size_b") - F.col("n_common")
+    )
+    return (
+        with_sizes.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_common", "jaccard")
+    )
+
+
+def _block_pair_intersections(
+    docs: DataFrame,
+    text_col: str,
+    block_cols: tuple[str, ...],
+    max_doc_freq: int,
+) -> DataFrame:
+    """Shared core of the exact set-overlap family: per-block distinct
+    shingles → df-capped combination lists → pair intersection counts
+    joined with both per-doc set sizes. Returns (doc_a, doc_b,
+    n_common, size_a, size_b)."""
     sh = fan_out(docs).select(
         "doc_id",
         *block_cols,
@@ -1029,21 +1052,86 @@ def ngram_jaccard_pairs(
     )
     # No broadcast hint: sizes has one row per corpus document, far too
     # big to broadcast at scale — let Catalyst/AQE pick the strategy.
-    with_sizes = inter.join(
+    return inter.join(
         sizes.withColumnsRenamed({"doc_id": "doc_a", "n_shingles": "size_a"}),
         on="doc_a",
     ).join(
         sizes.withColumnsRenamed({"doc_id": "doc_b", "n_shingles": "size_b"}),
         on="doc_b",
     )
-    jac = F.col("n_common") / (
-        F.col("size_a") + F.col("size_b") - F.col("n_common")
+
+
+def ngram_containment_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    block_cols: tuple[str, ...] = ("lang", "source"),
+    threshold: float = 0.5,
+    max_doc_freq: int = 64,
+) -> DataFrame:
+    """ASYMMETRIC set overlap (containment / Broder's "resemblance vs
+    containment" distinction): containment_a = |A∩B| / |A| — how much of
+    document A lives inside B. Catches what symmetric Jaccard
+    structurally cannot: a short document quoted wholesale inside a
+    long one scores Jaccard ≈ |A|/|B| (tiny) but containment_a ≈ 1.
+    Pairs survive when EITHER direction's containment ≥ ``threshold``;
+    both directions are reported so the caller can tell subset from
+    superset. Same blocking, df-capping, and combination-list plan as
+    :func:`ngram_jaccard_pairs` (shared core), so the scale bounds are
+    identical."""
+    with_sizes = _block_pair_intersections(
+        docs, text_col, block_cols, max_doc_freq
     )
+    c_a = F.round(F.col("n_common") / F.col("size_a"), 6)
+    c_b = F.round(F.col("n_common") / F.col("size_b"), 6)
     return (
-        with_sizes.withColumn("jaccard", F.round(jac, 6))
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "n_common", "jaccard")
+        with_sizes.withColumn("containment_a", c_a)
+        .withColumn("containment_b", c_b)
+        .filter(
+            (F.col("containment_a") >= threshold)
+            | (F.col("containment_b") >= threshold)
+        )
+        .select(
+            "doc_a", "doc_b", "n_common", "containment_a", "containment_b"
+        )
     )
+
+
+def ngram_containment_sql(
+    text_col: str = "text",
+    table: str = "documents",
+    block_cols: tuple[str, ...] = ("lang", "source"),
+    threshold: float = 0.5,
+    max_doc_freq: int = 64,
+) -> str:
+    """DuckDB twin of :func:`ngram_containment_pairs`."""
+    blocks = ", ".join(block_cols)
+    join_on = " AND ".join(f"a.{c} = b.{c}" for c in block_cols)
+    return f"""
+WITH allsh AS (
+  SELECT DISTINCT doc_id, {blocks}, shingle FROM (
+    SELECT doc_id, {blocks}, unnest({shingles_sql(text_col)}) AS shingle
+    FROM {table}
+  )
+), sh AS (
+  SELECT doc_id, {blocks}, shingle FROM (
+    SELECT *, COUNT(*) OVER (PARTITION BY {blocks}, shingle) AS df FROM allsh
+  ) WHERE df <= {max_doc_freq}
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON {join_on} AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_common,
+       ROUND(CAST(n_common AS DOUBLE) / sa.n_shingles, 6) AS containment_a,
+       ROUND(CAST(n_common AS DOUBLE) / sb.n_shingles, 6) AS containment_b
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE ROUND(CAST(n_common AS DOUBLE) / sa.n_shingles, 6) >= {threshold}
+   OR ROUND(CAST(n_common AS DOUBLE) / sb.n_shingles, 6) >= {threshold}
+"""
 
 
 def jaccard_verify_pairs(

@@ -17,6 +17,8 @@ from ..ext.dedup import (
     lsh_quality_metrics,
     lsh_quality_metrics_sql,
     minhash_lsh_sql,
+    ngram_containment_pairs,
+    ngram_containment_sql,
     ngram_jaccard_pairs,
     ngram_jaccard_sql,
     segment_dedup,
@@ -139,6 +141,12 @@ def dedup_span_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
     return excise_duplicated_spans(load_table(spark, sf_dir, "documents"))
 
 
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric overlap: pairs where either doc's shingle set is
+    >=50% contained in the other (subset/quote detection)."""
+    return ngram_containment_pairs(load_table(spark, sf_dir, "documents"))
+
+
 EXTRA_QUERIES = {
     "dedup_simhash_pairs": dedup_simhash_pairs,
     "dedup_hot_ngrams": dedup_hot_ngrams,
@@ -146,6 +154,7 @@ EXTRA_QUERIES = {
     "dedup_lsh_quality": dedup_lsh_quality,
     "dedup_common_spans": dedup_common_spans,
     "dedup_span_excise": dedup_span_excise,
+    "dedup_containment": dedup_containment,
 }
 EXTRA_ORACLES = {
     "dedup_simhash_pairs": simhash_neardup_sql(),
@@ -154,6 +163,7 @@ EXTRA_ORACLES = {
     "dedup_lsh_quality": lsh_quality_metrics_sql(),
     "dedup_common_spans": duplicated_spans_sql(),
     "dedup_span_excise": excise_duplicated_spans_sql(),
+    "dedup_containment": ngram_containment_sql(),
 }
 
 

@@ -170,3 +170,29 @@ def test_excise_duplicated_spans_semantics(spark):
     )
     again = excise_duplicated_spans(second, k=4).collect()
     assert all(r["n_removed"] == 0 for r in again)
+
+
+def test_containment_catches_subset_jaccard_misses(spark):
+    """A short document quoted wholesale inside a much longer one:
+    symmetric Jaccard ~= |A|/|B| stays tiny, but containment_a ~= 1 -
+    the asymmetric measure is the one that sees quote/subset
+    duplication."""
+    from scala_data_pipeline_spark.ext.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    quote = " ".join(f"q{i}" for i in range(12))
+    filler = " ".join(f"f{i}" for i in range(120))
+    docs = spark.createDataFrame(
+        [(1, quote, "en", "s"), (2, filler + " " + quote, "en", "s")],
+        ["doc_id", "text", "lang", "source"],
+    )
+    jac = ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    assert jac == []  # symmetric measure misses the subset pair
+    cont = ngram_containment_pairs(docs, threshold=0.9).collect()
+    assert len(cont) == 1
+    r = cont[0]
+    assert (r["doc_a"], r["doc_b"]) == (1, 2)
+    assert r["containment_a"] >= 0.9  # doc 1 lives inside doc 2
+    assert r["containment_b"] < 0.2
