@@ -478,3 +478,218 @@ norms AS (
 SELECT cluster_id, vec_id AS keeper_id, CAST(n_members AS BIGINT) AS n_members
 FROM ranked WHERE rn = 1
 """
+
+
+# ---------------------------------------------------------------------------
+# KNN self-join via sign-random-projection LSH (SRP, Charikar 2002)
+# ---------------------------------------------------------------------------
+
+import random as _random
+
+KNN_DIM = 64
+# 24 planes = 6 bands × 4 bits. On near-uniform vectors (the fixture's
+# worst case: true neighbors sit at cosine ≈ 0.3, per-bit collision
+# ≈ 0.6) the 6-band union lifts recall@5 from 0.27 (2 bands) to 0.60
+# (measured, sf0.01) while candidates stay ≈ 6·n²/2^band_bits under
+# bucket uniformity — the classic band/recall dial; clustered real
+# embeddings sit far higher. Band count is a parameter, not a constant
+# of the design.
+KNN_PLANES = 24
+KNN_BAND_BITS = 4
+
+
+def _srp_hyperplanes(
+    n_planes: int = KNN_PLANES, dim: int = KNN_DIM, seed: int = 42
+) -> list[list[int]]:
+    """±1 hyperplanes from a FIXED seed — the same literal numbers are
+    embedded in the Spark plan and the DuckDB oracle, so bucketing is
+    engine-identical by construction (no cross-engine RNG to agree
+    on). Rademacher (±1) entries approximate Gaussian SRP for cosine
+    while keeping the projection an exact integer-weighted sum."""
+    rng = _random.Random(seed)
+    return [
+        [1 if rng.random() < 0.5 else -1 for _ in range(dim)]
+        for _ in range(n_planes)
+    ]
+
+
+def _srp_bits_spark(emb: Column, planes: list[list[int]]) -> list[Column]:
+    bits = []
+    for plane in planes:
+        proj = F.aggregate(
+            F.zip_with(
+                emb,
+                F.array(*[F.lit(float(s)) for s in plane]),
+                lambda x, s: x * s,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append((proj >= 0).cast("int"))
+    return bits
+
+
+def knn_join(
+    corpus: DataFrame,
+    k: int = 5,
+    n_planes: int = KNN_PLANES,
+    band_bits: int = KNN_BAND_BITS,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate k-nearest-neighbors for EVERY vector (the KNN
+    self-join — embedding dedup's core primitive, vs the query-batch
+    serving shape of topk_bruteforce/topk_ivf): sign-random-projection
+    LSH (Charikar 2002) buckets vectors by the sign pattern of ±1
+    hyperplane projections; vectors sharing any ``band_bits``-bit band
+    bucket become candidates; exact cosine ranks each vector's
+    candidates and keeps the top ``k``.
+
+    Returns (vec_id, rank, nbr_id, cos) — rank 1..≤k per vector;
+    vectors whose every band bucket is a singleton yield no rows
+    (approximate-recall semantics, like every banded LSH).
+
+    Scale shape: the hyperplane projection is a per-row JVM fold (no
+    shuffle); candidates come from per-(band, bucket) equi-joins —
+    never all-pairs, and the band key space (2^band_bits per band)
+    bounds bucket sizes on hash-uniform data; per-vector top-k is one
+    window over the candidate pairs. The oracle replays the IDENTICAL
+    seeded hyperplanes (module-level literals), so candidates, cosines
+    and ranks all match exactly — recall approximation and all.
+    """
+    n_bands = n_planes // band_bits
+    planes = _srp_hyperplanes(n_planes, seed=seed)
+    prepped = prep_vectors(fan_out(corpus))
+    bits = _srp_bits_spark(F.col("emb_r"), planes)
+    bands = [
+        sum(
+            (bits[b * band_bits + i] * (2**i) for i in range(1, band_bits)),
+            bits[b * band_bits],
+        ).alias(f"band_{b}")
+        for b in range(n_bands)
+    ]
+    keyed = prepped.select("vec_id", "emb_r", "emb_norm", *bands)
+    pair_sets = []
+    for bnd in range(n_bands):
+        a = keyed.select(
+            F.col(f"band_{bnd}").alias("bk"),
+            F.col("vec_id").alias("vec_a"),
+        )
+        b = keyed.select(
+            F.col(f"band_{bnd}").alias("bk"),
+            F.col("vec_id").alias("vec_b"),
+        )
+        pair_sets.append(
+            a.join(b, on="bk").filter(F.col("vec_a") < F.col("vec_b")).select(
+                "vec_a", "vec_b"
+            )
+        )
+    cands = pair_sets[0]
+    for p in pair_sets[1:]:
+        cands = cands.union(p)
+    cands = cands.distinct()
+    va = keyed.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("emb_r").alias("emb_ra"),
+        F.col("emb_norm").alias("norm_a"),
+    )
+    vb = keyed.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("emb_r").alias("emb_rb"),
+        F.col("emb_norm").alias("norm_b"),
+    )
+    scored = (
+        cands.join(va, on="vec_a")
+        .join(vb, on="vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            cosine_prepped(
+                F.col("emb_ra"), F.col("norm_a"),
+                F.col("emb_rb"), F.col("norm_b"),
+            ).alias("cos"),
+        )
+    )
+    directed = scored.select(
+        F.col("vec_a").alias("vec_id"),
+        F.col("vec_b").alias("nbr_id"),
+        "cos",
+    ).union(
+        scored.select(
+            F.col("vec_b").alias("vec_id"),
+            F.col("vec_a").alias("nbr_id"),
+            "cos",
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos").desc(), F.col("nbr_id").asc()
+    )
+    return (
+        directed.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("vec_id", "rank", "nbr_id", "cos")
+    )
+
+
+def knn_join_sql(
+    k: int = 5,
+    n_planes: int = KNN_PLANES,
+    band_bits: int = KNN_BAND_BITS,
+    seed: int = 42,
+) -> str:
+    """DuckDB twin of :func:`knn_join` — identical seeded hyperplane
+    literals, band packing, candidate generation, and cosine/rank
+    arithmetic."""
+    n_bands = n_planes // band_bits
+    planes = _srp_hyperplanes(n_planes, seed=seed)
+    prep = PREP_SQL.format(col="embedding")
+    norm = NORM_SQL.format(r="emb_r")
+    bit_exprs = []
+    for j, plane in enumerate(planes):
+        lits = ", ".join(f"{float(s)!r}" for s in plane)
+        bit_exprs.append(
+            "CAST(list_sum(list_transform(list_zip(emb_r, "
+            f"[{lits}]), x -> x[1] * x[2])) >= 0 AS INT) AS bit_{j}"
+        )
+    band_exprs = ", ".join(
+        " + ".join(
+            f"bit_{b * band_bits + i} * {2 ** i}" for i in range(band_bits)
+        )
+        + f" AS band_{b}"
+        for b in range(n_bands)
+    )
+    cand_selects = "\n  UNION ALL\n".join(
+        f"  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b\n"
+        f"  FROM keyed a JOIN keyed b ON a.band_{b} = b.band_{b}"
+        f" AND a.vec_id < b.vec_id"
+        for b in range(n_bands)
+    )
+    dot = DOT_PREPPED_SQL.format(a="va.emb_r", b="vb.emb_r")
+    return f"""
+WITH prepped AS (
+  SELECT vec_id, emb_r, {norm} AS emb_norm
+  FROM (SELECT vec_id, {prep} AS emb_r FROM embeddings)
+), bits AS (
+  SELECT vec_id, emb_r, emb_norm, {", ".join(bit_exprs)} FROM prepped
+), keyed AS (
+  SELECT *, {band_exprs} FROM bits
+), cands AS (
+  SELECT DISTINCT vec_a, vec_b FROM (
+{cand_selects}
+  )
+), scored AS (
+  SELECT c.vec_a, c.vec_b,
+         ROUND({dot} / (va.emb_norm * vb.emb_norm), 6) AS cos
+  FROM cands c
+  JOIN keyed va ON va.vec_id = c.vec_a
+  JOIN keyed vb ON vb.vec_id = c.vec_b
+), directed AS (
+  SELECT vec_a AS vec_id, vec_b AS nbr_id, cos FROM scored
+  UNION ALL
+  SELECT vec_b, vec_a, cos FROM scored
+)
+SELECT vec_id, CAST(rank AS BIGINT) AS rank, nbr_id, cos FROM (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY vec_id ORDER BY cos DESC, nbr_id ASC) AS rank
+  FROM directed
+) WHERE rank <= {k}
+"""

@@ -8,6 +8,8 @@ from pyspark.sql import functions as F
 from ..ext.similarity import (
     embedding_neardup_pairs,
     embedding_neardup_sql,
+    knn_join,
+    knn_join_sql,
     semantic_dedup_keepers,
     semantic_dedup_keepers_sql,
     topk_bruteforce,
@@ -60,8 +62,16 @@ def _quantize_oracle() -> str:
     return quantize_embeddings_sql()
 
 
-EXTRA_QUERIES = {"sim_quantize": sim_quantize}
-EXTRA_ORACLES = {"sim_quantize": _quantize_oracle()}
+def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH KNN self-join: top-5 neighbors for every vector."""
+    return knn_join(load_table(spark, sf_dir, "embeddings"), k=5)
+
+
+EXTRA_QUERIES = {"sim_quantize": sim_quantize, "sim_knn_join": sim_knn_join}
+EXTRA_ORACLES = {
+    "sim_quantize": _quantize_oracle(),
+    "sim_knn_join": knn_join_sql(k=5),
+}
 
 
 def sim_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -161,3 +161,44 @@ def test_ivf_index_persistence_and_pruned_serving(spark, sf_dir, tmp_path):
     plan = explain_str(probe)
     assert "PartitionFilters" in plan and "ivf_bucket" in plan
     assert probe.count() == a1.filter(F.col("ivf_bucket") == 0).count()
+
+
+def test_knn_join_recall_floor(spark, sf_dir):
+    """SRP-LSH KNN self-join: every vector gets ranked neighbors, the
+    approximation keeps >=55% of the exact top-5 pairs on the fixture's
+    near-uniform (worst-case) vectors (measured 0.60; deterministic
+    given the seeded hyperplanes), and ranks are dense per vector."""
+    from pyspark.sql import Window, functions as F
+
+    from scala_data_pipeline_spark.ext.similarity import (
+        cosine_prepped,
+        knn_join,
+        prep_vectors,
+    )
+    from scala_data_pipeline_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    approx_rows = knn_join(emb, k=5).collect()
+    approx = {(r["vec_id"], r["nbr_id"]) for r in approx_rows}
+    by_vec = {}
+    for r in approx_rows:
+        by_vec.setdefault(r["vec_id"], []).append(r["rank"])
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_vec.values())
+
+    p = prep_vectors(emb)
+    a = p.select(F.col("vec_id").alias("va"), F.col("emb_r").alias("ea"),
+                 F.col("emb_norm").alias("na"))
+    b = p.select(F.col("vec_id").alias("vb"), F.col("emb_r").alias("eb"),
+                 F.col("emb_norm").alias("nb"))
+    allp = a.join(b, a.va != b.vb).select(
+        "va", "vb",
+        cosine_prepped(F.col("ea"), F.col("na"),
+                       F.col("eb"), F.col("nb")).alias("cos"),
+    )
+    w = Window.partitionBy("va").orderBy(F.col("cos").desc(), F.col("vb").asc())
+    exact = {
+        (r["va"], r["vb"])
+        for r in allp.withColumn("rk", F.row_number().over(w))
+        .filter("rk <= 5").collect()
+    }
+    assert len(approx & exact) / len(exact) >= 0.55
