@@ -550,11 +550,17 @@ def knn_join(
 
     Scale shape: the hyperplane projection is a per-row JVM fold (no
     shuffle); candidates come from per-(band, bucket) equi-joins —
-    never all-pairs, and the band key space (2^band_bits per band)
-    bounds bucket sizes on hash-uniform data; per-vector top-k is one
-    window over the candidate pairs. The oracle replays the IDENTICAL
-    seeded hyperplanes (module-level literals), so candidates, cosines
-    and ranks all match exactly — recall approximation and all.
+    never all-pairs — and per-vector top-k is one window over the
+    candidate pairs. Honest scaling note: expected bucket size is
+    n/2^band_bits, so candidate volume grows as Σ buckets·size² ≈
+    6·n²/2^band_bits — ``band_bits`` is NOT a constant of the design
+    but the dial that must grow ≈ log2(n) with the corpus (16-bit
+    bands ⇒ 65k buckets; the same reasoning Spark's own MinHashLSH
+    leaves to its numHashTables/bucketLength knobs). For corpora too
+    dense for any band width, cap buckets like lsh_candidate_pairs
+    does. The oracle replays the IDENTICAL seeded hyperplanes
+    (module-level literals), so candidates, cosines and ranks all
+    match exactly — recall approximation and all.
     """
     n_bands = n_planes // band_bits
     planes = _srp_hyperplanes(n_planes, seed=seed)
