@@ -699,3 +699,98 @@ SELECT vec_id, CAST(rank AS BIGINT) AS rank, nbr_id, cos FROM (
   FROM directed
 ) WHERE rank <= {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified re-rank (Carbonell & Goldstein 1998)
+# ---------------------------------------------------------------------------
+
+
+def mmr_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k_candidates: int = 25,
+    k_final: int = 10,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Maximal Marginal Relevance: re-rank each query's top candidates
+    to balance relevance against redundancy — pick argmax of
+    ``lam·rel(c) − (1−lam)·max_{s∈selected} sim(c, s)`` k_final times.
+    The retrieval answer-diversification step (and, in a data pipeline,
+    the "don't fill the context window with five copies of the same
+    document" guard on top of any ANN front-end).
+
+    Greedy selection is inherently SEQUENTIAL per query, which no
+    relational operator expresses — this is the textbook grouped-map
+    case, so the implementation is ``applyInPandas`` over query_id
+    groups (Arrow-batched, numpy inside; the url_pipeline precedent for
+    a deliberate non-JVM operator). Everything AROUND the sequential
+    core stays relational: candidate generation is the existing
+    topk_bruteforce plan, and the group payload is k_candidates rows ×
+    (dim+2) — bounded per group, shuffled once on query_id.
+
+    Determinism: candidates and their cosines are the (engine-exact)
+    topk_bruteforce output; inside a group the argmax tiebreak is
+    lowest vec_id; float ops are numpy doubles over identically
+    rounded inputs — pytest re-derives the selection with a pure-Python
+    reference and asserts exact equality (rows-only at the driver).
+    """
+    import numpy as np
+    import pandas as pd
+
+    cands = topk_bruteforce(corpus, queries, k=k_candidates)
+    prepped = prep_vectors(fan_out(corpus)).select(
+        "vec_id", "emb_r", "emb_norm"
+    )
+    payload = cands.join(prepped, on="vec_id").select(
+        "query_id", "vec_id", F.col("cos").alias("rel"), "emb_r", "emb_norm"
+    )
+
+    def _mmr(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        embs = np.stack(pdf["emb_r"].to_numpy())
+        norms = pdf["emb_norm"].to_numpy()
+        # Dimension-ordered accumulation, NOT a BLAS matmul: `embs @
+        # embs.T` sums pairwise/SIMD and can differ from the engine's
+        # left-to-right fold by an ulp — which flips a 6-decimal
+        # rounding boundary. One outer product per dimension keeps
+        # every dot's addition order identical to zip_with+aggregate.
+        dots = np.zeros((len(pdf), len(pdf)))
+        for d in range(embs.shape[1]):
+            col = embs[:, d]
+            dots += np.outer(col, col)
+        sims = np.round(dots / np.outer(norms, norms), 6)
+        rel = pdf["rel"].to_numpy()
+        n = len(pdf)
+        selected: list[int] = []
+        out = []
+        for rank in range(1, min(k_final, n) + 1):
+            best_i, best_score = -1, -np.inf
+            for i in range(n):
+                if i in selected:
+                    continue
+                redundancy = (
+                    max(sims[i][j] for j in selected) if selected else 0.0
+                )
+                score = lam * rel[i] - (1 - lam) * redundancy
+                # strictly-greater keeps the lowest-vec_id winner on
+                # ties (rows are vec_id-sorted)
+                if score > best_score:
+                    best_i, best_score = i, score
+            selected.append(best_i)
+            out.append(
+                (
+                    int(pdf["query_id"].iloc[best_i]),
+                    rank,
+                    int(pdf["vec_id"].iloc[best_i]),
+                    round(float(best_score), 6),
+                )
+            )
+        return pd.DataFrame(
+            out, columns=["query_id", "rank", "vec_id", "mmr_score"]
+        )
+
+    return payload.groupBy("query_id").applyInPandas(
+        _mmr,
+        schema="query_id long, rank long, vec_id long, mmr_score double",
+    )

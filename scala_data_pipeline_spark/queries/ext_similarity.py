@@ -10,6 +10,7 @@ from ..ext.similarity import (
     embedding_neardup_sql,
     knn_join,
     knn_join_sql,
+    mmr_rerank,
     semantic_dedup_keepers,
     semantic_dedup_keepers_sql,
     topk_bruteforce,
@@ -67,7 +68,22 @@ def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_join(load_table(spark, sf_dir, "embeddings"), k=5)
 
 
-EXTRA_QUERIES = {"sim_quantize": sim_quantize, "sim_knn_join": sim_knn_join}
+def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversified re-rank of each query's top-25 candidates.
+
+    No DuckDB oracle: greedy MMR is a sequential per-group algorithm
+    (the applyInPandas case) — rows-only at the driver;
+    tests/test_skew_ivf.py re-derives the selection with a pure-Python
+    reference and asserts exact equality."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return mmr_rerank(emb, emb.filter(F.col("vec_id") < N_QUERIES))
+
+
+EXTRA_QUERIES = {
+    "sim_quantize": sim_quantize,
+    "sim_knn_join": sim_knn_join,
+    "sim_mmr_rerank": sim_mmr_rerank,
+}
 EXTRA_ORACLES = {
     "sim_quantize": _quantize_oracle(),
     "sim_knn_join": knn_join_sql(k=5),

@@ -22,6 +22,7 @@ BNLJ_ALLOWED = {
     "dedup_lsh_quality",
     "distinct_max_stamp",
     "range_join_price_bands",
+    "sim_mmr_rerank",
     "sim_quantize",
     "sim_topk_bruteforce",
     "sim_topk_quantized",

@@ -202,3 +202,74 @@ def test_knn_join_recall_floor(spark, sf_dir):
         .filter("rk <= 5").collect()
     }
     assert len(approx & exact) / len(exact) >= 0.55
+
+
+def test_mmr_rerank_matches_pure_python_reference(spark, sf_dir):
+    """The applyInPandas MMR must agree EXACTLY with an independent
+    pure-Python greedy over the same (engine-exact) candidates: same
+    picks, same order, same rounded scores. Also: selections are
+    diverse - no query's top-10 may equal plain relevance order unless
+    redundancy never bites (checked loosely via at least one query
+    reordering)."""
+    from pyspark.sql import functions as F
+
+    from scala_data_pipeline_spark.ext.similarity import (
+        mmr_rerank,
+        prep_vectors,
+        topk_bruteforce,
+    )
+    from scala_data_pipeline_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    got = sorted(
+        (r["query_id"], r["rank"], r["vec_id"], r["mmr_score"])
+        for r in mmr_rerank(emb, queries).collect()
+    )
+
+    cands = {
+        (r["query_id"], r["vec_id"]): r["cos"]
+        for r in topk_bruteforce(emb, queries, k=25).collect()
+    }
+    prepped = {
+        r["vec_id"]: (r["emb_r"], r["emb_norm"])
+        for r in prep_vectors(emb).select("vec_id", "emb_r", "emb_norm").collect()
+    }
+
+    def cos(a, b):
+        ea, na = prepped[a]
+        eb, nb = prepped[b]
+        return round(sum(x * y for x, y in zip(ea, eb)) / (na * nb), 6)
+
+    want = []
+    for q in range(5):
+        pool = sorted(v for (qq, v) in cands if qq == q)
+        selected = []
+        for rank in range(1, 11):
+            best, best_score = None, float("-inf")
+            for v in pool:
+                if v in selected:
+                    continue
+                red = max((cos(v, s) for s in selected), default=0.0)
+                # (1 - 0.7) != 0.3 in IEEE doubles; mirror the
+                # operator's published-form arithmetic exactly.
+                score = 0.7 * cands[(q, v)] - (1 - 0.7) * red
+                if score > best_score:
+                    best, best_score = v, score
+            selected.append(best)
+            want.append((q, rank, best, round(best_score, 6)))
+    assert got == sorted(want)
+
+    # diversity actually bites on at least one query
+    rel_order = {}
+    for q in range(5):
+        rel_order[q] = [
+            v for (qq, v), _ in sorted(
+                ((key, c) for key, c in cands.items() if key[0] == q),
+                key=lambda kv: (-kv[1], kv[0][1]),
+            )
+        ][:10]
+    mmr_order = {}
+    for q, rank, v, _ in got:
+        mmr_order.setdefault(q, []).append(v)
+    assert any(mmr_order[q] != rel_order[q] for q in range(5))
