@@ -40,8 +40,14 @@ def plan_audit(df: DataFrame) -> dict:
         "n_shuffle_exchanges": len(re.findall(r"^\(\d+\) Exchange\b", plan, re.M)),
         "n_broadcast_joins": plan.count("BroadcastHashJoin"),
         "n_sortmerge_joins": plan.count("SortMergeJoin"),
+        # Row-at-a-time UDFs, Arrow-vectorized UDFs, AND the grouped/
+        # iterator Pandas operators (applyInPandas → FlatMapGroupsInPandas,
+        # mapInPandas → MapInPandas) — an audit that misses the latter two
+        # under-reports Python on the hot path.
         "n_python_udfs": plan.count("BatchEvalPython")
-        + plan.count("ArrowEvalPython"),
+        + plan.count("ArrowEvalPython")
+        + plan.count("FlatMapGroupsInPandas")
+        + plan.count("MapInPandas"),
         "has_partial_agg": "partial_" in plan,
         "has_pushed_filters": "PushedFilters: [" in plan
         and not re.search(r"PushedFilters: \[\]", plan),

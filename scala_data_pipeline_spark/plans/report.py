@@ -55,8 +55,11 @@ def generate(out_path: str = "PLAN_AUDIT.md", sf_dir: str | None = None) -> str:
         " scala_data_pipeline_spark.plans.report`)",
         "",
         f"Scale factor dir: `{sf_dir}`. Shuffle = bare Exchange nodes;",
-        "Py = BatchEval/ArrowEval Python operators in the plan (0 across",
-        "the board = hot paths stay JVM-side); partial = map-side combine",
+        "Py = BatchEval/ArrowEval Python operators in the plan (0 on hot",
+        "paths; deliberate non-zero sites: url_pipeline's reference-parity",
+        "F7 UDF, multimodal's mapInPandas decode, sim_mmr_rerank's",
+        "applyInPandas greedy — each documented at the operator);",
+        "partial = map-side combine",
         "present; pushdown = non-empty PushedFilters on a scan; codegen =",
         "distinct WholeStageCodegen spans. `*name` rows are the",
         "locally-oracled EXTRA queries beyond the 50 driver slots.",
