@@ -68,3 +68,21 @@ def test_approx_count_distinct_error_bound(spark, sf_dir):
     )
     for r in joined:
         assert abs(r["approx"] - r["exact"]) <= max(1, 0.08 * r["exact"]), r
+
+
+def test_events_ts_is_session_tz_timestamp(spark, sf_dir):
+    """Testdata-drift lock (round-4 postmortem): the driver has shipped
+    events.ts as TIMESTAMP(NANOS) and as naive timestamp[us] in
+    different generations. Whatever the physical shape, load_table must
+    yield session-TZ TimestampType - TIMESTAMP_NTZ would break every
+    withWatermark path (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE) and
+    bigint casts - and ts predicates must still push into the scan."""
+    from pyspark.sql.types import TimestampType
+
+    from scala_data_pipeline_spark.plans import explain_str
+    from scala_data_pipeline_spark.sources import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    assert isinstance(events.schema["ts"].dataType, TimestampType)
+    plan = explain_str(events.filter("ts > timestamp'2020-01-01'"))
+    assert "PushedFilters" in plan and "GreaterThan(ts" in plan
