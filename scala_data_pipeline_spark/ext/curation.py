@@ -67,6 +67,72 @@ def deterministic_sample_sql(
     )
 
 
+def cluster_split(
+    docs: DataFrame,
+    test_fraction: float = 0.1,
+    salt: str = "split",
+) -> DataFrame:
+    """Leakage-free train/test split: the split key is the document's
+    near-dup CLUSTER, not the document — two near-duplicates can never
+    land on opposite sides, which is exactly the eval-contamination
+    mode a doc-keyed random split invites (a test doc's near-copy in
+    train is leakage no decontamination n-gram check reliably sees).
+    Clusters come from the standard LSH pair chain
+    (dedup.lsh_candidate_pairs → components.connected_components);
+    singleton documents are their own cluster. The side is the house
+    md5-threshold draw over the cluster id, so the split is
+    reproducible, engine-independent, and ~``test_fraction`` of
+    CLUSTERS (hence of docs, up to cluster-size variance) goes to test.
+
+    Returns (doc_id, cluster_id, split) for every document.
+
+    Scale shape: the pair chain's own bounds (capped buckets, never
+    all-pairs), one left equi-join of the corpus against the (small,
+    edge-bounded) component labels, and a per-row hash for the side.
+    """
+    from .components import connected_components
+    from .dedup import lsh_candidate_pairs
+
+    comp = connected_components(lsh_candidate_pairs(docs))
+    thr = sample_threshold_hex(test_fraction)
+    labeled = (
+        docs.select("doc_id")
+        .join(comp, on="doc_id", how="left")
+        .withColumn("cluster_id", F.coalesce("cluster_id", F.col("doc_id")))
+    )
+    digest = F.md5(
+        F.concat(F.lit(salt), F.col("cluster_id").cast("string"))
+    )
+    return labeled.withColumn(
+        "split",
+        F.when(F.substring(digest, 1, 4) < thr, "test").otherwise("train"),
+    )
+
+
+def cluster_split_sql(
+    pairs_sql: str,
+    test_fraction: float = 0.1,
+    salt: str = "split",
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`cluster_split` over the same pair query."""
+    from .components import connected_components_sql
+
+    thr = sample_threshold_hex(test_fraction)
+    return f"""
+WITH comp AS (
+{connected_components_sql(pairs_sql)}
+)
+SELECT d.doc_id,
+       COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+       CASE WHEN substr(md5('{salt}' ||
+                 CAST(COALESCE(c.cluster_id, d.doc_id) AS VARCHAR)), 1, 4)
+                 < '{thr}'
+            THEN 'test' ELSE 'train' END AS split
+FROM {table} d LEFT JOIN comp c ON d.doc_id = c.doc_id
+"""
+
+
 # 16^13 = 2^52: thirteen md5 hex chars parse to an integer that a
 # double represents EXACTLY, so u = (v+1)/2^52 is the same double in
 # every engine.

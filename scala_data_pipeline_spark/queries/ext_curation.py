@@ -8,6 +8,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..ext.curation import (
+    cluster_split,
+    cluster_split_sql,
     decontaminate,
     decontaminate_sql,
     deterministic_sample,
@@ -163,6 +165,17 @@ def curation_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_sample(load_table(spark, sf_dir, "documents"), n=50)
 
 
+def curation_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free train/test split keyed on near-dup clusters."""
+    return cluster_split(load_table(spark, sf_dir, "documents"))
+
+
+def _cluster_split_oracle() -> str:
+    from ..ext.dedup import minhash_lsh_sql
+
+    return cluster_split_sql(minhash_lsh_sql())
+
+
 EXTRA_QUERIES = {
     "curation_mixture_sample": curation_mixture_sample,
     "curation_training_shuffle": curation_training_shuffle,
@@ -171,6 +184,7 @@ EXTRA_QUERIES = {
     "curation_pii_redact": curation_pii_redact,
     "curation_repetition": curation_repetition,
     "curation_weighted_sample": curation_weighted_sample,
+    "curation_cluster_split": curation_cluster_split,
 }
 
 EXTRA_ORACLES = {
@@ -181,6 +195,7 @@ EXTRA_ORACLES = {
     "curation_pii_redact": PII_ORACLE,
     "curation_repetition": repetition_ratio_sql(),
     "curation_weighted_sample": weighted_sample_sql(n=50),
+    "curation_cluster_split": _cluster_split_oracle(),
 }
 
 

@@ -116,3 +116,23 @@ def test_weighted_sample_excludes_nonpositive_weights(spark):
     )
     got = {r["doc_id"] for r in weighted_sample(docs, n=10).collect()}
     assert got == {3, 4}
+
+
+def test_cluster_split_never_separates_near_dups(spark, sf_dir):
+    """The whole point: every LSH near-dup pair lands on ONE side.
+    Also: both sides are non-empty and every document is labeled."""
+    from scala_data_pipeline_spark.ext.curation import cluster_split
+    from scala_data_pipeline_spark.ext.dedup import lsh_candidate_pairs
+    from scala_data_pipeline_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    labeled = {
+        r["doc_id"]: r["split"] for r in cluster_split(docs).collect()
+    }
+    assert len(labeled) == docs.count()
+    assert set(labeled.values()) == {"train", "test"}
+    pairs = lsh_candidate_pairs(docs).collect()
+    assert pairs, "fixture must contain near-dup pairs for this test"
+    for r in pairs:
+        assert labeled[r["doc_a"]] == labeled[r["doc_b"]], (
+            r["doc_a"], r["doc_b"])
