@@ -1,0 +1,146 @@
+"""Iterative graph scoring over document-similarity graphs.
+
+Fixed-iteration PageRank on the (symmetric) near-dup candidate-pair
+graph: centrality here ranks documents by how embedded they are in
+near-duplicate neighborhoods — highly-ranked docs are template-like
+content that deduplication should treat as cluster representatives (or
+drop wholesale).
+
+The reference has no graph operators at all; this is a training-data
+pipeline extension alongside the connected-components machinery in
+``ext/components.py``. Spark-first design notes:
+
+- The edge list is built once, ``distinct``-ed, and cached; each of the
+  K fixed iterations is one equi-join (rank onto edge source) plus one
+  hash aggregate (sum contributions by destination) — 2 shuffles per
+  iteration, all on uniform hash-derived doc ids (skew-free).
+- K is fixed (default 3), so the lineage is bounded and needs no
+  checkpointing; convergence-style variants should reuse the
+  ``localCheckpoint``-per-round pattern from ``connected_components``.
+- Per-edge contributions are rounded and summed as DECIMAL so the
+  aggregate is exact and order-independent — the result is identical
+  under any partitioning, which is what makes a value-hash oracle
+  possible (same idiom as the money aggregates, see SCALE_NOTES.md).
+- The vertex count N enters the damping term as a driver-side scalar
+  (one cheap count over the degree frame — same driver-boundary
+  pattern as the reference's max-date collect,
+  users_items/users_items.scala:48-52).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DAMPING = 0.85
+ITERATIONS = 3
+# Per-edge contributions are rounded to this scale and summed as
+# DECIMAL(20,12): exact, order-independent arithmetic.
+_SCALE = 12
+
+
+def pagerank_on_pairs(
+    pairs: DataFrame,
+    iterations: int = ITERATIONS,
+    damping: float = DAMPING,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a symmetric pair graph.
+
+    ``pairs`` must have columns ``doc_a``/``doc_b`` (one row per
+    undirected edge). Vertices are the docs incident to at least one
+    edge; every vertex of a symmetric graph has in-degree >= 1, so no
+    dangling-mass handling is needed. Returns
+    ``doc_id, degree, rank`` with ``rank`` rounded to 12 places.
+    """
+    bi = (
+        pairs.select(
+            F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+        )
+        .union(
+            pairs.select(
+                F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+            )
+        )
+        .distinct()
+    )
+    # localCheckpoint (not persist): bi and deg are referenced by every
+    # iteration's join; materializing them once truncates the lineage
+    # and the storage is released when the frames are GC'd — no
+    # explicit unpersist needed on a lazily-returned plan (same
+    # reasoning as the components rounds, ext/components.py).
+    bi = bi.localCheckpoint(eager=True)
+    deg = bi.groupBy("src").agg(
+        F.count("*").cast("long").alias("degree")
+    ).localCheckpoint(eager=True)
+    n_vertices = deg.count()
+    if n_vertices == 0:
+        # Empty graph: empty result with the contract schema.
+        return deg.select(
+            F.col("src").alias("doc_id"),
+            F.col("degree"),
+            F.lit(0.0).alias("rank"),
+        )
+    base = round((1.0 - damping) / n_vertices, _SCALE)
+    rank = deg.select(
+        "src", F.round(F.lit(1.0 / n_vertices), _SCALE).alias("rank")
+    )
+    for _ in range(iterations):
+        contrib = (
+            bi.join(rank, on="src")
+            .join(deg, on="src")
+            .select(
+                F.col("dst"),
+                F.round(F.col("rank") / F.col("degree"), _SCALE)
+                .cast(f"decimal(20,{_SCALE})")
+                .alias("contrib"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("contrib").alias("in_mass"))
+        )
+        rank = contrib.select(
+            F.col("dst").alias("src"),
+            F.round(
+                F.lit(base)
+                + F.lit(damping) * F.col("in_mass").cast("double"),
+                _SCALE,
+            ).alias("rank"),
+        )
+    out = deg.join(rank, on="src").select(
+        F.col("src").alias("doc_id"), "degree", "rank"
+    )
+    return out
+
+
+def pagerank_sql(
+    pairs_sql: str,
+    iterations: int = ITERATIONS,
+    damping: float = DAMPING,
+) -> str:
+    """DuckDB twin of :func:`pagerank_on_pairs`: the K iterations are
+    unrolled into a chain of CTEs over the same pair query."""
+    s = _SCALE
+    ctes = [
+        f"pairs AS ({pairs_sql})",
+        "bi AS (SELECT doc_a AS src, doc_b AS dst FROM pairs"
+        " UNION SELECT doc_b, doc_a FROM pairs)",
+        "deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS degree"
+        " FROM bi GROUP BY src)",
+        "nv AS (SELECT COUNT(*) AS n FROM deg)",
+        f"r0 AS (SELECT src, ROUND(1.0 / n, {s}) AS rank FROM deg, nv)",
+    ]
+    prev = "r0"
+    for i in range(1, iterations + 1):
+        ctes.append(
+            f"r{i} AS (SELECT bi.dst AS src, "
+            f"ROUND(ROUND((1.0 - {damping}) / nv.n, {s}) + {damping} * "
+            f"CAST(SUM(CAST(ROUND({prev}.rank / deg.degree, {s}) "
+            f"AS DECIMAL(20,{s}))) AS DOUBLE), {s}) AS rank "
+            f"FROM bi JOIN {prev} ON bi.src = {prev}.src "
+            f"JOIN deg ON bi.src = deg.src, nv "
+            f"GROUP BY bi.dst, nv.n)"
+        )
+        prev = f"r{i}"
+    return (
+        "WITH " + ",\n".join(ctes) + f"\nSELECT deg.src AS doc_id, "
+        f"deg.degree, {prev}.rank FROM deg JOIN {prev} ON deg.src = {prev}.src"
+    )

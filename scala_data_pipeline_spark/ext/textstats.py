@@ -756,3 +756,196 @@ SELECT doc_id,
 FROM bg JOIN lm USING (a, b)
 GROUP BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Heuristic quality-rule bundles (Gopher / C4 style)
+# ---------------------------------------------------------------------------
+
+# Gopher (Rae et al. 2021, §A1.1) requires at least 2 distinct hits from a
+# small must-have English word list; we reuse a subset of the stopword list.
+GOPHER_REQUIRED_WORDS = ("the", "and", "of", "to", "a")
+
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_ALPHA_WORD_FRAC = 0.8
+GOPHER_MAX_BULLET_LINE_FRAC = 0.9
+GOPHER_MAX_ELLIPSIS_LINE_FRAC = 0.3
+
+
+def gopher_quality_rules(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style + C4-style document quality rules as one codegen scan.
+
+    Every rule is a deterministic expression over the raw text (word
+    counts, mean word length, symbol-to-word ratio, bullet / ellipsis
+    line fractions, required-stopword hits, curly-brace / lorem-ipsum
+    boilerplate, terminal-punctuation line fraction), emitted both as
+    the measured statistic and as a boolean pass flag, plus the
+    conjunction ``passes_gopher``.
+
+    Scale: no shuffle, no UDF — a single whole-stage-codegen projection
+    over the corpus scan, so it runs at parquet-scan speed at 100 TB.
+    The reference has no quality filtering at all (its documents are web
+    logs); this is a training-data-pipeline extension (SURVEY.md §2 north
+    star), modeled on the published Gopher (Rae et al. 2021) and C4
+    (Raffel et al. 2020) filter sets.
+    """
+    text = F.col(text_col)
+    toks = tokens_col(text)
+    n_words = F.size(toks).cast("long")
+    sum_word_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    mean_word_len = F.round(F.try_divide(sum_word_len, n_words), 6)
+    n_alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[a-zA-Z]")))
+    frac_alpha_words = F.round(F.try_divide(n_alpha_words, n_words), 6)
+    n_symbols = F.regexp_count(text, F.lit("#")) + F.regexp_count(
+        text, F.lit(r"\.\.\.")
+    )
+    symbol_word_ratio = F.round(F.try_divide(n_symbols, n_words), 6)
+    lines = F.split(text, "\n")
+    n_lines = F.size(lines)
+    frac_bullet_lines = F.round(
+        F.try_divide(
+            F.size(
+                F.filter(
+                    lines,
+                    lambda ln: ln.startswith("- ")
+                    | ln.startswith("* ")
+                    | ln.startswith("•"),
+                )
+            ),
+            n_lines,
+        ),
+        6,
+    )
+    frac_ellipsis_lines = F.round(
+        F.try_divide(
+            F.size(F.filter(lines, lambda ln: ln.endswith("..."))), n_lines
+        ),
+        6,
+    )
+    frac_terminal_punct_lines = F.round(
+        F.try_divide(
+            F.size(F.filter(lines, lambda ln: ln.rlike('[.!?"]$'))), n_lines
+        ),
+        6,
+    )
+    n_required_stopwords = F.size(
+        F.array_intersect(
+            F.array_distinct(toks),
+            F.array(*[F.lit(w) for w in GOPHER_REQUIRED_WORDS]),
+        )
+    ).cast("long")
+    has_curly_brace = text.contains("{")
+    has_lorem_ipsum = F.lower(text).contains("lorem ipsum")
+
+    flag_word_count = (n_words >= GOPHER_MIN_WORDS) & (
+        n_words <= GOPHER_MAX_WORDS
+    )
+    flag_mean_word_len = (mean_word_len >= GOPHER_MIN_MEAN_WORD_LEN) & (
+        mean_word_len <= GOPHER_MAX_MEAN_WORD_LEN
+    )
+    flag_symbol_ratio = symbol_word_ratio <= GOPHER_MAX_SYMBOL_RATIO
+    flag_alpha_words = frac_alpha_words >= GOPHER_MIN_ALPHA_WORD_FRAC
+    flag_bullets = frac_bullet_lines <= GOPHER_MAX_BULLET_LINE_FRAC
+    flag_ellipsis = frac_ellipsis_lines <= GOPHER_MAX_ELLIPSIS_LINE_FRAC
+    flag_stopwords = n_required_stopwords >= 2
+    passes_gopher = (
+        flag_word_count
+        & flag_mean_word_len
+        & flag_symbol_ratio
+        & flag_alpha_words
+        & flag_bullets
+        & flag_ellipsis
+        & flag_stopwords
+    )
+    passes_c4 = ~has_curly_brace & ~has_lorem_ipsum
+
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_word_len.alias("mean_word_len"),
+        frac_alpha_words.alias("frac_alpha_words"),
+        symbol_word_ratio.alias("symbol_word_ratio"),
+        frac_bullet_lines.alias("frac_bullet_lines"),
+        frac_ellipsis_lines.alias("frac_ellipsis_lines"),
+        frac_terminal_punct_lines.alias("frac_terminal_punct_lines"),
+        n_required_stopwords.alias("n_required_stopwords"),
+        has_curly_brace.alias("has_curly_brace"),
+        has_lorem_ipsum.alias("has_lorem_ipsum"),
+        flag_word_count.alias("flag_word_count"),
+        flag_mean_word_len.alias("flag_mean_word_len"),
+        flag_symbol_ratio.alias("flag_symbol_ratio"),
+        flag_alpha_words.alias("flag_alpha_words"),
+        flag_bullets.alias("flag_bullets"),
+        flag_ellipsis.alias("flag_ellipsis"),
+        flag_stopwords.alias("flag_stopwords"),
+        passes_gopher.alias("passes_gopher"),
+        passes_c4.alias("passes_c4"),
+    )
+
+
+def gopher_quality_rules_sql(
+    text_col: str = "text", table: str = "documents"
+) -> str:
+    """DuckDB twin of :func:`gopher_quality_rules`."""
+    toks = f"list_filter(string_split({text_col}, ' '), t -> t <> '')"
+    req = ", ".join(f"'{w}'" for w in GOPHER_REQUIRED_WORDS)
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         {toks} AS toks,
+         string_split({text_col}, chr(10)) AS lines,
+         {text_col} AS t
+  FROM {table}
+), stats AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_words,
+         ROUND(CAST(list_sum(list_transform(toks, x -> length(x)))
+                    AS DOUBLE) / NULLIF(len(toks), 0), 6) AS mean_word_len,
+         ROUND(CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]')))
+                    AS DOUBLE) / NULLIF(len(toks), 0), 6) AS frac_alpha_words,
+         ROUND(CAST(len(regexp_extract_all(t, '#'))
+                    + len(regexp_extract_all(t, '\\.\\.\\.'))
+                    AS DOUBLE) / NULLIF(len(toks), 0), 6) AS symbol_word_ratio,
+         ROUND(CAST(len(list_filter(lines, ln -> ln LIKE '- %' OR ln LIKE '* %'
+                                                OR ln LIKE chr(8226) || '%'))
+                    AS DOUBLE) / NULLIF(len(lines), 0), 6) AS frac_bullet_lines,
+         ROUND(CAST(len(list_filter(lines, ln -> ln LIKE '%...'))
+                    AS DOUBLE) / NULLIF(len(lines), 0), 6) AS frac_ellipsis_lines,
+         ROUND(CAST(len(list_filter(lines, ln -> regexp_matches(ln, '[.!?"]$')))
+                    AS DOUBLE) / NULLIF(len(lines), 0), 6)
+           AS frac_terminal_punct_lines,
+         CAST(len(list_intersect(list_distinct(toks), [{req}])) AS BIGINT)
+           AS n_required_stopwords,
+         contains(t, '{{') AS has_curly_brace,
+         contains(lower(t), 'lorem ipsum') AS has_lorem_ipsum
+  FROM base
+)
+SELECT doc_id, n_words, mean_word_len, frac_alpha_words, symbol_word_ratio,
+       frac_bullet_lines, frac_ellipsis_lines, frac_terminal_punct_lines,
+       n_required_stopwords, has_curly_brace, has_lorem_ipsum,
+       (n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS})
+         AS flag_word_count,
+       (mean_word_len >= {GOPHER_MIN_MEAN_WORD_LEN}
+        AND mean_word_len <= {GOPHER_MAX_MEAN_WORD_LEN}) AS flag_mean_word_len,
+       symbol_word_ratio <= {GOPHER_MAX_SYMBOL_RATIO} AS flag_symbol_ratio,
+       frac_alpha_words >= {GOPHER_MIN_ALPHA_WORD_FRAC} AS flag_alpha_words,
+       frac_bullet_lines <= {GOPHER_MAX_BULLET_LINE_FRAC} AS flag_bullets,
+       frac_ellipsis_lines <= {GOPHER_MAX_ELLIPSIS_LINE_FRAC} AS flag_ellipsis,
+       n_required_stopwords >= 2 AS flag_stopwords,
+       ((n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS})
+        AND (mean_word_len >= {GOPHER_MIN_MEAN_WORD_LEN}
+             AND mean_word_len <= {GOPHER_MAX_MEAN_WORD_LEN})
+        AND symbol_word_ratio <= {GOPHER_MAX_SYMBOL_RATIO}
+        AND frac_alpha_words >= {GOPHER_MIN_ALPHA_WORD_FRAC}
+        AND frac_bullet_lines <= {GOPHER_MAX_BULLET_LINE_FRAC}
+        AND frac_ellipsis_lines <= {GOPHER_MAX_ELLIPSIS_LINE_FRAC}
+        AND n_required_stopwords >= 2) AS passes_gopher,
+       (NOT has_curly_brace AND NOT has_lorem_ipsum) AS passes_c4
+FROM stats
+"""

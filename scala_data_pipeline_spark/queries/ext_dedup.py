@@ -246,3 +246,24 @@ def _incremental_oracle() -> str:
 # shape is the production dedup path and deserves a hard driver row.
 QUERIES["dedup_incremental_lsh"] = dedup_incremental_lsh
 ORACLES["dedup_incremental_lsh"] = _incremental_oracle()
+
+
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank over the MinHash-LSH candidate-pair
+    graph: ranks documents by how central they are to near-duplicate
+    neighborhoods (template/boilerplate detection)."""
+    from ..ext.graph import pagerank_on_pairs
+
+    return pagerank_on_pairs(
+        lsh_candidate_pairs(load_table(spark, sf_dir, "documents"))
+    )
+
+
+def _pagerank_oracle() -> str:
+    from ..ext.graph import pagerank_sql
+
+    return pagerank_sql(minhash_lsh_sql())
+
+
+EXTRA_QUERIES["graph_pagerank"] = graph_pagerank
+EXTRA_ORACLES["graph_pagerank"] = _pagerank_oracle()

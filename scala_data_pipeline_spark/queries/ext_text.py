@@ -168,6 +168,24 @@ EXTRA_QUERIES["text_bpe_pairs"] = text_bpe_pairs
 EXTRA_ORACLES["text_bpe_pairs"] = _bpe_oracle()
 
 
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher + C4 heuristic quality-rule bundle: per-doc statistics and
+    pass flags in one codegen scan (no shuffle, no UDF)."""
+    from ..ext.textstats import gopher_quality_rules
+
+    return gopher_quality_rules(load_table(spark, sf_dir, "documents"))
+
+
+def _gopher_oracle() -> str:
+    from ..ext.textstats import gopher_quality_rules_sql
+
+    return gopher_quality_rules_sql()
+
+
+EXTRA_QUERIES["text_gopher_rules"] = text_gopher_rules
+EXTRA_ORACLES["text_gopher_rules"] = _gopher_oracle()
+
+
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-to-many media transform: every 2nd 32-byte frame of each
     payload, Arrow-batched."""

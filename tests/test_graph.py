@@ -1,0 +1,78 @@
+"""Unit tests for the iterative graph operators (ext/graph.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from scala_data_pipeline_spark.ext.graph import pagerank_on_pairs
+
+
+@pytest.fixture(scope="module")
+def triangle_plus_tail(spark):
+    """Graph: triangle {1,2,3} plus pendant 4-3; vertex 9 isolated
+    (never appears in pairs, so excluded from the rank frame)."""
+    return spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], ["doc_a", "doc_b"]
+    )
+
+
+def test_pagerank_mass_conserved(spark, triangle_plus_tail):
+    out = pagerank_on_pairs(triangle_plus_tail).collect()
+    assert {r.doc_id for r in out} == {1, 2, 3, 4}
+    total = sum(r.rank for r in out)
+    # Symmetric graph has no dangling mass: total rank stays 1 up to
+    # the per-iteration 1e-12 rounding.
+    assert total == pytest.approx(1.0, abs=1e-6)
+    by_id = {r.doc_id: r for r in out}
+    assert by_id[3].degree == 3
+    # The degree-3 hub out-ranks the pendant vertex.
+    assert by_id[3].rank > by_id[4].rank
+    assert all(r.rank > 0 for r in out)
+
+
+def test_pagerank_symmetric_vertices_tie(spark, triangle_plus_tail):
+    out = {r.doc_id: r.rank for r in pagerank_on_pairs(triangle_plus_tail).collect()}
+    # 1 and 2 are automorphic (both joined to exactly {1,2,3}-{self}):
+    # identical rank to the last rounded digit.
+    assert out[1] == out[2]
+
+
+def test_pagerank_empty_graph(spark):
+    pairs = spark.createDataFrame([], "doc_a long, doc_b long")
+    out = pagerank_on_pairs(pairs)
+    assert out.count() == 0
+    assert [f.name for f in out.schema] == ["doc_id", "degree", "rank"]
+
+
+def test_pagerank_two_cliques_rank_by_degree(spark):
+    # K4 on {1..4} and an edge {10,11}: every K4 member out-ranks the
+    # degree-1 pair members.
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    pairs = spark.createDataFrame(k4 + [(10, 11)], ["doc_a", "doc_b"])
+    out = {r.doc_id: r.rank for r in pagerank_on_pairs(pairs).collect()}
+    assert min(out[i] for i in range(1, 5)) > max(out[10], out[11])
+
+
+def test_gopher_rules_flag_semantics(spark):
+    rows = [
+        # passes everything: >=50 words incl. required stopwords
+        (1, "the and of to a " + " ".join(["word"] * 50)),
+        # too short + no stopwords
+        (2, "tiny doc"),
+        # symbol-heavy: '#' per word
+        (3, "the and " + " ".join(["#"] * 60)),
+        # C4 violations: curly brace + lorem ipsum
+        (4, "the and of " + " ".join(["x"] * 60) + " { Lorem Ipsum"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    from scala_data_pipeline_spark.ext.textstats import gopher_quality_rules
+
+    out = {r.doc_id: r for r in gopher_quality_rules(docs).collect()}
+    assert out[1].passes_gopher and out[1].passes_c4
+    assert not out[2].flag_word_count and not out[2].flag_stopwords
+    assert not out[3].flag_symbol_ratio and not out[3].passes_gopher
+    assert out[4].has_curly_brace and out[4].has_lorem_ipsum
+    assert not out[4].passes_c4
+    # frac_alpha_words drops when words are pure symbols
+    assert out[3].frac_alpha_words < 0.8
