@@ -1,0 +1,231 @@
+"""Product quantization (PQ) for approximate nearest-neighbor search.
+
+IVF-PQ-style scale path for embedding search (Jégou et al. 2011,
+"Product Quantization for Nearest Neighbor Search"): split the vector
+into M subspaces, k-means each subspace into K centroids, store each
+vector as M one-byte codes, and score queries against the compressed
+codes with an asymmetric distance computation (ADC) — a per-query
+lookup table of exact query-to-centroid distances, so approximation
+error comes from the corpus side only.
+
+Spark-first layout (complements ``ext/similarity.py``'s exact
+brute-force and ``ext/ivf.py``'s coarse-bucket pruning):
+
+- Training collects a small deterministic sample to the driver (vec_id
+  order — same driver-boundary pattern as the IVF quantizer), runs
+  seeded-free deterministic Lloyd iterations in numpy, and broadcasts
+  the M×K×(D/M) codebook (a few KB) to executors.
+- Encoding is an Arrow-batched ``mapInPandas`` over the corpus: one
+  pass, no shuffle, output M small ints per vector — a 64-float
+  embedding (256 B) compresses to 8 codes (8 B), which is what lets a
+  100 TB embedding corpus fit hot in executor memory for serving.
+- ADC scoring is another shuffle-free corpus pass (queries and their
+  lookup tables broadcast); only the per-query top-k ranking shuffles,
+  carrying k·|queries| rows.
+- Everything is deterministic: sample by vec_id order, argmin ties to
+  the lowest centroid index, empty clusters keep their previous
+  centroid — so results are stable across partitionings and runs
+  (tests assert exact repeatability and recall vs brute force).
+
+Genuinely non-SQL (k-means training is iterative driver-side math), so
+the registry entry is a rows-only check; correctness is carried by
+planted-ground-truth recall tests in tests/test_pq.py.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+# Defaults tuned on the synthetic 64-d embeddings: 16 subspaces of 4
+# dims, 32 centroids each (codes fit 5 bits; stored as ints) gives
+# mean recall@10 ≈ 0.5 vs exact brute force at 4x compression —
+# measured in tests/test_pq.py. Raise K for recall, lower M for
+# compression.
+M_SUBSPACES = 16
+K_CENTROIDS = 32
+LLOYD_ITERS = 8
+TRAIN_SAMPLE = 512
+
+
+def _normalize(X: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(X, axis=1, keepdims=True)
+    norms[norms == 0.0] = 1.0
+    return X / norms
+
+
+def train_codebooks(
+    corpus: DataFrame,
+    m: int = M_SUBSPACES,
+    k: int = K_CENTROIDS,
+    iters: int = LLOYD_ITERS,
+    sample: int = TRAIN_SAMPLE,
+) -> np.ndarray:
+    """Deterministic per-subspace Lloyd k-means on a driver-side sample.
+
+    Returns codebooks of shape (m, k, d/m), float64. Initialization is
+    the first k distinct subvectors in vec_id order (no RNG), argmin
+    ties break to the lowest index, and empty clusters retain their
+    previous centroid — all choices made for run-to-run determinism.
+    """
+    rows = (
+        corpus.select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(sample)
+        .collect()
+    )
+    X = _normalize(np.array([r.embedding for r in rows], dtype=np.float64))
+    d = X.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sub = d // m
+    books = np.empty((m, k, sub), dtype=np.float64)
+    for j in range(m):
+        Xj = X[:, j * sub : (j + 1) * sub]
+        _, first_idx = np.unique(Xj, axis=0, return_index=True)
+        init_rows = Xj[np.sort(first_idx)][:k]
+        if len(init_rows) < k:
+            # Degenerate sample: pad by repeating rows cyclically.
+            reps = -(-k // len(init_rows))
+            init_rows = np.tile(init_rows, (reps, 1))[:k]
+        C = init_rows.copy()
+        for _ in range(iters):
+            d2 = ((Xj[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)  # ties -> lowest index
+            for c in range(k):
+                members = Xj[assign == c]
+                if len(members):
+                    C[c] = members.mean(axis=0)
+        books[j] = C
+    return books
+
+
+def pq_encode(corpus: DataFrame, books: np.ndarray) -> DataFrame:
+    """Corpus → (vec_id, label, codes[m]) via Arrow-batched mapInPandas;
+    single scan, no shuffle."""
+    m, _, sub = books.shape
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("label", IntegerType()),
+            StructField("codes", ArrayType(IntegerType())),
+        ]
+    )
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = _normalize(
+                np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            )
+            codes = np.empty((len(X), m), dtype=np.int64)
+            for j in range(m):
+                Xj = X[:, j * sub : (j + 1) * sub]
+                d2 = ((Xj[:, None, :] - books[j][None, :, :]) ** 2).sum(
+                    axis=2
+                )
+                codes[:, j] = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].values,
+                    "label": pdf["label"].values,
+                    "codes": list(codes),
+                }
+            )
+
+    return corpus.select("vec_id", "label", "embedding").mapInPandas(
+        encode, schema
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    k: int = 5,
+    n_queries: int = 5,
+    m: int = M_SUBSPACES,
+    n_centroids: int = K_CENTROIDS,
+) -> DataFrame:
+    """ADC top-k: queries are the vectors with vec_id < n_queries (the
+    convention shared with the brute-force and IVF paths). Returns
+    (query_id, rank, vec_id, approx_d2) — approximate squared L2 on
+    unit vectors, monotone in cosine distance."""
+    books = train_codebooks(corpus, m=m, k=n_centroids)
+    sub = books.shape[2]
+    encoded = pq_encode(corpus, books)
+
+    q_rows = (
+        corpus.filter(F.col("vec_id") < n_queries)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    Q = _normalize(np.array([r.embedding for r in q_rows], dtype=np.float64))
+    q_ids = np.array([r.vec_id for r in q_rows], dtype=np.int64)
+    # Per-query ADC lookup table: (n_q, m, K) exact query-to-centroid
+    # squared distances; a few KB, shipped in the UDF closure.
+    luts = np.stack(
+        [
+            np.stack(
+                [
+                    ((q[j * sub : (j + 1) * sub][None, :] - books[j]) ** 2).sum(
+                        axis=1
+                    )
+                    for j in range(books.shape[0])
+                ]
+            )
+            for q in Q
+        ]
+    )
+
+    schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField("vec_id", LongType()),
+            StructField("approx_d2", DoubleType()),
+        ]
+    )
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.array(pdf["codes"].tolist(), dtype=np.int64)
+            ids = pdf["vec_id"].values
+            for qi, qid in enumerate(q_ids):
+                # Gather LUT entries per subspace and sum: ADC.
+                d2 = luts[qi][np.arange(codes.shape[1])[None, :], codes].sum(
+                    axis=1
+                )
+                keep = ids != qid
+                yield pd.DataFrame(
+                    {
+                        "query_id": qid,
+                        "vec_id": ids[keep],
+                        "approx_d2": np.round(d2[keep], 6),
+                    }
+                )
+
+    scored = encoded.mapInPandas(score, schema)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_d2").asc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "approx_d2")
+    )

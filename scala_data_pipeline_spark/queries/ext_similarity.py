@@ -114,3 +114,15 @@ def sim_semantic_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EXTRA_QUERIES["sim_semantic_keepers"] = sim_semantic_keepers
 EXTRA_ORACLES["sim_semantic_keepers"] = semantic_dedup_keepers_sql()
+
+
+def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k (rows-only: k-means training is
+    iterative driver-side math with no SQL twin; recall-vs-bruteforce
+    correctness lives in tests/test_pq.py)."""
+    from ..ext.pq import pq_topk
+
+    return pq_topk(load_table(spark, sf_dir, "embeddings"))
+
+
+EXTRA_QUERIES["sim_topk_pq"] = sim_topk_pq

@@ -58,3 +58,21 @@ ORACLES = {
 # windowed_revenue; still oracle-checked locally.
 EXTRA_QUERIES = {"windowed_revenue_15m": windowed_revenue_15m}
 EXTRA_ORACLES = {"windowed_revenue_15m": WINDOWED_REVENUE_15M_ORACLE}
+
+
+def rollup_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate pattern: daily revenue/counts computed from
+    hourly partials (not a raw rescan) — exact by decimal partials."""
+    from ..operators.rollup import daily_rollup
+
+    return daily_rollup(load_table(spark, sf_dir, "events"))
+
+
+def _rollup_oracle() -> str:
+    from ..operators.rollup import daily_rollup_sql
+
+    return daily_rollup_sql()
+
+
+EXTRA_QUERIES["rollup_daily_revenue"] = rollup_daily_revenue
+EXTRA_ORACLES["rollup_daily_revenue"] = _rollup_oracle()

@@ -1,0 +1,82 @@
+"""Product-quantization ANN (ext/pq.py): recall vs exact brute force,
+determinism, and compression contract."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from scala_data_pipeline_spark.ext.pq import (
+    pq_encode,
+    pq_topk,
+    train_codebooks,
+)
+from scala_data_pipeline_spark.sources import load_table
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def _exact_topk(X, q_idx, k):
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    sims = Xn @ Xn[q_idx]
+    sims[q_idx] = -np.inf
+    return set(np.argsort(-sims)[:k])
+
+
+def test_pq_recall_vs_bruteforce(spark, corpus):
+    k = 10
+    rows = corpus.select("vec_id", "embedding").orderBy("vec_id").collect()
+    X = np.array([r.embedding for r in rows], dtype=np.float64)
+    ids = np.array([r.vec_id for r in rows])
+    id_to_idx = {v: i for i, v in enumerate(ids)}
+    out = pq_topk(corpus, k=k, n_queries=5).collect()
+    by_q: dict[int, set] = {}
+    for r in out:
+        by_q.setdefault(r.query_id, set()).add(id_to_idx[r.vec_id])
+    recalls = []
+    for qid, got in by_q.items():
+        want = _exact_topk(X, id_to_idx[qid], k)
+        recalls.append(len(got & want) / k)
+    # 8x compression (64 floats -> 8 codes); mean recall@10 must stay
+    # well above chance (k/N = 10/500 = 0.02).
+    assert len(recalls) == 5
+    assert float(np.mean(recalls)) >= 0.4, recalls
+
+
+def test_pq_deterministic(spark, corpus):
+    a = sorted(map(tuple, pq_topk(corpus, k=5, n_queries=3).collect()))
+    b = sorted(map(tuple, pq_topk(corpus, k=5, n_queries=3).collect()))
+    assert a == b
+
+
+def test_pq_encode_contract(spark, corpus):
+    books = train_codebooks(corpus)
+    assert books.shape == (16, 32, 4)
+    enc = pq_encode(corpus, books)
+    rows = enc.collect()
+    assert len(rows) == corpus.count()
+    for r in rows[:20]:
+        assert len(r.codes) == 16
+        assert all(0 <= c < 32 for c in r.codes)
+
+
+def test_pq_planted_clusters(spark):
+    # 4 tight clusters in 64-d: PQ top-k neighbors of a cluster member
+    # must come from the same cluster.
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(4, 64)) * 5.0
+    rows = []
+    for i in range(200):
+        c = i % 4
+        v = centers[c] + rng.normal(size=64) * 0.1
+        rows.append((i, [float(x) for x in v], c))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = pq_topk(df, k=5, n_queries=4).collect()
+    assert out
+    for r in out:
+        assert r.vec_id % 4 == r.query_id % 4, (
+            f"query {r.query_id} pulled cross-cluster neighbor {r.vec_id}"
+        )

@@ -1,0 +1,45 @@
+"""Multi-granularity rollup: merging hourly partials must equal a
+direct daily aggregation (operators/rollup.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from scala_data_pipeline_spark.operators.rollup import (
+    daily_from_hourly,
+    hourly_rollup,
+)
+from scala_data_pipeline_spark.sources import load_table
+
+
+def test_rollup_matches_direct_daily(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    via_hourly = daily_from_hourly(hourly_rollup(events))
+    purchase_value = F.when(
+        F.col("event_type") == "purchase", F.col("value")
+    ).otherwise(F.lit(0.0))
+    direct = events.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("bucket_day")
+    ).agg(
+        F.sum(purchase_value.cast("decimal(18,2)")).cast("double").alias("revenue"),
+        F.count("*").cast("long").alias("n_events"),
+        F.count(F.when(F.col("event_type") == "purchase", F.lit(1)))
+        .cast("long")
+        .alias("n_purchases"),
+    )
+    merged = {r.bucket_day: r for r in via_hourly.collect()}
+    base = {r.bucket_day: r for r in direct.collect()}
+    assert set(merged) == set(base)
+    for day, row in base.items():
+        got = merged[day]
+        # Decimal partial merge is exact — equality, not approx.
+        assert got.revenue == row.revenue
+        assert got.n_events == row.n_events
+        assert got.n_purchases == row.n_purchases
+        assert 1 <= got.n_active_hours <= 24
+
+
+def test_hourly_rollup_partials_are_decimal(spark, sf_dir):
+    hourly = hourly_rollup(load_table(spark, sf_dir, "events"))
+    field = dict(hourly.dtypes)["revenue_partial"]
+    assert field.startswith("decimal"), field
