@@ -341,23 +341,17 @@ GROUP BY event_type
 QUERIES = {
     "flagship_datamart": flagship_datamart,
     "pricing_summary": pricing_summary,
-    "filter_project": filter_project,
     "join_dims": join_dims,
     "join_outer_multikey": join_outer_multikey,
     "pivot_user_events": pivot_user_events,
-    "topk_parts": topk_parts,
-    "union_split": union_split,
 }
 
 ORACLES = {
     "flagship_datamart": FLAGSHIP_ORACLE,
     "pricing_summary": PRICING_ORACLE,
-    "filter_project": FILTER_PROJECT_ORACLE,
     "join_dims": JOIN_DIMS_ORACLE,
     "join_outer_multikey": JOIN_OUTER_ORACLE,
     "pivot_user_events": PIVOT_ORACLE,
-    "topk_parts": TOPK_ORACLE,
-    "union_split": UNION_ORACLE,
 }
 
 # Demoted from driver slots (50-row cap): A7 distinct stays green via
@@ -365,3 +359,16 @@ ORACLES = {
 # still oracle-checked locally.
 EXTRA_QUERIES = {"distinct_max_stamp": distinct_max_stamp}
 EXTRA_ORACLES = {"distinct_max_stamp": DISTINCT_MAX_ORACLE}
+
+# Round-6 rotation: filter_project / topk_parts / union_split carried
+# green driver rows in rounds 1-4 and their P1-P6 / O1-O2 / U1
+# machinery is also exercised by flagship_datamart and pricing_summary;
+# demoted to free driver slots for never-checked flagship extras
+# (graph_pagerank, text_gopher_rules, rollup_daily_revenue, ...).
+# Still oracle-checked locally by tests/test_oracle_parity.py.
+EXTRA_QUERIES["filter_project"] = filter_project
+EXTRA_ORACLES["filter_project"] = FILTER_PROJECT_ORACLE
+EXTRA_QUERIES["topk_parts"] = topk_parts
+EXTRA_ORACLES["topk_parts"] = TOPK_ORACLE
+EXTRA_QUERIES["union_split"] = union_split
+EXTRA_ORACLES["union_split"] = UNION_ORACLE

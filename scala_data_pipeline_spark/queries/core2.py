@@ -181,16 +181,12 @@ ON event_type USING COUNT(*) GROUP BY user_id
 
 
 QUERIES = {
-    "drop_duplicates_subset": drop_duplicates_subset,
     "unpivot_matrix_long": unpivot_matrix_long,
-    "global_sort": global_sort,
     "window_rank_lag": window_rank_lag,
 }
 
 ORACLES = {
-    "drop_duplicates_subset": DROP_DUP_ORACLE,
     "unpivot_matrix_long": UNPIVOT_ORACLE,
-    "global_sort": GLOBAL_SORT_ORACLE,
     "window_rank_lag": WINDOW_RANK_ORACLE,
 }
 
@@ -212,3 +208,12 @@ EXTRA_ORACLES = {
     "pivot_dynamic": PIVOT_DYNAMIC_ORACLE,
     "json_serialize_roundtrip": JSON_ROUNDTRIP_ORACLE,
 }
+
+# Round-6 rotation: drop_duplicates_subset (P10) and global_sort (O1)
+# held green driver rows rounds 1-4; dedup_exact keeps P10-style
+# dedup under a driver row and global ordering is exercised inside
+# topk/window queries. Demoted for never-checked flagship extras.
+EXTRA_QUERIES["drop_duplicates_subset"] = drop_duplicates_subset
+EXTRA_ORACLES["drop_duplicates_subset"] = DROP_DUP_ORACLE
+EXTRA_QUERIES["global_sort"] = global_sort
+EXTRA_ORACLES["global_sort"] = GLOBAL_SORT_ORACLE

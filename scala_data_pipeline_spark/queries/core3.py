@@ -436,8 +436,10 @@ SELECT o_orderkey, o_custkey,
 FROM orders
 """
 
-EXTRA_QUERIES["rolling_revenue_7d"] = rolling_revenue_7d
-EXTRA_ORACLES["rolling_revenue_7d"] = ROLLING_ORACLE
+# Round-6 rotation: rolling_revenue_7d promoted to a driver slot (the
+# registry's only RANGE-frame rolling window, never driver-checked).
+QUERIES["rolling_revenue_7d"] = rolling_revenue_7d
+ORACLES["rolling_revenue_7d"] = ROLLING_ORACLE
 
 
 def gap_fill_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -183,7 +183,6 @@ EXTRA_QUERIES = {
     "curation_source_quota": curation_source_quota,
     "curation_pii_redact": curation_pii_redact,
     "curation_repetition": curation_repetition,
-    "curation_weighted_sample": curation_weighted_sample,
     "curation_cluster_split": curation_cluster_split,
 }
 
@@ -194,9 +193,14 @@ EXTRA_ORACLES = {
     "curation_source_quota": QUOTA_ORACLE,
     "curation_pii_redact": PII_ORACLE,
     "curation_repetition": repetition_ratio_sql(),
-    "curation_weighted_sample": weighted_sample_sql(n=50),
     "curation_cluster_split": _cluster_split_oracle(),
 }
+
+# Round-6 rotation: curation_weighted_sample promoted to a driver slot
+# (round-5 Efraimidis-Spirakis A-ES weighted sampling, never
+# driver-checked).
+QUERIES["curation_weighted_sample"] = curation_weighted_sample
+ORACLES["curation_weighted_sample"] = weighted_sample_sql(n=50)
 
 
 EPOCH_RATES = {"src0": 2.5, "src1": 1.0, "src2": 0.25, "src3": 1.75}

@@ -265,5 +265,10 @@ def _pagerank_oracle() -> str:
     return pagerank_sql(minhash_lsh_sql())
 
 
-EXTRA_QUERIES["graph_pagerank"] = graph_pagerank
-EXTRA_ORACLES["graph_pagerank"] = _pagerank_oracle()
+# Round-6 rotation: both promoted to driver slots — graph_pagerank is
+# the new iterative-graph flagship; dedup_containment (asymmetric
+# Jaccard, round 5) was never driver-checked.
+QUERIES["graph_pagerank"] = graph_pagerank
+ORACLES["graph_pagerank"] = _pagerank_oracle()
+QUERIES["dedup_containment"] = EXTRA_QUERIES.pop("dedup_containment")
+ORACLES["dedup_containment"] = EXTRA_ORACLES.pop("dedup_containment")

@@ -81,13 +81,16 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EXTRA_QUERIES = {
     "sim_quantize": sim_quantize,
-    "sim_knn_join": sim_knn_join,
     "sim_mmr_rerank": sim_mmr_rerank,
 }
 EXTRA_ORACLES = {
     "sim_quantize": _quantize_oracle(),
-    "sim_knn_join": knn_join_sql(k=5),
 }
+
+# Round-6 rotation: sim_knn_join promoted to a driver slot (round-5
+# SRP-LSH KNN self-join, never driver-checked).
+QUERIES["sim_knn_join"] = sim_knn_join
+ORACLES["sim_knn_join"] = knn_join_sql(k=5)
 
 
 def sim_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:

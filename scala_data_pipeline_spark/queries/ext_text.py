@@ -57,14 +57,12 @@ FROM documents
 
 
 QUERIES = {
-    "text_quality": text_quality,
     "text_lang_id": text_lang_id,
     "text_fingerprint": text_fingerprint,
     "multimodal_features": multimodal_features,
 }
 
 ORACLES = {
-    "text_quality": quality_features_sql(),
     "text_lang_id": lang_id_sql(),
     "text_fingerprint": fingerprint_sql(),
     "multimodal_features": MULTIMODAL_ORACLE,
@@ -182,8 +180,14 @@ def _gopher_oracle() -> str:
     return gopher_quality_rules_sql()
 
 
-EXTRA_QUERIES["text_gopher_rules"] = text_gopher_rules
-EXTRA_ORACLES["text_gopher_rules"] = _gopher_oracle()
+# Round-6 rotation: text_gopher_rules promoted to a driver slot (new
+# flagship quality-filter bundle, never driver-checked); text_quality
+# (green rounds 1-4, a strict subset of the gopher statistics) demoted
+# to keep the family under one hard row.
+QUERIES["text_gopher_rules"] = text_gopher_rules
+ORACLES["text_gopher_rules"] = _gopher_oracle()
+EXTRA_QUERIES["text_quality"] = text_quality
+EXTRA_ORACLES["text_quality"] = quality_features_sql()
 
 
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:

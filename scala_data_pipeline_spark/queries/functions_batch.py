@@ -204,15 +204,11 @@ GROUP BY user_id
 
 
 QUERIES = {
-    "json_extract_props": json_extract_props,
     "url_pipeline": url_pipeline,
-    "collect_user_events": collect_user_events,
 }
 
 ORACLES = {
-    "json_extract_props": JSON_PROPS_ORACLE,
     "url_pipeline": URL_PIPELINE_ORACLE,
-    "collect_user_events": COLLECT_ORACLE,
 }
 
 # Locally-oracled extras (driver registry at its 50-row cap): VariantType
@@ -236,6 +232,15 @@ EXTRA_ORACLES = {
     "date_roundtrip": DATE_ROUNDTRIP_ORACLE,
     "explode_tokens": EXPLODE_ORACLE,
 }
+
+# Round-6 rotation: json_extract_props (F14, green rounds 1-4; the
+# from_json machinery also backs variant_extract_props' shared oracle)
+# and collect_user_events (A6, green rounds 1-4; collect_list is also
+# the ML train path) demoted for never-checked flagship extras.
+EXTRA_QUERIES["json_extract_props"] = json_extract_props
+EXTRA_ORACLES["json_extract_props"] = JSON_PROPS_ORACLE
+EXTRA_QUERIES["collect_user_events"] = collect_user_events
+EXTRA_ORACLES["collect_user_events"] = COLLECT_ORACLE
 
 
 def map_functions_props(spark: SparkSession, sf_dir: str) -> DataFrame:

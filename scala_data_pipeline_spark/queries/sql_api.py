@@ -115,13 +115,16 @@ def sql_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 # demoted to an extra so its driver slot goes to the never-checked
 # ordered funnel below; still oracle-checked in test_oracle_parity.
 EXTRA_QUERIES = {
-    "sql_cohort_retention": sql_cohort_retention,
     "sql_event_funnel": sql_event_funnel,
 }
 EXTRA_ORACLES = {
-    "sql_cohort_retention": SQL_COHORT_RETENTION_DUCKDB,
     "sql_event_funnel": SQL_EVENT_FUNNEL,
 }
+
+# Round-6 rotation: sql_cohort_retention promoted to a driver slot
+# (never driver-checked; the registry's only cohort-analysis shape).
+QUERIES["sql_cohort_retention"] = sql_cohort_retention
+ORACLES["sql_cohort_retention"] = SQL_COHORT_RETENTION_DUCKDB
 
 
 def session_funnel_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:

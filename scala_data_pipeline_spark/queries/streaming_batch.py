@@ -74,5 +74,7 @@ def _rollup_oracle() -> str:
     return daily_rollup_sql()
 
 
-EXTRA_QUERIES["rollup_daily_revenue"] = rollup_daily_revenue
-EXTRA_ORACLES["rollup_daily_revenue"] = _rollup_oracle()
+# Round-6 rotation: promoted to a driver slot (new continuous-aggregate
+# flagship, never driver-checked).
+QUERIES["rollup_daily_revenue"] = rollup_daily_revenue
+ORACLES["rollup_daily_revenue"] = _rollup_oracle()
