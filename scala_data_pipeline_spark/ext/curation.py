@@ -659,3 +659,82 @@ FROM (
   FROM j WHERE n_copies > 0
 )
 """
+
+
+def source_reputation(
+    docs: DataFrame,
+    min_docs: int = 5,
+    min_mean_quality: float = 0.5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Source-level reputation filtering (the UT1-blocklist /
+    domain-reputation pattern): score every (source, lang) partition by
+    its aggregate document quality, then keep only documents from
+    reputable partitions.
+
+    Two-level plan: one corpus scan computes per-doc quality (codegen,
+    ext/textstats.quality_features), one hash aggregate reduces it to
+    per-source statistics, and the verdict joins back onto documents by
+    source — the reputation side of the join is tiny (one row per
+    source × lang) and broadcasts, so the corpus never shuffles. At
+    100 TB this is exactly the shape of domain-level filtering over a
+    web crawl: the reputation table is KBs even for millions of
+    domains' worth of docs.
+
+    Output: surviving documents with their source's statistics
+    attached (doc_id, source, lang, mean_quality, n_docs).
+    """
+    from .textstats import quality_features
+
+    qual = quality_features(docs, text_col=text_col).select(
+        "doc_id", "quality_score"
+    )
+    scored = docs.select("doc_id", "source", "lang").join(qual, on="doc_id")
+    rep = (
+        scored.groupBy("source", "lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.round(
+                F.sum(F.col("quality_score").cast("decimal(18,6)")).cast(
+                    "double"
+                )
+                / F.count("*"),
+                6,
+            ).alias("mean_quality"),
+        )
+        .filter(
+            (F.col("n_docs") >= min_docs)
+            & (F.col("mean_quality") >= min_mean_quality)
+        )
+    )
+    return scored.join(F.broadcast(rep), on=["source", "lang"]).select(
+        "doc_id", "source", "lang", "mean_quality", "n_docs"
+    )
+
+
+def source_reputation_sql(
+    min_docs: int = 5,
+    min_mean_quality: float = 0.5,
+    text_col: str = "text",
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`source_reputation`."""
+    from .textstats import quality_score_sql
+
+    q = quality_score_sql(text_col)
+    return f"""
+WITH scored AS (
+  SELECT doc_id, source, lang, {q} AS quality_score FROM {table}
+), rep AS (
+  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         ROUND(CAST(SUM(CAST(quality_score AS DECIMAL(18,6))) AS DOUBLE)
+               / COUNT(*), 6) AS mean_quality
+  FROM scored
+  GROUP BY source, lang
+  HAVING COUNT(*) >= {min_docs} AND
+         ROUND(CAST(SUM(CAST(quality_score AS DECIMAL(18,6))) AS DOUBLE)
+               / COUNT(*), 6) >= {min_mean_quality}
+)
+SELECT s.doc_id, s.source, s.lang, r.mean_quality, r.n_docs
+FROM scored s JOIN rep r ON s.source = r.source AND s.lang = r.lang
+"""

@@ -224,3 +224,21 @@ def _epoch_oracle() -> str:
 
 EXTRA_QUERIES["curation_epoch_mixture"] = curation_epoch_mixture
 EXTRA_ORACLES["curation_epoch_mixture"] = _epoch_oracle()
+
+
+def curation_source_reputation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain/source-reputation filter: per-(source,lang) mean quality
+    gates which documents survive; reputation side broadcasts."""
+    from ..ext.curation import source_reputation
+
+    return source_reputation(load_table(spark, sf_dir, "documents"))
+
+
+def _source_reputation_oracle() -> str:
+    from ..ext.curation import source_reputation_sql
+
+    return source_reputation_sql()
+
+
+EXTRA_QUERIES["curation_source_reputation"] = curation_source_reputation
+EXTRA_ORACLES["curation_source_reputation"] = _source_reputation_oracle()

@@ -1,0 +1,53 @@
+"""Streaming maintenance of the multi-granularity rollup
+(operators/rollup.py) — the continuous-aggregate write path.
+
+Each micro-batch appends its own hourly DECIMAL partials as immutable
+parquet files; readers merge partials on read (hour groups collapse
+per-batch fragments, then days merge hours). Append-only maintenance
+means no read-modify-write races, no coordination between the stream
+and readers, and object-store-friendly immutable files — the same
+segment model Druid/TimescaleDB-style continuous aggregates use.
+Because the partials are exactly mergeable (associative decimal sums,
+see operators/rollup.py), the merged result is bit-identical to a
+batch rollup over the full history, which the streaming test asserts.
+
+A compaction job (rewrite many small partial files into one partial
+per hour) is the same ``read → hourly-merge → overwrite`` plan run
+offline; at 100 TB the partial files are tiny compared to raw events,
+so compaction pressure is low.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.rollup import daily_from_hourly, hourly_rollup
+
+
+def rollup_append_sink(target_dir: str):
+    """``foreachBatch`` function: append this micro-batch's hourly
+    partials to ``target_dir``."""
+
+    def write_partials(batch_df: DataFrame, batch_id: int) -> None:
+        hourly_rollup(batch_df).write.mode("append").parquet(target_dir)
+
+    return write_partials
+
+
+def merged_hourly(spark: SparkSession, target_dir: str) -> DataFrame:
+    """Merge-on-read: collapse per-batch partial fragments into one
+    partial row per hour (decimal sums stay exact)."""
+    from pyspark.sql import functions as F
+
+    partials = spark.read.parquet(target_dir)
+    return partials.groupBy("bucket_hour").agg(
+        F.sum("revenue_partial").alias("revenue_partial"),
+        F.sum("n_events").cast("long").alias("n_events"),
+        F.sum("n_purchases").cast("long").alias("n_purchases"),
+    )
+
+
+def read_daily_rollup(spark: SparkSession, target_dir: str) -> DataFrame:
+    """The continuous aggregate's query surface: daily rollup from the
+    maintained partial store."""
+    return daily_from_hourly(merged_hourly(spark, target_dir))

@@ -43,3 +43,40 @@ def test_hourly_rollup_partials_are_decimal(spark, sf_dir):
     hourly = hourly_rollup(load_table(spark, sf_dir, "events"))
     field = dict(hourly.dtypes)["revenue_partial"]
     assert field.startswith("decimal"), field
+
+
+def test_streaming_rollup_maintenance(spark, sf_dir, tmp_path):
+    """foreachBatch-appended hourly partials merge to the exact batch
+    rollup (streaming/rollup_sink.py)."""
+    from scala_data_pipeline_spark.operators.rollup import daily_rollup
+    from scala_data_pipeline_spark.streaming.rollup_sink import (
+        read_daily_rollup,
+        rollup_append_sink,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "stream_src")
+    events.repartition(4).write.mode("overwrite").parquet(src)
+    target = str(tmp_path / "partials")
+    sdf = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        sdf.writeStream.foreachBatch(rollup_append_sink(target))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=120)
+    assert not q.isActive
+
+    got = {r.bucket_day: r for r in read_daily_rollup(spark, target).collect()}
+    want = {r.bucket_day: r for r in daily_rollup(events).collect()}
+    assert set(got) == set(want)
+    for day, w in want.items():
+        g = got[day]
+        assert (g.revenue, g.n_events, g.n_purchases, g.n_active_hours) == (
+            w.revenue, w.n_events, w.n_purchases, w.n_active_hours
+        )
