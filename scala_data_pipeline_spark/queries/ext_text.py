@@ -226,3 +226,15 @@ EXTRA_QUERIES["multimodal_frame_sample"] = multimodal_frame_sample
 EXTRA_ORACLES["multimodal_frame_sample"] = _frame_oracle()
 EXTRA_QUERIES["multimodal_thumbnail"] = multimodal_thumbnail
 EXTRA_ORACLES["multimodal_thumbnail"] = _thumb_oracle()
+
+
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned BPE merge table (rows-only: the merge loop is iterative
+    driver-side math over the aggregated vocabulary; merge #1 is
+    anchored to the oracle-checked bpe_pair_counts in tests/test_bpe.py)."""
+    from ..ext.bpe import bpe_train
+
+    return bpe_train(load_table(spark, sf_dir, "documents"))
+
+
+EXTRA_QUERIES["text_bpe_train"] = text_bpe_train

@@ -1,0 +1,71 @@
+"""BPE tokenizer training (ext/bpe.py)."""
+
+from __future__ import annotations
+
+from scala_data_pipeline_spark.ext.bpe import (
+    _merge_word,
+    bpe_apply,
+    bpe_train,
+    train_merges,
+    word_counts,
+)
+from scala_data_pipeline_spark.ext.textstats import bpe_pair_counts
+from scala_data_pipeline_spark.sources import load_table
+
+
+def test_merge_word():
+    assert _merge_word(tuple("aaab"), ("a", "a")) == ("aa", "a", "b")
+    assert _merge_word(("aa", "a", "b"), ("a", "b")) == ("aa", "ab")
+    assert _merge_word(tuple("xy"), ("a", "b")) == ("x", "y")
+
+
+def test_first_merge_matches_pair_count_oracle(spark, sf_dir):
+    """Merge #1 must be the top-ranked adjacent char pair from
+    bpe_pair_counts — the oracle-checked counting query."""
+    docs = load_table(spark, sf_dir, "documents")
+    top = bpe_pair_counts(docs, top_k=1).collect()[0]
+    first = bpe_train(docs, n_merges=1).collect()[0]
+    assert first.left + first.right == top.pair
+    assert first.pair_count == top.n_occurrences
+
+
+def test_train_deterministic_and_counts_decrease(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    a = [tuple(r) for r in bpe_train(docs, n_merges=6).collect()]
+    b = [tuple(r) for r in bpe_train(docs, n_merges=6).collect()]
+    assert a == b
+    # Pair counts are non-increasing in merge order only in the
+    # aggregate sense; assert positivity + distinct merges instead.
+    assert all(r[3] > 0 for r in a)
+    assert len({(r[1], r[2]) for r in a}) == len(a)
+
+
+def test_apply_reduces_tokens(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = [(r.word, r.n) for r in word_counts(docs).collect()]
+    merges = train_merges(vocab, 8)
+    out = bpe_apply(docs, merges).collect()
+    assert len(out) == docs.count()
+    for r in out:
+        # chars >= bpe tokens >= words (merging only shrinks; every
+        # word is at least one token)
+        assert r.n_bpe_tokens >= r.n_words
+        assert all(t for t in r.tokens_head)
+    # with 8 merges over a repetitive corpus, SOME doc must compress
+    chars = {r.doc_id: r for r in out}
+    docs_rows = docs.select("doc_id", "text").collect()
+    assert any(
+        chars[d.doc_id].n_bpe_tokens
+        < sum(len(w) for w in d.text.split(" ") if w)
+        for d in docs_rows
+    )
+
+
+def test_no_merges_yields_char_tokens(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(5)
+    out = bpe_apply(docs, []).collect()
+    for r, d in zip(
+        sorted(out, key=lambda r: r.doc_id),
+        sorted(docs.collect(), key=lambda r: r.doc_id),
+    ):
+        assert r.n_bpe_tokens == sum(len(w) for w in d.text.split(" ") if w)
