@@ -96,3 +96,35 @@ SELECT date_trunc('day', bucket_hour) AS bucket_day,
 FROM hourly
 GROUP BY 1
 """
+
+
+def hourly_user_sketches(events: DataFrame) -> DataFrame:
+    """Hourly HLL sketches of the distinct-user set (DataSketches HLL
+    via ``hll_sketch_agg``). Unlike exact distincts, sketches are
+    MERGEABLE — the non-additive statistic the decimal rollup cannot
+    carry (see module docstring) becomes rollup-able as a sketch."""
+    return events.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("bucket_hour")
+    ).agg(F.hll_sketch_agg("user_id").alias("users_sketch"))
+
+
+def daily_distinct_users(hourly_sketches: DataFrame) -> DataFrame:
+    """Merge hourly sketches into daily distinct-user estimates.
+
+    Estimate semantics: DataSketches HLL is EXACT while a set fits the
+    sparse register file (~thousands at the default lgConfigK=12) and
+    ~±1.6% beyond it — tests pin exactness at the driver's correctness
+    scale and the error bound at bench scale. Rows-only registry entry:
+    an approximate result has no value-hash twin by design.
+    """
+    return (
+        hourly_sketches.groupBy(
+            F.date_trunc("day", F.col("bucket_hour")).alias("bucket_day")
+        )
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("users_sketch"))
+            .cast("long")
+            .alias("n_distinct_users_est"),
+            F.count("*").cast("long").alias("n_active_hours"),
+        )
+    )

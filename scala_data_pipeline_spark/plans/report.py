@@ -58,7 +58,8 @@ def generate(out_path: str = "PLAN_AUDIT.md", sf_dir: str | None = None) -> str:
         "Py = BatchEval/ArrowEval Python operators in the plan (0 on hot",
         "paths; deliberate non-zero sites: url_pipeline's reference-parity",
         "F7 UDF, multimodal's mapInPandas decode, sim_mmr_rerank's",
-        "applyInPandas greedy — each documented at the operator);",
+        "applyInPandas greedy, sim_topk_pq's Arrow encode/ADC scans —",
+        "each documented at the operator);",
         "partial = map-side combine",
         "present; pushdown = non-empty PushedFilters on a scan; codegen =",
         "distinct WholeStageCodegen spans. `*name` rows are the",

@@ -78,3 +78,17 @@ def _rollup_oracle() -> str:
 # flagship, never driver-checked).
 QUERIES["rollup_daily_revenue"] = rollup_daily_revenue
 ORACLES["rollup_daily_revenue"] = _rollup_oracle()
+
+
+def rollup_daily_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily distinct users estimated by merging hourly HLL sketches —
+    the mergeable-sketch side of the continuous-aggregate pattern
+    (rows-only: approximate results have no value-hash twin)."""
+    from ..operators.rollup import daily_distinct_users, hourly_user_sketches
+
+    return daily_distinct_users(
+        hourly_user_sketches(load_table(spark, sf_dir, "events"))
+    )
+
+
+EXTRA_QUERIES["rollup_daily_users_hll"] = rollup_daily_users_hll

@@ -80,3 +80,30 @@ def test_streaming_rollup_maintenance(spark, sf_dir, tmp_path):
         assert (g.revenue, g.n_events, g.n_purchases, g.n_active_hours) == (
             w.revenue, w.n_events, w.n_purchases, w.n_active_hours
         )
+
+
+def test_hll_sketch_rollup_accuracy(spark, sf_dir):
+    """Merged hourly HLL sketches vs exact daily distincts: exact in
+    the sparse regime (test SF), <2% relative error at bench scale."""
+    from scala_data_pipeline_spark.operators.rollup import (
+        daily_distinct_users,
+        hourly_user_sketches,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    est = {
+        r.bucket_day: r.n_distinct_users_est
+        for r in daily_distinct_users(hourly_user_sketches(events)).collect()
+    }
+    exact = {
+        r.d: r.x
+        for r in events.groupBy(
+            F.date_trunc("day", F.col("ts")).alias("d")
+        ).agg(F.count_distinct("user_id").alias("x")).collect()
+    }
+    assert set(est) == set(exact)
+    for day, x in exact.items():
+        if x <= 512:
+            assert est[day] == x, (day, est[day], x)
+        else:
+            assert abs(est[day] - x) / x < 0.02
