@@ -229,3 +229,110 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "vec_id", "approx_d2")
     )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    k: int = 5,
+    n_queries: int = 5,
+    n_coarse: int = 8,
+    nprobe: int = 3,
+    m: int = M_SUBSPACES,
+    n_centroids: int = K_CENTROIDS,
+) -> DataFrame:
+    """FAISS-style IVF-PQ composition: a coarse KMeans quantizer prunes
+    the corpus to the ``nprobe`` nearest buckets per query, and PQ ADC
+    scores only the surviving vectors — at 100 TB the scan touches
+    nprobe/n_coarse of the compressed index instead of every code.
+
+    Reuses ext/ivf.py's coarse path (pyspark.ml KMeans, seeded) and
+    this module's codebooks/ADC. Returns
+    (query_id, rank, vec_id, approx_d2). Rows-only like pq_topk;
+    correctness is recall-tested against brute force in tests/test_pq.py.
+    """
+    from .ivf import assign_buckets, fit_ivf
+
+    model = fit_ivf(corpus, k=n_coarse)
+    bucketed = assign_buckets(corpus, model).select(
+        "vec_id", F.col("ivf_bucket").alias("label"), "embedding"
+    )
+    books = train_codebooks(corpus, m=m, k=n_centroids)
+    sub = books.shape[2]
+    # pq_encode carries 'label' through; here it carries the coarse
+    # bucket id.
+    encoded = pq_encode(bucketed, books).withColumnRenamed(
+        "label", "ivf_bucket"
+    )
+
+    q_rows = (
+        corpus.filter(F.col("vec_id") < n_queries)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    Q = _normalize(np.array([r.embedding for r in q_rows], dtype=np.float64))
+    q_ids = [int(r.vec_id) for r in q_rows]
+    centers = np.array(model.clusterCenters(), dtype=np.float64)
+    # nprobe nearest coarse buckets per query (normalized-vs-raw centers
+    # is fine: probe choice only prunes, scoring stays ADC).
+    cn = centers / np.clip(
+        np.linalg.norm(centers, axis=1, keepdims=True), 1e-12, None
+    )
+    probe = {
+        qid: np.argsort(((Q[i][None, :] - cn) ** 2).sum(axis=1))[:nprobe]
+        for i, qid in enumerate(q_ids)
+    }
+    luts = {
+        qid: np.stack(
+            [
+                ((Q[i][j * sub : (j + 1) * sub][None, :] - books[j]) ** 2).sum(
+                    axis=1
+                )
+                for j in range(books.shape[0])
+            ]
+        )
+        for i, qid in enumerate(q_ids)
+    }
+
+    schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField("vec_id", LongType()),
+            StructField("approx_d2", DoubleType()),
+        ]
+    )
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.array(pdf["codes"].tolist(), dtype=np.int64)
+            ids = pdf["vec_id"].values
+            buckets = pdf["ivf_bucket"].values
+            for qid in q_ids:
+                mask = np.isin(buckets, probe[qid]) & (ids != qid)
+                if not mask.any():
+                    continue
+                sel = codes[mask]
+                d2 = luts[qid][
+                    np.arange(sel.shape[1])[None, :], sel
+                ].sum(axis=1)
+                yield pd.DataFrame(
+                    {
+                        "query_id": qid,
+                        "vec_id": ids[mask],
+                        "approx_d2": np.round(d2, 6),
+                    }
+                )
+
+    scored = encoded.mapInPandas(score, schema)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_d2").asc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "approx_d2")
+    )

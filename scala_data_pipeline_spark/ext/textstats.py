@@ -949,3 +949,97 @@ SELECT doc_id, n_words, mean_word_len, frac_alpha_words, symbol_word_ratio,
        (NOT has_curly_brace AND NOT has_lorem_ipsum) AS passes_c4
 FROM stats
 """
+
+
+# ---------------------------------------------------------------------------
+# Zipf frequency spectrum
+# ---------------------------------------------------------------------------
+
+ZIPF_TOP_RANKS = 100
+
+
+def zipf_spectrum(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus token-frequency power-law fit: least-squares slope of
+    ln(freq) vs ln(rank) over the top ``ZIPF_TOP_RANKS`` tokens —
+    natural language sits near slope -1 (Zipf's law); corrupted or
+    machine-generated corpora drift off it, making the slope a cheap
+    corpus-health statistic.
+
+    Scale shape: one explode + one groupBy for the frequency table
+    (corpus-sized), then TakeOrderedAndProject down to the top-100
+    ranks — the regression runs over 100 rows. Per-row regression
+    terms are decimal-rounded before summing so the fit is
+    partitioning-invariant (functions/numeric idiom).
+    """
+    freqs = (
+        fan_out(docs)
+        .select(F.explode(tokens_col(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("token").asc())
+        .limit(ZIPF_TOP_RANKS)
+    )
+    w = Window.orderBy(F.col("freq").desc(), F.col("token").asc())
+    ranked = freqs.select(
+        F.row_number().over(w).cast("long").alias("rank"), "freq"
+    )
+    x = F.log(F.col("rank").cast("double"))
+    y = F.log(F.col("freq").cast("double"))
+    dec = "decimal(28,12)"
+    terms = ranked.select(
+        F.round(x, 12).cast(dec).alias("x"),
+        F.round(y, 12).cast(dec).alias("y"),
+        F.round(x * y, 12).cast(dec).alias("xy"),
+        F.round(x * x, 12).cast(dec).alias("xx"),
+    )
+    agg = terms.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum("xy").cast("double").alias("sxy"),
+        F.sum("xx").cast("double").alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("n")
+    return agg.select(
+        F.col("n").cast("long").alias("n_ranks"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(intercept, 6).alias("zipf_intercept"),
+    )
+
+
+def zipf_spectrum_sql(text_col: str = "text", table: str = "documents") -> str:
+    """DuckDB twin of :func:`zipf_spectrum`."""
+    toks = f"list_filter(string_split({text_col}, ' '), t -> t <> '')"
+    return f"""
+WITH freqs AS (
+  SELECT token, COUNT(*) AS freq FROM (
+    SELECT unnest({toks}) AS token FROM {table}
+  ) GROUP BY token
+  ORDER BY freq DESC, token ASC
+  LIMIT {ZIPF_TOP_RANKS}
+), ranked AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY freq DESC, token ASC) AS rank, freq
+  FROM freqs
+), terms AS (
+  SELECT CAST(ROUND(ln(CAST(rank AS DOUBLE)), 12) AS DECIMAL(28,12)) AS x,
+         CAST(ROUND(ln(CAST(freq AS DOUBLE)), 12) AS DECIMAL(28,12)) AS y,
+         CAST(ROUND(ln(CAST(rank AS DOUBLE)) * ln(CAST(freq AS DOUBLE)), 12)
+              AS DECIMAL(28,12)) AS xy,
+         CAST(ROUND(ln(CAST(rank AS DOUBLE)) * ln(CAST(rank AS DOUBLE)), 12)
+              AS DECIMAL(28,12)) AS xx
+  FROM ranked
+), agg AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+         CAST(SUM(xy) AS DOUBLE) AS sxy, CAST(SUM(xx) AS DOUBLE) AS sxx
+  FROM terms
+)
+SELECT CAST(n AS BIGINT) AS n_ranks,
+       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+       ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+         AS zipf_intercept
+FROM agg
+"""

@@ -129,3 +129,14 @@ def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EXTRA_QUERIES["sim_topk_pq"] = sim_topk_pq
+
+
+def sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FAISS-style IVF-PQ: coarse KMeans pruning + PQ ADC rescoring
+    (rows-only; recall tested vs brute force in tests/test_pq.py)."""
+    from ..ext.pq import ivfpq_topk
+
+    return ivfpq_topk(load_table(spark, sf_dir, "embeddings"))
+
+
+EXTRA_QUERIES["sim_topk_ivfpq"] = sim_topk_ivfpq

@@ -238,3 +238,21 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EXTRA_QUERIES["text_bpe_train"] = text_bpe_train
+
+
+def text_zipf_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf power-law fit over the corpus token-frequency spectrum —
+    a one-row corpus-health statistic (natural text ~ slope -1)."""
+    from ..ext.textstats import zipf_spectrum
+
+    return zipf_spectrum(load_table(spark, sf_dir, "documents"))
+
+
+def _zipf_oracle() -> str:
+    from ..ext.textstats import zipf_spectrum_sql
+
+    return zipf_spectrum_sql()
+
+
+EXTRA_QUERIES["text_zipf_spectrum"] = text_zipf_spectrum
+EXTRA_ORACLES["text_zipf_spectrum"] = _zipf_oracle()

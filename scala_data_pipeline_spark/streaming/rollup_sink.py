@@ -21,22 +21,27 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..operators.rollup import daily_from_hourly, hourly_rollup
+from ..operators.rollup import hourly_rollup, hourly_user_sketches
 
 
 def rollup_append_sink(target_dir: str):
     """``foreachBatch`` function: append this micro-batch's hourly
-    partials to ``target_dir``."""
+    partials — additive stats AND the HLL distinct-user sketch (a
+    binary column; sketches survive parquet and merge with
+    ``hll_union_agg``, so the non-additive statistic rolls up too)."""
 
     def write_partials(batch_df: DataFrame, batch_id: int) -> None:
-        hourly_rollup(batch_df).write.mode("append").parquet(target_dir)
+        partials = hourly_rollup(batch_df).join(
+            hourly_user_sketches(batch_df), on="bucket_hour"
+        )
+        partials.write.mode("append").parquet(target_dir)
 
     return write_partials
 
 
 def merged_hourly(spark: SparkSession, target_dir: str) -> DataFrame:
     """Merge-on-read: collapse per-batch partial fragments into one
-    partial row per hour (decimal sums stay exact)."""
+    partial row per hour (decimal sums stay exact; sketches union)."""
     from pyspark.sql import functions as F
 
     partials = spark.read.parquet(target_dir)
@@ -44,10 +49,28 @@ def merged_hourly(spark: SparkSession, target_dir: str) -> DataFrame:
         F.sum("revenue_partial").alias("revenue_partial"),
         F.sum("n_events").cast("long").alias("n_events"),
         F.sum("n_purchases").cast("long").alias("n_purchases"),
+        F.hll_union_agg("users_sketch").alias("users_sketch"),
     )
 
 
 def read_daily_rollup(spark: SparkSession, target_dir: str) -> DataFrame:
     """The continuous aggregate's query surface: daily rollup from the
-    maintained partial store."""
-    return daily_from_hourly(merged_hourly(spark, target_dir))
+    maintained partial store, including the sketch-estimated distinct
+    users (exact in the sparse regime — see operators/rollup.py)."""
+    from pyspark.sql import functions as F
+
+    hourly = merged_hourly(spark, target_dir)
+    return (
+        hourly.groupBy(
+            F.date_trunc("day", F.col("bucket_hour")).alias("bucket_day")
+        )
+        .agg(
+            F.sum("revenue_partial").cast("double").alias("revenue"),
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.sum("n_purchases").cast("long").alias("n_purchases"),
+            F.count("*").cast("long").alias("n_active_hours"),
+            F.hll_sketch_estimate(F.hll_union_agg("users_sketch"))
+            .cast("long")
+            .alias("n_distinct_users_est"),
+        )
+    )

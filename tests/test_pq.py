@@ -80,3 +80,42 @@ def test_pq_planted_clusters(spark):
         assert r.vec_id % 4 == r.query_id % 4, (
             f"query {r.query_id} pulled cross-cluster neighbor {r.vec_id}"
         )
+
+
+def test_ivfpq_prunes_and_recalls(spark, corpus):
+    """IVF-PQ must return valid per-query top-k and, on planted
+    clusters, stay within the query's cluster."""
+    from scala_data_pipeline_spark.ext.pq import ivfpq_topk
+
+    rng = np.random.default_rng(3)
+    centers = rng.normal(size=(4, 64)) * 5.0
+    rows = [
+        (
+            i,
+            [float(x) for x in centers[i % 4] + rng.normal(size=64) * 0.1],
+            i % 4,
+        )
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = ivfpq_topk(df, k=5, n_queries=4, n_coarse=8, nprobe=2).collect()
+    assert out
+    by_q: dict[int, list] = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+        assert r.vec_id % 4 == r.query_id % 4
+    for qid, rows_q in by_q.items():
+        assert [r.rank for r in sorted(rows_q, key=lambda r: r.rank)] == list(
+            range(1, len(rows_q) + 1)
+        )
+
+
+def test_ivfpq_on_real_embeddings(spark, corpus):
+    from scala_data_pipeline_spark.ext.pq import ivfpq_topk
+
+    out = ivfpq_topk(corpus, k=5, n_queries=3).collect()
+    # 3 queries x up to 5 ranked neighbors, ranks contiguous from 1
+    assert 3 <= len(out) <= 15
+    assert all(r.rank >= 1 and r.approx_d2 >= 0 for r in out)

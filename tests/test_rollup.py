@@ -80,6 +80,17 @@ def test_streaming_rollup_maintenance(spark, sf_dir, tmp_path):
         assert (g.revenue, g.n_events, g.n_purchases, g.n_active_hours) == (
             w.revenue, w.n_events, w.n_purchases, w.n_active_hours
         )
+    # The sketch column rolls up through the same partial store: daily
+    # distinct-user estimates match exact distincts in the sparse
+    # regime (test SF cardinalities are far below the dense switch).
+    exact_users = {
+        r.d: r.x
+        for r in events.groupBy(
+            F.date_trunc("day", F.col("ts")).alias("d")
+        ).agg(F.count_distinct("user_id").alias("x")).collect()
+    }
+    for day, g in got.items():
+        assert g.n_distinct_users_est == exact_users[day]
 
 
 def test_hll_sketch_rollup_accuracy(spark, sf_dir):
