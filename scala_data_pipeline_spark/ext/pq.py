@@ -336,3 +336,36 @@ def ivfpq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "vec_id", "approx_d2")
     )
+
+
+def save_pq_index(
+    spark, books: np.ndarray, encoded: DataFrame, path: str
+) -> None:
+    """Persist the PQ index: codebooks as a tiny parquet table (one row
+    per (subspace, centroid)) and the encoded corpus as parquet. The
+    codebook table is KBs; the code table is the compressed corpus —
+    the pair is the whole serving state, reloadable by any session
+    (same stored-index lifecycle as the IVF quantizer persistence,
+    tests/test_skew_ivf.py)."""
+    m, k, sub = books.shape
+    rows = [
+        (j, c, [float(x) for x in books[j, c]])
+        for j in range(m)
+        for c in range(k)
+    ]
+    spark.createDataFrame(
+        rows, "subspace int, centroid int, center array<double>"
+    ).write.mode("overwrite").parquet(f"{path}/codebooks")
+    encoded.write.mode("overwrite").parquet(f"{path}/codes")
+
+
+def load_pq_index(spark, path: str) -> tuple[np.ndarray, DataFrame]:
+    """Reload codebooks + encoded corpus written by save_pq_index."""
+    rows = spark.read.parquet(f"{path}/codebooks").collect()
+    m = max(r.subspace for r in rows) + 1
+    k = max(r.centroid for r in rows) + 1
+    sub = len(rows[0].center)
+    books = np.empty((m, k, sub), dtype=np.float64)
+    for r in rows:
+        books[r.subspace, r.centroid] = r.center
+    return books, spark.read.parquet(f"{path}/codes")

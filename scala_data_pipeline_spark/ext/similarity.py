@@ -802,3 +802,78 @@ def mmr_rerank(
         _mmr,
         schema="query_id long, rank long, vec_id long, mmr_score double",
     )
+
+
+def knn_recall_eval(
+    corpus: DataFrame, k: int = 5, sample_n: int = 50
+) -> DataFrame:
+    """ANN quality audit as a query: recall@k of the SRP-LSH KNN
+    self-join against exact brute force, over a deterministic query
+    sample (vec_id < ``sample_n``) — the parameter-tuning measurement
+    you run before pointing the index at a 100 TB corpus (the dedup
+    twin is ``lsh_quality_metrics``).
+
+    Both sides are deterministic, so the whole evaluation has an exact
+    DuckDB twin (composed from the two queries' own SQL). Mean recall
+    is integer-hit-count arithmetic — no float-sum order issues.
+    """
+    queries = corpus.filter(F.col("vec_id") < sample_n)
+    exact = topk_bruteforce(corpus, queries, k=k)
+    approx = knn_join(corpus, k=k).filter(F.col("vec_id") < sample_n)
+    hits = (
+        exact.alias("e")
+        .join(
+            approx.alias("a"),
+            (F.col("e.query_id") == F.col("a.vec_id"))
+            & (F.col("e.vec_id") == F.col("a.nbr_id")),
+        )
+        .groupBy(F.col("e.query_id").alias("qid"))
+        .agg(F.count("*").cast("long").alias("n_hits"))
+    )
+    per_q = (
+        exact.groupBy("query_id")
+        .agg(F.count("*").cast("long").alias("n_exact"))
+        .join(hits, F.col("query_id") == F.col("qid"), "left")
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+        )
+    )
+    return per_q.agg(
+        F.count("*").cast("long").alias("n_queries"),
+        F.round(
+            F.sum("n_hits").cast("double") / F.sum("n_exact").cast("double"),
+            6,
+        ).alias("mean_recall"),
+        F.round(
+            F.min(F.col("n_hits").cast("double") / F.col("n_exact")), 6
+        ).alias("min_recall"),
+    )
+
+
+def knn_recall_eval_sql(k: int = 5, sample_n: int = 50) -> str:
+    """DuckDB twin of :func:`knn_recall_eval`, composed from the exact
+    and approximate queries' own SQL twins."""
+    bf = topk_bruteforce_sql(k=k, n_queries=sample_n)
+    knn = knn_join_sql(k=k)
+    return f"""
+WITH exact AS (SELECT * FROM ({bf})),
+approx AS (SELECT * FROM ({knn}) WHERE vec_id < {sample_n}),
+hits AS (
+  SELECT e.query_id AS qid, COUNT(*) AS n_hits
+  FROM exact e JOIN approx a
+    ON e.query_id = a.vec_id AND e.vec_id = a.nbr_id
+  GROUP BY e.query_id
+), per_q AS (
+  SELECT e.query_id, COUNT(*) AS n_exact,
+         COALESCE(ANY_VALUE(h.n_hits), 0) AS n_hits
+  FROM exact e LEFT JOIN hits h ON h.qid = e.query_id
+  GROUP BY e.query_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+       ROUND(CAST(SUM(n_hits) AS DOUBLE) / CAST(SUM(n_exact) AS DOUBLE), 6)
+         AS mean_recall,
+       ROUND(MIN(CAST(n_hits AS DOUBLE) / n_exact), 6) AS min_recall
+FROM per_q
+"""

@@ -140,3 +140,21 @@ def sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EXTRA_QUERIES["sim_topk_ivfpq"] = sim_topk_ivfpq
+
+
+def sim_knn_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN parameter audit: recall@5 of the SRP-LSH KNN join vs exact
+    brute force over a 50-query sample, with a composed exact oracle."""
+    from ..ext.similarity import knn_recall_eval
+
+    return knn_recall_eval(load_table(spark, sf_dir, "embeddings"))
+
+
+def _knn_recall_oracle() -> str:
+    from ..ext.similarity import knn_recall_eval_sql
+
+    return knn_recall_eval_sql()
+
+
+EXTRA_QUERIES["sim_knn_recall_eval"] = sim_knn_recall_eval
+EXTRA_ORACLES["sim_knn_recall_eval"] = _knn_recall_oracle()

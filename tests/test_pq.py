@@ -119,3 +119,23 @@ def test_ivfpq_on_real_embeddings(spark, corpus):
     # 3 queries x up to 5 ranked neighbors, ranks contiguous from 1
     assert 3 <= len(out) <= 15
     assert all(r.rank >= 1 and r.approx_d2 >= 0 for r in out)
+
+
+def test_pq_index_persistence_roundtrip(spark, corpus, tmp_path):
+    """Stored-index lifecycle: train → encode → save → reload →
+    identical codebooks and codes (exact, the index is deterministic
+    state)."""
+    from scala_data_pipeline_spark.ext.pq import (
+        load_pq_index,
+        save_pq_index,
+    )
+
+    books = train_codebooks(corpus)
+    encoded = pq_encode(corpus, books)
+    path = str(tmp_path / "pq_index")
+    save_pq_index(spark, books, encoded, path)
+    books2, codes2 = load_pq_index(spark, path)
+    assert np.array_equal(books, books2)
+    want = {r.vec_id: list(r.codes) for r in encoded.collect()}
+    got = {r.vec_id: list(r.codes) for r in codes2.collect()}
+    assert got == want
