@@ -65,14 +65,26 @@ def main() -> None:
     # steady-state plan instead of single-shot JVM compile noise
     # (unpivot_matrix_long measured 7.9 s cold vs 2.8 s steady on
     # identical code).
+    import gc
+
+    # Three reps (was two): this container's CPU budget is bursty —
+    # identical plans measured 2.4 s and 5.3 s minutes apart in r6 —
+    # and min-of-3 recovers the uncontended number far more reliably.
     timings: dict[str, float] = {}
     for name in names:
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             start = time.perf_counter()
             df = queries[name](spark, sf_dir)
             df.count()
             best = min(best, time.perf_counter() - start)
+            # Release checkpointed index storage (SRP/graph queries
+            # localCheckpoint their index frames; the RDD storage is
+            # freed when the Python frame is GC'd — don't let it pile
+            # onto later queries' memory budget).
+            del df
+            gc.collect()
+        spark.sparkContext._jvm.System.gc()
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
