@@ -72,3 +72,61 @@ def test_approx_percentile_error_bound(spark, sf_dir):
         # accuracy=1000 -> rank error ~1/1000; generous value tolerance
         assert abs(a50 - e50) / e50 < 0.05
         assert abs(a90 - e90) / e90 < 0.05
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 72),  # hour offset within 3 days
+            st.sampled_from(["purchase", "view", "click"]),
+            st.floats(0, 1e4, allow_nan=False, allow_infinity=False),
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    st.integers(1, 5),
+)
+def test_rollup_partial_merge_invariant(spark, rows, n_parts):
+    """Continuous-aggregate contract: hour→day partial merge equals the
+    direct daily aggregate for ARBITRARY event sets under ARBITRARY
+    partitioning (the decimal-partials exactness the rollup relies on,
+    operators/rollup.py)."""
+    from datetime import datetime, timedelta
+
+    from scala_data_pipeline_spark.operators.rollup import (
+        daily_from_hourly,
+        hourly_rollup,
+    )
+
+    base = datetime(2024, 3, 1)
+    data = [
+        (base + timedelta(hours=h, minutes=7), et, v) for h, et, v in rows
+    ]
+    df = spark.createDataFrame(
+        data, "ts timestamp, event_type string, value double"
+    ).repartition(n_parts)
+    merged = {
+        r.bucket_day: (r.revenue, r.n_events, r.n_purchases)
+        for r in daily_from_hourly(hourly_rollup(df)).collect()
+    }
+    purchase_value = F.when(
+        F.col("event_type") == "purchase", F.col("value")
+    ).otherwise(F.lit(0.0))
+    direct = {
+        r.bucket_day: (r.revenue, r.n_events, r.n_purchases)
+        for r in df.groupBy(
+            F.date_trunc("day", F.col("ts")).alias("bucket_day")
+        )
+        .agg(
+            F.sum(purchase_value.cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").cast("long").alias("n_events"),
+            F.count(F.when(F.col("event_type") == "purchase", F.lit(1)))
+            .cast("long")
+            .alias("n_purchases"),
+        )
+        .collect()
+    }
+    assert merged == direct

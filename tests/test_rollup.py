@@ -118,3 +118,42 @@ def test_hll_sketch_rollup_accuracy(spark, sf_dir):
             assert est[day] == x, (day, est[day], x)
         else:
             assert abs(est[day] - x) / x < 0.02
+
+
+def test_rollup_job_backfill_plus_stream_unified(spark, sf_dir, tmp_path):
+    """jobs/rollup_job.py e2e: batch backfill of half the data + stream
+    maintenance of the other half land in ONE store whose daily read
+    equals the all-batch rollup exactly."""
+    from scala_data_pipeline_spark.jobs import rollup_job
+    from scala_data_pipeline_spark.operators.rollup import daily_rollup
+
+    events = load_table(spark, sf_dir, "events")
+    first = events.filter(F.col("event_id") % 2 == 0)
+    second = events.filter(F.col("event_id") % 2 == 1)
+    target = str(tmp_path / "store")
+
+    rollup_job.run_batch(spark, first, target)
+
+    src = str(tmp_path / "stream_src")
+    second.repartition(3).write.mode("overwrite").parquet(src)
+    sdf = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = rollup_job.run_stream(
+        spark, sdf, target, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(timeout=120)
+    assert not q.isActive
+
+    got = {
+        r.bucket_day: r for r in rollup_job.read_daily(spark, target).collect()
+    }
+    want = {r.bucket_day: r for r in daily_rollup(events).collect()}
+    assert set(got) == set(want)
+    for day, w in want.items():
+        g = got[day]
+        assert (g.revenue, g.n_events, g.n_purchases) == (
+            w.revenue, w.n_events, w.n_purchases
+        )
