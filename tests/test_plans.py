@@ -105,3 +105,25 @@ def test_lsh_signature_pipeline_runs_once(spark, sf_dir):
     whole signature pipeline per branch)."""
     a = plan_audit(QUERIES["dedup_minhash_lsh"](spark, sf_dir))
     assert len(a["scan_schemas"]) == 1, a["scan_schemas"]
+
+
+def test_round6_plan_shapes(spark, sf_dir):
+    """Plan locks for the r6 flagships: the quality-rule bundle is a
+    pure codegen scan (0 shuffles); the rollup is exactly 2 exchanges
+    (hour partial + day merge) with map-side combine; the source-
+    reputation join broadcasts its reputation side."""
+    gopher = plan_audit(QUERIES["text_gopher_rules"](spark, sf_dir))
+    assert gopher["n_shuffle_exchanges"] == 0
+    assert gopher["n_python_udfs"] == 0
+
+    rollup = plan_audit(QUERIES["rollup_daily_revenue"](spark, sf_dir))
+    assert rollup["n_shuffle_exchanges"] == 2
+    assert rollup["has_partial_agg"]
+    assert rollup["n_python_udfs"] == 0
+
+    rep = plan_audit(QUERIES["curation_source_reputation"](spark, sf_dir))
+    assert rep["n_broadcast_joins"] >= 1
+    assert rep["n_python_udfs"] == 0
+
+    zipf = plan_audit(QUERIES["text_zipf_spectrum"](spark, sf_dir))
+    assert zipf["n_python_udfs"] == 0
