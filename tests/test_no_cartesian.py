@@ -24,6 +24,10 @@ BNLJ_ALLOWED = {
     "range_join_price_bands",
     "sim_mmr_rerank",
     "sim_quantize",
+    # sim_knn_recall_eval composes sim_topk_bruteforce as its exact
+    # side, inheriting that query's bounded 50-query broadcast cross
+    # join (ext/similarity.py knn_recall_eval docstring).
+    "sim_knn_recall_eval",
     "sim_topk_bruteforce",
     "sim_topk_quantized",
     "text_bm25",
