@@ -1215,6 +1215,107 @@ WHERE ROUND(CAST(n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_common
 """
 
 
+# Byte == character semantics for levenshtein on both engines holds
+# exactly on this alphabet (see edit_distance_verify docstring).
+ASCII_RE = "^[\\x00-\\x7F]*$"
+
+
+def edit_distance_verify(
+    docs: DataFrame,
+    candidates: DataFrame,
+    text_col: str = "text",
+    prefix_len: int = 200,
+    max_norm: float = 0.25,
+    ascii_only: bool = False,
+) -> DataFrame:
+    """Character-level near-dup verification: normalized Levenshtein
+    distance over an explicit (doc_a, doc_b) candidate frame — the
+    complement to :func:`jaccard_verify_pairs` (token-set overlap misses
+    dense single-character edits: OCR noise, mojibake, template
+    fill-ins; edit distance catches them).
+
+    Levenshtein is O(n·m) per pair, so two structural bounds keep the
+    verify linear in |candidates|:
+
+    - texts are compared on a ``prefix_len``-char prefix (near-dups
+      diverge early or not at all — the standard production shortcut);
+    - Spark's bounded DP (``levenshtein(l, r, threshold)``, O(t·n))
+      abandons any pair whose distance exceeds the worst distance that
+      could still pass the ``max_norm`` filter, returning -1. A pair
+      that passes always has an exact distance: dist ≤ max_norm·glen ≤
+      threshold, so the early-out never clips a surviving row.
+
+    Output: (doc_a, doc_b, edit_dist, norm_edit) with
+    norm_edit = dist / max(len_a, len_b) rounded to 6, filtered to
+    ``<= max_norm``. Cost shape at 100 TB: two equi-joins on doc id
+    (prefix projection prunes the corpus scan) + a per-row bounded DP.
+
+    ``ascii_only`` keeps only pairs whose both prefixes are pure ASCII
+    — the oracle scope: Spark's levenshtein counts CHARACTER edits,
+    DuckDB's counts BYTE edits, and the two agree exactly iff the
+    inputs are ASCII. The operator itself is correct on any unicode
+    text (character semantics; unit-tested against a pure-Python DP);
+    only the cross-engine parity check needs the restriction.
+    """
+    threshold = int(max_norm * prefix_len) + 1
+    prefixes = docs.select(
+        "doc_id", F.substring(F.col(text_col), 1, prefix_len).alias("txt")
+    )
+    joined = candidates.join(
+        prefixes.select(F.col("doc_id").alias("doc_a"), F.col("txt").alias("txt_a")),
+        on="doc_a",
+    ).join(
+        prefixes.select(F.col("doc_id").alias("doc_b"), F.col("txt").alias("txt_b")),
+        on="doc_b",
+    )
+    if ascii_only:
+        joined = joined.filter(
+            F.col("txt_a").rlike(ASCII_RE) & F.col("txt_b").rlike(ASCII_RE)
+        )
+    glen = F.greatest(F.length("txt_a"), F.length("txt_b"))
+    dist = F.levenshtein(F.col("txt_a"), F.col("txt_b"), threshold)
+    scored = joined.select(
+        "doc_a",
+        "doc_b",
+        dist.alias("edit_dist"),
+        F.round(F.try_divide(dist, glen), 6).alias("norm_edit"),
+    )
+    return scored.filter(
+        (F.col("edit_dist") >= 0) & (F.col("norm_edit") <= max_norm)
+    )
+
+
+def edit_distance_sql(
+    text_col: str = "text",
+    table: str = "documents",
+    prefix_len: int = 200,
+    max_norm: float = 0.25,
+) -> str:
+    """DuckDB twin of the ``ascii_only=True`` verify: unbounded
+    ``levenshtein`` (DuckDB has no threshold arg — the bound only
+    changes cost, never the surviving rows) over the same LSH candidate
+    pairs, restricted to ASCII prefixes where DuckDB's byte-edit count
+    equals Spark's character-edit count."""
+    return f"""
+WITH cand AS ({minhash_lsh_sql(text_col, table)}),
+prefixes AS (
+  SELECT doc_id, substr({text_col}, 1, {prefix_len}) AS txt FROM {table}
+), scored AS (
+  SELECT c.doc_a, c.doc_b,
+         levenshtein(a.txt, b.txt) AS edit_dist,
+         ROUND(CAST(levenshtein(a.txt, b.txt) AS DOUBLE)
+               / GREATEST(length(a.txt), length(b.txt)), 6) AS norm_edit
+  FROM cand c
+  JOIN prefixes a ON a.doc_id = c.doc_a
+  JOIN prefixes b ON b.doc_id = c.doc_b
+  WHERE regexp_matches(a.txt, '{ASCII_RE}')
+    AND regexp_matches(b.txt, '{ASCII_RE}')
+)
+SELECT doc_a, doc_b, edit_dist, norm_edit
+FROM scored WHERE norm_edit <= {max_norm}
+"""
+
+
 # ---------------------------------------------------------------------------
 # Incremental LSH dedup (new batch vs existing corpus index)
 # ---------------------------------------------------------------------------

@@ -272,3 +272,25 @@ QUERIES["graph_pagerank"] = graph_pagerank
 ORACLES["graph_pagerank"] = _pagerank_oracle()
 QUERIES["dedup_containment"] = EXTRA_QUERIES.pop("dedup_containment")
 ORACLES["dedup_containment"] = EXTRA_ORACLES.pop("dedup_containment")
+
+
+def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level verify over the LSH candidates: normalized
+    Levenshtein on 200-char prefixes (ascii_only to match the oracle's
+    byte-edit semantics — see ext/dedup.py::edit_distance_verify)."""
+    from ..ext.dedup import edit_distance_verify
+
+    docs = load_table(spark, sf_dir, "documents")
+    return edit_distance_verify(
+        docs, lsh_candidate_pairs(docs), ascii_only=True
+    )
+
+
+def _edit_distance_oracle() -> str:
+    from ..ext.dedup import edit_distance_sql
+
+    return edit_distance_sql()
+
+
+EXTRA_QUERIES["dedup_edit_distance"] = dedup_edit_distance
+EXTRA_ORACLES["dedup_edit_distance"] = _edit_distance_oracle()

@@ -284,3 +284,91 @@ def sql_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EXTRA_QUERIES["sql_big_orders"] = sql_big_orders
 EXTRA_ORACLES["sql_big_orders"] = SQL_BIG_ORDERS
+
+
+# TPC-H Q4 shape (order-priority checking): EXISTS correlated subquery —
+# the decorrelation surface Q18's IN-membership doesn't cover (Catalyst
+# rewrites EXISTS to a left semi join; the orders scan never duplicates
+# rows however many lineitems match). The fixture has no
+# commit/receipt dates, so "late" = any line item shipped more than 60
+# days after the order date. `INTERVAL 60 DAY` parses in both engines.
+SQL_LATE_ORDERS_EXISTS = """
+SELECT o_orderpriority,
+       COUNT(*) AS late_orders
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey
+      AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY o_orderpriority
+"""
+
+
+def sql_late_orders_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(SQL_LATE_ORDERS_EXISTS)
+
+
+EXTRA_QUERIES["sql_late_orders_exists"] = sql_late_orders_exists
+EXTRA_ORACLES["sql_late_orders_exists"] = SQL_LATE_ORDERS_EXISTS
+
+
+# TPC-H Q16 shape (supplier counting with an exclusion list): NOT IN
+# subquery — the null-aware anti-join surface. Catalyst plans NOT IN as
+# a null-aware anti join (a plain anti join here, since s_suppkey is
+# non-null); the supplier blocklist broadcasts, the fact side never
+# moves for the exclusion. lineitem stands in for partsupp (the fixture
+# has no partsupp table): a part's suppliers = distinct shipping
+# suppliers.
+SQL_PART_SUPPLIERS_ANTI = """
+SELECT p_brand,
+       p_size,
+       COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM part
+JOIN lineitem ON p_partkey = l_partkey
+WHERE l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+  )
+  AND p_size <= 10
+GROUP BY p_brand, p_size
+"""
+
+
+def sql_part_suppliers_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(SQL_PART_SUPPLIERS_ANTI)
+
+
+EXTRA_QUERIES["sql_part_suppliers_anti"] = sql_part_suppliers_anti
+EXTRA_ORACLES["sql_part_suppliers_anti"] = SQL_PART_SUPPLIERS_ANTI
+
+
+# Correlated SCALAR subqueries: orders worth more than 2× their own
+# customer's average order value. Catalyst decorrelates each subquery
+# into a grouped aggregate joined back on the correlation key — the
+# third subquery rewrite family after IN (Q18) and EXISTS (Q4).
+# The comparison is exact on both engines: instead of dividing (float
+# averages are summation-order-dependent), both sides stay in integer/
+# decimal arithmetic — price × count > 2 × decimal-exact sum.
+SQL_ORDERS_ABOVE_CUSTOMER_AVG = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders o
+WHERE CAST(o_totalprice AS DECIMAL(18,4)) * (
+        SELECT COUNT(*) FROM orders o2 WHERE o2.o_custkey = o.o_custkey
+      ) > 2 * (
+        SELECT SUM(CAST(o2.o_totalprice AS DECIMAL(18,4)))
+        FROM orders o2 WHERE o2.o_custkey = o.o_custkey
+      )
+"""
+
+
+def sql_orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(SQL_ORDERS_ABOVE_CUSTOMER_AVG)
+
+
+EXTRA_QUERIES["sql_orders_above_customer_avg"] = sql_orders_above_customer_avg
+EXTRA_ORACLES["sql_orders_above_customer_avg"] = SQL_ORDERS_ABOVE_CUSTOMER_AVG

@@ -196,3 +196,57 @@ def test_containment_catches_subset_jaccard_misses(spark):
     assert (r["doc_a"], r["doc_b"]) == (1, 2)
     assert r["containment_a"] >= 0.9  # doc 1 lives inside doc 2
     assert r["containment_b"] < 0.2
+
+
+def _py_levenshtein(a: str, b: str) -> int:
+    # Textbook DP over CHARACTERS (the semantics Spark implements).
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[len(b)]
+
+
+def test_edit_distance_verify_unicode(spark):
+    """The operator counts CHARACTER edits on any unicode text (the
+    ascii_only flag exists only for the byte-based DuckDB oracle);
+    check the distances and the bounded-DP early-out against a pure
+    Python reference."""
+    from scala_data_pipeline_spark.ext.dedup import edit_distance_verify
+
+    texts = {
+        1: "中文文本质量很好 机器学习训练数据",
+        2: "中文文本质量很高 机器学习训练数据",  # 1 char edit vs doc 1
+        3: "héllo wörld des données d'entraînement",
+        4: "hello world des donnees d'entrainement",  # accent edits vs 3
+        5: "completely different content altogether",
+    }
+    docs = spark.createDataFrame(
+        [(k, v) for k, v in texts.items()], ["doc_id", "text"]
+    )
+    cand = spark.createDataFrame(
+        [(1, 2), (3, 4), (1, 5)], ["doc_a", "doc_b"]
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r
+        for r in edit_distance_verify(docs, cand, max_norm=0.5).collect()
+    }
+    # (1,5): CJK vs latin — distance ~ max length, over max_norm, and
+    # far enough past the bounded-DP threshold to exercise the -1 path.
+    assert (1, 5) not in got
+    for pair in [(1, 2), (3, 4)]:
+        a, b = texts[pair[0]], texts[pair[1]]
+        want = _py_levenshtein(a, b)
+        assert got[pair]["edit_dist"] == want  # character, not byte, edits
+        assert got[pair]["norm_edit"] == round(
+            want / max(len(a), len(b)), 6
+        )
+    # ascii_only drops every non-ASCII pair (the oracle scope).
+    assert (
+        edit_distance_verify(docs, cand, max_norm=0.5, ascii_only=True).count()
+        == 0
+    )
