@@ -1,0 +1,98 @@
+"""Model-based quality filtering — the classifier block of published
+LLM data pipelines (GPT-3 Appendix A, CCNet, LLaMA/RedPajama): train a
+cheap linear classifier to recognize "reference-quality" text, score
+every document, and use the probability as a soft filter / importance-
+sampling weight.
+
+Here the weak supervision comes from the engine's own Gopher/C4 rule
+bundle (``ext.textstats.gopher_quality_rules``): rule-passing documents
+are the positive class. That makes the component self-contained and
+deterministic-by-construction at the label level, while keeping the
+shape of the production pattern (in production the positive set is
+Wikipedia/books and the corpus is Common Crawl; the plumbing is
+identical).
+
+Scale shape: featurization is HashingTF over uni+bigrams — a stateless
+per-row transform, no vocabulary job, no extra corpus pass (see
+``build_pipeline_hashed``). Training reduces gradients over the labeled
+frame; scoring is one map-side pass over the corpus. Nothing here
+shuffles the corpus.
+
+No DuckDB oracle (LBFGS training is not SQL); the local test asserts
+the scores actually separate the classes (ranking accuracy), which is
+the property downstream sampling depends on.
+"""
+
+from __future__ import annotations
+
+from pyspark.ml import Pipeline, PipelineModel
+from pyspark.ml.classification import LogisticRegression
+from pyspark.ml.feature import HashingTF
+from pyspark.ml.functions import vector_to_array
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..ext.textstats import gopher_quality_rules
+
+
+def _tokens(text_col: str):
+    toks = F.split(F.col(text_col), " ")
+    bigrams = F.transform(
+        F.slice(toks, 1, F.size(toks) - 1),
+        lambda x, i: F.concat_ws("_", x, F.element_at(toks, i + F.lit(2))),
+    )
+    return F.concat(toks, bigrams)
+
+
+def train_quality_classifier(
+    docs: DataFrame,
+    text_col: str = "text",
+    num_features: int = 2048,
+) -> PipelineModel:
+    """Binary LR over hashed uni+bigram counts; labels = Gopher-rule
+    conjunction. The labeled frame is the (small) training side — at
+    100 TB you train on a labeled sample, not the corpus; the full
+    corpus only ever sees the stateless scoring pass."""
+    labels = gopher_quality_rules(docs, text_col).select(
+        "doc_id", F.col("passes_gopher").cast("double").alias("label")
+    )
+    train = (
+        docs.select("doc_id", _tokens(text_col).alias("tokens"))
+        .join(labels, on="doc_id")
+        .orderBy("doc_id")  # pins training-row order (determinism)
+    )
+    tf = HashingTF(
+        inputCol="tokens", outputCol="features", numFeatures=num_features
+    )
+    lr = LogisticRegression(maxIter=10, regParam=0.01)
+    return Pipeline(stages=[tf, lr]).fit(train)
+
+
+def score_quality(
+    model: PipelineModel, docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, passes_gopher, p_quality): the classifier's P(reference-
+    quality) per document, alongside the rule label it was distilled
+    from — downstream curation thresholds or importance-samples on
+    ``p_quality`` (e.g. the GPT-3 Pareto rule)."""
+    labels = gopher_quality_rules(docs, text_col).select(
+        "doc_id", "passes_gopher"
+    )
+    feats = docs.select("doc_id", _tokens(text_col).alias("tokens"))
+    scored = model.transform(feats).select(
+        "doc_id",
+        F.round(vector_to_array(F.col("probability"))[1], 6).alias(
+            "p_quality"
+        ),
+    )
+    return labels.join(scored, on="doc_id").select(
+        "doc_id", "passes_gopher", "p_quality"
+    )
+
+
+def quality_classifier_scores(
+    docs: DataFrame, text_col: str = "text", num_features: int = 2048
+) -> DataFrame:
+    """Train-then-score convenience used by the registry query."""
+    model = train_quality_classifier(docs, text_col, num_features)
+    return score_quality(model, docs, text_col)

@@ -168,6 +168,21 @@ if ML_CONFUSION_SF001:
     ORACLES["ml_confusion_matrix"] = _frozen_oracle()
 
 
+def ml_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filter (GPT-3/CCNet classifier block): binary
+    LR distilled from the Gopher rule bundle scores every document.
+    Rows-only (LBFGS training is not SQL); tests/test_ml.py asserts the
+    scores rank rule-passing documents above failing ones."""
+    from ..ml.quality import quality_classifier_scores
+    from ..sources import load_table
+
+    return quality_classifier_scores(load_table(spark, sf_dir, "documents"))
+
+
+EXTRA_QUERIES = {"ml_quality_score": ml_quality_score}
+EXTRA_ORACLES: dict[str, str] = {}
+
+
 if __name__ == "__main__":
     from ..session import get_session
 

@@ -332,3 +332,58 @@ def _profile_oracle() -> str:
 # Promoted to a driver slot in round 5 (never driver-checked before).
 QUERIES["profile_orders"] = profile_orders
 ORACLES["profile_orders"] = _profile_oracle()
+
+
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov next-event transition matrix: P(next event type | current)
+    per user timeline — the behavior-model shape (what follows a view?).
+
+    One window pass (lead over the user's ts-ordered stream; event_id
+    tiebreak makes simultaneous events deterministic) feeding one
+    aggregation — two shuffles total, both on uniform keys, no
+    self-join (the naive formulation joins events to events on
+    adjacent rank, shuffling the fact table twice more).
+    """
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = events.withColumn(
+        "next_type", F.lead("event_type").over(w)
+    ).filter(F.col("next_type").isNotNull())
+    counts = steps.groupBy(
+        F.col("event_type").alias("cur_type"), "next_type"
+    ).agg(F.count(F.lit(1)).alias("n_transitions"))
+    per_cur = Window.partitionBy("cur_type")
+    return counts.withColumn(
+        "p_next",
+        F.round(
+            F.col("n_transitions") / F.sum("n_transitions").over(per_cur), 6
+        ),
+    )
+
+
+# SUM over the window is cast to BIGINT (DuckDB widens to HUGEINT) and
+# the division to DOUBLE on both engines before the 6-dp round.
+EVENT_TRANSITIONS_ORACLE = """
+WITH steps AS (
+  SELECT event_type AS cur_type,
+         LEAD(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+  FROM events WHERE user_id IS NOT NULL
+), counts AS (
+  SELECT cur_type, next_type, COUNT(*) AS n_transitions
+  FROM steps WHERE next_type IS NOT NULL
+  GROUP BY cur_type, next_type
+)
+SELECT cur_type, next_type, n_transitions,
+       ROUND(CAST(n_transitions AS DOUBLE) /
+             CAST(SUM(n_transitions) OVER (PARTITION BY cur_type) AS BIGINT),
+             6) AS p_next
+FROM counts
+"""
+
+EXTRA_QUERIES["event_transitions"] = event_transitions
+EXTRA_ORACLES["event_transitions"] = EVENT_TRANSITIONS_ORACLE

@@ -32,6 +32,7 @@ from scala_data_pipeline_spark.ext.components import (  # noqa: E402
     connected_components_star,
 )
 from scala_data_pipeline_spark.ext.dedup import (  # noqa: E402
+    edit_distance_verify,
     lsh_band_buckets,
     lsh_candidate_pairs,
     minhash_signature,
@@ -108,6 +109,14 @@ def main() -> None:
             )[1],
         )
         pairs = spark.read.parquet(f"{tmp}/pairs")
+
+        # Character-level verify over the full edge list: per-pair cost
+        # is the bounded DP (threshold 51 on 200-char prefixes), so this
+        # stage is strictly linear in |pairs|.
+        report["t_edit"], report["n_edit"] = timed(
+            "edit_distance_verify (bounded DP over pairs)",
+            lambda: edit_distance_verify(corpus, pairs).count(),
+        )
 
         report["t_prop"], report["n_prop"] = timed(
             "connected_components (propagation)",

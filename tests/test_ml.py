@@ -115,3 +115,33 @@ def test_confusion_matrix_matches_frozen_fixture(spark, sf_dir):
         for r in ml_confusion_matrix(spark, sf_dir).collect()
     )
     assert tuple(got) == ML_CONFUSION_SF0001
+
+
+def test_quality_classifier_separates_classes(spark, sf_dir):
+    """The distilled quality classifier must actually RANK rule-passing
+    documents above failing ones (the property curation thresholds
+    depend on), not merely run: check mean-score separation and
+    pairwise ranking accuracy (AUC) on its own training corpus."""
+    from scala_data_pipeline_spark.ml.quality import quality_classifier_scores
+    from scala_data_pipeline_spark.sources import load_table
+
+    scored = quality_classifier_scores(
+        load_table(spark, sf_dir, "documents")
+    )
+    rows = scored.collect()
+    assert len(rows) == load_table(spark, sf_dir, "documents").count()
+    pos = sorted(r["p_quality"] for r in rows if r["passes_gopher"])
+    neg = sorted(r["p_quality"] for r in rows if not r["passes_gopher"])
+    assert pos and neg, "fixture must contain both classes"
+    assert sum(pos) / len(pos) > sum(neg) / len(neg) + 0.2
+    # AUC via rank-sum (exact, no sklearn): P(pos > neg) over all pairs.
+    import bisect
+
+    wins = sum(
+        bisect.bisect_left(neg, p) + 0.5 * (
+            bisect.bisect_right(neg, p) - bisect.bisect_left(neg, p)
+        )
+        for p in pos
+    )
+    auc = wins / (len(pos) * len(neg))
+    assert auc > 0.85, f"AUC {auc:.3f} — classifier failed to learn the rules"
