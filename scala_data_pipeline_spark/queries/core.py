@@ -342,7 +342,6 @@ QUERIES = {
     "flagship_datamart": flagship_datamart,
     "pricing_summary": pricing_summary,
     "join_dims": join_dims,
-    "join_outer_multikey": join_outer_multikey,
     "pivot_user_events": pivot_user_events,
 }
 
@@ -350,15 +349,22 @@ ORACLES = {
     "flagship_datamart": FLAGSHIP_ORACLE,
     "pricing_summary": PRICING_ORACLE,
     "join_dims": JOIN_DIMS_ORACLE,
-    "join_outer_multikey": JOIN_OUTER_ORACLE,
     "pivot_user_events": PIVOT_ORACLE,
 }
 
 # Demoted from driver slots (50-row cap): A7 distinct stays green via
 # drop_duplicates_subset, W1 via window_maxdate_literal; this variant is
-# still oracle-checked locally.
-EXTRA_QUERIES = {"distinct_max_stamp": distinct_max_stamp}
-EXTRA_ORACLES = {"distinct_max_stamp": DISTINCT_MAX_ORACLE}
+# still oracle-checked locally. Round-6 rotation: join_outer_multikey
+# (J4, green r1-r4) demoted too — the multi-key outer-join family keeps
+# driver coverage via flagship_datamart and scd2_customer.
+EXTRA_QUERIES = {
+    "distinct_max_stamp": distinct_max_stamp,
+    "join_outer_multikey": join_outer_multikey,
+}
+EXTRA_ORACLES = {
+    "distinct_max_stamp": DISTINCT_MAX_ORACLE,
+    "join_outer_multikey": JOIN_OUTER_ORACLE,
+}
 
 # Round-6 rotation: filter_project / topk_parts / union_split carried
 # green driver rows in rounds 1-4 and their P1-P6 / O1-O2 / U1

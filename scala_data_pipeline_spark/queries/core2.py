@@ -182,12 +182,10 @@ ON event_type USING COUNT(*) GROUP BY user_id
 
 QUERIES = {
     "unpivot_matrix_long": unpivot_matrix_long,
-    "window_rank_lag": window_rank_lag,
 }
 
 ORACLES = {
     "unpivot_matrix_long": UNPIVOT_ORACLE,
-    "window_rank_lag": WINDOW_RANK_ORACLE,
 }
 
 # Round-4 registry rotation: near-twin slots freed for never-driver-
@@ -202,11 +200,16 @@ EXTRA_QUERIES = {
     "window_maxdate_literal": window_maxdate_literal,
     "pivot_dynamic": pivot_dynamic,
     "json_serialize_roundtrip": json_serialize_roundtrip,
+    # Round-6 rotation: rank/lag held a green driver row rounds 1-4;
+    # the window family keeps driver coverage via rolling_revenue_7d
+    # and session_funnel_ordered. Slot freed for event_transitions.
+    "window_rank_lag": window_rank_lag,
 }
 EXTRA_ORACLES = {
     "window_maxdate_literal": WINDOW_MAXDATE_ORACLE,
     "pivot_dynamic": PIVOT_DYNAMIC_ORACLE,
     "json_serialize_roundtrip": JSON_ROUNDTRIP_ORACLE,
+    "window_rank_lag": WINDOW_RANK_ORACLE,
 }
 
 # Round-6 rotation: drop_duplicates_subset (P10) and global_sort (O1)

@@ -56,17 +56,19 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
 
 
+# Round-6 rotation: dedup_simhash (fingerprint scan, green r1-r4)
+# demoted to an extra — simhash stays covered locally (plus the
+# simhash_pairs twin); its slot goes to the round-5 edit-distance
+# verify, which has never had a driver row.
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_minhash_lsh": dedup_minhash_lsh,
-    "dedup_simhash": dedup_simhash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
 }
 
 ORACLES = {
     "dedup_exact": DEDUP_EXACT_ORACLE,
     "dedup_minhash_lsh": minhash_lsh_sql(),
-    "dedup_simhash": simhash16_sql(),
     "dedup_ngram_jaccard": ngram_jaccard_sql(),
 }
 
@@ -292,5 +294,7 @@ def _edit_distance_oracle() -> str:
     return edit_distance_sql()
 
 
-EXTRA_QUERIES["dedup_edit_distance"] = dedup_edit_distance
-EXTRA_ORACLES["dedup_edit_distance"] = _edit_distance_oracle()
+QUERIES["dedup_edit_distance"] = dedup_edit_distance
+ORACLES["dedup_edit_distance"] = _edit_distance_oracle()
+EXTRA_QUERIES["dedup_simhash"] = dedup_simhash
+EXTRA_ORACLES["dedup_simhash"] = simhash16_sql()

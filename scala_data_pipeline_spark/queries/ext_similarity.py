@@ -37,14 +37,16 @@ def sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_neardup_pairs(load_table(spark, sf_dir, "embeddings"))
 
 
+# Round-6 rotation: sim_topk_bruteforce (green r1-r4) demoted — the
+# ANN family keeps driver rows via sim_topk_ivf and sim_knn_join, and
+# the brute-force baseline is still the recall oracle inside
+# sim_knn_recall_eval. Slot freed for a never-checked SQL shape.
 QUERIES = {
-    "sim_topk_bruteforce": sim_topk_bruteforce,
     "sim_topk_ivf": sim_topk_ivf,
     "sim_embedding_neardup": sim_embedding_neardup,
 }
 
 ORACLES = {
-    "sim_topk_bruteforce": topk_bruteforce_sql(k=5, n_queries=N_QUERIES),
     "sim_topk_ivf": topk_ivf_sql(k=3, n_queries=N_QUERIES),
     "sim_embedding_neardup": embedding_neardup_sql(),
 }
@@ -82,9 +84,11 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 EXTRA_QUERIES = {
     "sim_quantize": sim_quantize,
     "sim_mmr_rerank": sim_mmr_rerank,
+    "sim_topk_bruteforce": sim_topk_bruteforce,
 }
 EXTRA_ORACLES = {
     "sim_quantize": _quantize_oracle(),
+    "sim_topk_bruteforce": topk_bruteforce_sql(k=5, n_queries=N_QUERIES),
 }
 
 # Round-6 rotation: sim_knn_join promoted to a driver slot (round-5

@@ -56,15 +56,16 @@ FROM documents
 """
 
 
+# Round-6 rotation: text_fingerprint (winnowing scan, green r1-r4)
+# demoted — the text family keeps driver rows via lang_id, gopher,
+# tfidf and lm_perplexity. Slot freed for a never-checked SQL shape.
 QUERIES = {
     "text_lang_id": text_lang_id,
-    "text_fingerprint": text_fingerprint,
     "multimodal_features": multimodal_features,
 }
 
 ORACLES = {
     "text_lang_id": lang_id_sql(),
-    "text_fingerprint": fingerprint_sql(),
     "multimodal_features": MULTIMODAL_ORACLE,
 }
 
@@ -131,6 +132,7 @@ def text_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EXTRA_QUERIES = {
+    "text_fingerprint": text_fingerprint,
     "text_token_count": text_token_count,
     "text_chunks": text_chunks,
     "text_pack_bins": text_pack_bins,
@@ -139,6 +141,7 @@ EXTRA_QUERIES = {
     "text_ppl_buckets": text_ppl_buckets,
 }
 EXTRA_ORACLES = {
+    "text_fingerprint": fingerprint_sql(),
     "text_token_count": token_count_sql(),
     "text_chunks": _chunks_oracle(),
     "text_pack_bins": _pack_oracle(),

@@ -312,8 +312,10 @@ def sql_late_orders_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(SQL_LATE_ORDERS_EXISTS)
 
 
-EXTRA_QUERIES["sql_late_orders_exists"] = sql_late_orders_exists
-EXTRA_ORACLES["sql_late_orders_exists"] = SQL_LATE_ORDERS_EXISTS
+# Round-6 rotation: promoted to a driver slot — the registry's only
+# EXISTS-decorrelation shape, never driver-checked.
+QUERIES["sql_late_orders_exists"] = sql_late_orders_exists
+ORACLES["sql_late_orders_exists"] = SQL_LATE_ORDERS_EXISTS
 
 
 # TPC-H Q16 shape (supplier counting with an exclusion list): NOT IN
@@ -342,8 +344,9 @@ def sql_part_suppliers_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(SQL_PART_SUPPLIERS_ANTI)
 
 
-EXTRA_QUERIES["sql_part_suppliers_anti"] = sql_part_suppliers_anti
-EXTRA_ORACLES["sql_part_suppliers_anti"] = SQL_PART_SUPPLIERS_ANTI
+# Round-6 rotation: promoted — the only null-aware anti-join shape.
+QUERIES["sql_part_suppliers_anti"] = sql_part_suppliers_anti
+ORACLES["sql_part_suppliers_anti"] = SQL_PART_SUPPLIERS_ANTI
 
 
 # Correlated SCALAR subqueries: orders worth more than 2× their own
@@ -370,5 +373,6 @@ def sql_orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame
     return spark.sql(SQL_ORDERS_ABOVE_CUSTOMER_AVG)
 
 
-EXTRA_QUERIES["sql_orders_above_customer_avg"] = sql_orders_above_customer_avg
-EXTRA_ORACLES["sql_orders_above_customer_avg"] = SQL_ORDERS_ABOVE_CUSTOMER_AVG
+# Round-6 rotation: promoted — the only correlated-scalar-subquery shape.
+QUERIES["sql_orders_above_customer_avg"] = sql_orders_above_customer_avg
+ORACLES["sql_orders_above_customer_avg"] = SQL_ORDERS_ABOVE_CUSTOMER_AVG

@@ -385,5 +385,7 @@ SELECT cur_type, next_type, n_transitions,
 FROM counts
 """
 
-EXTRA_QUERIES["event_transitions"] = event_transitions
-EXTRA_ORACLES["event_transitions"] = EVENT_TRANSITIONS_ORACLE
+# Round-6 rotation: promoted to a driver slot — the registry's only
+# Markov-transition (lead-window + conditional-probability) shape.
+QUERIES["event_transitions"] = event_transitions
+ORACLES["event_transitions"] = EVENT_TRANSITIONS_ORACLE

@@ -127,3 +127,32 @@ def test_round6_plan_shapes(spark, sf_dir):
 
     zipf = plan_audit(QUERIES["text_zipf_spectrum"](spark, sf_dir))
     assert zipf["n_python_udfs"] == 0
+
+
+def test_rotated_subquery_plan_shapes(spark, sf_dir):
+    """Plan locks for the round-6 rotation's subquery flagships: EXISTS
+    must plan as a left semi join (orders never duplicate), NOT IN as a
+    (null-aware) left anti join, the correlated scalar subqueries must
+    decorrelate to partial aggregates (no per-row re-execution), and
+    the edit-distance verify and transition matrix stay JVM-only."""
+    from scala_data_pipeline_spark.plans.inspect import explain_str
+
+    semi = explain_str(QUERIES["sql_late_orders_exists"](spark, sf_dir))
+    assert "LeftSemi" in semi
+    assert "CartesianProduct" not in semi
+
+    anti = explain_str(QUERIES["sql_part_suppliers_anti"](spark, sf_dir))
+    assert "LeftAnti" in anti
+    assert "CartesianProduct" not in anti
+
+    scalar = plan_audit(QUERIES["sql_orders_above_customer_avg"](spark, sf_dir))
+    assert scalar["has_partial_agg"]
+    assert scalar["n_python_udfs"] == 0
+
+    edit = plan_audit(QUERIES["dedup_edit_distance"](spark, sf_dir))
+    assert edit["n_python_udfs"] == 0  # levenshtein is a JVM builtin
+
+    trans = plan_audit(QUERIES["event_transitions"](spark, sf_dir))
+    assert trans["n_python_udfs"] == 0
+    # lead window + pair agg + per-cur_type probability window.
+    assert trans["n_shuffle_exchanges"] <= 3
