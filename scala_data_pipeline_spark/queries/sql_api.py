@@ -376,3 +376,26 @@ def sql_orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame
 # Round-6 rotation: promoted — the only correlated-scalar-subquery shape.
 QUERIES["sql_orders_above_customer_avg"] = sql_orders_above_customer_avg
 ORACLES["sql_orders_above_customer_avg"] = SQL_ORDERS_ABOVE_CUSTOMER_AVG
+
+
+# Set operations beyond UNION (the reference stops at unionAll,
+# SURVEY.md §2.7): INTERSECT and EXCEPT with ANSI distinct semantics —
+# customers active in BOTH 1998 and 1999, minus any with a pending
+# order. Parenthesized so precedence is explicit on both engines; both
+# compile to aggregate-free semi/anti join shapes over the same scan.
+SQL_CUSTOMER_SET_OPS = """
+(SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1998
+ INTERSECT
+ SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1999)
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+"""
+
+
+def sql_customer_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(SQL_CUSTOMER_SET_OPS)
+
+
+EXTRA_QUERIES["sql_customer_set_ops"] = sql_customer_set_ops
+EXTRA_ORACLES["sql_customer_set_ops"] = SQL_CUSTOMER_SET_OPS
