@@ -144,3 +144,89 @@ def pagerank_sql(
         "WITH " + ",\n".join(ctes) + f"\nSELECT deg.src AS doc_id, "
         f"deg.degree, {prev}.rank FROM deg JOIN {prev} ON deg.src = {prev}.src"
     )
+
+
+def triangle_counts(pairs: DataFrame) -> DataFrame:
+    """Per-vertex triangle counts over a symmetric pair graph — dense
+    near-dup neighborhoods (template farms, mirrored boilerplate) show
+    up as high triangle density where plain degree can't distinguish a
+    star (one hub template) from a clique (mutual near-dups).
+
+    Degree-ordered node-iterator (Suri & Vassilvitskii, WWW 2011 — the
+    "curse of the last reducer" fix): every edge is oriented from its
+    lower-(degree, id) endpoint to the higher one, so each vertex's
+    out-degree is O(sqrt(m)) and the wedge join's fan-out is bounded by
+    sum(out_deg^2) <= m^1.5 instead of the unbounded sum(deg^2) a hub
+    vertex causes. Each triangle then has exactly ONE apex with two
+    out-edges, so it is generated and counted exactly once. All stages
+    are equi-joins on doc ids (uniform, hash-derived keys).
+
+    ``pairs`` must carry canonical ``doc_a < doc_b`` edges (what
+    ``lsh_candidate_pairs`` emits). Returns (doc_id, n_triangles) for
+    vertices in at least one triangle.
+    """
+    e = pairs.select("doc_a", "doc_b").distinct()
+    deg = (
+        e.select(F.col("doc_a").alias("v"))
+        .unionByName(e.select(F.col("doc_b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    withdeg = e.join(
+        deg.select(F.col("v").alias("doc_a"), F.col("d").alias("da")),
+        on="doc_a",
+    ).join(
+        deg.select(F.col("v").alias("doc_b"), F.col("d").alias("db")),
+        on="doc_b",
+    )
+    lo_is_a = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("doc_a") < F.col("doc_b"))
+    )
+    oriented = withdeg.select(
+        F.when(lo_is_a, F.col("doc_a")).otherwise(F.col("doc_b")).alias("lo"),
+        F.when(lo_is_a, F.col("doc_b")).otherwise(F.col("doc_a")).alias("hi"),
+    )
+    wedges = (
+        oriented.select("lo", F.col("hi").alias("b"))
+        .join(oriented.select("lo", F.col("hi").alias("c")), on="lo")
+        .filter(F.col("b") < F.col("c"))
+    )
+    tri = wedges.join(
+        e.select(F.col("doc_a").alias("b"), F.col("doc_b").alias("c")),
+        on=["b", "c"],
+    )
+    return (
+        tri.select(F.explode(F.array("lo", "b", "c")).alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+
+
+def triangle_counts_sql(cand_sql: str) -> str:
+    """DuckDB twin of :func:`triangle_counts` over the same candidate
+    CTE (``cand_sql`` must yield canonical doc_a < doc_b edges)."""
+    return f"""
+WITH cand AS ({cand_sql}),
+verts AS (
+  SELECT doc_a AS v FROM cand UNION ALL SELECT doc_b AS v FROM cand
+), deg AS (
+  SELECT v, COUNT(*) AS d FROM verts GROUP BY v
+), oriented AS (
+  SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND c.doc_a < c.doc_b)
+              THEN c.doc_a ELSE c.doc_b END AS lo,
+         CASE WHEN da.d < db.d OR (da.d = db.d AND c.doc_a < c.doc_b)
+              THEN c.doc_b ELSE c.doc_a END AS hi
+  FROM cand c
+  JOIN deg da ON da.v = c.doc_a
+  JOIN deg db ON db.v = c.doc_b
+), wedges AS (
+  SELECT o1.lo, o1.hi AS b, o2.hi AS c
+  FROM oriented o1 JOIN oriented o2 ON o1.lo = o2.lo AND o1.hi < o2.hi
+), tri AS (
+  SELECT w.lo, w.b, w.c
+  FROM wedges w JOIN cand e ON e.doc_a = w.b AND e.doc_b = w.c
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM (SELECT unnest([lo, b, c]) AS doc_id FROM tri)
+GROUP BY doc_id
+"""

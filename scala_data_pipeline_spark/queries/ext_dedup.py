@@ -298,3 +298,23 @@ QUERIES["dedup_edit_distance"] = dedup_edit_distance
 ORACLES["dedup_edit_distance"] = _edit_distance_oracle()
 EXTRA_QUERIES["dedup_simhash"] = dedup_simhash
 EXTRA_ORACLES["dedup_simhash"] = simhash16_sql()
+
+
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc triangle counts over the LSH near-dup graph
+    (degree-ordered node-iterator — see ext/graph.py)."""
+    from ..ext.graph import triangle_counts
+
+    return triangle_counts(
+        lsh_candidate_pairs(load_table(spark, sf_dir, "documents"))
+    )
+
+
+def _triangles_oracle() -> str:
+    from ..ext.graph import triangle_counts_sql
+
+    return triangle_counts_sql(minhash_lsh_sql())
+
+
+EXTRA_QUERIES["graph_triangles"] = graph_triangles
+EXTRA_ORACLES["graph_triangles"] = _triangles_oracle()

@@ -76,3 +76,30 @@ def test_gopher_rules_flag_semantics(spark):
     assert not out[4].passes_c4
     # frac_alpha_words drops when words are pure symbols
     assert out[3].frac_alpha_words < 0.8
+
+
+def test_triangle_counts_known_graphs(spark):
+    """Exact counts on hand-checkable graphs: K4 (4 triangles, each
+    vertex in 3), a star (0 triangles — degree alone can't tell it from
+    a clique), and a hub+triangle mix exercising the degree-ordered
+    orientation's apex uniqueness (no double counting)."""
+    from scala_data_pipeline_spark.ext.graph import triangle_counts
+
+    def run(edges):
+        df = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+        return {
+            r["doc_id"]: r["n_triangles"]
+            for r in triangle_counts(df).collect()
+        }
+
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    assert run(k4) == {0: 3, 1: 3, 2: 3, 3: 3}
+
+    star = [(0, i) for i in range(1, 6)]
+    assert run(star) == {}
+
+    # Hub 0 connects to everyone; only (1,2) closes a triangle. The hub
+    # has max degree, so both triangle edges orient TOWARD it — apex
+    # must be the low-degree vertex 1, counted exactly once.
+    mix = [(0, 1), (0, 2), (0, 3), (0, 4), (1, 2)]
+    assert run(mix) == {0: 1, 1: 1, 2: 1}
