@@ -96,3 +96,34 @@ def quality_classifier_scores(
     """Train-then-score convenience used by the registry query."""
     model = train_quality_classifier(docs, text_col, num_features)
     return score_quality(model, docs, text_col)
+
+
+# The house md5-uniform granularity (matches ext/curation.py): 13 hex
+# digits = 52 bits, exact in a double.
+_U52 = float(2**52)
+
+
+def pareto_filter(
+    scored: DataFrame, alpha: float = 9.0, salt: str = ""
+) -> DataFrame:
+    """GPT-3's published acceptance rule over classifier scores — keep a
+    document iff ``score > 1 - x`` with ``x ~ Pareto(alpha)`` — made
+    deterministic: the Pareto draw comes from the inverse transform
+    ``x = (1-u)^(-1/alpha) - 1`` over the house md5-uniform
+    ``u = (md5(salt||doc_id)[:13 hex] + 1) / 2^52``. High scorers are
+    (almost) always kept; low scorers survive with polynomially-decaying
+    probability — deliberately preserving a long tail of lower-scoring
+    documents for diversity, exactly the published behavior, but
+    reproducible: same corpus ⇒ same subset under any partitioning, and
+    a different ``salt`` draws an independent subset.
+
+    One codegen scan (md5 + pow per row, no shuffle, no UDF); the
+    filter composes with a pushed-down scan when ``scored`` is a stored
+    score table.
+    """
+    digest = F.md5(F.concat(F.lit(salt), F.col("doc_id").cast("string")))
+    u = (F.conv(F.substring(digest, 1, 13), 16, 10).cast("long") + 1) / F.lit(
+        _U52
+    )
+    x = F.pow(F.lit(1.0) - u, F.lit(-1.0 / alpha)) - F.lit(1.0)
+    return scored.filter(F.col("p_quality") > F.lit(1.0) - x)

@@ -179,7 +179,22 @@ def ml_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_classifier_scores(load_table(spark, sf_dir, "documents"))
 
 
-EXTRA_QUERIES = {"ml_quality_score": ml_quality_score}
+def ml_quality_pareto_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GPT-3 filtering block end-to-end: classifier scores →
+    deterministic Pareto(9) acceptance (kept subset). Rows-only like
+    ml_quality_score; the acceptance math itself is bit-exact-tested
+    against a pure-Python replay in tests/test_ml.py."""
+    from ..ml.quality import pareto_filter, quality_classifier_scores
+    from ..sources import load_table
+
+    scored = quality_classifier_scores(load_table(spark, sf_dir, "documents"))
+    return pareto_filter(scored)
+
+
+EXTRA_QUERIES = {
+    "ml_quality_score": ml_quality_score,
+    "ml_quality_pareto_sample": ml_quality_pareto_sample,
+}
 EXTRA_ORACLES: dict[str, str] = {}
 
 

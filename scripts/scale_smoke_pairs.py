@@ -118,6 +118,16 @@ def main() -> None:
             lambda: edit_distance_verify(corpus, pairs).count(),
         )
 
+        # Triangle counting rides the same edge list; degree-ordered
+        # orientation bounds the wedge join at m^1.5 even with 18k+
+        # capped star buckets in the graph.
+        from scala_data_pipeline_spark.ext.graph import triangle_counts
+
+        report["t_tri"], report["n_tri_vertices"] = timed(
+            "triangle_counts (degree-ordered)",
+            lambda: triangle_counts(pairs).count(),
+        )
+
         report["t_prop"], report["n_prop"] = timed(
             "connected_components (propagation)",
             lambda: connected_components(pairs)
