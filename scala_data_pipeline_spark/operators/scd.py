@@ -125,3 +125,72 @@ FROM upd u
 WHERE u.{key} IN (SELECT {key} FROM changed_keys)
    OR u.{key} NOT IN (SELECT {key} FROM cur)
 """
+
+
+def table_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key: str,
+    attrs: list[str],
+) -> DataFrame:
+    """Snapshot diff — CDC extraction when no change log exists (the
+    nightly-full-export reality of most warehouse sources): classify
+    every key across two snapshots as added / removed / changed /
+    unchanged in ONE full outer join, attribute comparison null-safe
+    (``eqNullSafe`` — a NULL→value flip is a change, not a match).
+
+    Emits (key, change_type, old_<attr>..., new_<attr>...) so changed
+    rows carry both sides for downstream merge/audit. Scale: one
+    key-shuffle (zero if both snapshots are bucketed on the key); the
+    classification is a codegen projection. The changed/added subset IS
+    the incremental batch that feeds :func:`scd2_apply`.
+    """
+    o = old.select(
+        key,
+        F.lit(1).alias("_in_old"),
+        *[F.col(a).alias(f"old_{a}") for a in attrs],
+    )
+    n = new.select(
+        key,
+        F.lit(1).alias("_in_new"),
+        *[F.col(a).alias(f"new_{a}") for a in attrs],
+    )
+    j = o.join(n, on=key, how="full_outer")
+    same_attrs = None
+    for a in attrs:
+        eq = F.col(f"old_{a}").eqNullSafe(F.col(f"new_{a}"))
+        same_attrs = eq if same_attrs is None else (same_attrs & eq)
+    change = (
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
+        .when(same_attrs, F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select(
+        key,
+        change.alias("change_type"),
+        *[f"old_{a}" for a in attrs],
+        *[f"new_{a}" for a in attrs],
+    )
+
+
+def table_diff_sql(
+    old_sql: str, new_sql: str, key: str, attrs: list[str]
+) -> str:
+    """DuckDB twin of :func:`table_diff` (IS NOT DISTINCT FROM is the
+    null-safe equality mirroring eqNullSafe)."""
+    same = " AND ".join(
+        f"o.{a} IS NOT DISTINCT FROM n.{a}" for a in attrs
+    )
+    old_cols = ", ".join(f"o.{a} AS old_{a}" for a in attrs)
+    new_cols = ", ".join(f"n.{a} AS new_{a}" for a in attrs)
+    return f"""
+WITH old_snap AS ({old_sql}), new_snap AS ({new_sql})
+SELECT COALESCE(o.{key}, n.{key}) AS {key},
+       CASE WHEN o.{key} IS NULL THEN 'added'
+            WHEN n.{key} IS NULL THEN 'removed'
+            WHEN {same} THEN 'unchanged'
+            ELSE 'changed' END AS change_type,
+       {old_cols}, {new_cols}
+FROM old_snap o FULL OUTER JOIN new_snap n ON o.{key} = n.{key}
+"""

@@ -105,3 +105,64 @@ QUERIES = {"scd2_customer": scd2_customer}
 ORACLES = {"scd2_customer": SCD2_ORACLE}
 EXTRA_QUERIES: dict = {}
 EXTRA_ORACLES: dict[str, str] = {}
+
+
+# Snapshot diff fixture: "yesterday" = the customer table; "today" =
+# %7 balances drift (+100), %13 customers churn out, %97 spawn new
+# accounts — all four change classes fire.
+OLD_SNAP_SQL = """
+SELECT c_custkey AS cust_key, c_name AS name, ROUND(c_acctbal, 2) AS acctbal
+FROM customer
+"""
+
+NEW_SNAP_SQL = """
+SELECT c_custkey AS cust_key, c_name AS name,
+       CASE WHEN c_custkey % 7 = 0 THEN ROUND(c_acctbal + 100, 2)
+            ELSE ROUND(c_acctbal, 2) END AS acctbal
+FROM customer WHERE c_custkey % 13 <> 0
+UNION ALL
+SELECT c_custkey + 1000000, 'NEW_' || c_name, 0.0
+FROM customer WHERE c_custkey % 97 = 0
+"""
+
+
+def scd_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day snapshot diff (CDC without a log): one full outer
+    join classifying added / removed / changed / unchanged keys."""
+    from ..operators.scd import table_diff
+
+    c = load_table(spark, sf_dir, "customer")
+    old = c.select(
+        F.col("c_custkey").alias("cust_key"),
+        F.col("c_name").alias("name"),
+        F.round("c_acctbal", 2).alias("acctbal"),
+    )
+    kept = c.filter(F.col("c_custkey") % 13 != 0).select(
+        F.col("c_custkey").alias("cust_key"),
+        F.col("c_name").alias("name"),
+        F.when(
+            F.col("c_custkey") % 7 == 0, F.round(F.col("c_acctbal") + 100, 2)
+        )
+        .otherwise(F.round("c_acctbal", 2))
+        .alias("acctbal"),
+    )
+    born = c.filter(F.col("c_custkey") % 97 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("cust_key"),
+        F.concat(F.lit("NEW_"), F.col("c_name")).alias("name"),
+        F.lit(0.0).alias("acctbal"),
+    )
+    return table_diff(
+        old, kept.unionByName(born), key="cust_key", attrs=["name", "acctbal"]
+    )
+
+
+def _table_diff_oracle() -> str:
+    from ..operators.scd import table_diff_sql
+
+    return table_diff_sql(
+        OLD_SNAP_SQL, NEW_SNAP_SQL, key="cust_key", attrs=["name", "acctbal"]
+    )
+
+
+EXTRA_QUERIES["scd_table_diff"] = scd_table_diff
+EXTRA_ORACLES["scd_table_diff"] = _table_diff_oracle()
