@@ -399,3 +399,66 @@ def sql_customer_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EXTRA_QUERIES["sql_customer_set_ops"] = sql_customer_set_ops
 EXTRA_ORACLES["sql_customer_set_ops"] = SQL_CUSTOMER_SET_OPS
+
+
+def _rfm_sql(percentile_fn: str, datediff: str) -> str:
+    """RFM segmentation shared shape; the two engines differ only in
+    the percentile function name and day-difference spelling."""
+    cuts = ", ".join(
+        f"ROUND({percentile_fn}({m}, {q}), 4) AS {m[0]}{int(q * 100)}"
+        for m in ("recency_days", "frequency", "monetary")
+        for q in (0.33, 0.66)
+    )
+
+    def bucket(m):
+        c = m[0]
+        return (
+            f"CASE WHEN {m} <= {c}33 THEN 1 "
+            f"WHEN {m} <= {c}66 THEN 2 ELSE 3 END AS {c}_bucket"
+        )
+
+    return f"""
+WITH purchases AS (
+  SELECT user_id, CAST(ts AS DATE) AS d, value
+  FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL
+), anchor AS (
+  SELECT MAX(d) AS a FROM purchases
+), per_user AS (
+  SELECT user_id,
+         {datediff} AS recency_days,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS monetary
+  FROM purchases CROSS JOIN anchor
+  GROUP BY user_id, anchor.a
+), cuts AS (
+  SELECT {cuts} FROM per_user
+)
+SELECT r_bucket, f_bucket, m_bucket, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM (
+  SELECT {bucket('recency_days')}, {bucket('frequency')},
+         {bucket('monetary')}
+  FROM per_user CROSS JOIN cuts
+)
+GROUP BY r_bucket, f_bucket, m_bucket
+"""
+
+
+# RFM (recency / frequency / monetary) segmentation — the classic mart
+# query: per-user purchase stats cut at exact interpolated terciles.
+# Cuts and the anchor date are one-row frames (broadcast cross joins —
+# the documented tiny-broadcast pattern); monetary goes through the
+# decimal-exact sum; cuts are rounded to 4 on both engines before the
+# bucket comparison so boundary membership is engine-independent.
+SQL_RFM_SEGMENTS = _rfm_sql("percentile", "DATEDIFF(anchor.a, MAX(d))")
+SQL_RFM_SEGMENTS_DUCKDB = _rfm_sql(
+    "quantile_cont", "date_diff('day', MAX(d), anchor.a)"
+)
+
+
+def sql_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(SQL_RFM_SEGMENTS)
+
+
+EXTRA_QUERIES["sql_rfm_segments"] = sql_rfm_segments
+EXTRA_ORACLES["sql_rfm_segments"] = SQL_RFM_SEGMENTS_DUCKDB

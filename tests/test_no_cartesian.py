@@ -30,6 +30,10 @@ BNLJ_ALLOWED = {
     "sim_knn_recall_eval",
     "sim_topk_bruteforce",
     "sim_topk_quantized",
+    # sql_rfm_segments broadcasts two one-row frames (the anchor date
+    # and the six tercile cuts) onto per-user stats — the documented
+    # tiny-broadcast pattern (see the query's comment in sql_api.py).
+    "sql_rfm_segments",
     "text_bm25",
     "text_lm_perplexity",
     "text_ppl_buckets",
