@@ -130,3 +130,71 @@ def test_rollup_partial_merge_invariant(spark, rows, n_parts):
         .collect()
     }
     assert merged == direct
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.sets(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)).filter(
+            lambda e: e[0] < e[1]
+        ),
+        max_size=20,
+    )
+)
+def test_triangle_counts_match_bruteforce(spark, edges):
+    """Degree-ordered triangle counting equals the O(n^3) brute force on
+    arbitrary small graphs (apex orientation neither drops nor double
+    counts)."""
+    from itertools import combinations
+
+    from scala_data_pipeline_spark.ext.graph import triangle_counts
+
+    if not edges:
+        return
+    df = spark.createDataFrame(sorted(edges), ["doc_a", "doc_b"])
+    got = {
+        r["doc_id"]: r["n_triangles"] for r in triangle_counts(df).collect()
+    }
+    verts = {v for e in edges for v in e}
+    want: dict[int, int] = {}
+    for a, b, c in combinations(sorted(verts), 3):
+        if {(a, b), (a, c), (b, c)} <= edges:
+            for v in (a, b, c):
+                want[v] = want.get(v, 0) + 1
+    assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.dictionaries(st.integers(0, 15), st.integers(-2, 2), max_size=10),
+    st.dictionaries(st.integers(0, 15), st.integers(-2, 2), max_size=10),
+)
+def test_table_diff_partitions_keyspace(spark, old, new):
+    """table_diff emits every key exactly once with the right class;
+    diff(x, x) is all-unchanged."""
+    from scala_data_pipeline_spark.operators.scd import table_diff
+
+    if not old and not new:
+        return
+    mk = lambda d: spark.createDataFrame(
+        [(k, v) for k, v in d.items()], "k LONG, val LONG"
+    )
+    out = {
+        r["k"]: r["change_type"]
+        for r in table_diff(mk(old) if old else mk({0: 0}).limit(0),
+                            mk(new) if new else mk({0: 0}).limit(0),
+                            key="k", attrs=["val"]).collect()
+    }
+    assert set(out) == set(old) | set(new)
+    for k in set(old) | set(new):
+        if k not in old:
+            assert out[k] == "added"
+        elif k not in new:
+            assert out[k] == "removed"
+        elif old[k] == new[k]:
+            assert out[k] == "unchanged"
+        else:
+            assert out[k] == "changed"
+    if old:
+        same = table_diff(mk(old), mk(old), key="k", attrs=["val"])
+        assert same.filter(F.col("change_type") != "unchanged").count() == 0
