@@ -318,3 +318,47 @@ def _triangles_oracle() -> str:
 
 EXTRA_QUERIES["graph_triangles"] = graph_triangles
 EXTRA_ORACLES["graph_triangles"] = _triangles_oracle()
+
+
+def dedup_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source near-duplication matrix: LSH candidate pairs rolled
+    up by (source_a, source_b) — the corpus-diagnostic that shows which
+    sources mirror which (scraped mirrors, syndication) before choosing
+    per-source quotas. Sources are ordered within the pair so the
+    matrix is upper-triangular and hash-stable. Two doc-id equi-joins
+    (the pair frame is the small side after LSH) + one agg."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(docs)
+    src = docs.select("doc_id", "source")
+    labeled = pairs.join(
+        src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa")),
+        on="doc_a",
+    ).join(
+        src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb")),
+        on="doc_b",
+    )
+    return (
+        labeled.select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
+
+
+def _source_overlap_oracle() -> str:
+    return f"""
+WITH cand AS ({minhash_lsh_sql()})
+SELECT LEAST(a.source, b.source) AS source_a,
+       GREATEST(a.source, b.source) AS source_b,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM cand
+JOIN documents a ON a.doc_id = cand.doc_a
+JOIN documents b ON b.doc_id = cand.doc_b
+GROUP BY 1, 2
+"""
+
+
+EXTRA_QUERIES["dedup_source_overlap"] = dedup_source_overlap
+EXTRA_ORACLES["dedup_source_overlap"] = _source_overlap_oracle()
