@@ -464,3 +464,46 @@ def test_stream_static_antijoin_dedup(spark, sf_dir, tmp_path):
         r["doc_id"] for r in want.collect()
     }
     assert got_df.count() == want.count()
+
+
+def test_incremental_transitions_match_batch(spark, sf_dir):
+    """Folding event-time-ordered micro-batches through the carried-
+    state update yields EXACTLY the batch transition matrix: every
+    cross-batch edge is completed by the later batch via the state row,
+    and no edge is counted twice."""
+    from scala_data_pipeline_spark.queries.stats import event_transitions
+    from scala_data_pipeline_spark.sources import load_table
+    from scala_data_pipeline_spark.streaming.transitions import (
+        merge_deltas,
+        transitions_batch_update,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    # Event-time split at global ts terciles: all equal-ts rows land in
+    # the same batch, so per-user (ts, event_id) order is preserved.
+    sec = F.unix_timestamp("ts")
+    t1, t2 = events.select(sec.alias("s")).approxQuantile(
+        "s", [1 / 3, 2 / 3], 0.0
+    )
+    batches = [
+        events.filter(sec < t1),
+        events.filter((sec >= t1) & (sec < t2)),
+        events.filter(sec >= t2),
+    ]
+    state = None
+    deltas = []
+    for b in batches:
+        delta, state = transitions_batch_update(b, state)
+        # Materialize: state feeds the next update (same role as a
+        # state-store checkpoint between micro-batches).
+        state = state.localCheckpoint(eager=True)
+        deltas.append(delta.localCheckpoint(eager=True))
+    got = {
+        (r["cur_type"], r["next_type"]): r["n_transitions"]
+        for r in merge_deltas(deltas).collect()
+    }
+    want = {
+        (r["cur_type"], r["next_type"]): r["n_transitions"]
+        for r in event_transitions(spark, sf_dir).collect()
+    }
+    assert got == want
