@@ -877,3 +877,71 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
        ROUND(MIN(CAST(n_hits AS DOUBLE) / n_exact), 6) AS min_recall
 FROM per_q
 """
+
+
+def rrf_fuse(
+    rankings: list[DataFrame], k_rrf: int = 60, topk: int = 5
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack et al., SIGIR 2009) — the
+    standard hybrid-retrieval combiner: each input ranking contributes
+    ``1/(k + rank)`` per (query, candidate); candidates missing from a
+    list contribute nothing; fused score re-ranks per query. k=60 is
+    the published default (dampens the head so one list can't dominate).
+
+    Inputs are (query_id, vec_id, rank) frames — here the exact-float
+    and int8-quantized ANN rankings, in production e.g. BM25 + dense
+    retrieval. Scale: a union + one grouped sum + one per-query window;
+    nothing rejoins the corpus. Cross-engine exactness: each fused pair
+    sums at most ``len(rankings)`` reciprocals — for the two-list case
+    a single commutative double add — then rounds to 6 before the
+    rank-off (vec_id tiebreak).
+    """
+    contribs = None
+    for r in rankings:
+        c = r.select(
+            "query_id",
+            "vec_id",
+            (F.lit(1.0) / (F.lit(k_rrf) + F.col("rank"))).alias("c"),
+        )
+        contribs = c if contribs is None else contribs.unionByName(c)
+    fused = contribs.groupBy("query_id", "vec_id").agg(
+        F.round(F.sum("c"), 6).alias("rrf_score")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_score").desc(), F.col("vec_id").asc()
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select("query_id", "rank", "vec_id", "rrf_score")
+    )
+
+
+def rrf_fuse_sql(
+    ranking_sqls: list[str], k_rrf: int = 60, topk: int = 5
+) -> str:
+    """DuckDB twin: same reciprocal contributions over the composed
+    ranking CTEs."""
+    ctes = ",\n".join(
+        f"r{i} AS ({sql})" for i, sql in enumerate(ranking_sqls)
+    )
+    unions = "\n  UNION ALL\n".join(
+        f"SELECT query_id, vec_id, 1.0 / ({k_rrf} + rank) AS c FROM r{i}"
+        for i in range(len(ranking_sqls))
+    )
+    return f"""
+WITH {ctes},
+contribs AS (
+  {unions}
+), fused AS (
+  SELECT query_id, vec_id, ROUND(SUM(c), 6) AS rrf_score
+  FROM contribs GROUP BY query_id, vec_id
+), ranked AS (
+  SELECT query_id, vec_id, rrf_score,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id
+           ORDER BY rrf_score DESC, vec_id ASC) AS rank
+  FROM fused
+)
+SELECT query_id, rank, vec_id, rrf_score FROM ranked WHERE rank <= {topk}
+"""

@@ -162,3 +162,35 @@ def _knn_recall_oracle() -> str:
 
 EXTRA_QUERIES["sim_knn_recall_eval"] = sim_knn_recall_eval
 EXTRA_ORACLES["sim_knn_recall_eval"] = _knn_recall_oracle()
+
+
+def sim_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid-retrieval fusion: RRF over the exact-float and
+    int8-quantized ANN rankings for the same query set (the production
+    shape is BM25 + dense retrieval; the combiner is identical)."""
+    from ..ext.similarity import rrf_fuse, topk_quantized
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = topk_bruteforce(emb, emb.filter(F.col("vec_id") < N_QUERIES), k=5)
+    quant = topk_quantized(emb, n_queries=N_QUERIES, k=5)
+    return rrf_fuse(
+        [
+            exact.select("query_id", "vec_id", "rank"),
+            quant.select("query_id", "vec_id", "rank"),
+        ]
+    )
+
+
+def _rrf_oracle() -> str:
+    from ..ext.similarity import rrf_fuse_sql, topk_quantized_sql
+
+    return rrf_fuse_sql(
+        [
+            topk_bruteforce_sql(k=5, n_queries=N_QUERIES),
+            topk_quantized_sql(n_queries=N_QUERIES, k=5),
+        ]
+    )
+
+
+EXTRA_QUERIES["sim_rrf_fusion"] = sim_rrf_fusion
+EXTRA_ORACLES["sim_rrf_fusion"] = _rrf_oracle()

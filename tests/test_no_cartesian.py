@@ -28,6 +28,9 @@ BNLJ_ALLOWED = {
     # side, inheriting that query's bounded 50-query broadcast cross
     # join (ext/similarity.py knn_recall_eval docstring).
     "sim_knn_recall_eval",
+    # sim_rrf_fusion composes sim_topk_bruteforce + sim_topk_quantized
+    # and inherits their bounded 5-query broadcast cross joins.
+    "sim_rrf_fusion",
     "sim_topk_bruteforce",
     "sim_topk_quantized",
     # sql_rfm_segments broadcasts two one-row frames (the anchor date
