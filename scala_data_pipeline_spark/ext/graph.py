@@ -165,7 +165,13 @@ def triangle_counts(pairs: DataFrame) -> DataFrame:
     ``lsh_candidate_pairs`` emits). Returns (doc_id, n_triangles) for
     vertices in at least one triangle.
     """
-    e = pairs.select("doc_a", "doc_b").distinct()
+    # The edge list is referenced by degree, orientation AND closure —
+    # materialize it once so an expensive upstream (the LSH signature
+    # pipeline) doesn't re-execute per reference (measured: 49→~12
+    # shuffles in the registry query's plan; production checkpoints
+    # edges to parquet, see scripts/scale_smoke_pairs.py). Same idiom
+    # as knn_join's SRP index; storage is GC-released with the frame.
+    e = pairs.select("doc_a", "doc_b").distinct().localCheckpoint(eager=True)
     deg = (
         e.select(F.col("doc_a").alias("v"))
         .unionByName(e.select(F.col("doc_b").alias("v")))
