@@ -72,10 +72,25 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
 
 
+# Last directory registered per application — registration is
+# idempotent per (session, dir), and re-pointing the views at a
+# different sf dir must never be skipped (tests alternate dirs).
+_REGISTERED_DIR: dict[str, str] = {}
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Expose every table as a temp view so the engine's second entry
     point — plain ``spark.sql`` — works against the same data. The
     reference has no SQL entry (SURVEY.md §3); this is part of the
-    PySpark-native surface."""
+    PySpark-native surface.
+
+    Memoized per (application, sf_dir): every SQL-surface query calls
+    this, and re-reading ten parquet footers per query added ~0.7 s of
+    pure setup to each (measured at sf0.1). A different ``sf_dir`` in
+    the same session re-registers — correctness over cache."""
+    app = spark.sparkContext.applicationId
+    if _REGISTERED_DIR.get(app) == sf_dir:
+        return
     for name, df in load_tables(spark, sf_dir).items():
         df.createOrReplaceTempView(name)
+    _REGISTERED_DIR[app] = sf_dir
