@@ -549,9 +549,9 @@ def knn_join(
     (approximate-recall semantics, like every banded LSH).
 
     Scale shape: the hyperplane projection is a per-row JVM fold (no
-    shuffle); candidates come from per-(band, bucket) equi-joins —
-    never all-pairs — and per-vector top-k is one window over the
-    candidate pairs. Honest scaling note: expected bucket size is
+    shuffle); candidates come from one (band, bucket) aggregation whose
+    buckets emit their in-bucket pairs — never all-pairs — and
+    per-vector top-k is one window over the candidate pairs. Honest scaling note: expected bucket size is
     n/2^band_bits, so candidate volume grows as Σ buckets·size² ≈
     6·n²/2^band_bits — ``band_bits`` is NOT a constant of the design
     but the dial that must grow ≈ log2(n) with the corpus (16-bit
@@ -582,25 +582,39 @@ def knn_join(
     # 9.3 s → ~2 s on the sf0.1 self-join. localCheckpoint storage is
     # GC-released with the frame (same idiom as ext/graph.py).
     keyed = keyed.localCheckpoint(eager=True)
-    pair_sets = []
-    for bnd in range(n_bands):
-        a = keyed.select(
-            F.col(f"band_{bnd}").alias("bk"),
-            F.col("vec_id").alias("vec_a"),
-        )
-        b = keyed.select(
-            F.col(f"band_{bnd}").alias("bk"),
-            F.col("vec_id").alias("vec_b"),
-        )
-        pair_sets.append(
-            a.join(b, on="bk").filter(F.col("vec_a") < F.col("vec_b")).select(
-                "vec_a", "vec_b"
+    # Candidates via ONE bucket aggregation instead of a self-join per
+    # band (the lsh_candidate_pairs pattern): explode each vector into
+    # its (band, bucket) memberships, collect each bucket's sorted id
+    # list, emit the in-bucket pairs. Same candidate SET — pairs (a<b)
+    # sharing any band bucket, distinct-ed across bands — but 1 shuffle
+    # + explode replaces 6 shuffle joins + a 6-way union (sf0.1 warm
+    # run 6.1 → 4.1 s under a default session; oracle unchanged).
+    from .dedup import _pairs_from_sorted_ids
+
+    memberships = keyed.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.col(f"band_{b}").alias("bk"),
+                    )
+                    for b in range(n_bands)
+                ]
             )
-        )
-    cands = pair_sets[0]
-    for p in pair_sets[1:]:
-        cands = cands.union(p)
-    cands = cands.distinct()
+        ).alias("m"),
+    ).select("vec_id", F.col("m.band").alias("band"), F.col("m.bk").alias("bk"))
+    grouped = (
+        memberships.groupBy("band", "bk")
+        .agg(F.array_sort(F.collect_list("vec_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    cands = (
+        grouped.select(F.explode(_pairs_from_sorted_ids(F.col("ids"))).alias("p"))
+        .select(F.col("p.a").alias("vec_a"), F.col("p.b").alias("vec_b"))
+        .distinct()
+    )
     va = keyed.select(
         F.col("vec_id").alias("vec_a"),
         F.col("emb_r").alias("emb_ra"),
