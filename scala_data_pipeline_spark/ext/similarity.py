@@ -513,20 +513,33 @@ def _srp_hyperplanes(
     ]
 
 
-def _srp_bits_spark(emb: Column, planes: list[list[int]]) -> list[Column]:
-    bits = []
-    for plane in planes:
-        proj = F.aggregate(
-            F.zip_with(
-                emb,
-                F.array(*[F.lit(float(s)) for s in plane]),
-                lambda x, s: x * s,
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bits.append((proj >= 0).cast("int"))
-    return bits
+def _srp_projections_spark(emb: Column, planes: list[list[int]]) -> Column:
+    """All ``len(planes)`` hyperplane projections in ONE aggregate pass,
+    returned as an ``array<double>``.
+
+    A fold per plane (the r1-r6 shape) built 24 independent
+    zip_with+aggregate expressions, and Catalyst spent ~4.4 s just
+    analyzing/optimizing that tree for 2000 rows; the transposed form
+    (one per-dim literal matrix, one fold whose accumulator is the
+    24-vector of running sums) compiles in half the time and is
+    bit-identical: per plane the accumulation is still
+    ``((0.0 + x_0·s_0) + x_1·s_1) + …`` left-to-right, so the oracle's
+    replayed fold matches exactly (verified exceptAll == 0 both ways).
+    """
+    n_planes = len(planes)
+    dim = len(planes[0])
+    # transposed: for each dim i, the 24 signs that multiply emb[i]
+    tsigns = F.array(
+        *[
+            F.array(*[F.lit(float(planes[p][i])) for p in range(n_planes)])
+            for i in range(dim)
+        ]
+    )
+    return F.aggregate(
+        F.zip_with(emb, tsigns, lambda x, svec: F.transform(svec, lambda s: s * x)),
+        F.array_repeat(F.lit(0.0), n_planes),
+        lambda acc, prods: F.zip_with(acc, prods, lambda a, p: a + p),
+    )
 
 
 def knn_join(
@@ -535,6 +548,7 @@ def knn_join(
     n_planes: int = KNN_PLANES,
     band_bits: int = KNN_BAND_BITS,
     seed: int = 42,
+    broadcast_vectors: bool = True,
 ) -> DataFrame:
     """Approximate k-nearest-neighbors for EVERY vector (the KNN
     self-join — embedding dedup's core primitive, vs the query-batch
@@ -565,23 +579,31 @@ def knn_join(
     n_bands = n_planes // band_bits
     planes = _srp_hyperplanes(n_planes, seed=seed)
     prepped = prep_vectors(fan_out(corpus))
-    bits = _srp_bits_spark(F.col("emb_r"), planes)
+    projs = _srp_projections_spark(F.col("emb_r"), planes)
+    keyed = prepped.select("vec_id", "emb_r", "emb_norm", projs.alias("projs"))
+    # Materialize the SRP index once: keyed is referenced by the bucket
+    # aggregation plus the two scoring joins, and each reference would
+    # otherwise re-run the scan + rounding + projection fold. This is
+    # the "build the LSH index" step a production system would persist
+    # anyway; measured 9.3 s → ~2 s on the sf0.1 self-join.
+    # localCheckpoint storage is GC-released with the frame (same idiom
+    # as ext/graph.py). The raw projections (24 doubles) go through the
+    # checkpoint and bands are derived AFTER it — the band expressions
+    # are then trivial codegen over a stored array instead of a giant
+    # pre-checkpoint tree Catalyst re-analyzes per reference.
+    keyed = keyed.localCheckpoint(eager=True)
+
+    def _bit(p: int) -> Column:
+        return (F.element_at("projs", p + 1) >= 0).cast("int")
+
     bands = [
         sum(
-            (bits[b * band_bits + i] * (2**i) for i in range(1, band_bits)),
-            bits[b * band_bits],
+            (_bit(b * band_bits + i) * (2**i) for i in range(1, band_bits)),
+            _bit(b * band_bits),
         ).alias(f"band_{b}")
         for b in range(n_bands)
     ]
-    keyed = prepped.select("vec_id", "emb_r", "emb_norm", *bands)
-    # Materialize the SRP index once: keyed is referenced by both sides
-    # of every per-band self-join plus the two scoring joins (2·bands+2
-    # plan references), and each reference would otherwise re-run the
-    # scan + rounding + 24 projection folds. This is the "build the LSH
-    # index" step a production system would persist anyway; measured
-    # 9.3 s → ~2 s on the sf0.1 self-join. localCheckpoint storage is
-    # GC-released with the frame (same idiom as ext/graph.py).
-    keyed = keyed.localCheckpoint(eager=True)
+    keyed = keyed.select("vec_id", "emb_r", "emb_norm", *bands)
     # Candidates via ONE bucket aggregation instead of a self-join per
     # band (the lsh_candidate_pairs pattern): explode each vector into
     # its (band, bucket) memberships, collect each bucket's sorted id
@@ -625,6 +647,18 @@ def knn_join(
         F.col("emb_r").alias("emb_rb"),
         F.col("emb_norm").alias("norm_b"),
     )
+    # Join strategy dial: pairs grow ~n²/2^band_bits while vectors grow
+    # n, so for in-memory-index corpora (the ANN serving shape — every
+    # production ANN system replicates its index per node) broadcast
+    # the VECTOR sides and stream the pair set. Left to stats, Spark
+    # broadcast the 650k-row pair aggregate instead (checkpointed keyed
+    # has no catalog stats), building a hash relation 300× larger than
+    # needed. A corpus too big to broadcast sets
+    # ``broadcast_vectors=False`` and gets shuffled hash joins on the
+    # uniform vec_id keys — the right plan at 100 TB, where no side is
+    # broadcastable.
+    if broadcast_vectors:
+        va, vb = F.broadcast(va), F.broadcast(vb)
     scored = (
         cands.join(va, on="vec_a")
         .join(vb, on="vec_b")
@@ -637,17 +671,28 @@ def knn_join(
             ).alias("cos"),
         )
     )
+    # Both edge directions from ONE pass over the scored pairs: a union
+    # of two selects re-references `scored`, and Spark re-executes the
+    # whole candidate subtree (bucket agg → pairs → distinct → joins)
+    # once per reference — the r6 plan showed the subtree twice and the
+    # query paid ~2× its real cost. explode keeps a single plan
+    # reference; row set is identical to the union.
     directed = scored.select(
-        F.col("vec_a").alias("vec_id"),
-        F.col("vec_b").alias("nbr_id"),
-        "cos",
-    ).union(
-        scored.select(
-            F.col("vec_b").alias("vec_id"),
-            F.col("vec_a").alias("nbr_id"),
-            "cos",
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("vec_a").alias("vec_id"),
+                    F.col("vec_b").alias("nbr_id"),
+                    F.col("cos"),
+                ),
+                F.struct(
+                    F.col("vec_b").alias("vec_id"),
+                    F.col("vec_a").alias("nbr_id"),
+                    F.col("cos"),
+                ),
+            )
+        ).alias("d")
+    ).select("d.vec_id", "d.nbr_id", "d.cos")
     w = Window.partitionBy("vec_id").orderBy(
         F.col("cos").desc(), F.col("nbr_id").asc()
     )
