@@ -41,6 +41,7 @@ _MODULES = [
     "ext_text",
     "ext_curation",
     "scd_queries",
+    "sketches",
 ]
 
 

@@ -1,0 +1,134 @@
+"""Mergeable-sketch analytics (Apache DataSketches, JVM-side in Spark 4.x).
+
+The at-scale answers to "global quantiles" and "audience set algebra":
+exact forms need either a global sort (percentile) or a distinct
+shuffle per set expression (countDistinct), both of which stop scaling
+long before 100 TB. Sketches are bounded-size mergeable state — each
+executor summarizes its partition, the merge tree combines summaries,
+and the error is a published bound, not a guess:
+
+- **KLL** (Karnin-Lang-Liberty 2016): quantile sketch with ~1.65 %
+  rank error at k=200. Critically, sketches built per GROUP can be
+  merged again (``kll_sketch_merge_double``) — the two-level rollup
+  here (per-linestatus sketches → one global sketch) is the exact
+  pattern of a 100 TB pipeline that keeps per-partition summaries and
+  derives any coarser rollup without rescanning the data.
+- **Theta** (Dasgupta et al.): distinct-count sketch that, unlike HLL
+  (``operators/rollup.py``), supports INTERSECTION and DIFFERENCE —
+  "users who purchased but never clicked" over arbitrary groups is one
+  sketch per group plus set algebra on summaries, no re-shuffle of the
+  raw events.
+
+Estimates are engine-specific (no DuckDB twin exists for either
+sketch), so like ``approx_percentile_prices`` these register as
+locally-tested extras: ``tests/test_sketches.py`` asserts the
+published error bounds against exact answers computed side-by-side.
+
+Reference parity note: the reference has no sketch operators (its
+dashboards recompute exact distincts per query, dashboard.scala);
+these are part of the beyond-reference scale surface SURVEY.md §6
+calls for.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+
+EXTRA_QUERIES: dict = {}
+EXTRA_ORACLES: dict = {}
+
+
+def sketch_kll_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level KLL quantile rollup over lineitem prices.
+
+    Level 1 builds one KLL sketch per l_linestatus (single pass,
+    map-side partial merge — the shuffle carries sketches, not rows).
+    Level 2 merges the group sketches into a global sketch with
+    ``kll_sketch_merge_double`` — no second pass over the data. Both
+    levels answer p50/p90/p99; rows: one per group + one ALL row.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    per_group = lineitem.groupBy("l_linestatus").agg(
+        F.kll_sketch_agg_double("l_extendedprice", 200).alias("sk"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    # Level-2 merge: collect the handful of KB-sized group sketches
+    # into one row and fold them with the dedicated merge function —
+    # a reduce over summaries, independent of corpus size. (Catalyst
+    # dedups the repeated collect_list aggregate; the slice skips the
+    # fold's seed element.)
+    lst = F.collect_list("sk")
+    global_row = per_group.groupBy(F.lit("ALL").alias("l_linestatus")).agg(
+        F.aggregate(
+            F.slice(lst, 2, F.greatest(F.size(lst) - 1, F.lit(0))),
+            F.element_at(lst, 1),
+            lambda acc, s: F.kll_sketch_merge_double(acc, s),
+        ).alias("sk"),
+        F.sum("n_rows").alias("n_rows"),
+    )
+    both = per_group.unionByName(global_row)
+    return both.select(
+        "l_linestatus",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.round(
+            F.kll_sketch_get_quantile_double("sk", F.lit(0.5)), 4
+        ).alias("kll_p50"),
+        F.round(
+            F.kll_sketch_get_quantile_double("sk", F.lit(0.9)), 4
+        ).alias("kll_p90"),
+        F.round(
+            F.kll_sketch_get_quantile_double("sk", F.lit(0.99)), 4
+        ).alias("kll_p99"),
+    )
+
+
+def sketch_theta_audiences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience set algebra from per-event-type theta sketches.
+
+    One pass builds a distinct-user theta sketch per event_type; every
+    pairwise audience question — overlap, union, exclusive — is then
+    summary algebra (``theta_intersection`` / ``theta_union`` /
+    ``theta_difference``) on KB-sized state. The exact-form equivalent
+    re-shuffles the events table once per set expression; at 100 TB
+    that's the difference between one scan and a dozen.
+
+    Output: one row per ordered event-type pair (a < b) with estimated
+    |A|, |B|, |A∪B|, |A∩B|, |A\\B|.
+    """
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    sk = events.groupBy("event_type").agg(
+        F.theta_sketch_agg("user_id", 12).alias("sk")
+    )
+    a = sk.select(
+        F.col("event_type").alias("type_a"), F.col("sk").alias("sk_a")
+    )
+    b = sk.select(
+        F.col("event_type").alias("type_b"), F.col("sk").alias("sk_b")
+    )
+    # tiny×tiny join (one row per event type) — broadcast, never a
+    # shuffle of the underlying events
+    pairs = a.join(F.broadcast(b), F.col("type_a") < F.col("type_b"))
+    return pairs.select(
+        "type_a",
+        "type_b",
+        F.theta_sketch_estimate("sk_a").cast("long").alias("est_a"),
+        F.theta_sketch_estimate("sk_b").cast("long").alias("est_b"),
+        F.theta_sketch_estimate(
+            F.theta_union("sk_a", "sk_b")
+        ).cast("long").alias("est_union"),
+        F.theta_sketch_estimate(
+            F.theta_intersection("sk_a", "sk_b")
+        ).cast("long").alias("est_intersect"),
+        F.theta_sketch_estimate(
+            F.theta_difference("sk_a", "sk_b")
+        ).cast("long").alias("est_a_only"),
+    )
+
+
+EXTRA_QUERIES["sketch_kll_prices"] = sketch_kll_prices
+EXTRA_QUERIES["sketch_theta_audiences"] = sketch_theta_audiences
