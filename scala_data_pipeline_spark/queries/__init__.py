@@ -42,6 +42,7 @@ _MODULES = [
     "ext_curation",
     "scd_queries",
     "sketches",
+    "basket",
 ]
 
 

@@ -1,0 +1,155 @@
+"""Market-basket affinity: FPGrowth frequent itemsets + association rules.
+
+The missing "affinity analysis" family: which part brands co-occur in
+an order. Baskets are the distinct brand set per order (25 brands ⇒
+dense, meaningful co-occurrence; raw partkeys would be sparse noise).
+``pyspark.ml.fpm.FPGrowth`` mines the itemsets — the parallel FP-tree
+algorithm (Li et al., PFP) whose scale shape is: one groupBy to build
+baskets, then conditional FP-trees mined per item partition, never a
+candidate-generation join explosion (vs Apriori).
+
+Oracle strategy: FPGrowth output at arbitrary itemset size is not
+SQL-expressible, but every itemset here has size ≤ 2 (pair support at
+these SFs caps well under the size-3 threshold), and size-1/size-2
+frequent sets ARE exact SQL (group count / self-join count with the
+same ``freq ≥ ceil(minSupport·n)`` cut FPGrowth applies). The query
+filters to size ≤ 2 so the SQL twin is complete by construction —
+documented deviation: a corpus with frequent triples would emit them
+in FPGrowth but not in the oracle, so the filter keeps the contract
+honest. Association rules for 1→1 pairs are exact ratios of those
+counts (confidence = freq(ab)/freq(a), lift = confidence/(freq(b)/n)),
+rounded to 6dp on both engines.
+
+Reference parity: the reference's ML surface is the text-classifier
+pipeline (mlproject/mlproject.scala); frequent-pattern mining is part
+of the beyond-reference analytics surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.ml.fpm import FPGrowth
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+EXTRA_QUERIES: dict = {}
+EXTRA_ORACLES: dict = {}
+
+MIN_SUPPORT = 0.01
+MIN_CONFIDENCE = 0.05
+
+
+def _brand_baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    return (
+        lineitem.join(
+            F.broadcast(part),
+            lineitem.l_partkey == part.p_partkey,
+        )
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("p_brand")).alias("items"))
+    )
+
+
+def basket_freq_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    baskets = _brand_baskets(spark, sf_dir)
+    model = FPGrowth(
+        itemsCol="items", minSupport=MIN_SUPPORT, minConfidence=MIN_CONFIDENCE
+    ).fit(baskets)
+    return (
+        model.freqItemsets.filter(F.size("items") <= 2)
+        .select(
+            F.array_join(F.array_sort("items"), "|").alias("itemset"),
+            F.size("items").alias("sz"),
+            F.col("freq").cast("long").alias("freq"),
+        )
+    )
+
+
+# n is COUNT(DISTINCT l_orderkey) of the joined frame == basket count.
+# The threshold mirrors FPGrowth's minCount = ceil(minSupport · n).
+BASKET_ITEMSETS_ORACLE = f"""
+WITH b AS (
+  SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS item
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+), n AS (
+  SELECT CAST(CEIL({MIN_SUPPORT} * COUNT(DISTINCT ok)) AS BIGINT) AS min_count
+  FROM b
+), s1 AS (
+  SELECT item AS itemset, 1 AS sz, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM b GROUP BY item
+), s2 AS (
+  SELECT x.item || '|' || y.item AS itemset, 2 AS sz,
+         CAST(COUNT(*) AS BIGINT) AS freq
+  FROM b x JOIN b y ON x.ok = y.ok AND x.item < y.item
+  GROUP BY x.item, y.item
+)
+SELECT itemset, sz, freq FROM s1 WHERE freq >= (SELECT min_count FROM n)
+UNION ALL
+SELECT itemset, sz, freq FROM s2 WHERE freq >= (SELECT min_count FROM n)
+"""
+
+
+def basket_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    baskets = _brand_baskets(spark, sf_dir)
+    model = FPGrowth(
+        itemsCol="items", minSupport=MIN_SUPPORT, minConfidence=MIN_CONFIDENCE
+    ).fit(baskets)
+    # 1→1 rules only: at small SFs frequent triples appear and emit
+    # {a,b}→c rules whose support counts are not expressible as the
+    # pair self-join the oracle runs — same honest size cap as the
+    # itemsets query (consequents are always single-item in MLlib).
+    rules = model.associationRules.filter(F.size("antecedent") == 1)
+    return rules.select(
+        F.array_join("antecedent", "|").alias("antecedent"),
+        F.array_join("consequent", "|").alias("consequent"),
+        F.round("confidence", 6).alias("confidence"),
+        F.round("lift", 6).alias("lift"),
+        F.round("support", 6).alias("support"),
+    )
+
+
+# Rules from size-2 itemsets are a→b and b→a with exact count ratios;
+# the division order mirrors MLlib's AssociationRules (confidence
+# computed first, lift = confidence / (freq(consequent)/n),
+# support = freq(ab)/n).
+BASKET_RULES_ORACLE = f"""
+WITH b AS (
+  SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS item
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+), nb AS (
+  SELECT COUNT(DISTINCT ok) AS n,
+         CAST(CEIL({MIN_SUPPORT} * COUNT(DISTINCT ok)) AS BIGINT) AS min_count
+  FROM b
+), s1 AS (
+  SELECT item, CAST(COUNT(*) AS BIGINT) AS freq FROM b GROUP BY item
+), s2 AS (
+  SELECT x.item AS ia, y.item AS ib, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM b x JOIN b y ON x.ok = y.ok AND x.item < y.item
+  GROUP BY x.item, y.item
+), freq2 AS (
+  SELECT * FROM s2 WHERE freq >= (SELECT min_count FROM nb)
+), directed AS (
+  SELECT ia AS antecedent, ib AS consequent, freq FROM freq2
+  UNION ALL
+  SELECT ib AS antecedent, ia AS consequent, freq FROM freq2
+)
+SELECT d.antecedent, d.consequent,
+       ROUND(CAST(d.freq AS DOUBLE) / fa.freq, 6) AS confidence,
+       ROUND((CAST(d.freq AS DOUBLE) / fa.freq)
+             / (CAST(fc.freq AS DOUBLE) / (SELECT n FROM nb)), 6) AS lift,
+       ROUND(CAST(d.freq AS DOUBLE) / (SELECT n FROM nb), 6) AS support
+FROM directed d
+JOIN s1 fa ON fa.item = d.antecedent
+JOIN s1 fc ON fc.item = d.consequent
+WHERE CAST(d.freq AS DOUBLE) / fa.freq >= {MIN_CONFIDENCE}
+"""
+
+EXTRA_QUERIES["basket_freq_itemsets"] = basket_freq_itemsets
+EXTRA_ORACLES["basket_freq_itemsets"] = BASKET_ITEMSETS_ORACLE
+EXTRA_QUERIES["basket_assoc_rules"] = basket_assoc_rules
+EXTRA_ORACLES["basket_assoc_rules"] = BASKET_RULES_ORACLE

@@ -37,6 +37,11 @@ BNLJ_ALLOWED = {
     # and the six tercile cuts) onto per-user stats — the documented
     # tiny-broadcast pattern (see the query's comment in sql_api.py).
     "sql_rfm_segments",
+    # sketch_theta_audiences pairs per-event-type sketch rows with a
+    # `type_a < type_b` inequality join — one broadcast row per event
+    # TYPE (a handful of KB-sized sketches), never the events table
+    # (queries/sketches.py docstring).
+    "sketch_theta_audiences",
     "text_bm25",
     "text_lm_perplexity",
     "text_ppl_buckets",
