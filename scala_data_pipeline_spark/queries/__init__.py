@@ -43,6 +43,7 @@ _MODULES = [
     "scd_queries",
     "sketches",
     "basket",
+    "frontier",
 ]
 
 
