@@ -44,6 +44,7 @@ _MODULES = [
     "sketches",
     "basket",
     "frontier",
+    "seqmine",
 ]
 
 
