@@ -130,5 +130,17 @@ def sketch_theta_audiences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SpaceSaving approximate top-k corpus tokens (bounded-memory
+    single pass; see ext/heavyhitters.py for the algorithm and its
+    merged-summary guarantees). Rows-only: counts carry partition-
+    layout-dependent overestimates; the published error bounds are
+    asserted against exact counts in tests/test_heavyhitters.py."""
+    from ..ext.heavyhitters import heavy_hitters
+
+    return heavy_hitters(spark, sf_dir)
+
+
 EXTRA_QUERIES["sketch_kll_prices"] = sketch_kll_prices
 EXTRA_QUERIES["sketch_theta_audiences"] = sketch_theta_audiences
+EXTRA_QUERIES["sketch_heavy_hitters"] = sketch_heavy_hitters
