@@ -340,16 +340,10 @@ GROUP BY event_type
 
 QUERIES = {
     "flagship_datamart": flagship_datamart,
-    "pricing_summary": pricing_summary,
-    "join_dims": join_dims,
-    "pivot_user_events": pivot_user_events,
 }
 
 ORACLES = {
     "flagship_datamart": FLAGSHIP_ORACLE,
-    "pricing_summary": PRICING_ORACLE,
-    "join_dims": JOIN_DIMS_ORACLE,
-    "pivot_user_events": PIVOT_ORACLE,
 }
 
 # Demoted from driver slots (50-row cap): A7 distinct stays green via
@@ -357,13 +351,24 @@ ORACLES = {
 # still oracle-checked locally. Round-6 rotation: join_outer_multikey
 # (J4, green r1-r4) demoted too — the multi-key outer-join family keeps
 # driver coverage via flagship_datamart and scd2_customer.
+# Round-7 rotation: pricing_summary (A3-A5), join_dims (J1/A1) and
+# pivot_user_events (A2), all green r1-r4, demoted for never-checked
+# flagships; their families keep driver rows via flagship_datamart
+# (join+agg), cube_orders / windowed_revenue (conditional aggs) and
+# user_time_matrix (wide conditional-agg pivot shape).
 EXTRA_QUERIES = {
     "distinct_max_stamp": distinct_max_stamp,
     "join_outer_multikey": join_outer_multikey,
+    "pricing_summary": pricing_summary,
+    "join_dims": join_dims,
+    "pivot_user_events": pivot_user_events,
 }
 EXTRA_ORACLES = {
     "distinct_max_stamp": DISTINCT_MAX_ORACLE,
     "join_outer_multikey": JOIN_OUTER_ORACLE,
+    "pricing_summary": PRICING_ORACLE,
+    "join_dims": JOIN_DIMS_ORACLE,
+    "pivot_user_events": PIVOT_ORACLE,
 }
 
 # Round-6 rotation: filter_project / topk_parts / union_split carried

@@ -180,13 +180,9 @@ ON event_type USING COUNT(*) GROUP BY user_id
 """
 
 
-QUERIES = {
-    "unpivot_matrix_long": unpivot_matrix_long,
-}
+QUERIES: dict = {}
 
-ORACLES = {
-    "unpivot_matrix_long": UNPIVOT_ORACLE,
-}
+ORACLES: dict = {}
 
 # Round-4 registry rotation: near-twin slots freed for never-driver-
 # checked flagship extras (pivot_dynamic twins pivot_user_events;
@@ -204,12 +200,16 @@ EXTRA_QUERIES = {
     # the window family keeps driver coverage via rolling_revenue_7d
     # and session_funnel_ordered. Slot freed for event_transitions.
     "window_rank_lag": window_rank_lag,
+    # Round-7 rotation: native unpivot (F19) green r1-r4; the
+    # wide↔long machinery keeps a driver row via user_time_matrix.
+    "unpivot_matrix_long": unpivot_matrix_long,
 }
 EXTRA_ORACLES = {
     "window_maxdate_literal": WINDOW_MAXDATE_ORACLE,
     "pivot_dynamic": PIVOT_DYNAMIC_ORACLE,
     "json_serialize_roundtrip": JSON_ROUNDTRIP_ORACLE,
     "window_rank_lag": WINDOW_RANK_ORACLE,
+    "unpivot_matrix_long": UNPIVOT_ORACLE,
 }
 
 # Round-6 rotation: drop_duplicates_subset (P10) and global_sort (O1)

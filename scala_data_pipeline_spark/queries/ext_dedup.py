@@ -316,8 +316,11 @@ def _triangles_oracle() -> str:
     return triangle_counts_sql(minhash_lsh_sql())
 
 
-EXTRA_QUERIES["graph_triangles"] = graph_triangles
-EXTRA_ORACLES["graph_triangles"] = _triangles_oracle()
+# Round-7 rotation: triangle counting takes a driver slot (never
+# driver-checked; the registry's only wedge-fan-out graph shape —
+# pagerank and components cover the iterative families).
+QUERIES["graph_triangles"] = graph_triangles
+ORACLES["graph_triangles"] = _triangles_oracle()
 
 
 def dedup_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -41,14 +41,16 @@ def sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ANN family keeps driver rows via sim_topk_ivf and sim_knn_join, and
 # the brute-force baseline is still the recall oracle inside
 # sim_knn_recall_eval. Slot freed for a never-checked SQL shape.
+# Round-7 rotation: sim_embedding_neardup (green r2-r4) demoted —
+# near-dup machinery keeps driver rows via sim_semantic_keepers'
+# bucketed-cosine core inside dedup flows and sim_knn_join/sim_topk_ivf
+# for the ANN side; still oracle-checked locally.
 QUERIES = {
     "sim_topk_ivf": sim_topk_ivf,
-    "sim_embedding_neardup": sim_embedding_neardup,
 }
 
 ORACLES = {
     "sim_topk_ivf": topk_ivf_sql(k=3, n_queries=N_QUERIES),
-    "sim_embedding_neardup": embedding_neardup_sql(),
 }
 
 
@@ -85,10 +87,12 @@ EXTRA_QUERIES = {
     "sim_quantize": sim_quantize,
     "sim_mmr_rerank": sim_mmr_rerank,
     "sim_topk_bruteforce": sim_topk_bruteforce,
+    "sim_embedding_neardup": sim_embedding_neardup,
 }
 EXTRA_ORACLES = {
     "sim_quantize": _quantize_oracle(),
     "sim_topk_bruteforce": topk_bruteforce_sql(k=5, n_queries=N_QUERIES),
+    "sim_embedding_neardup": embedding_neardup_sql(),
 }
 
 # Round-6 rotation: sim_knn_join promoted to a driver slot (round-5

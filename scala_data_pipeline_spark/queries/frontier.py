@@ -293,9 +293,12 @@ UNION ALL SELECT 'orderstatus_in_set', ROUND(status_in_set, 6), status_in_set >=
 UNION ALL SELECT 'orderdate_in_range', ROUND(date_in_range, 6), date_in_range >= 1.0 FROM m
 """
 
-EXTRA_QUERIES["skyline_parts"] = skyline_parts
-EXTRA_ORACLES["skyline_parts"] = SKYLINE_ORACLE
-EXTRA_QUERIES["layout_zorder"] = layout_zorder
-EXTRA_ORACLES["layout_zorder"] = LAYOUT_ZORDER_ORACLE
-EXTRA_QUERIES["quality_constraints"] = quality_constraints
-EXTRA_ORACLES["quality_constraints"] = QUALITY_CONSTRAINTS_ORACLE
+# Round-7 rotation: all three take driver slots (never driver-checked,
+# each a distinct plan family: sweep-vs-NOT-EXISTS skyline, bit-
+# interleave layout envelope, one-scan DQ suite).
+QUERIES["skyline_parts"] = skyline_parts
+ORACLES["skyline_parts"] = SKYLINE_ORACLE
+QUERIES["layout_zorder"] = layout_zorder
+ORACLES["layout_zorder"] = LAYOUT_ZORDER_ORACLE
+QUERIES["quality_constraints"] = quality_constraints
+ORACLES["quality_constraints"] = QUALITY_CONSTRAINTS_ORACLE

@@ -41,7 +41,7 @@ reference's only ML is the text-classifier pipeline
 from __future__ import annotations
 
 from pyspark.ml.fpm import PrefixSpan
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources import load_table
@@ -167,17 +167,47 @@ def ml_als_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
         coldStartStrategy="drop",
     )
     model = als.fit(strengths)
-    recs = model.recommendForAllUsers(ALS_TOPK)
-    return recs.select(
-        F.col("user").cast("long").alias("custkey"),
-        F.posexplode("recommendations").alias("rank", "rec"),
-    ).select(
+    # Score manually instead of recommendForAllUsers: MLlib's built-in
+    # path block-crossJoins user×item factor blocks (a deliberate
+    # CartesianProduct). With a bounded item axis the Spark-first shape
+    # is a broadcast of the item factors (25 rows × rank floats) onto
+    # the user factors and a per-user window top-k — no cartesian ever
+    # reaches the plan, and the scoring scan stays whole-stage codegen
+    # except the zip_with dot product.
+    items = F.broadcast(
+        model.itemFactors.select(
+            F.col("id").alias("brand_id"), F.col("features").alias("vf")
+        )
+    )
+    users = model.userFactors.select(
+        F.col("id").alias("custkey"), F.col("features").alias("uf")
+    )
+    scored = users.crossJoin(items).select(
         "custkey",
-        (F.col("rank") + 1).cast("int").alias("rank"),
-        F.col("rec.item").cast("int").alias("brand_id"),
+        "brand_id",
+        F.aggregate(
+            F.zip_with("uf", "vf", lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("score"),
+    )
+    w = Window.partitionBy("custkey").orderBy(
+        F.desc("score"), F.asc("brand_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= ALS_TOPK)
+        .select(
+            F.col("custkey").cast("long").alias("custkey"),
+            F.col("rank").cast("int").alias("rank"),
+            F.col("brand_id").cast("int").alias("brand_id"),
+        )
     )
 
 
-EXTRA_QUERIES["seq_prefixspan"] = seq_prefixspan
-EXTRA_ORACLES["seq_prefixspan"] = SEQ_PREFIXSPAN_ORACLE
+# Round-7 rotation: PrefixSpan takes a driver slot (never checked; the
+# registry's only sequential-pattern shape). ALS stays a rows-only
+# extra by nature.
+QUERIES["seq_prefixspan"] = seq_prefixspan
+ORACLES["seq_prefixspan"] = SEQ_PREFIXSPAN_ORACLE
 EXTRA_QUERIES["ml_als_recommend"] = ml_als_recommend

@@ -49,14 +49,13 @@ def sql_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(SQL_EVENT_FUNNEL)
 
 
-QUERIES = {
-    "sql_revenue_by_nation": sql_revenue_by_nation,
-}
+# Round-7 rotation: sql_revenue_by_nation (TPC-H q5 shape, green
+# r1-r4) demoted — the SQL surface keeps four driver rows
+# (sql_cohort_retention + the three subquery-rewrite shapes).
+QUERIES: dict = {}
 
 # The Spark SQL strings are themselves ANSI enough for DuckDB.
-ORACLES = {
-    "sql_revenue_by_nation": SQL_REVENUE_BY_NATION,
-}
+ORACLES: dict = {}
 
 
 # Cohort retention: users grouped by first-activity week, distinct
@@ -116,9 +115,11 @@ def sql_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ordered funnel below; still oracle-checked in test_oracle_parity.
 EXTRA_QUERIES = {
     "sql_event_funnel": sql_event_funnel,
+    "sql_revenue_by_nation": sql_revenue_by_nation,
 }
 EXTRA_ORACLES = {
     "sql_event_funnel": SQL_EVENT_FUNNEL,
+    "sql_revenue_by_nation": SQL_REVENUE_BY_NATION,
 }
 
 # Round-6 rotation: sql_cohort_retention promoted to a driver slot

@@ -42,6 +42,10 @@ BNLJ_ALLOWED = {
     # TYPE (a handful of KB-sized sketches), never the events table
     # (queries/sketches.py docstring).
     "sketch_theta_audiences",
+    # ml_als_recommend broadcasts the 25-row item-factor frame onto
+    # user factors for top-k scoring (queries/seqmine.py) — the
+    # bounded-item-axis alternative to MLlib's blocked cartesian.
+    "ml_als_recommend",
     "text_bm25",
     "text_lm_perplexity",
     "text_ppl_buckets",
