@@ -45,6 +45,7 @@ _MODULES = [
     "basket",
     "frontier",
     "seqmine",
+    "tsstats",
 ]
 
 

@@ -46,6 +46,9 @@ BNLJ_ALLOWED = {
     # user factors for top-k scoring (queries/seqmine.py) — the
     # bounded-item-axis alternative to MLlib's blocked cartesian.
     "ml_als_recommend",
+    # survival_km_users broadcasts the one-row censoring-horizon
+    # aggregate onto per-user lifetimes (queries/tsstats.py).
+    "survival_km_users",
     "text_bm25",
     "text_lm_perplexity",
     "text_ppl_buckets",
