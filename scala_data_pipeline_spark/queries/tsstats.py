@@ -263,3 +263,205 @@ EXTRA_QUERIES["survival_km_users"] = survival_km_users
 EXTRA_ORACLES["survival_km_users"] = KM_ORACLE
 EXTRA_QUERIES["benford_prices"] = benford_prices
 EXTRA_ORACLES["benford_prices"] = BENFORD_ORACLE
+
+
+# --------------------------------------------------------------------
+# Last-touch attribution
+# --------------------------------------------------------------------
+
+
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing-style attribution: every purchase is credited to the
+    user's most recent PRECEDING non-purchase event (ties on timestamp
+    broken by event_id, mirrored in the oracle); purchases with no
+    prior touch credit 'direct'. One window over (user, time) — the
+    as-of lookup without a self-join — then a tiny per-channel rollup
+    of purchase count and revenue (order-independent decimal sum).
+    """
+    from ..functions.numeric import dsum
+
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    attributed = events.withColumn("touch", touch).where(
+        F.col("event_type") == "purchase"
+    )
+    return attributed.groupBy(
+        F.coalesce("touch", F.lit("direct")).alias("channel")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("purchases"),
+        dsum(F.col("value")).alias("revenue"),
+    )
+
+
+ATTRIBUTION_ORACLE = """
+WITH touched AS (
+  SELECT event_type, value,
+         last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+  FROM events WHERE user_id IS NOT NULL
+)
+SELECT COALESCE(touch, 'direct') AS channel,
+       CAST(COUNT(*) AS BIGINT) AS purchases,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM touched WHERE event_type = 'purchase'
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------
+# ABC (Pareto) classification
+# --------------------------------------------------------------------
+
+
+def abc_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC inventory classification: parts ranked by revenue; the
+    classic 80/95 cumulative-share cut (A = first 80 % of revenue,
+    B = next 15 %, C = tail). Cumulative shares come from exact
+    decimal running sums over the revenue-ranked window, so class
+    boundaries are partitioning- and engine-independent. Shape: one
+    corpus shuffle to the per-part grain, then a window over PARTS.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    per_part = lineitem.groupBy("l_partkey").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(18,4)"
+            )
+        ).alias("rev")
+    )
+    w = (
+        Window.orderBy(F.desc("rev"), F.asc("l_partkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("rev").over(w)
+    total = F.sum("rev").over(Window.partitionBy())
+    share = (cum.cast("double") / total.cast("double"))
+    klass = (
+        F.when(share <= 0.80, "A")
+        .when(share <= 0.95, "B")
+        .otherwise("C")
+    )
+    ranked = per_part.select(
+        F.col("l_partkey").cast("long").alias("partkey"),
+        F.col("rev").cast("double").alias("revenue"),
+        F.round(share, 6).alias("cum_share"),
+        klass.alias("abc_class"),
+    )
+    return ranked
+
+
+ABC_ORACLE = """
+WITH per_part AS (
+  SELECT l_partkey,
+         SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+           AS rev
+  FROM lineitem GROUP BY l_partkey
+), ranked AS (
+  SELECT l_partkey, rev,
+         CAST(SUM(rev) OVER (ORDER BY rev DESC, l_partkey ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+           / CAST(SUM(rev) OVER () AS DOUBLE) AS share
+  FROM per_part
+)
+SELECT CAST(l_partkey AS BIGINT) AS partkey,
+       CAST(rev AS DOUBLE) AS revenue,
+       ROUND(share, 6) AS cum_share,
+       CASE WHEN share <= 0.80 THEN 'A'
+            WHEN share <= 0.95 THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM ranked
+"""
+
+
+# --------------------------------------------------------------------
+# Join-key skew profile
+# --------------------------------------------------------------------
+
+
+def skew_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-join skew diagnostic for a join key: per-key frequency
+    spectrum of orders.o_custkey — max/p99/median key multiplicity,
+    the top-key share, and the Gini coefficient of the key
+    distribution (0 = uniform, →1 = one hot key). This is the check a
+    pipeline runs BEFORE a 100 TB shuffle join to decide between
+    plain hash join, AQE skew splitting, or salting
+    (operators/skew.py). Exact percentiles over the per-key counts
+    (a frame of #distinct-keys rows, tiny vs the corpus); the Gini
+    uses the rank-weighted form 2·Σ(i·xᵢ)/(n·Σx) - (n+1)/n over
+    counts sorted ascending with deterministic key tie-break.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    per_key = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w_rank = Window.orderBy(F.asc("cnt"), F.asc("o_custkey"))
+    ranked = per_key.withColumn("i", F.row_number().over(w_rank))
+    stats = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("cnt").cast("long").alias("n_rows"),
+        F.max("cnt").cast("long").alias("max_mult"),
+        F.expr("percentile(cnt, 0.99)").alias("p99_mult"),
+        F.expr("percentile(cnt, 0.5)").alias("median_mult"),
+        F.sum(F.col("i").cast("decimal(38,0)") * F.col("cnt")).alias("iw"),
+    )
+    gini = (
+        F.lit(2.0) * F.col("iw").cast("double")
+        / (F.col("n_keys") * F.col("n_rows"))
+        - (F.col("n_keys") + F.lit(1.0)) / F.col("n_keys")
+    )
+    return stats.select(
+        "n_keys",
+        "n_rows",
+        "max_mult",
+        F.round("p99_mult", 4).alias("p99_mult"),
+        F.round("median_mult", 4).alias("median_mult"),
+        F.round(gini, 6).alias("gini"),
+        F.round(
+            F.col("max_mult") / F.col("n_rows").cast("double"), 6
+        ).alias("top_key_share"),
+    )
+
+
+SKEW_PROFILE_ORACLE = """
+WITH per_key AS (
+  SELECT o_custkey, COUNT(*) AS cnt FROM orders GROUP BY o_custkey
+), ranked AS (
+  SELECT cnt,
+         row_number() OVER (ORDER BY cnt ASC, o_custkey ASC) AS i
+  FROM per_key
+), s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+         CAST(SUM(cnt) AS BIGINT) AS n_rows,
+         CAST(MAX(cnt) AS BIGINT) AS max_mult,
+         quantile_cont(cnt, 0.99) AS p99_mult,
+         quantile_cont(cnt, 0.5) AS median_mult,
+         SUM(CAST(i AS DECIMAL(38,0)) * cnt) AS iw
+  FROM ranked
+)
+SELECT n_keys, n_rows, max_mult,
+       ROUND(p99_mult, 4) AS p99_mult,
+       ROUND(median_mult, 4) AS median_mult,
+       ROUND(2.0 * CAST(iw AS DOUBLE) / (n_keys * n_rows)
+             - (n_keys + 1.0) / n_keys, 6) AS gini,
+       ROUND(CAST(max_mult AS DOUBLE) / n_rows, 6) AS top_key_share
+FROM s
+"""
+
+EXTRA_QUERIES["attribution_last_touch"] = attribution_last_touch
+EXTRA_ORACLES["attribution_last_touch"] = ATTRIBUTION_ORACLE
+EXTRA_QUERIES["abc_parts"] = abc_parts
+EXTRA_ORACLES["abc_parts"] = ABC_ORACLE
+EXTRA_QUERIES["skew_profile_orders"] = skew_profile_orders
+EXTRA_ORACLES["skew_profile_orders"] = SKEW_PROFILE_ORACLE
