@@ -465,3 +465,172 @@ EXTRA_QUERIES["abc_parts"] = abc_parts
 EXTRA_ORACLES["abc_parts"] = ABC_ORACLE
 EXTRA_QUERIES["skew_profile_orders"] = skew_profile_orders
 EXTRA_ORACLES["skew_profile_orders"] = SKEW_PROFILE_ORACLE
+
+
+# --------------------------------------------------------------------
+# Grouped OLS regression
+# --------------------------------------------------------------------
+
+
+def regress_brand_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand OLS fit of retail price on size: slope, intercept, r².
+
+    Closed-form regression from five DECIMAL partial sums (n, Σx, Σy,
+    Σxy, Σx², Σy²) — one map-side-combinable aggregate per group, the
+    way a 100 TB trend fit must run (MLlib's iterative fitters are for
+    models that HAVE no closed form). All divisions happen once, in
+    double, in the same expression shape as the oracle. Spark 4 has
+    regr_slope/regr_r2 built-ins, but their double accumulators are
+    partition-order-dependent; the decimal partials make the fit
+    reproducible under any partitioning.
+    """
+    part = load_table(spark, sf_dir, "part")
+    x = F.col("p_size").cast("decimal(18,4)")
+    y = F.col("p_retailprice").cast("decimal(18,4)")
+    sums = part.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum((x * y).cast("decimal(38,8)")).cast("double").alias("sxy"),
+        F.sum((x * x).cast("decimal(38,8)")).cast("double").alias("sxx"),
+        F.sum((y * y).cast("decimal(38,8)")).cast("double").alias("syy"),
+    )
+    den_x = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    den_y = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    slope = cov / den_x
+    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("n")
+    r2 = (cov * cov) / (den_x * den_y)
+    return sums.select(
+        "p_brand",
+        F.col("n").cast("long").alias("n"),
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+        F.round(r2, 6).alias("r2"),
+    )
+
+
+REGRESS_ORACLE = """
+WITH sums AS (
+  SELECT p_brand,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(p_size AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(p_retailprice AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(CAST(p_size AS DECIMAL(18,4))
+                       * CAST(p_retailprice AS DECIMAL(18,4))
+                       AS DECIMAL(38,8))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(CAST(p_size AS DECIMAL(18,4))
+                       * CAST(p_size AS DECIMAL(18,4))
+                       AS DECIMAL(38,8))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(CAST(p_retailprice AS DECIMAL(18,4))
+                       * CAST(p_retailprice AS DECIMAL(18,4))
+                       AS DECIMAL(38,8))) AS DOUBLE) AS syy
+  FROM part GROUP BY p_brand
+)
+SELECT p_brand,
+       CAST(n AS BIGINT) AS n,
+       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+       ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+         AS intercept,
+       ROUND((n * sxy - sx * sy) * (n * sxy - sx * sy)
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+FROM sums
+"""
+
+
+# --------------------------------------------------------------------
+# Welch two-sample t-test
+# --------------------------------------------------------------------
+
+
+def ab_welch_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test comparing event `value` between
+    every pair of event types — the A/B significance scan. Per-group
+    moments come from one decimal aggregate (6 rows); the pairwise
+    t statistics and Welch-Satterthwaite degrees of freedom are then
+    arithmetic on that broadcast-tiny frame. At 100 TB the corpus is
+    touched once; the pair algebra is constant-size.
+    """
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    v = F.col("value").cast("decimal(18,6)")
+    g = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(v).cast("double").alias("s"),
+        F.sum((v * v).cast("decimal(38,10)")).cast("double").alias("ss"),
+    )
+    a = g.select(
+        F.col("event_type").alias("type_a"),
+        F.col("n").alias("na"),
+        F.col("s").alias("sa"),
+        F.col("ss").alias("ssa"),
+    )
+    b = g.select(
+        F.col("event_type").alias("type_b"),
+        F.col("n").alias("nb"),
+        F.col("s").alias("sb"),
+        F.col("ss").alias("ssb"),
+    )
+    pairs = a.join(F.broadcast(b), F.col("type_a") < F.col("type_b"))
+    ma = F.col("sa") / F.col("na")
+    mb = F.col("sb") / F.col("nb")
+    va = (F.col("ssa") - F.col("sa") * F.col("sa") / F.col("na")) / (
+        F.col("na") - 1
+    )
+    vb = (F.col("ssb") - F.col("sb") * F.col("sb") / F.col("nb")) / (
+        F.col("nb") - 1
+    )
+    se2 = va / F.col("na") + vb / F.col("nb")
+    t = (ma - mb) / F.sqrt(se2)
+    df = (se2 * se2) / (
+        (va / F.col("na")) * (va / F.col("na")) / (F.col("na") - 1)
+        + (vb / F.col("nb")) * (vb / F.col("nb")) / (F.col("nb") - 1)
+    )
+    return pairs.select(
+        "type_a",
+        "type_b",
+        F.col("na").cast("long").alias("na"),
+        F.col("nb").cast("long").alias("nb"),
+        F.round(ma - mb, 6).alias("mean_diff"),
+        F.round(t, 4).alias("t_stat"),
+        F.round(df, 2).alias("welch_df"),
+    )
+
+
+WELCH_ORACLE = """
+WITH g AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s,
+         CAST(SUM(CAST(CAST(value AS DECIMAL(18,6))
+                       * CAST(value AS DECIMAL(18,6))
+                       AS DECIMAL(38,10))) AS DOUBLE) AS ss
+  FROM events WHERE value IS NOT NULL GROUP BY event_type
+), pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         a.n AS na, a.s AS sa, a.ss AS ssa,
+         b.n AS nb, b.s AS sb, b.ss AS ssb
+  FROM g a JOIN g b ON a.event_type < b.event_type
+), calc AS (
+  SELECT type_a, type_b, na, nb,
+         sa / na - sb / nb AS mean_diff,
+         (ssa - sa * sa / na) / (na - 1) AS va,
+         (ssb - sb * sb / nb) / (nb - 1) AS vb
+  FROM pairs
+)
+SELECT type_a, type_b,
+       CAST(na AS BIGINT) AS na,
+       CAST(nb AS BIGINT) AS nb,
+       ROUND(mean_diff, 6) AS mean_diff,
+       ROUND(mean_diff / sqrt(va / na + vb / nb), 4) AS t_stat,
+       ROUND((va / na + vb / nb) * (va / na + vb / nb)
+             / ((va / na) * (va / na) / (na - 1)
+                + (vb / nb) * (vb / nb) / (nb - 1)), 2) AS welch_df
+FROM calc
+"""
+
+EXTRA_QUERIES["regress_brand_price"] = regress_brand_price
+EXTRA_ORACLES["regress_brand_price"] = REGRESS_ORACLE
+EXTRA_QUERIES["ab_welch_value"] = ab_welch_value
+EXTRA_ORACLES["ab_welch_value"] = WELCH_ORACLE

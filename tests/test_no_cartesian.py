@@ -42,6 +42,10 @@ BNLJ_ALLOWED = {
     # TYPE (a handful of KB-sized sketches), never the events table
     # (queries/sketches.py docstring).
     "sketch_theta_audiences",
+    # ab_welch_value pairs per-event-type moment rows with a
+    # `type_a < type_b` inequality join — one broadcast row per event
+    # TYPE, never the events table (queries/tsstats.py).
+    "ab_welch_value",
     # ml_als_recommend broadcasts the 25-row item-factor frame onto
     # user factors for top-k scoring (queries/seqmine.py) — the
     # bounded-item-axis alternative to MLlib's blocked cartesian.
