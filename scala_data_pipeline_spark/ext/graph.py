@@ -236,3 +236,115 @@ SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
 FROM (SELECT unnest([lo, b, c]) AS doc_id FROM tri)
 GROUP BY doc_id
 """
+
+
+# --------------------------------------------------------------------
+# k-core decomposition (iterative peel)
+# --------------------------------------------------------------------
+
+KCORE_K = 3
+KCORE_MAX_ROUNDS = 8
+
+
+def kcore_vertices(
+    pairs: DataFrame, k: int = KCORE_K, max_rounds: int = KCORE_MAX_ROUNDS
+) -> DataFrame:
+    """Vertices of the k-core of a symmetric pair graph, with their
+    degree inside the core — the standard "dense near-dup community"
+    extraction (a k-core survives every vertex having ≥ k neighbors
+    that themselves survive; Seidman, "Network structure and minimum
+    degree", Social Networks 1983).
+
+    Iterative peel: each round computes degrees (one aggregate on
+    uniform doc-id keys) and drops sub-k vertices from the edge list
+    (two semi-joins), ``localCheckpoint`` per round to cut lineage —
+    the connected-components idiom. Rounds are bounded by the peel
+    depth, not the vertex count; ``max_rounds`` makes non-convergence
+    loud instead of silent, and the DuckDB oracle unrolls exactly
+    ``max_rounds`` stages so both engines provably compute the same
+    fixpoint (peeling is idempotent once stable, so extra oracle
+    stages are no-ops).
+    """
+    e = pairs.select("doc_a", "doc_b").distinct()
+    bi = (
+        e.union(e.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")))
+        .withColumnsRenamed({"doc_a": "src", "doc_b": "dst"})
+        .localCheckpoint(eager=True)
+    )
+    edges = bi
+    prev_vertices = -1
+    for _ in range(max_rounds):
+        survivors = (
+            edges.groupBy("src")
+            .count()
+            .where(F.col("count") >= k)
+            .select(F.col("src").alias("v"))
+        )
+        n = survivors.count()
+        if n == prev_vertices:
+            break
+        prev_vertices = n
+        edges = (
+            edges.join(
+                survivors, edges.src == survivors.v, "left_semi"
+            )
+            .join(
+                survivors.withColumnRenamed("v", "w"),
+                F.col("dst") == F.col("w"),
+                "left_semi",
+            )
+            .localCheckpoint(eager=True)
+        )
+    else:
+        raise RuntimeError(
+            f"k-core peel did not converge in {max_rounds} rounds; "
+            "raise max_rounds (and regenerate the oracle) for this graph"
+        )
+    return (
+        edges.groupBy("src")
+        .count()
+        .select(
+            F.col("src").alias("doc_id"),
+            F.col("count").cast("long").alias("core_deg"),
+        )
+    )
+
+
+def kcore_sql(
+    pairs_sql: str, k: int = KCORE_K, rounds: int = KCORE_MAX_ROUNDS
+) -> str:
+    """DuckDB twin: ``rounds`` unrolled peel stages over the pair query
+    (must yield doc_a, doc_b). Idempotent past the fixpoint, so it
+    matches the Spark loop whenever that loop converged within
+    ``rounds`` (which it errors on otherwise)."""
+    # AS MATERIALIZED is load-bearing: each stage references its
+    # predecessor twice, and DuckDB inlines plain CTEs, which would
+    # re-evaluate the whole peel prefix 2^rounds times.
+    stages = [
+        "s0 AS MATERIALIZED (SELECT DISTINCT src AS v FROM bi)",
+    ]
+    for i in range(1, rounds + 1):
+        stages.append(
+            f"""s{i} AS MATERIALIZED (
+  SELECT src AS v FROM bi
+  WHERE src IN (SELECT v FROM s{i - 1})
+    AND dst IN (SELECT v FROM s{i - 1})
+  GROUP BY src HAVING COUNT(*) >= {k}
+)"""
+        )
+    staged = ",\n".join(stages)
+    return f"""
+WITH pairs AS (
+  {pairs_sql}
+), bi AS MATERIALIZED (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+{staged}
+SELECT src AS doc_id, CAST(COUNT(*) AS BIGINT) AS core_deg
+FROM bi
+WHERE src IN (SELECT v FROM s{rounds})
+  AND dst IN (SELECT v FROM s{rounds})
+GROUP BY src
+"""

@@ -365,3 +365,24 @@ GROUP BY 1, 2
 
 EXTRA_QUERIES["dedup_source_overlap"] = dedup_source_overlap
 EXTRA_ORACLES["dedup_source_overlap"] = _source_overlap_oracle()
+
+
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core community extraction over the LSH near-dup graph: the
+    dense cluster membership that survives iterative peeling (see
+    ext/graph.py kcore_vertices)."""
+    from ..ext.graph import kcore_vertices
+
+    return kcore_vertices(
+        lsh_candidate_pairs(load_table(spark, sf_dir, "documents"))
+    )
+
+
+def _kcore_oracle() -> str:
+    from ..ext.graph import kcore_sql
+
+    return kcore_sql(minhash_lsh_sql())
+
+
+EXTRA_QUERIES["graph_kcore"] = graph_kcore
+EXTRA_ORACLES["graph_kcore"] = _kcore_oracle()
