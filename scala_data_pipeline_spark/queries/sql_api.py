@@ -463,3 +463,44 @@ def sql_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EXTRA_QUERIES["sql_rfm_segments"] = sql_rfm_segments
 EXTRA_ORACLES["sql_rfm_segments"] = SQL_RFM_SEGMENTS_DUCKDB
+
+
+# TPC-H Q8-shaped market share: the registry's only TWO-ROLE dimension
+# join (nation joins once through the customer side and once through
+# the supplier side — alias-disambiguated dims, the shape BI tools
+# generate constantly). Revenue share of each supplier nation within
+# each customer-region market per order year. Both nation sides are
+# broadcast (25 rows); the only corpus shuffle is the final group-by.
+SQL_MARKET_SHARE = """
+SELECT cust_region,
+       order_year,
+       supp_nation,
+       CAST(SUM(CAST(rev AS DECIMAL(18,4))) AS DOUBLE) AS nation_rev,
+       ROUND(CAST(SUM(CAST(rev AS DECIMAL(18,4))) AS DOUBLE)
+             / CAST(SUM(SUM(CAST(rev AS DECIMAL(18,4)))) OVER (
+                 PARTITION BY cust_region, order_year) AS DOUBLE), 6)
+         AS market_share
+FROM (
+  SELECT r.r_name AS cust_region,
+         CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INTEGER) AS order_year,
+         sn.n_name AS supp_nation,
+         l.l_extendedprice * (1 - l.l_discount) AS rev
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+  JOIN region r ON cn.n_regionkey = r.r_regionkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+) base
+GROUP BY cust_region, order_year, supp_nation
+"""
+
+
+def sql_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(SQL_MARKET_SHARE)
+
+
+EXTRA_QUERIES["sql_market_share"] = sql_market_share
+EXTRA_ORACLES["sql_market_share"] = SQL_MARKET_SHARE
