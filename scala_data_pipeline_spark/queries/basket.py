@@ -45,7 +45,7 @@ MIN_CONFIDENCE = 0.05
 def _brand_baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
-    return (
+    baskets = (
         lineitem.join(
             F.broadcast(part),
             lineitem.l_partkey == part.p_partkey,
@@ -53,6 +53,12 @@ def _brand_baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey")
         .agg(F.array_sort(F.collect_set("p_brand")).alias("items"))
     )
+    # FPGrowth references its input three times (basket count, FP-tree
+    # build, rule generation); materialize the join+groupBy once so the
+    # fit doesn't re-execute it per pass (measured 5.1 -> 3.9 s at
+    # sf0.1). Same build-the-input-once idiom as the SRP/triangle
+    # indexes; storage is GC-released with the frame.
+    return baskets.localCheckpoint(eager=True)
 
 
 def basket_freq_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
