@@ -43,12 +43,13 @@ ANOM_WINDOW_DAYS = 28
 ANOM_Z = 2.5
 
 
-def anomaly_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders")
-    day = F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01"))
-    daily = orders.groupBy(day.alias("day")).agg(
-        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("rev")
-    )
+def zscore_daily(daily: DataFrame) -> DataFrame:
+    """Rolling z-score over a (day:long, rev:decimal) daily series —
+    the shared core of the batch query below and the streaming
+    continuous-aggregate read path (tests/test_anomaly_stream.py):
+    because the moments come from exact decimal partials, a series
+    maintained incrementally from micro-batch partials z-scores
+    BIT-IDENTICALLY to one computed from the full history."""
     w = (
         Window.orderBy("day")
         .rangeBetween(-(ANOM_WINDOW_DAYS - 1), Window.currentRow)
@@ -72,6 +73,15 @@ def anomaly_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 4).alias("z28"),
         (F.abs(z) > ANOM_Z).alias("is_anomaly"),
     )
+
+
+def anomaly_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    day = F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01"))
+    daily = orders.groupBy(day.alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("rev")
+    )
+    return zscore_daily(daily)
 
 
 ANOMALY_ORACLE = f"""
