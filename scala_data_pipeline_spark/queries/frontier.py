@@ -57,10 +57,9 @@ EXTRA_ORACLES: dict = {}
 # --------------------------------------------------------------------
 
 
-def skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-brand Pareto frontier: parts where no same-brand part is
-    both cheaper-or-equal AND larger-or-equal (strict in at least one
-    dimension). Minimize ``p_retailprice``, maximize ``p_size``.
+def pareto_frontier(part: DataFrame) -> DataFrame:
+    """Frame-level per-brand Pareto sweep (minimize ``p_retailprice``,
+    maximize ``p_size``) over any frame with part's columns.
 
     Sweep formulation (no O(n²) join): collapse to one row per
     (brand, price) carrying the group's max size, take the running max
@@ -70,8 +69,12 @@ def skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     lower price's best size. Exact (price, size) duplicates are all
     kept: neither dominates the other (no strict inequality), matching
     the NOT EXISTS oracle bit for bit.
+
+    Incremental maintenance is free by idempotence: frontier(S ∪ B) =
+    frontier(frontier(S) ∪ B), so a maintained frontier only rescans
+    the (tiny) stored frontier plus the new batch — never the history.
+    Asserted on real data in tests/test_frontier.py.
     """
-    part = load_table(spark, sf_dir, "part")
     per_price = part.groupBy("p_brand", "p_retailprice").agg(
         F.max("p_size").alias("gmax")
     )
@@ -81,10 +84,17 @@ def skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     frontier = per_price.withColumn("run_lt", F.max("gmax").over(w))
-    sky = part.join(frontier, ["p_brand", "p_retailprice"]).where(
+    return part.join(frontier, ["p_brand", "p_retailprice"]).where(
         (F.col("p_size") == F.col("gmax"))
         & (F.col("run_lt").isNull() | (F.col("p_size") > F.col("run_lt")))
     )
+
+
+def skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand Pareto frontier: parts where no same-brand part is
+    both cheaper-or-equal AND larger-or-equal (strict in at least one
+    dimension). See :func:`pareto_frontier` for the sweep shape."""
+    sky = pareto_frontier(load_table(spark, sf_dir, "part"))
     return sky.select(
         "p_brand",
         F.col("p_partkey").cast("long").alias("p_partkey"),

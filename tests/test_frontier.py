@@ -82,6 +82,25 @@ def test_zorder_buckets_partition_rows(spark):
         assert r.min_day <= r.max_day
 
 
+def test_skyline_incremental_maintenance(spark):
+    """frontier(S ∪ B) == frontier(frontier(S) ∪ B): a maintained
+    frontier only ever rescans the stored frontier plus the delta."""
+    from pyspark.sql import functions as F
+
+    from scala_data_pipeline_spark.queries.frontier import pareto_frontier
+
+    cols = ["p_brand", "p_partkey", "p_retailprice", "p_size"]
+    part = load_table(spark, SF, "part").select(*cols)
+    old = part.where(F.col("p_partkey") % 2 == 0)
+    batch = part.where(F.col("p_partkey") % 2 != 0)
+    full = pareto_frontier(part).select(*cols)
+    incremental = pareto_frontier(
+        pareto_frontier(old).select(*cols).unionByName(batch)
+    ).select(*cols)
+    assert full.exceptAll(incremental).count() == 0
+    assert incremental.exceptAll(full).count() == 0
+
+
 def test_constraints_all_pass_on_clean_data(spark):
     rows = quality_constraints(spark, SF).collect()
     assert len(rows) == 7
