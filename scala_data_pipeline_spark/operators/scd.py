@@ -194,3 +194,21 @@ SELECT COALESCE(o.{key}, n.{key}) AS {key},
        {old_cols}, {new_cols}
 FROM old_snap o FULL OUTER JOIN new_snap n ON o.{key} = n.{key}
 """
+
+
+def scd2_as_of(hist: DataFrame, as_of: str) -> DataFrame:
+    """Point-in-time read of an SCD2 history: rows valid on ``as_of``
+    under the half-open [effective_from, effective_to) convention
+    (current rows have NULL effective_to). The time-travel companion
+    to :func:`scd2_apply` — a snapshot at any date is one filter over
+    the history, no log replay. The filter is a plain comparison on
+    the history's own columns, so it pushes into a parquet scan of a
+    persisted dimension."""
+    d = F.lit(as_of).cast("date")
+    return hist.where(
+        (F.col("effective_from").cast("date") <= d)
+        & (
+            F.col("effective_to").isNull()
+            | (F.col("effective_to").cast("date") > d)
+        )
+    )

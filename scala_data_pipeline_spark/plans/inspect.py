@@ -55,3 +55,70 @@ def plan_audit(df: DataFrame) -> dict:
         "codegen_stages": len(set(re.findall(r"\*\((\d+)\)", simple))),
         "plan": plan,
     }
+
+
+def plan_lint(df: DataFrame) -> list[dict]:
+    """Static lint over a DataFrame's physical plan — the checks
+    tests/test_no_cartesian.py and the plan-audit table apply to the
+    registry, exposed as an API so a pipeline can gate ITS OWN queries
+    before submitting them to a cluster. Returns one finding dict per
+    issue: {"rule", "severity", "detail"}; empty list = clean.
+
+    Rules (each a cluster-scale failure mode):
+    - cartesian-product: an unconditioned join — O(n·m) at any scale.
+    - python-in-plan:    row/Arrow Python eval operators — the 10-100x
+                         slow path; fine when deliberate (UDF parity,
+                         mapInPandas decode), fatal when accidental.
+    - global-window:     a window with no partitioning — funnels the
+                         frame through ONE task; fine on day-grain or
+                         per-key-aggregated frames, fatal on a corpus.
+    - no-pushdown:       a parquet scan with filters in the plan but
+                         an empty PushedFilters — the scan reads
+                         everything a predicate could have skipped.
+    """
+    audit = plan_audit(df)
+    plan = audit["plan"]
+    # simple mode spells single-partition exchanges inline
+    # ("Exchange SinglePartition"); formatted mode splits node and
+    # arguments across lines.
+    simple = explain_str(df, mode="simple")
+    findings: list[dict] = []
+    if "CartesianProduct" in plan:
+        findings.append(
+            {
+                "rule": "cartesian-product",
+                "severity": "error",
+                "detail": "plan contains CartesianProduct",
+            }
+        )
+    if audit["n_python_udfs"]:
+        findings.append(
+            {
+                "rule": "python-in-plan",
+                "severity": "warn",
+                "detail": f"{audit['n_python_udfs']} Python eval operator(s)"
+                " in the plan (BatchEval/ArrowEval/MapInPandas/"
+                "FlatMapGroupsInPandas)",
+            }
+        )
+    if "Window" in simple and "Exchange SinglePartition" in simple:
+        findings.append(
+            {
+                "rule": "global-window",
+                "severity": "warn",
+                "detail": "window with no partitionBy funnels the frame"
+                " through a single task (fine on aggregated grains,"
+                " fatal on a corpus)",
+            }
+        )
+    if "PushedFilters: []" in plan and re.search(r"^\(\d+\) Filter ", plan, re.M):
+        findings.append(
+            {
+                "rule": "no-pushdown",
+                "severity": "info",
+                "detail": "a scan has an empty PushedFilters while the"
+                " plan filters rows — check the predicate is"
+                " pushdown-eligible",
+            }
+        )
+    return findings

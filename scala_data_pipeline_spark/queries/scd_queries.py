@@ -166,3 +166,23 @@ def _table_diff_oracle() -> str:
 
 EXTRA_QUERIES["scd_table_diff"] = scd_table_diff
 EXTRA_ORACLES["scd_table_diff"] = _table_diff_oracle()
+
+
+def scd2_customer_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel over the applied SCD2 history: the dimension as it
+    stood ON the load date — new/changed rows (effective that day) are
+    in, rows closed that day are out; boundary semantics of the
+    half-open validity interval exercised exactly."""
+    from ..operators.scd import scd2_as_of
+
+    return scd2_as_of(scd2_customer(spark, sf_dir), LOAD_DATE)
+
+
+SCD2_ASOF_ORACLE = f"""
+SELECT * FROM ({SCD2_ORACLE})
+WHERE CAST(effective_from AS DATE) <= DATE '{LOAD_DATE}'
+  AND (effective_to IS NULL OR CAST(effective_to AS DATE) > DATE '{LOAD_DATE}')
+"""
+
+EXTRA_QUERIES["scd2_customer_asof"] = scd2_customer_asof
+EXTRA_ORACLES["scd2_customer_asof"] = SCD2_ASOF_ORACLE
