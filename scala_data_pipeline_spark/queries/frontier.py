@@ -312,3 +312,73 @@ QUERIES["layout_zorder"] = layout_zorder
 ORACLES["layout_zorder"] = LAYOUT_ZORDER_ORACLE
 QUERIES["quality_constraints"] = quality_constraints
 ORACLES["quality_constraints"] = QUALITY_CONSTRAINTS_ORACLE
+
+
+# --------------------------------------------------------------------
+# Order-independent table fingerprint
+# --------------------------------------------------------------------
+
+# NULLs serialize as a sentinel because concat_ws SKIPS nulls, which
+# would make ('a', NULL, 'b') collide with ('a', 'b', NULL). Printable
+# (a NUL byte breaks SQL string literals); collision with real data
+# requires a column whose value IS the sentinel.
+_NULL_SENTINEL = "<\u0007NULL>"
+
+
+def table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content checksum of the orders table: per-row md5 over an
+    exactly-specified serialization (keys/strings verbatim, timestamps
+    as ISO dates, money as DECIMAL(18,2) strings — formats probed
+    identical across engines), folded with an order-independent SUM of
+    each hash's first 56 bits. One scan, no sort, partitioning-
+    invariant — the cheap way to answer "are these two 100 TB table
+    copies identical, and if not, which day's partition drifted" (pair
+    it with a GROUP BY partition key for per-partition fingerprints).
+    A changed row moves the sum with probability 1 - 2^-56 per
+    collision pair; tests/test_frontier.py flips one row and asserts
+    the fingerprint moves.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    ser = F.concat_ws(
+        "|",
+        *[
+            F.coalesce(c, F.lit(_NULL_SENTINEL))
+            for c in (
+                F.col("o_orderkey").cast("string"),
+                F.col("o_custkey").cast("string"),
+                F.col("o_orderstatus"),
+                F.col("o_totalprice").cast("decimal(18,2)").cast("string"),
+                F.col("o_orderdate").cast("date").cast("string"),
+                F.col("o_orderpriority"),
+            )
+        ],
+    )
+    h56 = F.conv(F.substring(F.md5(ser), 1, 14), 16, 10).cast(
+        "decimal(38,0)"
+    )
+    return orders.select(h56.alias("h")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("h").cast("decimal(38,0)").cast("string").alias("fingerprint"),
+    )
+
+
+TABLE_FINGERPRINT_ORACLE = f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(CAST(SUM(h) AS DECIMAL(38,0)) AS VARCHAR) AS fingerprint
+FROM (
+  SELECT CAST(('0x' || substr(md5(
+           COALESCE(CAST(o_orderkey AS VARCHAR), '{_NULL_SENTINEL}') || '|' ||
+           COALESCE(CAST(o_custkey AS VARCHAR), '{_NULL_SENTINEL}') || '|' ||
+           COALESCE(o_orderstatus, '{_NULL_SENTINEL}') || '|' ||
+           COALESCE(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
+                    '{_NULL_SENTINEL}') || '|' ||
+           COALESCE(CAST(CAST(o_orderdate AS DATE) AS VARCHAR),
+                    '{_NULL_SENTINEL}') || '|' ||
+           COALESCE(o_orderpriority, '{_NULL_SENTINEL}')
+         ), 1, 14))::BIGINT AS DECIMAL(38,0)) AS h
+  FROM orders
+)
+"""
+
+EXTRA_QUERIES["table_fingerprint"] = table_fingerprint
+EXTRA_ORACLES["table_fingerprint"] = TABLE_FINGERPRINT_ORACLE

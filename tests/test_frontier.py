@@ -105,3 +105,39 @@ def test_constraints_all_pass_on_clean_data(spark):
     rows = quality_constraints(spark, SF).collect()
     assert len(rows) == 7
     assert all(r.passed for r in rows), rows
+
+
+def test_fingerprint_moves_on_single_row_change(spark):
+    from scala_data_pipeline_spark.queries.frontier import table_fingerprint
+
+    base = table_fingerprint(spark, SF).collect()[0]
+    # same computation over a copy with ONE row's price shifted a cent
+    orders = load_table(spark, SF, "orders")
+    drifted = orders.withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") == orders.limit(1).collect()[0].o_orderkey,
+            F.col("o_totalprice") + 0.01,
+        ).otherwise(F.col("o_totalprice")),
+    )
+    import scala_data_pipeline_spark.queries.frontier as fr
+
+    ser = F.concat_ws(
+        "|",
+        *[
+            F.coalesce(c, F.lit(fr._NULL_SENTINEL))
+            for c in (
+                F.col("o_orderkey").cast("string"),
+                F.col("o_custkey").cast("string"),
+                F.col("o_orderstatus"),
+                F.col("o_totalprice").cast("decimal(18,2)").cast("string"),
+                F.col("o_orderdate").cast("date").cast("string"),
+                F.col("o_orderpriority"),
+            )
+        ],
+    )
+    h56 = F.conv(F.substring(F.md5(ser), 1, 14), 16, 10).cast("decimal(38,0)")
+    moved = drifted.select(h56.alias("h")).agg(
+        F.sum("h").cast("decimal(38,0)").cast("string").alias("fingerprint")
+    ).collect()[0]
+    assert base.fingerprint != moved.fingerprint
