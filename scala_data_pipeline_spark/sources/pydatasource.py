@@ -26,7 +26,9 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 
 EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
@@ -129,3 +131,80 @@ class SyntheticEventsDataSource(DataSource):
 
 def register(spark) -> None:
     spark.dataSource.register(SyntheticEventsDataSource)
+
+
+# --------------------------------------------------------------------
+# Python DataSource WRITER: jar-free JSONL sink with 2-phase commit
+# --------------------------------------------------------------------
+
+import json
+import os
+import uuid
+
+
+class _JsonlCommitMessage(WriterCommitMessage):
+    def __init__(self, path: str, n_rows: int):
+        self.path = path
+        self.n_rows = n_rows
+
+
+class _JsonlWriter(DataSourceWriter):
+    """Per-task write -> driver-side commit, the connector contract a
+    real sink (service API, proprietary store) must implement:
+
+    - each task writes to a UNIQUE temp-named file and reports it in
+      its commit message (no cross-task coordination, retries can't
+      collide);
+    - ``commit`` runs once on the driver with every successful task's
+      message and publishes the manifest (_SUCCESS with the file list
+      + row counts) — readers treat manifest-less files as garbage;
+    - ``abort`` removes whatever the failed attempt left behind.
+
+    Exactly the Hadoop output-committer protocol, expressed through
+    the Python API; at scale the temp-file + manifest dance is what
+    makes speculative retries and task failures safe.
+    """
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsonl_sink requires option 'path'")
+
+    def write(self, iterator):
+        os.makedirs(self.path, exist_ok=True)
+        fname = os.path.join(self.path, f"part-{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(fname, "w") as fh:
+            for row in iterator:
+                fh.write(json.dumps(row.asDict(), default=str) + "\n")
+                n += 1
+        return _JsonlCommitMessage(fname, n)
+
+    def commit(self, messages):
+        manifest = {
+            "files": [
+                {"path": m.path, "n_rows": m.n_rows}
+                for m in sorted(messages, key=lambda m: m.path)
+            ],
+            "total_rows": sum(m.n_rows for m in messages),
+        }
+        with open(os.path.join(self.path, "_SUCCESS"), "w") as fh:
+            json.dump(manifest, fh)
+
+    def abort(self, messages):
+        for m in messages:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)
+
+
+class JsonlSinkDataSource(DataSource):
+    @classmethod
+    def name(cls):
+        return "jsonl_sink"
+
+    def writer(self, schema, overwrite):
+        return _JsonlWriter(self.options)
+
+
+def register_sink(spark) -> None:
+    spark.dataSource.register(JsonlSinkDataSource)

@@ -44,3 +44,33 @@ def test_stream_read_microbatches(spark):
     q.awaitTermination(timeout=120)
     got = spark.sql("SELECT COUNT(*) c, COUNT(DISTINCT event_id) d FROM pyds_stream").first()
     assert got["c"] == 500 and got["d"] == 500
+
+
+def test_jsonl_sink_roundtrip_with_manifest(spark, tmp_path):
+    """Writer contract: unique per-task files, driver-side manifest
+    commit, row-exact roundtrip through an independent reader."""
+    import json
+    import os
+
+    from scala_data_pipeline_spark.sources.pydatasource import register_sink
+
+    register_sink(spark)
+    target = str(tmp_path / "out")
+    src = spark.range(100).selectExpr(
+        "id", "CAST(id % 7 AS STRING) AS bucket"
+    )
+    src.repartition(4).write.format("jsonl_sink").option(
+        "path", target
+    ).mode("append").save()
+
+    manifest = json.load(open(os.path.join(target, "_SUCCESS")))
+    assert manifest["total_rows"] == 100
+    assert len(manifest["files"]) >= 2  # multiple tasks wrote
+    for f in manifest["files"]:
+        assert os.path.exists(f["path"])
+
+    back = spark.read.json(os.path.join(target, "part-*.jsonl"))
+    assert back.count() == 100
+    got = {(r.id, r.bucket) for r in back.collect()}
+    want = {(r.id, r.bucket) for r in src.collect()}
+    assert got == want
