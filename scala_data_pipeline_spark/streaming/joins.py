@@ -28,6 +28,7 @@ def interval_join(
     right_ts: str,
     band: str,
     watermark: str | None = None,
+    how: str = "inner",
 ) -> DataFrame:
     """Equi-join on ``key`` restricted to ``right_ts`` within
     ``[left_ts - band, left_ts]`` (e.g. "a purchase joins the same
@@ -37,6 +38,12 @@ def interval_join(
     (pass ``watermark``; it is applied to BOTH sides, and the band makes
     the state evictable). Column names must already be disjoint apart
     from ``key``.
+
+    ``how="left_outer"`` adds the unmatched left rows: on a stream the
+    NULL-padded row for a left event is emitted only once the watermark
+    passes its join band (before that a match could still arrive) — so
+    tail rows whose band the final watermark never crosses stay
+    unemitted, the documented stream-outer-join semantics.
     """
     if watermark is not None:
         left = left.withWatermark(left_ts, watermark)
@@ -46,4 +53,4 @@ def interval_join(
         & (F.col(right_ts) >= F.col(left_ts) - F.expr(f"INTERVAL {band}"))
         & (F.col(right_ts) <= F.col(left_ts))
     )
-    return left.join(right, on=cond, how="inner").drop(right[key])
+    return left.join(right, on=cond, how=how).drop(right[key])

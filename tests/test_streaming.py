@@ -507,3 +507,68 @@ def test_incremental_transitions_match_batch(spark, sf_dir):
         for r in event_transitions(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_stream_stream_left_outer_join(spark, sf_dir, ordered_events_dir):
+    """Watermarked stream-stream LEFT OUTER join: purchases with no
+    view in the preceding hour emit NULL-padded once the watermark
+    passes their band. Emitted nulls must be exactly batch-unmatched
+    purchases; matched rows must agree with the inner join."""
+    from scala_data_pipeline_spark.streaming.joins import interval_join
+
+    batch_events = load_table(spark, sf_dir, "events")
+
+    def joined(df, watermark=None, how="inner"):
+        buys = df.filter(F.col("event_type") == "purchase").select(
+            F.col("user_id").alias("u"),
+            F.col("ts").alias("buy_ts"),
+            F.col("value").alias("buy_value"),
+        )
+        views = df.filter(F.col("event_type") == "view").select(
+            F.col("user_id").alias("u"), F.col("ts").alias("view_ts")
+        )
+        return interval_join(
+            buys,
+            views,
+            key="u",
+            left_ts="buy_ts",
+            right_ts="view_ts",
+            band="1 HOUR",
+            watermark=watermark,
+            how=how,
+        )
+
+    sdf = (
+        spark.readStream.schema(batch_events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(ordered_events_dir)
+    )
+    query = (
+        joined(sdf, watermark="30 minutes", how="left_outer")
+        .writeStream.format("memory")
+        .queryName("ss_louter")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(timeout=120)
+    got = spark.sql("SELECT * FROM ss_louter").collect()
+    got_null = {
+        (r.u, r.buy_ts) for r in got if r.view_ts is None
+    }
+    got_matched = {tuple(r) for r in got if r.view_ts is not None}
+
+    batch_outer = joined(batch_events, how="left_outer").collect()
+    batch_null = {
+        (r.u, r.buy_ts) for r in batch_outer if r.view_ts is None
+    }
+    batch_matched = {
+        tuple(r) for r in batch_outer if r.view_ts is not None
+    }
+    # every streamed NULL row is a genuinely unmatched purchase, and the
+    # ordered arrival means most of them get their eviction-time emit
+    assert got_null <= batch_null
+    assert len(got_null) >= 0.5 * len(batch_null) > 0
+    # matched rows agree with batch semantics
+    assert got_matched <= batch_matched
+    assert len(got_matched) > 0
