@@ -199,7 +199,8 @@ FROM old_snap o FULL OUTER JOIN new_snap n ON o.{key} = n.{key}
 def scd2_as_of(hist: DataFrame, as_of: str) -> DataFrame:
     """Point-in-time read of an SCD2 history: rows valid on ``as_of``
     under the half-open [effective_from, effective_to) convention
-    (current rows have NULL effective_to). The time-travel companion
+    (current rows carry the OPEN_END far-future sentinel; a NULL
+    effective_to convention is accepted too). The time-travel companion
     to :func:`scd2_apply` — a snapshot at any date is one filter over
     the history, no log replay. The filter is a plain comparison on
     the history's own columns, so it pushes into a parquet scan of a

@@ -644,3 +644,72 @@ EXTRA_QUERIES["regress_brand_price"] = regress_brand_price
 EXTRA_ORACLES["regress_brand_price"] = REGRESS_ORACLE
 EXTRA_QUERIES["ab_welch_value"] = ab_welch_value
 EXTRA_ORACLES["ab_welch_value"] = WELCH_ORACLE
+
+
+# --------------------------------------------------------------------
+# Conversion latency distribution
+# --------------------------------------------------------------------
+
+
+def conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """View→purchase conversion latency: per user, seconds from first
+    view to the first purchase AFTER it; one distribution row (count +
+    exact interpolated quantiles). Two tiny aggregates after the
+    per-user shuffle — the grain a 100 TB funnel reduces to before any
+    percentile math. Timestamp differences go through unix epoch
+    seconds (NTZ-safe, engine-identical integers)."""
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    per_user = events.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "view", F.unix_timestamp("ts"))
+        ).alias("first_view")
+    )
+    first_buy_after = (
+        events.join(per_user, "user_id")
+        .where(
+            (F.col("event_type") == "purchase")
+            & F.col("first_view").isNotNull()
+            & (F.unix_timestamp("ts") >= F.col("first_view"))
+        )
+        .groupBy("user_id")
+        .agg(
+            F.min(F.unix_timestamp("ts") - F.col("first_view")).alias(
+                "latency_s"
+            )
+        )
+    )
+    return first_buy_after.agg(
+        F.count(F.lit(1)).cast("long").alias("n_converted"),
+        F.round(F.expr("percentile(latency_s, 0.5)"), 4).alias("p50_s"),
+        F.round(F.expr("percentile(latency_s, 0.9)"), 4).alias("p90_s"),
+        F.max("latency_s").cast("long").alias("max_s"),
+    )
+
+
+CONVERSION_LATENCY_ORACLE = """
+WITH per_user AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view'
+                  THEN CAST(floor(epoch(ts)) AS BIGINT) END) AS first_view
+  FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+), lat AS (
+  -- floor(epoch()) mirrors Spark's unix_timestamp second truncation
+  SELECT e.user_id,
+         MIN(CAST(floor(epoch(e.ts)) AS BIGINT) - p.first_view) AS latency_s
+  FROM events e JOIN per_user p ON e.user_id = p.user_id
+  WHERE e.event_type = 'purchase'
+    AND p.first_view IS NOT NULL
+    AND CAST(floor(epoch(e.ts)) AS BIGINT) >= p.first_view
+  GROUP BY e.user_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+       ROUND(quantile_cont(latency_s, 0.5), 4) AS p50_s,
+       ROUND(quantile_cont(latency_s, 0.9), 4) AS p90_s,
+       CAST(MAX(latency_s) AS BIGINT) AS max_s
+FROM lat
+"""
+
+EXTRA_QUERIES["conversion_latency"] = conversion_latency
+EXTRA_ORACLES["conversion_latency"] = CONVERSION_LATENCY_ORACLE

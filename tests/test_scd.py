@@ -39,3 +39,47 @@ def test_scd2_branches(spark):
         (3, "carol", 30.0, "2024-01-01", OPEN_END, True),
         (4, "dave", 5.0, "2024-06-01", OPEN_END, True),
     ]
+
+
+def test_scd2_fold_invariants(spark):
+    """Folding update batches sequentially keeps the SCD2 contract at
+    every step: exactly one current row per key, per-key validity
+    intervals contiguous ([from, to) chains with no gap/overlap), and
+    the current attributes equal the latest applied update."""
+    from pyspark.sql import functions as F
+
+    dim = spark.createDataFrame(
+        [(1, "a", 1.0, "2024-01-01", OPEN_END, True)],
+        ["cust_key", "name", "acctbal", "effective_from", "effective_to", "is_current"],
+    )
+    batches = [
+        ("2024-02-01", [(1, "a", 2.0), (2, "b", 1.0)]),
+        ("2024-03-01", [(1, "a", 3.0), (2, "b", 1.0), (3, "c", 9.0)]),
+        ("2024-04-01", [(1, "a", 3.0), (2, "b", 2.0), (3, "c", 8.0)]),
+    ]
+    hist = dim
+    last_attrs: dict = {1: ("a", 1.0)}
+    for load_date, rows in batches:
+        updates = spark.createDataFrame(
+            rows, ["cust_key", "name", "acctbal"]
+        )
+        hist = scd2_apply(
+            hist, updates, "cust_key", ["name", "acctbal"], load_date
+        )
+        for k, n, b in rows:
+            last_attrs[k] = (n, b)
+
+    collected = hist.collect()
+    by_key: dict = {}
+    for r in collected:
+        by_key.setdefault(r.cust_key, []).append(r)
+    for key, rows in by_key.items():
+        currents = [r for r in rows if r.is_current]
+        assert len(currents) == 1, (key, rows)
+        assert (currents[0].name, currents[0].acctbal) == last_attrs[key]
+        spans = sorted(
+            (r.effective_from, r.effective_to) for r in rows
+        )
+        for (f1, t1), (f2, t2) in zip(spans, spans[1:]):
+            assert t1 == f2, (key, spans)  # contiguous, no gap/overlap
+        assert spans[-1][1] == OPEN_END
