@@ -186,3 +186,57 @@ WHERE CAST(effective_from AS DATE) <= DATE '{LOAD_DATE}'
 
 EXTRA_QUERIES["scd2_customer_asof"] = scd2_customer_asof
 EXTRA_ORACLES["scd2_customer_asof"] = SCD2_ASOF_ORACLE
+
+
+def feature_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-store correctness join: each purchase event is enriched
+    with the customer's account balance AS OF the event time from the
+    applied SCD2 history — the point-in-time join that prevents
+    training-serving skew (a model trained with today's balance on last
+    year's purchase leaks the future). The validity-interval band join
+    is an equi-join on the key plus an interval predicate; the history
+    side is one row per (key, version), small enough to broadcast at
+    dimension scale, and events never shuffle twice. January-2024
+    events deterministically hit the pre-update version of every
+    customer the June-2024 load later changed — the lookback the
+    operator exists to get right. Output: per-version-date rollup of
+    matched purchases and their as-of balance sum.
+    """
+    hist = scd2_customer(spark, sf_dir)
+    events = load_table(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "purchase") & F.col("user_id").isNotNull()
+    )
+    ev_day = F.col("ts").cast("date")
+    joined = events.join(
+        F.broadcast(hist),
+        (events.user_id == hist.cust_key)
+        & (ev_day >= F.col("effective_from").cast("date"))
+        & (ev_day < F.col("effective_to").cast("date")),
+    )
+    return joined.groupBy("effective_from").agg(
+        F.count(F.lit(1)).cast("long").alias("n_purchases"),
+        F.count_distinct(F.col("cust_key")).alias("n_customers"),
+        F.sum(F.col("acctbal").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("asof_balance_sum"),
+    )
+
+
+FEATURE_PIT_ORACLE = f"""
+WITH hist AS ({SCD2_ORACLE})
+SELECT effective_from,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       CAST(COUNT(DISTINCT h.cust_key) AS BIGINT) AS n_customers,
+       CAST(SUM(CAST(h.acctbal AS DECIMAL(18,2))) AS DOUBLE)
+         AS asof_balance_sum
+FROM events e
+JOIN hist h
+  ON e.user_id = h.cust_key
+ AND CAST(e.ts AS DATE) >= CAST(h.effective_from AS DATE)
+ AND CAST(e.ts AS DATE) < CAST(h.effective_to AS DATE)
+WHERE e.event_type = 'purchase' AND e.user_id IS NOT NULL
+GROUP BY effective_from
+"""
+
+EXTRA_QUERIES["feature_point_in_time"] = feature_point_in_time
+EXTRA_ORACLES["feature_point_in_time"] = FEATURE_PIT_ORACLE
