@@ -713,3 +713,63 @@ FROM lat
 
 EXTRA_QUERIES["conversion_latency"] = conversion_latency
 EXTRA_ORACLES["conversion_latency"] = CONVERSION_LATENCY_ORACLE
+
+
+# --------------------------------------------------------------------
+# Running distinct users (cumulative DAU)
+# --------------------------------------------------------------------
+
+
+def running_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users by day. DISTINCT inside a running
+    window is unsupported (and at scale would keep every seen key in
+    window state); the scalable formulation is first-appearance
+    arithmetic: each user contributes one row at their first-seen day
+    (one groupBy), and the running distinct count is a cumulative SUM
+    of those first appearances over the day grain. The oracle computes
+    the same numbers with a correlated COUNT(DISTINCT ...) subquery —
+    a different algorithm entirely, so parity is cross-algorithm.
+    Output: (day, new_users, cum_users) for every active day.
+    """
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    day = F.col("ts").cast("date")
+    firsts = events.groupBy("user_id").agg(F.min(day).alias("first_day"))
+    new_per_day = firsts.groupBy("first_day").agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    active_days = events.select(day.alias("day")).distinct()
+    per_day = active_days.join(
+        new_per_day, active_days.day == new_per_day.first_day, "left"
+    ).select(
+        "day", F.coalesce("new_users", F.lit(0)).alias("new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return per_day.select(
+        F.col("day").cast("string").alias("day"),
+        F.col("new_users").cast("long").alias("new_users"),
+        F.sum("new_users").over(w).cast("long").alias("cum_users"),
+    )
+
+
+RUNNING_DISTINCT_ORACLE = """
+SELECT CAST(d.day AS VARCHAR) AS day,
+       CAST((SELECT COUNT(DISTINCT e.user_id) FROM events e
+             WHERE e.user_id IS NOT NULL
+               AND CAST(e.ts AS DATE) = d.day
+               AND NOT EXISTS (
+                 SELECT 1 FROM events p
+                 WHERE p.user_id = e.user_id
+                   AND CAST(p.ts AS DATE) < d.day)) AS BIGINT) AS new_users,
+       CAST((SELECT COUNT(DISTINCT e.user_id) FROM events e
+             WHERE e.user_id IS NOT NULL
+               AND CAST(e.ts AS DATE) <= d.day) AS BIGINT) AS cum_users
+FROM (SELECT DISTINCT CAST(ts AS DATE) AS day
+      FROM events WHERE user_id IS NOT NULL) d
+"""
+
+EXTRA_QUERIES["running_distinct_users"] = running_distinct_users
+EXTRA_ORACLES["running_distinct_users"] = RUNNING_DISTINCT_ORACLE
