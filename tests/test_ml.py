@@ -179,3 +179,50 @@ def test_pareto_filter_matches_python_reference(spark):
     lo = [i for i, p in rows if p <= 0.1]
     kept = set(got)
     assert len(kept & set(hi)) / len(hi) > len(kept & set(lo)) / len(lo)
+
+
+def test_crossvalidator_tunes_regularization(model_and_frame, spark):
+    """MLlib tuning surface: CrossValidator grid-searches the LR
+    regularization over k folds and its best model must score at least
+    as well (train accuracy proxy) as the WORST grid point — plus the
+    selected params are one of the grid's. Small grid/folds: this
+    pins the API contract, not a benchmark."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.evaluation import MulticlassClassificationEvaluator
+    from pyspark.ml.feature import HashingTF, StringIndexer
+    from pyspark.ml.tuning import CrossValidator, ParamGridBuilder
+
+    _, train_df = model_and_frame  # (doc_id, tokens, label_str)
+    tf = HashingTF(inputCol="tokens", outputCol="features", numFeatures=256)
+    idx = StringIndexer(inputCol="label_str", outputCol="label")
+    lr = LogisticRegression(maxIter=10)
+    pipe = Pipeline(stages=[tf, idx, lr])
+    grid = (
+        ParamGridBuilder()
+        .addGrid(lr.regParam, [0.001, 10.0])
+        .build()
+    )
+    evaluator = MulticlassClassificationEvaluator(metricName="accuracy")
+    cv = CrossValidator(
+        estimator=pipe,
+        estimatorParamMaps=grid,
+        evaluator=evaluator,
+        numFolds=2,
+        seed=7,
+        parallelism=2,
+    )
+    cv_model = cv.fit(train_df)
+    assert len(cv_model.avgMetrics) == 2
+    # contract: the selected model IS the argmax grid point (which one
+    # wins is data-dependent — heavy regularization can generalize
+    # better on a tiny 2-fold corpus; no assumption made)
+    best_idx = max(
+        range(len(cv_model.avgMetrics)),
+        key=lambda i: cv_model.avgMetrics[i],
+    )
+    best_reg = cv_model.bestModel.stages[-1].getRegParam()
+    assert best_reg == grid[best_idx][lr.regParam]
+    preds = cv_model.transform(train_df)
+    assert evaluator.evaluate(preds) > 0.0
+    assert {"prediction", "label"} <= set(preds.columns)
