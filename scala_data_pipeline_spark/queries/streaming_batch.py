@@ -11,6 +11,7 @@ tests.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..functions.numeric import dsum_sql
 from ..sources import load_table
@@ -92,3 +93,35 @@ def rollup_daily_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EXTRA_QUERIES["rollup_daily_users_hll"] = rollup_daily_users_hll
+
+
+def mau_28d_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """28-day sliding distinct users (MAU) per day — THE query exact
+    distinct cannot do at scale (a sliding window can't reuse a running
+    distinct: every day's window is a different set union). With
+    per-day HLL sketches the slide is ``hll_union_agg`` over an
+    integer-day RANGE frame: each day unions ≤28 KB-sized summaries,
+    never re-touching the raw events. One corpus pass builds the daily
+    sketches; the window runs over the day grain. Rows-only
+    (estimates); tests/test_rollup.py asserts estimate == exact sliding
+    distinct in the sparse test regime."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    daily = events.groupBy(
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01")).alias(
+            "day"
+        )
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    w = Window.orderBy("day").rangeBetween(-27, Window.currentRow)
+    return daily.select(
+        F.col("day").cast("long").alias("day"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk").over(w))
+        .cast("long")
+        .alias("mau_28d"),
+    )
+
+
+EXTRA_QUERIES["mau_28d_hll"] = mau_28d_hll

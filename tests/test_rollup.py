@@ -157,3 +157,29 @@ def test_rollup_job_backfill_plus_stream_unified(spark, sf_dir, tmp_path):
         assert (g.revenue, g.n_events, g.n_purchases) == (
             w.revenue, w.n_events, w.n_purchases
         )
+
+
+def test_mau_sliding_hll_exact_in_sparse_regime(spark, sf_dir):
+    """28-day sliding HLL MAU == exact sliding distinct at test-SF
+    cardinalities (sketch is exact in the sparse regime), checked
+    against a band-join exact twin."""
+    from scala_data_pipeline_spark.queries.streaming_batch import mau_28d_hll
+
+    got = {r.day: r.mau_28d for r in mau_28d_hll(spark, sf_dir).collect()}
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    day = F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01"))
+    pairs = events.select(day.alias("d"), "user_id").distinct()
+    days = pairs.select(F.col("d").alias("day")).distinct()
+    exact = {
+        r.day: r.x
+        for r in days.join(
+            pairs,
+            (pairs.d <= days.day) & (pairs.d >= days.day - 27),
+        )
+        .groupBy("day")
+        .agg(F.count_distinct("user_id").alias("x"))
+        .collect()
+    }
+    assert got == exact
