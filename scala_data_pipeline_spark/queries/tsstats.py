@@ -773,3 +773,70 @@ FROM (SELECT DISTINCT CAST(ts AS DATE) AS day
 
 EXTRA_QUERIES["running_distinct_users"] = running_distinct_users
 EXTRA_ORACLES["running_distinct_users"] = RUNNING_DISTINCT_ORACLE
+
+
+# --------------------------------------------------------------------
+# EWMA trend (banded decay join)
+# --------------------------------------------------------------------
+
+EWMA_SPAN_DAYS = 30
+EWMA_DECAY = 0.9
+
+
+def ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted trailing revenue per day: Σ rev(d-k)·λᵏ
+    over the last ``EWMA_SPAN_DAYS`` days, normalized by the realized
+    weight sum (series edges and gap days get the correct truncated
+    normalization instead of assuming a full window). The weighted
+    frame needs every (day, lag) pair, which no fixed window frame
+    expresses — a banded self-join of the DAY-GRAIN series (≤ span
+    rows per day, thousands of rows total at any corpus size; the
+    corpus itself is reduced to the day grain first). λᵏ is double
+    ``pow`` with identical integer exponents on both engines; outputs
+    round to 4dp.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    day = F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01"))
+    daily = orders.groupBy(day.alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("rev")
+    )
+    a = daily.select(F.col("day").alias("d"))
+    b = daily.select(F.col("day").alias("d2"), F.col("rev").alias("rev2"))
+    pairs = a.join(
+        b,
+        (F.col("d2") <= F.col("d"))
+        & (F.col("d2") > F.col("d") - EWMA_SPAN_DAYS),
+    )
+    w = F.pow(F.lit(EWMA_DECAY), (F.col("d") - F.col("d2")).cast("double"))
+    return (
+        pairs.groupBy("d")
+        .agg(
+            F.round(
+                F.sum(F.col("rev2").cast("double") * w) / F.sum(w), 4
+            ).alias("ewma_rev")
+        )
+        .select(F.col("d").cast("long").alias("day"), "ewma_rev")
+    )
+
+
+EWMA_ORACLE = f"""
+WITH daily AS (
+  SELECT CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+              AS BIGINT) AS day,
+         SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
+  FROM orders GROUP BY 1
+), pairs AS (
+  SELECT a.day AS d, b.day AS d2, b.rev AS rev2
+  FROM daily a JOIN daily b
+    ON b.day <= a.day AND b.day > a.day - {EWMA_SPAN_DAYS}
+)
+SELECT d AS day,
+       ROUND(SUM(CAST(rev2 AS DOUBLE)
+                 * power({EWMA_DECAY}, CAST(d - d2 AS DOUBLE)))
+             / SUM(power({EWMA_DECAY}, CAST(d - d2 AS DOUBLE))), 4)
+         AS ewma_rev
+FROM pairs GROUP BY d
+"""
+
+EXTRA_QUERIES["ewma_daily_revenue"] = ewma_daily_revenue
+EXTRA_ORACLES["ewma_daily_revenue"] = EWMA_ORACLE

@@ -46,6 +46,10 @@ BNLJ_ALLOWED = {
     # `type_a < type_b` inequality join — one broadcast row per event
     # TYPE, never the events table (queries/tsstats.py).
     "ab_welch_value",
+    # ewma_daily_revenue band-joins the DAY-GRAIN series with itself
+    # (≤ span rows per day over thousands of day rows, broadcast side
+    # is the day grain, never the orders corpus — queries/tsstats.py).
+    "ewma_daily_revenue",
     # ml_als_recommend broadcasts the 25-row item-factor frame onto
     # user factors for top-k scoring (queries/seqmine.py) — the
     # bounded-item-axis alternative to MLlib's blocked cartesian.
