@@ -101,14 +101,31 @@ def build_pipeline(train_df: DataFrame, vocab_size: int = 1000) -> Pipeline:
     return Pipeline(stages=[cv, indexer, lr, converter])
 
 
+def _strip_lr_summary(model: PipelineModel) -> PipelineModel:
+    """Drop LogisticRegression's training summary in place: the summary
+    pins the SparkSession and LR's prediction UDF closes over the model
+    object, so a session with unserializable state (e.g. after any
+    ``df.observe``) would fail task serialization at transform time.
+    Scoring never needs the summary (save/load drops it too)."""
+    import pyspark
+
+    sc = pyspark.SparkContext._active_spark_context
+    for stage in model.stages:
+        if hasattr(stage, "hasSummary") and stage.hasSummary:
+            stage._java_obj.setSummary(sc._jvm.scala.Option.empty())
+    return model
+
+
 def train_model(train_df: DataFrame, vocab_size: int = 1000) -> PipelineModel:
-    return build_pipeline(train_df, vocab_size).fit(train_df)
+    return _strip_lr_summary(build_pipeline(train_df, vocab_size).fit(train_df))
 
 
 def train_model_hashed(
     train_df: DataFrame, num_features: int = 8192
 ) -> PipelineModel:
-    return build_pipeline_hashed(train_df, num_features).fit(train_df)
+    return _strip_lr_summary(
+        build_pipeline_hashed(train_df, num_features).fit(train_df)
+    )
 
 
 def build_pipeline_hashed(

@@ -65,7 +65,19 @@ def train_quality_classifier(
         inputCol="tokens", outputCol="features", numFeatures=num_features
     )
     lr = LogisticRegression(maxIter=10, regParam=0.01)
-    return Pipeline(stages=[tf, lr]).fit(train)
+    model = Pipeline(stages=[tf, lr]).fit(train)
+    # Drop the training summary before the model enters any transform:
+    # the summary pins the SparkSession, and LR's prediction UDF closes
+    # over the model object — a session whose state is no longer
+    # serializable (e.g. after ANY df.observe() created an
+    # ObservationManager) then fails task serialization. Scoring never
+    # needs the summary; save/load would drop it too, this is the
+    # in-place form.
+    lrm = model.stages[-1]
+    if lrm.hasSummary:
+        jvm = docs.sparkSession.sparkContext._jvm
+        lrm._java_obj.setSummary(jvm.scala.Option.empty())
+    return model
 
 
 def score_quality(
