@@ -382,3 +382,58 @@ FROM (
 
 EXTRA_QUERIES["table_fingerprint"] = table_fingerprint
 EXTRA_ORACLES["table_fingerprint"] = TABLE_FINGERPRINT_ORACLE
+
+
+# --------------------------------------------------------------------
+# Blocked fuzzy matching (entity resolution, relational domain)
+# --------------------------------------------------------------------
+
+NAME_BLOCK_LEN = 14
+NAME_MAX_DIST = 2
+
+
+def name_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate customer names within a nation: Levenshtein ≤ 2
+    under prefix blocking — the classic entity-resolution shape for
+    RELATIONAL records (the document-domain twin is dedup_edit_distance
+    with its custom banded DP; here the built-in JVM levenshtein does
+    the scoring). Blocking keys (name prefix × nation) turn the O(n²)
+    all-pairs into bounded per-block equi-join work — same-block
+    recall only, the standard ER tradeoff, mirrored exactly in the
+    oracle so parity stays total.
+    """
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_name").alias("nm"),
+        F.col("c_nationkey").alias("nat"),
+        F.substring("c_name", 1, NAME_BLOCK_LEN).alias("blk"),
+    )
+    a, b = c.alias("a"), c.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.blk") == F.col("b.blk"))
+        & (F.col("a.nat") == F.col("b.nat"))
+        & (F.col("a.k") < F.col("b.k")),
+    )
+    dist = F.levenshtein(F.col("a.nm"), F.col("b.nm"))
+    return pairs.where(dist <= NAME_MAX_DIST).select(
+        F.col("a.k").cast("long").alias("custkey_a"),
+        F.col("b.k").cast("long").alias("custkey_b"),
+        dist.cast("int").alias("edit_dist"),
+    )
+
+
+NAME_MATCH_ORACLE = f"""
+SELECT CAST(a.c_custkey AS BIGINT) AS custkey_a,
+       CAST(b.c_custkey AS BIGINT) AS custkey_b,
+       CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS edit_dist
+FROM customer a
+JOIN customer b
+  ON substr(a.c_name, 1, {NAME_BLOCK_LEN}) = substr(b.c_name, 1, {NAME_BLOCK_LEN})
+ AND a.c_nationkey = b.c_nationkey
+ AND a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= {NAME_MAX_DIST}
+"""
+
+EXTRA_QUERIES["name_match_pairs"] = name_match_pairs
+EXTRA_ORACLES["name_match_pairs"] = NAME_MATCH_ORACLE

@@ -840,3 +840,121 @@ FROM pairs GROUP BY d
 
 EXTRA_QUERIES["ewma_daily_revenue"] = ewma_daily_revenue
 EXTRA_ORACLES["ewma_daily_revenue"] = EWMA_ORACLE
+
+
+# --------------------------------------------------------------------
+# Period-over-period growth
+# --------------------------------------------------------------------
+
+
+def yoy_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-grain revenue with MoM and YoY growth (lag-1 / lag-12
+    windows over the month series) — the BI staple. The corpus reduces
+    to (month, decimal revenue) in one shuffle; growth ratios are
+    window lags over months (hundreds of rows at any corpus size).
+    Months with no same-month-last-year comparison emit NULL YoY, not
+    a fabricated zero."""
+    orders = load_table(spark, sf_dir, "orders")
+    month = (
+        F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1
+    )  # contiguous month index -> lag-k is exactly k calendar months
+    monthly = orders.groupBy(month.alias("m")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("rev")
+    )
+    w = Window.orderBy("m")
+    prev = F.lag("rev", 1).over(w)
+    prev12 = F.lag("rev", 12).over(w)
+    growth = lambda cur, base: F.when(  # noqa: E731
+        base.isNotNull(),
+        F.round(
+            (cur.cast("double") - base.cast("double"))
+            / base.cast("double"),
+            6,
+        ),
+    )
+    return monthly.select(
+        (F.col("m") / 12).cast("int").alias("year"),
+        (F.col("m") % 12 + 1).cast("int").alias("month"),
+        F.col("rev").cast("double").alias("revenue"),
+        growth(F.col("rev"), prev).alias("mom_growth"),
+        growth(F.col("rev"), prev12).alias("yoy_growth"),
+    )
+
+
+YOY_ORACLE = """
+WITH monthly AS (
+  SELECT CAST(EXTRACT(YEAR FROM o_orderdate) * 12
+              + EXTRACT(MONTH FROM o_orderdate) - 1 AS BIGINT) AS m,
+         SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
+  FROM orders GROUP BY 1
+), lagged AS (
+  SELECT m, rev,
+         LAG(rev, 1) OVER (ORDER BY m) AS prev,
+         LAG(rev, 12) OVER (ORDER BY m) AS prev12
+  FROM monthly
+)
+SELECT CAST(m // 12 AS INTEGER) AS year,  -- // : DuckDB / is float div and CAST rounds
+       CAST(m % 12 + 1 AS INTEGER) AS month,
+       CAST(rev AS DOUBLE) AS revenue,
+       CASE WHEN prev IS NOT NULL THEN
+         ROUND((CAST(rev AS DOUBLE) - CAST(prev AS DOUBLE))
+               / CAST(prev AS DOUBLE), 6) END AS mom_growth,
+       CASE WHEN prev12 IS NOT NULL THEN
+         ROUND((CAST(rev AS DOUBLE) - CAST(prev12 AS DOUBLE))
+               / CAST(prev12 AS DOUBLE), 6) END AS yoy_growth
+FROM lagged
+"""
+
+
+def dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal index of order revenue: each weekday's mean
+    daily revenue vs the all-days mean (index > 1 = heavy day), plus
+    the deseasonalized coefficient of variation — the pre-step before
+    anomaly thresholds so Mondays aren't flagged for being Mondays.
+    ISO weekday numbering (1=Mon) on both engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("d")
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("rev"))
+    dow = daily.groupBy(F.weekday("d").alias("wd")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("rev").alias("rev_sum"),
+    )
+    total = Window.partitionBy()
+    overall_mean = (
+        F.sum("rev_sum").over(total).cast("double")
+        / F.sum("n_days").over(total)
+    )
+    day_mean = F.col("rev_sum").cast("double") / F.col("n_days")
+    return dow.select(
+        (F.col("wd") + 1).cast("int").alias("iso_weekday"),
+        "n_days",
+        F.round(day_mean, 4).alias("mean_daily_rev"),
+        F.round(day_mean / overall_mean, 6).alias("seasonal_index"),
+    )
+
+
+DOW_ORACLE = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
+  FROM orders GROUP BY 1
+), dow AS (
+  SELECT isodow(d) AS iso_weekday,
+         CAST(COUNT(*) AS BIGINT) AS n_days,
+         SUM(rev) AS rev_sum
+  FROM daily GROUP BY 1
+)
+SELECT CAST(iso_weekday AS INTEGER) AS iso_weekday,
+       n_days,
+       ROUND(CAST(rev_sum AS DOUBLE) / n_days, 4) AS mean_daily_rev,
+       ROUND((CAST(rev_sum AS DOUBLE) / n_days)
+             / (CAST(SUM(rev_sum) OVER () AS DOUBLE) / SUM(n_days) OVER ()),
+             6) AS seasonal_index
+FROM dow
+"""
+
+EXTRA_QUERIES["yoy_revenue_growth"] = yoy_revenue_growth
+EXTRA_ORACLES["yoy_revenue_growth"] = YOY_ORACLE
+EXTRA_QUERIES["dow_seasonality"] = dow_seasonality
+EXTRA_ORACLES["dow_seasonality"] = DOW_ORACLE
