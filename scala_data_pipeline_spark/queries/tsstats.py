@@ -958,3 +958,101 @@ EXTRA_QUERIES["yoy_revenue_growth"] = yoy_revenue_growth
 EXTRA_ORACLES["yoy_revenue_growth"] = YOY_ORACLE
 EXTRA_QUERIES["dow_seasonality"] = dow_seasonality
 EXTRA_ORACLES["dow_seasonality"] = DOW_ORACLE
+
+
+# --------------------------------------------------------------------
+# MoM waterfall decomposition
+# --------------------------------------------------------------------
+
+
+def waterfall_nation_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue delta decomposed by customer nation —
+    the waterfall chart's data: each nation's delta and its share of
+    the total month delta (shares sum to 1 per month by construction;
+    exact decimal deltas make that an identity, not an approximation).
+    A dense (month × nation) grid (two broadcast-tiny distinct frames
+    crossed) zero-fills silent months so lag-1 always compares
+    calendar-adjacent months. Corpus work: one join + one groupBy; all
+    window math runs on the ~|months|·|nations| grid."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    month = F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1
+    per = (
+        orders.join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nation),
+            F.col("c_nationkey") == nation.n_nationkey,
+        )
+        .groupBy(month.alias("m"), F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("rev")
+        )
+    )
+    months = per.select("m").distinct()
+    nations = per.select("nation").distinct()
+    grid = months.crossJoin(F.broadcast(nations))
+    dense = grid.join(per, ["m", "nation"], "left").select(
+        "m",
+        "nation",
+        F.coalesce("rev", F.lit(0).cast("decimal(18,4)")).alias("rev"),
+    )
+    w = Window.partitionBy("nation").orderBy("m")
+    delta = F.col("rev") - F.lag("rev", 1).over(w)
+    with_delta = dense.withColumn("delta", delta).where(
+        F.col("delta").isNotNull()
+    )
+    w_m = Window.partitionBy("m")
+    total = F.sum("delta").over(w_m)
+    return with_delta.select(
+        (F.col("m") / 12).cast("int").alias("year"),
+        (F.col("m") % 12 + 1).cast("int").alias("month"),
+        "nation",
+        F.col("delta").cast("double").alias("delta"),
+        F.when(
+            total != 0,
+            F.round(
+                F.col("delta").cast("double") / total.cast("double"), 6
+            ),
+        ).alias("share_of_move"),
+    )
+
+
+WATERFALL_ORACLE = """
+WITH per AS (
+  SELECT CAST(EXTRACT(YEAR FROM o.o_orderdate) * 12
+              + EXTRACT(MONTH FROM o.o_orderdate) - 1 AS BIGINT) AS m,
+         n.n_name AS nation,
+         SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS rev
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY 1, 2
+), grid AS (
+  SELECT m, nation FROM (SELECT DISTINCT m FROM per)
+  CROSS JOIN (SELECT DISTINCT nation FROM per)
+), dense AS (
+  SELECT g.m, g.nation,
+         COALESCE(p.rev, CAST(0 AS DECIMAL(18,4))) AS rev
+  FROM grid g LEFT JOIN per p ON g.m = p.m AND g.nation = p.nation
+), deltas AS (
+  SELECT m, nation, rev,
+         rev - LAG(rev, 1) OVER (PARTITION BY nation ORDER BY m) AS delta
+  FROM dense
+)
+SELECT CAST(m // 12 AS INTEGER) AS year,
+       CAST(m % 12 + 1 AS INTEGER) AS month,
+       nation,
+       CAST(delta AS DOUBLE) AS delta,
+       CASE WHEN SUM(delta) OVER (PARTITION BY m) <> 0 THEN
+         ROUND(CAST(delta AS DOUBLE)
+               / CAST(SUM(delta) OVER (PARTITION BY m) AS DOUBLE), 6)
+       END AS share_of_move
+FROM deltas WHERE delta IS NOT NULL
+"""
+
+EXTRA_QUERIES["waterfall_nation_mom"] = waterfall_nation_mom
+EXTRA_ORACLES["waterfall_nation_mom"] = WATERFALL_ORACLE

@@ -50,6 +50,10 @@ BNLJ_ALLOWED = {
     # (≤ span rows per day over thousands of day rows, broadcast side
     # is the day grain, never the orders corpus — queries/tsstats.py).
     "ewma_daily_revenue",
+    # waterfall_nation_mom crosses the DISTINCT month frame with the
+    # broadcast 25-row nation frame to densify the grid — both sides
+    # grain frames, never the orders corpus (queries/tsstats.py).
+    "waterfall_nation_mom",
     # ml_als_recommend broadcasts the 25-row item-factor frame onto
     # user factors for top-k scoring (queries/seqmine.py) — the
     # bounded-item-axis alternative to MLlib's blocked cartesian.
