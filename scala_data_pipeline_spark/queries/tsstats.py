@@ -1056,3 +1056,157 @@ FROM deltas WHERE delta IS NOT NULL
 
 EXTRA_QUERIES["waterfall_nation_mom"] = waterfall_nation_mom
 EXTRA_ORACLES["waterfall_nation_mom"] = WATERFALL_ORACLE
+
+
+# --------------------------------------------------------------------
+# Market concentration (HHI)
+# --------------------------------------------------------------------
+
+
+def hhi_supplier_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration of lineitem revenue across
+    suppliers, per nation: HHI = Σ shareᵢ² over each nation's
+    suppliers (1/n for perfect competition → 1.0 for monopoly). The
+    corpus reduces once to (nation, supplier, decimal revenue); shares
+    and the Σshare² fold run on the supplier grain. The effective
+    supplier count 1/HHI is reported alongside — the number a capacity
+    planner actually reads."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    per = (
+        lineitem.join(
+            F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+            lineitem.l_suppkey == F.col("s_suppkey"),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.col("s_suppkey"))
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            ).alias("rev")
+        )
+    )
+    w = Window.partitionBy("nation")
+    share = F.col("rev").cast("double") / F.sum("rev").over(w).cast("double")
+    shared = per.select("nation", "s_suppkey", share.alias("share"))
+    return (
+        shared.groupBy("nation")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+            F.sum(F.col("share") * F.col("share")).alias("hhi_raw"),
+        )
+        .select(
+            "nation",
+            "n_suppliers",
+            F.round("hhi_raw", 6).alias("hhi"),
+            F.round(F.lit(1.0) / F.col("hhi_raw"), 4).alias(
+                "effective_suppliers"
+            ),
+        )
+    )
+
+
+HHI_ORACLE = """
+WITH per AS (
+  SELECT n.n_name AS nation, l.l_suppkey,
+         SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                  AS DECIMAL(18,4))) AS rev
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  GROUP BY 1, 2
+), shares AS (
+  SELECT nation,
+         CAST(rev AS DOUBLE)
+           / CAST(SUM(rev) OVER (PARTITION BY nation) AS DOUBLE) AS share
+  FROM per
+)
+SELECT nation,
+       CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+       ROUND(SUM(share * share), 6) AS hhi,
+       ROUND(1.0 / SUM(share * share), 4) AS effective_suppliers
+FROM shares GROUP BY nation
+"""
+
+
+# --------------------------------------------------------------------
+# Categorical drift (chi-square)
+# --------------------------------------------------------------------
+
+
+def drift_priority_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year drift of the order-priority mix: each year's
+    category distribution vs the previous year's, scored with the
+    chi-square statistic Σ (obs - exp)²/exp where exp scales the prior
+    year's mix to this year's volume — the standard production check
+    that an upstream change silently shifted a categorical column.
+    Work: one (year, priority) aggregate; the drift algebra runs on
+    the years×priorities grid."""
+    orders = load_table(spark, sf_dir, "orders")
+    per = orders.groupBy(
+        F.year("o_orderdate").alias("yr"),
+        F.col("o_orderpriority").alias("prio"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w_yr = Window.partitionBy("yr")
+    cur = per.select(
+        "yr", "prio", "n", F.sum("n").over(w_yr).alias("tot")
+    )
+    prev = cur.select(
+        (F.col("yr") + 1).alias("yr_p"),
+        F.col("prio").alias("prio_p"),
+        F.col("n").alias("n_prev"),
+        F.col("tot").alias("tot_prev"),
+    )
+    joined = cur.join(
+        prev,
+        (F.col("yr") == F.col("yr_p")) & (F.col("prio") == F.col("prio_p")),
+    )
+    expected = (
+        F.col("n_prev").cast("double")
+        / F.col("tot_prev")
+        * F.col("tot")
+    )
+    chi_term = (
+        (F.col("n").cast("double") - expected)
+        * (F.col("n").cast("double") - expected)
+        / expected
+    )
+    return (
+        joined.groupBy("yr")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_categories"),
+            F.round(F.sum(chi_term), 6).alias("chi2"),
+        )
+        .select(F.col("yr").cast("int").alias("year"), "n_categories", "chi2")
+    )
+
+
+DRIFT_ORACLE = """
+WITH per AS (
+  SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS yr,
+         o_orderpriority AS prio,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM orders GROUP BY 1, 2
+), cur AS (
+  SELECT yr, prio, n, SUM(n) OVER (PARTITION BY yr) AS tot FROM per
+), joined AS (
+  SELECT c.yr, c.n, c.tot, p.n AS n_prev, p.tot AS tot_prev
+  FROM cur c JOIN cur p ON c.yr = p.yr + 1 AND c.prio = p.prio
+)
+SELECT CAST(yr AS INTEGER) AS year,
+       CAST(COUNT(*) AS BIGINT) AS n_categories,
+       ROUND(SUM(
+         (CAST(n AS DOUBLE) - CAST(n_prev AS DOUBLE) / tot_prev * tot)
+         * (CAST(n AS DOUBLE) - CAST(n_prev AS DOUBLE) / tot_prev * tot)
+         / (CAST(n_prev AS DOUBLE) / tot_prev * tot)
+       ), 6) AS chi2
+FROM joined GROUP BY yr
+"""
+
+EXTRA_QUERIES["hhi_supplier_concentration"] = hhi_supplier_concentration
+EXTRA_ORACLES["hhi_supplier_concentration"] = HHI_ORACLE
+EXTRA_QUERIES["drift_priority_mix"] = drift_priority_mix
+EXTRA_ORACLES["drift_priority_mix"] = DRIFT_ORACLE
