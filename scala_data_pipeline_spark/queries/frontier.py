@@ -339,6 +339,18 @@ def table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fingerprint moves.
     """
     orders = load_table(spark, sf_dir, "orders")
+    return orders.select(orders_row_hash().alias("h")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("h").cast("decimal(38,0)").cast("string").alias("fingerprint"),
+    )
+
+
+def orders_row_hash():
+    """The fingerprint's per-row 56-bit hash term — exposed so the
+    streaming maintenance path (tests/test_fingerprint_stream.py) sums
+    the IDENTICAL expression per micro-batch: the fold is an additive
+    decimal sum, so per-batch partials merge to exactly the batch
+    fingerprint."""
     ser = F.concat_ws(
         "|",
         *[
@@ -353,12 +365,8 @@ def table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ],
     )
-    h56 = F.conv(F.substring(F.md5(ser), 1, 14), 16, 10).cast(
+    return F.conv(F.substring(F.md5(ser), 1, 14), 16, 10).cast(
         "decimal(38,0)"
-    )
-    return orders.select(h56.alias("h")).agg(
-        F.count(F.lit(1)).cast("long").alias("n_rows"),
-        F.sum("h").cast("decimal(38,0)").cast("string").alias("fingerprint"),
     )
 
 
