@@ -1210,3 +1210,111 @@ EXTRA_QUERIES["hhi_supplier_concentration"] = hhi_supplier_concentration
 EXTRA_ORACLES["hhi_supplier_concentration"] = HHI_ORACLE
 EXTRA_QUERIES["drift_priority_mix"] = drift_priority_mix
 EXTRA_ORACLES["drift_priority_mix"] = DRIFT_ORACLE
+
+
+# --------------------------------------------------------------------
+# Interval stabbing via delta sweep (open-order backlog)
+# --------------------------------------------------------------------
+
+
+def backlog_open_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day count of lineitems in flight (ordered but not yet
+    shipped): the interval-stabbing query answered with the DELTA
+    SWEEP — +1 at each interval's start day, −1 at its end day, one
+    groupBy to the day grain, one cumulative window. At 100 TB this is
+    the difference between a day×interval band join (|days|·|rows|
+    work) and a single linear pass; the oracle IS the band-join
+    formulation, so parity is cross-algorithm. Closed-open [start,
+    end) semantics: a lineitem shipped on day d no longer counts on d.
+    Only days inside at least one interval appear (delta days union)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01"))
+        .alias("start_d"),
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.datediff(F.col("l_shipdate").cast("date"), F.lit("1970-01-01"))
+        .alias("end_d"),
+    )
+    iv = lineitem.join(
+        orders, lineitem.l_orderkey == orders.o_orderkey
+    ).where(F.col("end_d") > F.col("start_d"))
+    deltas = iv.select(
+        F.col("start_d").alias("day"), F.lit(1).alias("delta")
+    ).unionAll(
+        iv.select(F.col("end_d").alias("day"), F.lit(-1).alias("delta"))
+    )
+    per_day = deltas.groupBy("day").agg(F.sum("delta").alias("net"))
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return per_day.select(
+        F.col("day").cast("long").alias("day"),
+        F.sum("net").over(w).cast("long").alias("open_items"),
+    )
+
+
+BACKLOG_ORACLE = """
+WITH iv AS (
+  SELECT CAST(datediff('day', DATE '1970-01-01',
+              CAST(o.o_orderdate AS DATE)) AS BIGINT) AS start_d,
+         CAST(datediff('day', DATE '1970-01-01',
+              CAST(l.l_shipdate AS DATE)) AS BIGINT) AS end_d
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE CAST(l.l_shipdate AS DATE) > CAST(o.o_orderdate AS DATE)
+), days AS (
+  SELECT DISTINCT start_d AS day FROM iv
+  UNION
+  SELECT DISTINCT end_d FROM iv
+)
+SELECT d.day,
+       CAST((SELECT COUNT(*) FROM iv
+             WHERE iv.start_d <= d.day AND iv.end_d > d.day) AS BIGINT)
+         AS open_items
+FROM days d
+"""
+
+
+# --------------------------------------------------------------------
+# Event path trigrams
+# --------------------------------------------------------------------
+
+
+def event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top event-type paths of length 3 per user timeline (double-lead
+    window over (user, ts, event_id) — the path-mining extension of the
+    first-order transition matrix, still one shuffle and zero
+    self-joins). Ties on timestamps are broken by event_id in both
+    engines."""
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    path = events.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).where(F.col("e3").isNotNull())
+    return path.groupBy("e1", "e2", "e3").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+
+
+TRIGRAM_ORACLE = """
+WITH seq AS (
+  SELECT event_type AS e1,
+         LEAD(event_type, 1) OVER w AS e2,
+         LEAD(event_type, 2) OVER w AS e3
+  FROM events WHERE user_id IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT e1, e2, e3, CAST(COUNT(*) AS BIGINT) AS n
+FROM seq WHERE e3 IS NOT NULL
+GROUP BY e1, e2, e3
+"""
+
+EXTRA_QUERIES["backlog_open_lineitems"] = backlog_open_lineitems
+EXTRA_ORACLES["backlog_open_lineitems"] = BACKLOG_ORACLE
+EXTRA_QUERIES["event_trigrams"] = event_trigrams
+EXTRA_ORACLES["event_trigrams"] = TRIGRAM_ORACLE
