@@ -1318,3 +1318,71 @@ EXTRA_QUERIES["backlog_open_lineitems"] = backlog_open_lineitems
 EXTRA_ORACLES["backlog_open_lineitems"] = BACKLOG_ORACLE
 EXTRA_QUERIES["event_trigrams"] = event_trigrams
 EXTRA_ORACLES["event_trigrams"] = TRIGRAM_ORACLE
+
+
+# --------------------------------------------------------------------
+# Lorenz curve (spend inequality deciles)
+# --------------------------------------------------------------------
+
+
+def lorenz_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve of customer spend in deciles: customers ranked by
+    total spend ascending (ties broken by key so ntile assignment is
+    engine-identical), each decile's share and cumulative share of
+    total spend — "the bottom 50 % of customers hold X % of revenue",
+    the inequality view the Gini in skew_profile_orders summarizes to
+    one number. Corpus reduces to per-customer decimal spend; deciles
+    and shares run on the customer grain."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("spend")
+    )
+    w_rank = Window.orderBy(F.asc("spend"), F.asc("o_custkey"))
+    ranked = per_cust.withColumn("decile", F.ntile(10).over(w_rank))
+    per_dec = ranked.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("spend").alias("spend"),
+    )
+    total = Window.partitionBy()
+    w_cum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    share = F.col("spend").cast("double") / F.sum("spend").over(total).cast(
+        "double"
+    )
+    cum_share = F.sum("spend").over(w_cum).cast("double") / F.sum(
+        "spend"
+    ).over(total).cast("double")
+    return per_dec.select(
+        F.col("decile").cast("int").alias("decile"),
+        "n_customers",
+        F.round(share, 6).alias("spend_share"),
+        F.round(cum_share, 6).alias("cum_spend_share"),
+    )
+
+
+LORENZ_ORACLE = """
+WITH per_cust AS (
+  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS spend
+  FROM orders GROUP BY o_custkey
+), ranked AS (
+  SELECT spend,
+         ntile(10) OVER (ORDER BY spend ASC, o_custkey ASC) AS decile
+  FROM per_cust
+), per_dec AS (
+  SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_customers,
+         SUM(spend) AS spend
+  FROM ranked GROUP BY decile
+)
+SELECT CAST(decile AS INTEGER) AS decile,
+       n_customers,
+       ROUND(CAST(spend AS DOUBLE) / CAST(SUM(spend) OVER () AS DOUBLE), 6)
+         AS spend_share,
+       ROUND(CAST(SUM(spend) OVER (ORDER BY decile
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / CAST(SUM(spend) OVER () AS DOUBLE), 6) AS cum_spend_share
+FROM per_dec
+"""
+
+EXTRA_QUERIES["lorenz_customer_spend"] = lorenz_customer_spend
+EXTRA_ORACLES["lorenz_customer_spend"] = LORENZ_ORACLE
