@@ -1,0 +1,79 @@
+"""Hypothesis property tests for the tsstats algorithms — the
+engine-independent semantics, pinned against brute-force replicas on
+randomized inputs (the oracle-parity tests prove engine equivalence;
+these prove both engines compute the RIGHT thing)."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+import pyspark.sql.functions as F
+from pyspark.sql import Window
+
+intervals = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=40),
+        st.integers(min_value=1, max_value=41),
+    ).map(lambda t: (min(t), max(t[0] + 1, t[1]))),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(max_examples=25, deadline=None)
+@given(intervals)
+def test_delta_sweep_equals_brute_stab(spark, ivs):
+    """+1/-1 sweep == per-day brute interval counting under [s, e)."""
+    df = spark.createDataFrame(ivs, "s int, e int")
+    deltas = df.select(
+        F.col("s").alias("day"), F.lit(1).alias("d")
+    ).unionAll(df.select(F.col("e").alias("day"), F.lit(-1).alias("d")))
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    swept = {
+        r.day: r.open
+        for r in deltas.groupBy("day")
+        .agg(F.sum("d").alias("net"))
+        .select("day", F.sum("net").over(w).alias("open"))
+        .collect()
+    }
+    for day, got in swept.items():
+        brute = sum(1 for s, e in ivs if s <= day < e)
+        assert got == brute, (day, got, brute, ivs)
+    # conservation: after the last edge everything is closed
+    assert swept[max(swept)] == 0
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["b1", "b2"]),
+            st.integers(min_value=0, max_value=9),  # price
+            st.integers(min_value=0, max_value=9),  # size
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_pareto_sweep_equals_dominance_definition(spark, rows):
+    from scala_data_pipeline_spark.queries.frontier import pareto_frontier
+
+    df = spark.createDataFrame(
+        [(b, i, float(p), s) for i, (b, p, s) in enumerate(rows)],
+        "p_brand string, p_partkey long, p_retailprice double, p_size int",
+    )
+    got = {r.p_partkey for r in pareto_frontier(df).collect()}
+    data = [(i, b, float(p), s) for i, (b, p, s) in enumerate(rows)]
+    for i, b, p, sz in data:
+        dominated = any(
+            qb == b
+            and qp <= p
+            and qs >= sz
+            and (qp < p or qs > sz)
+            for j, qb, qp, qs in data
+            if j != i
+        )
+        assert (i in got) == (not dominated), (i, rows)
