@@ -360,32 +360,32 @@ WINDOW w AS (PARTITION BY o_orderpriority
 
 
 QUERIES = {
-    "asof_last_purchase": asof_last_purchase,
     "range_join_price_bands": range_join_price_bands,
-    "session_windows": session_windows,
-    "sliding_windows": sliding_windows,
-    "cube_orders": cube_orders,
-    "count_distinct_family": count_distinct_family,
 }
 
 ORACLES = {
-    "cube_orders": CUBE_ORACLE,
-    "asof_last_purchase": ASOF_ORACLE,
     "range_join_price_bands": RANGE_JOIN_ORACLE,
-    "session_windows": SESSION_ORACLE,
-    "sliding_windows": SLIDING_ORACLE,
-    "count_distinct_family": COUNT_DISTINCT_ORACLE,
 }
 
 # Demoted from driver slots (50-row cap): rollup is a strict subset of
 # cube's grouping sets, and the HLL query is rows-only by design — both
 # stay oracle-/error-bound-checked locally.
+# Round-6 rotation: asof_last_purchase / session_windows /
+# sliding_windows / cube_orders / count_distinct_family all held green
+# driver rows r1-r5 (five consecutive rounds); demoted to free slots for
+# never-driver-checked extras. Each stays green locally in
+# tests/test_oracle_parity.py.
 EXTRA_QUERIES = {
     "rollup_orders": rollup_orders,
     "approx_count_distinct": approx_count_distinct_q,
     "grouping_sets_orders": grouping_sets_orders,
     "lateral_topn_nations": lateral_topn_nations,
     "window_rank_family": window_rank_family,
+    "asof_last_purchase": asof_last_purchase,
+    "session_windows": session_windows,
+    "sliding_windows": sliding_windows,
+    "cube_orders": cube_orders,
+    "count_distinct_family": count_distinct_family,
 }
 
 EXTRA_ORACLES = {
@@ -393,6 +393,11 @@ EXTRA_ORACLES = {
     "grouping_sets_orders": GROUPING_SETS_ORACLE,
     "lateral_topn_nations": LATERAL_ORACLE,
     "window_rank_family": WINDOW_FAMILY_ORACLE,
+    "asof_last_purchase": ASOF_ORACLE,
+    "session_windows": SESSION_ORACLE,
+    "sliding_windows": SLIDING_ORACLE,
+    "cube_orders": CUBE_ORACLE,
+    "count_distinct_family": COUNT_DISTINCT_ORACLE,
 }
 
 

@@ -183,7 +183,6 @@ EXTRA_QUERIES = {
     "curation_source_quota": curation_source_quota,
     "curation_pii_redact": curation_pii_redact,
     "curation_repetition": curation_repetition,
-    "curation_cluster_split": curation_cluster_split,
 }
 
 EXTRA_ORACLES = {
@@ -193,8 +192,13 @@ EXTRA_ORACLES = {
     "curation_source_quota": QUOTA_ORACLE,
     "curation_pii_redact": PII_ORACLE,
     "curation_repetition": repetition_ratio_sql(),
-    "curation_cluster_split": _cluster_split_oracle(),
 }
+
+# Round-6 rotation: curation_cluster_split promoted to a driver slot
+# (per-verdict: the leakage-free split keyed on near-dup clusters closes
+# the dedup→curation chain and was never driver-checked).
+QUERIES["curation_cluster_split"] = curation_cluster_split
+ORACLES["curation_cluster_split"] = _cluster_split_oracle()
 
 # Round-6 rotation: curation_weighted_sample promoted to a driver slot
 # (round-5 Efraimidis-Spirakis A-ES weighted sampling, never

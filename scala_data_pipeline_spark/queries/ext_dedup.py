@@ -61,13 +61,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # simhash_pairs twin); its slot goes to the round-5 edit-distance
 # verify, which has never had a driver row.
 QUERIES = {
-    "dedup_exact": dedup_exact,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
 }
 
 ORACLES = {
-    "dedup_exact": DEDUP_EXACT_ORACLE,
     "dedup_minhash_lsh": minhash_lsh_sql(),
     "dedup_ngram_jaccard": ngram_jaccard_sql(),
 }
@@ -149,13 +147,21 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_containment_pairs(load_table(spark, sf_dir, "documents"))
 
 
+# Round-6 rotation: dedup_common_spans + dedup_span_excise (the
+# ExactSubstr family, added round 5, never driver-checked) promoted to
+# driver slots; dedup_exact (green r1-r5, the simplest query in the
+# dedup family) demoted to fund one of them. Still green locally.
+QUERIES["dedup_common_spans"] = dedup_common_spans
+ORACLES["dedup_common_spans"] = duplicated_spans_sql()
+QUERIES["dedup_span_excise"] = dedup_span_excise
+ORACLES["dedup_span_excise"] = excise_duplicated_spans_sql()
+
 EXTRA_QUERIES = {
     "dedup_simhash_pairs": dedup_simhash_pairs,
     "dedup_hot_ngrams": dedup_hot_ngrams,
     "dedup_components_star": dedup_components_star,
     "dedup_lsh_quality": dedup_lsh_quality,
-    "dedup_common_spans": dedup_common_spans,
-    "dedup_span_excise": dedup_span_excise,
+    "dedup_exact": dedup_exact,
     "dedup_containment": dedup_containment,
 }
 EXTRA_ORACLES = {
@@ -163,8 +169,7 @@ EXTRA_ORACLES = {
     "dedup_hot_ngrams": hot_ngram_flags_sql(),
     "dedup_components_star": _components_oracle(),
     "dedup_lsh_quality": lsh_quality_metrics_sql(),
-    "dedup_common_spans": duplicated_spans_sql(),
-    "dedup_span_excise": excise_duplicated_spans_sql(),
+    "dedup_exact": DEDUP_EXACT_ORACLE,
     "dedup_containment": ngram_containment_sql(),
 }
 

@@ -131,13 +131,17 @@ def text_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return perplexity_buckets(load_table(spark, sf_dir, "documents"))
 
 
+# text_bm25 promoted to a driver slot in round 6 (per-verdict: newest
+# ranked-retrieval family, never driver-checked before).
+QUERIES["text_bm25"] = text_bm25
+ORACLES["text_bm25"] = bm25_scores_sql()
+
 EXTRA_QUERIES = {
     "text_fingerprint": text_fingerprint,
     "text_token_count": text_token_count,
     "text_chunks": text_chunks,
     "text_pack_bins": text_pack_bins,
     "text_surprisal": text_surprisal,
-    "text_bm25": text_bm25,
     "text_ppl_buckets": text_ppl_buckets,
 }
 EXTRA_ORACLES = {
@@ -146,7 +150,6 @@ EXTRA_ORACLES = {
     "text_chunks": _chunks_oracle(),
     "text_pack_bins": _pack_oracle(),
     "text_surprisal": unigram_surprisal_sql(),
-    "text_bm25": bm25_scores_sql(),
     "text_ppl_buckets": perplexity_buckets_sql(),
 }
 

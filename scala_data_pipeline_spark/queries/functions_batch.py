@@ -203,13 +203,12 @@ GROUP BY user_id
 """
 
 
-QUERIES = {
-    "url_pipeline": url_pipeline,
-}
+# Round-6 rotation: url_pipeline (F4-F7, green r1-r5 — five consecutive
+# driver rows) demoted to fund a never-checked flagship extra; the
+# regex/parse_url/UDF machinery stays green via test_oracle_parity.
+QUERIES: dict = {}
 
-ORACLES = {
-    "url_pipeline": URL_PIPELINE_ORACLE,
-}
+ORACLES: dict = {}
 
 # Locally-oracled extras (driver registry at its 50-row cap): VariantType
 # produces the same values as the from_json path, so it shares the
@@ -225,12 +224,14 @@ EXTRA_QUERIES = {
     "user_time_fractions": user_time_fractions,
     "date_roundtrip": date_roundtrip,
     "explode_tokens": explode_tokens,
+    "url_pipeline": url_pipeline,
 }
 EXTRA_ORACLES = {
     "variant_extract_props": JSON_PROPS_ORACLE,
     "user_time_fractions": TIME_FRACTIONS_ORACLE,
     "date_roundtrip": DATE_ROUNDTRIP_ORACLE,
     "explode_tokens": EXPLODE_ORACLE,
+    "url_pipeline": URL_PIPELINE_ORACLE,
 }
 
 # Round-6 rotation: json_extract_props (F14, green rounds 1-4; the

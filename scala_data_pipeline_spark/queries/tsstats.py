@@ -156,13 +156,24 @@ def survival_km_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_cum = Window.orderBy("lifetime").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    km = F.exp(
-        F.sum(
-            F.log(
-                F.lit(1.0)
-                - F.col("deaths").cast("double") / F.col("at_risk")
-            )
-        ).over(w_cum)
+    # Terminal-step guard: when deaths == at_risk (the longest-lived
+    # subject dies uncensored — a perfectly normal KM input) the factor
+    # 1 - d/n is 0 and log(0) would be NULL, which the cumulative SUM
+    # silently skips.  Take the log only of strictly-positive factors
+    # and force survival to exactly 0 at (and after) any exhausting
+    # step instead.
+    log_term = F.when(
+        F.col("deaths") < F.col("at_risk"),
+        F.log(
+            F.lit(1.0)
+            - F.col("deaths").cast("double") / F.col("at_risk")
+        ),
+    )
+    exhausted = F.max(
+        F.when(F.col("deaths") >= F.col("at_risk"), 1).otherwise(0)
+    ).over(w_cum)
+    km = F.when(exhausted == 1, F.lit(0.0)).otherwise(
+        F.exp(F.sum(log_term).over(w_cum))
     )
     return (
         grouped.withColumn("at_risk", at_risk)
@@ -204,11 +215,21 @@ WITH per_user AS (
            AS at_risk
   FROM grouped
 ), km AS (
+  -- mirror the Spark-side terminal-step guard: never take ln(0)
+  -- (DuckDB errors outright); survival is exactly 0 from the step
+  -- where deaths == at_risk onward
   SELECT lifetime, deaths, at_risk,
-         exp(SUM(ln(1.0 - CAST(deaths AS DOUBLE) / at_risk))
-             OVER (ORDER BY lifetime
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
-           AS survival
+         CASE WHEN MAX(CASE WHEN deaths >= at_risk THEN 1 ELSE 0 END)
+                   OVER (ORDER BY lifetime
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) = 1
+              THEN 0.0
+              ELSE exp(SUM(CASE WHEN deaths < at_risk
+                           THEN ln(1.0 - CAST(deaths AS DOUBLE) / at_risk)
+                           END)
+                  OVER (ORDER BY lifetime
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         END AS survival
   FROM curve
 )
 SELECT CAST(lifetime AS BIGINT) AS lifetime_days,
@@ -269,8 +290,11 @@ FROM counts
 
 EXTRA_QUERIES["anomaly_daily_revenue"] = anomaly_daily_revenue
 EXTRA_ORACLES["anomaly_daily_revenue"] = ANOMALY_ORACLE
-EXTRA_QUERIES["survival_km_users"] = survival_km_users
-EXTRA_ORACLES["survival_km_users"] = KM_ORACLE
+# Round-6 rotation: promoted to a driver slot (per-verdict: never
+# driver-checked; now carries the deaths==at_risk terminal-step guard
+# from the round-5 advisor finding, mirrored in the oracle).
+QUERIES["survival_km_users"] = survival_km_users
+ORACLES["survival_km_users"] = KM_ORACLE
 EXTRA_QUERIES["benford_prices"] = benford_prices
 EXTRA_ORACLES["benford_prices"] = BENFORD_ORACLE
 
@@ -1054,8 +1078,11 @@ SELECT CAST(m // 12 AS INTEGER) AS year,
 FROM deltas WHERE delta IS NOT NULL
 """
 
-EXTRA_QUERIES["waterfall_nation_mom"] = waterfall_nation_mom
-EXTRA_ORACLES["waterfall_nation_mom"] = WATERFALL_ORACLE
+# Round-6 rotation: promoted to a driver slot (per-verdict: never
+# driver-checked; the densified-grid MoM decomposition is the
+# registry's only waterfall query).
+QUERIES["waterfall_nation_mom"] = waterfall_nation_mom
+ORACLES["waterfall_nation_mom"] = WATERFALL_ORACLE
 
 
 # --------------------------------------------------------------------

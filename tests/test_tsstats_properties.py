@@ -77,3 +77,60 @@ def test_pareto_sweep_equals_dominance_definition(spark, rows):
             if j != i
         )
         assert (i in got) == (not dominated), (i, rows)
+
+
+def test_km_terminal_step_is_exactly_zero(spark, tmp_path):
+    """Round-5 advisor finding: when the longest-lived subject dies
+    uncensored, deaths == at_risk at the last death time and the naive
+    exp(sum(log(1 - d/n))) form silently carries the previous step
+    forward (Spark) or errors on ln(0) (DuckDB). Both engines must
+    instead report survival exactly 0 at the exhausting step."""
+    import datetime as dt
+
+    import duckdb
+    import pandas as pd
+
+    from scala_data_pipeline_spark.queries.tsstats import (
+        KM_ORACLE,
+        survival_km_users,
+    )
+    from tests.oracle_harness import compare
+
+    def ts(s):
+        return dt.datetime.fromisoformat(s)
+
+    # user 1: lifetime 0, dies; user 2: lifetime 5, dies (the longest
+    # UNCENSORED lifetime -> exhausts the risk set); user 3: one event
+    # at the corpus max -> censored, lifetime 0.
+    events = pd.DataFrame(
+        {
+            "user_id": [1, 2, 2, 3],
+            "ts": [
+                ts("2024-01-01 12:00:00"),
+                ts("2024-01-01 08:00:00"),
+                ts("2024-01-06 09:00:00"),
+                ts("2024-02-01 00:00:00"),
+            ],
+        }
+    )
+    path = str(tmp_path / "events.parquet")
+    events.to_parquet(path)
+
+    got = survival_km_users(spark, str(tmp_path))
+    rows = {r.lifetime_days: r for r in got.collect()}
+    assert set(rows) == {0, 5}
+    assert rows[0].at_risk == 3 and rows[0].deaths == 1
+    assert rows[0].survival == round(2 / 3, 6)
+    # the terminal step: deaths == at_risk -> survival must be 0.0,
+    # not the previous step's 0.666667
+    assert rows[5].at_risk == 1 and rows[5].deaths == 1
+    assert rows[5].survival == 0.0
+
+    # the oracle must neither error on ln(0) nor disagree
+    con = duckdb.connect()
+    try:
+        con.execute(f"CREATE VIEW events AS SELECT * FROM '{path}'")
+        want = con.execute(KM_ORACLE).df()
+    finally:
+        con.close()
+    compare(got, want, "survival_km_users/terminal")
