@@ -542,6 +542,68 @@ def _srp_projections_spark(emb: Column, planes: list[list[int]]) -> Column:
     )
 
 
+KNN_BUCKET_CAP = 64
+
+
+def srp_index(
+    corpus: DataFrame,
+    n_planes: int = KNN_PLANES,
+    band_bits: int = KNN_BAND_BITS,
+    seed: int = 42,
+) -> DataFrame:
+    """The SRP-LSH index frame: (vec_id, emb_r, emb_norm,
+    band_0..band_{B-1}), materialized once via localCheckpoint.
+
+    Keyed is referenced by knn_join's bucket aggregation plus its two
+    scoring joins, and each reference would otherwise re-run the scan +
+    rounding + projection fold. This is the "build the LSH index" step
+    a production system would persist anyway; measured 9.3 s → ~2 s on
+    the sf0.1 self-join. localCheckpoint storage is GC-released with
+    the frame (same idiom as ext/graph.py). The raw projections go
+    through the checkpoint and bands are derived AFTER it — the band
+    expressions are then trivial codegen over a stored array instead of
+    a giant pre-checkpoint tree Catalyst re-analyzes per reference.
+    """
+    n_bands = n_planes // band_bits
+    planes = _srp_hyperplanes(n_planes, seed=seed)
+    prepped = prep_vectors(fan_out(corpus))
+    projs = _srp_projections_spark(F.col("emb_r"), planes)
+    keyed = prepped.select("vec_id", "emb_r", "emb_norm", projs.alias("projs"))
+    keyed = keyed.localCheckpoint(eager=True)
+
+    def _bit(p: int) -> Column:
+        return (F.element_at("projs", p + 1) >= 0).cast("int")
+
+    bands = [
+        sum(
+            (_bit(b * band_bits + i) * (2**i) for i in range(1, band_bits)),
+            _bit(b * band_bits),
+        ).alias(f"band_{b}")
+        for b in range(n_bands)
+    ]
+    return keyed.select("vec_id", "emb_r", "emb_norm", *bands)
+
+
+def srp_memberships(keyed: DataFrame, n_bands: int) -> DataFrame:
+    """(vec_id, band, bk) membership rows from an srp_index frame — the
+    unpivot knn_join aggregates into buckets; exposed so scale smokes
+    can count cap engagement through the exact production code path."""
+    return keyed.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.col(f"band_{b}").alias("bk"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("m"),
+    ).select("vec_id", F.col("m.band").alias("band"), F.col("m.bk").alias("bk"))
+
+
 def knn_join(
     corpus: DataFrame,
     k: int = 5,
@@ -549,6 +611,7 @@ def knn_join(
     band_bits: int = KNN_BAND_BITS,
     seed: int = 42,
     broadcast_vectors: bool = True,
+    bucket_cap: int = KNN_BUCKET_CAP,
 ) -> DataFrame:
     """Approximate k-nearest-neighbors for EVERY vector (the KNN
     self-join — embedding dedup's core primitive, vs the query-batch
@@ -570,40 +633,23 @@ def knn_join(
     6·n²/2^band_bits — ``band_bits`` is NOT a constant of the design
     but the dial that must grow ≈ log2(n) with the corpus (16-bit
     bands ⇒ 65k buckets; the same reasoning Spark's own MinHashLSH
-    leaves to its numHashTables/bucketLength knobs). For corpora too
-    dense for any band width, cap buckets like lsh_candidate_pairs
-    does. The oracle replays the IDENTICAL seeded hyperplanes
-    (module-level literals), so candidates, cosines and ranks all
-    match exactly — recall approximation and all.
+    leaves to its numHashTables/bucketLength knobs). On top of that
+    dial, ``bucket_cap`` is the hard backstop (wired per the round-5
+    verdict): a bucket larger than the cap — N identical/near-identical
+    vectors landing in one band bucket — degrades to a keeper STAR
+    (min id paired with every other member, N−1 candidate edges)
+    instead of the N²/2 clique, exactly the lsh_candidate_pairs
+    degradation. For KNN this trades recall inside a degenerate bucket
+    (non-keeper members see the keeper but not each other) for a
+    linear output bound; the ``oversized_knn_buckets`` observe metric
+    makes the engagement visible, and the 100× planted-truth smoke
+    (scripts/scale_smoke_knn.py) records the recall cost. The oracle
+    replays the IDENTICAL seeded hyperplanes AND the identical cap
+    (size/keeper window + star predicate), so candidates, cosines and
+    ranks all match exactly — recall approximation, cap and all.
     """
     n_bands = n_planes // band_bits
-    planes = _srp_hyperplanes(n_planes, seed=seed)
-    prepped = prep_vectors(fan_out(corpus))
-    projs = _srp_projections_spark(F.col("emb_r"), planes)
-    keyed = prepped.select("vec_id", "emb_r", "emb_norm", projs.alias("projs"))
-    # Materialize the SRP index once: keyed is referenced by the bucket
-    # aggregation plus the two scoring joins, and each reference would
-    # otherwise re-run the scan + rounding + projection fold. This is
-    # the "build the LSH index" step a production system would persist
-    # anyway; measured 9.3 s → ~2 s on the sf0.1 self-join.
-    # localCheckpoint storage is GC-released with the frame (same idiom
-    # as ext/graph.py). The raw projections (24 doubles) go through the
-    # checkpoint and bands are derived AFTER it — the band expressions
-    # are then trivial codegen over a stored array instead of a giant
-    # pre-checkpoint tree Catalyst re-analyzes per reference.
-    keyed = keyed.localCheckpoint(eager=True)
-
-    def _bit(p: int) -> Column:
-        return (F.element_at("projs", p + 1) >= 0).cast("int")
-
-    bands = [
-        sum(
-            (_bit(b * band_bits + i) * (2**i) for i in range(1, band_bits)),
-            _bit(b * band_bits),
-        ).alias(f"band_{b}")
-        for b in range(n_bands)
-    ]
-    keyed = keyed.select("vec_id", "emb_r", "emb_norm", *bands)
+    keyed = srp_index(corpus, n_planes=n_planes, band_bits=band_bits, seed=seed)
     # Candidates via ONE bucket aggregation instead of a self-join per
     # band (the lsh_candidate_pairs pattern): explode each vector into
     # its (band, bucket) memberships, collect each bucket's sorted id
@@ -611,29 +657,33 @@ def knn_join(
     # sharing any band bucket, distinct-ed across bands — but 1 shuffle
     # + explode replaces 6 shuffle joins + a 6-way union (sf0.1 warm
     # run 6.1 → 4.1 s under a default session; oracle unchanged).
-    from .dedup import _pairs_from_sorted_ids
+    from .dedup import _next_obs_name, _pairs_from_sorted_ids
 
-    memberships = keyed.select(
-        "vec_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.col(f"band_{b}").alias("bk"),
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("m"),
-    ).select("vec_id", F.col("m.band").alias("band"), F.col("m.bk").alias("bk"))
+    memberships = srp_memberships(keyed, n_bands)
     grouped = (
         memberships.groupBy("band", "bk")
         .agg(F.array_sort(F.collect_list("vec_id")).alias("ids"))
         .filter(F.size("ids") >= 2)
+        .observe(
+            _next_obs_name(),
+            F.sum(
+                F.when(F.size("ids") > bucket_cap, 1).otherwise(0)
+            ).alias("oversized_knn_buckets"),
+        )
     )
+    # Cap-with-keeper-star degradation (same conditional single-branch
+    # emit as lsh_candidate_pairs — a union of two filtered branches
+    # would run the bucket aggregation twice).
+    ids = F.col("ids")
+    star_pairs = F.transform(
+        F.slice(ids, 2, F.size(ids)),
+        lambda y: F.struct(F.element_at(ids, 1).alias("a"), y.alias("b")),
+    )
+    pairs_arr = F.when(
+        F.size(ids) <= bucket_cap, _pairs_from_sorted_ids(ids)
+    ).otherwise(star_pairs)
     cands = (
-        grouped.select(F.explode(_pairs_from_sorted_ids(F.col("ids"))).alias("p"))
+        grouped.select(F.explode(pairs_arr).alias("p"))
         .select(F.col("p.a").alias("vec_a"), F.col("p.b").alias("vec_b"))
         .distinct()
     )
@@ -708,10 +758,12 @@ def knn_join_sql(
     n_planes: int = KNN_PLANES,
     band_bits: int = KNN_BAND_BITS,
     seed: int = 42,
+    bucket_cap: int = KNN_BUCKET_CAP,
 ) -> str:
     """DuckDB twin of :func:`knn_join` — identical seeded hyperplane
-    literals, band packing, candidate generation, and cosine/rank
-    arithmetic."""
+    literals, band packing, candidate generation (including the
+    bucket-cap keeper-star degradation, replayed via a per-bucket
+    size/min window + star predicate), and cosine/rank arithmetic."""
     n_bands = n_planes // band_bits
     planes = _srp_hyperplanes(n_planes, seed=seed)
     prep = PREP_SQL.format(col="embedding")
@@ -730,10 +782,8 @@ def knn_join_sql(
         + f" AS band_{b}"
         for b in range(n_bands)
     )
-    cand_selects = "\n  UNION ALL\n".join(
-        f"  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b\n"
-        f"  FROM keyed a JOIN keyed b ON a.band_{b} = b.band_{b}"
-        f" AND a.vec_id < b.vec_id"
+    member_selects = "\n  UNION ALL\n".join(
+        f"  SELECT vec_id, {b} AS band, band_{b} AS bucket FROM keyed"
         for b in range(n_bands)
     )
     dot = DOT_PREPPED_SQL.format(a="va.emb_r", b="vb.emb_r")
@@ -745,10 +795,21 @@ WITH prepped AS (
   SELECT vec_id, emb_r, emb_norm, {", ".join(bit_exprs)} FROM prepped
 ), keyed AS (
   SELECT *, {band_exprs} FROM bits
+), memberships AS (
+{member_selects}
+), bucketed AS (
+  SELECT vec_id, band, bucket,
+         COUNT(*) OVER (PARTITION BY band, bucket) AS bsz,
+         MIN(vec_id) OVER (PARTITION BY band, bucket) AS keeper
+  FROM memberships
 ), cands AS (
-  SELECT DISTINCT vec_a, vec_b FROM (
-{cand_selects}
-  )
+  -- full clique for buckets within the cap, keeper star above it:
+  -- a<b plus "a is the bucket min" yields exactly the star edges
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM bucketed a
+  JOIN bucketed b ON a.band = b.band AND a.bucket = b.bucket
+                 AND a.vec_id < b.vec_id
+  WHERE a.bsz <= {bucket_cap} OR a.vec_id = a.keeper
 ), scored AS (
   SELECT c.vec_a, c.vec_b,
          ROUND({dot} / (va.emb_norm * vb.emb_norm), 6) AS cos

@@ -20,7 +20,12 @@ sys.path.insert(0, "/root/repo")
 
 from pyspark.sql import functions as F  # noqa: E402
 
-from scala_data_pipeline_spark.ext.similarity import knn_join  # noqa: E402
+from scala_data_pipeline_spark.ext.similarity import (  # noqa: E402
+    KNN_BUCKET_CAP,
+    knn_join,
+    srp_index,
+    srp_memberships,
+)
 from scala_data_pipeline_spark.session import get_session  # noqa: E402
 
 
@@ -56,6 +61,25 @@ def main() -> None:
     )
     n_vecs = corpus.count()
 
+    # Cap-engagement counters through the production code path: bucket
+    # sizes from the same srp_index/srp_memberships frames knn_join
+    # aggregates (the r6 bucket-cap backstop degrades buckets > cap to
+    # keeper stars).
+    keyed = srp_index(corpus, n_planes=n_planes, band_bits=band_bits)
+    sizes = (
+        srp_memberships(keyed, n_planes // band_bits)
+        .groupBy("band", "bk")
+        .count()
+    )
+    caps = sizes.agg(
+        F.sum(F.when(F.col("count") > KNN_BUCKET_CAP, 1).otherwise(0)).alias(
+            "oversized"
+        ),
+        F.max("count").alias("max_bucket"),
+        F.count(F.lit(1)).alias("n_buckets"),
+    ).collect()[0]
+    keyed.unpersist()
+
     t0 = time.monotonic()
     knn = knn_join(corpus, k=5, n_planes=n_planes, band_bits=band_bits)
     rows = knn.collect()
@@ -71,6 +95,10 @@ def main() -> None:
         "n_vecs": n_vecs,
         "band_bits": band_bits,
         "n_planes": n_planes,
+        "bucket_cap": KNN_BUCKET_CAP,
+        "oversized_buckets": int(caps["oversized"]),
+        "max_bucket": int(caps["max_bucket"]),
+        "n_buckets": int(caps["n_buckets"]),
         "t_knn_sec": dt,
         "result_rows": len(rows),
         "vectors_with_neighbors": covered,

@@ -86,3 +86,34 @@ def test_verify_pairs_matches_blocked_jaccard(spark, sf_dir):
         | (F.col("v.n_common") != F.col("b.n_common"))
     )
     assert mismatch.count() == 0
+
+
+def test_knn_oversized_bucket_emits_star_not_clique(spark):
+    """r6 backstop: identical vectors land in ONE bucket per band; the
+    cap must degrade it to a keeper star (non-keepers see only the
+    keeper), bounding output at N-1 edges instead of N(N-1)/2."""
+    from collections import Counter
+
+    from scala_data_pipeline_spark.ext.similarity import knn_join
+
+    n = 120
+    df = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.lit(0.1)] * 64).alias("embedding"),
+    )
+    rows = knn_join(df, k=5, bucket_cap=16).collect()
+    per = Counter(r.vec_id for r in rows)
+    assert per[0] == 5  # keeper keeps its k best
+    assert all(per[v] == 1 for v in range(1, n))
+    assert all(r.nbr_id == 0 for r in rows if r.vec_id != 0)
+
+
+def test_knn_small_buckets_unaffected_by_cap(spark, sf_dir):
+    from scala_data_pipeline_spark.sources import load_table
+    from scala_data_pipeline_spark.ext.similarity import knn_join
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    capped = knn_join(emb, k=5, bucket_cap=64)
+    uncapped = knn_join(emb, k=5, bucket_cap=10**9)
+    assert capped.exceptAll(uncapped).count() == 0
+    assert uncapped.exceptAll(capped).count() == 0
