@@ -1000,9 +1000,19 @@ def ngram_jaccard_pairs(
     exact dedup first (corpus_job does); docs whose shingles are ALL
     ultra-common simply produce no pairs here.
     """
-    with_sizes = _block_pair_intersections(
+    with_sizes = block_pair_intersections(
         docs, text_col, block_cols, max_doc_freq
     )
+    return jaccard_from_intersections(with_sizes, threshold)
+
+
+def jaccard_from_intersections(
+    with_sizes: DataFrame, threshold: float = 0.1
+) -> DataFrame:
+    """Jaccard scoring over a block_pair_intersections frame — split out
+    so callers that need BOTH symmetric and asymmetric overlap (the
+    registry runs dedup_ngram_jaccard and dedup_containment over the
+    same corpus) can materialize the shared core once."""
     jac = F.col("n_common") / (
         F.col("size_a") + F.col("size_b") - F.col("n_common")
     )
@@ -1013,7 +1023,7 @@ def ngram_jaccard_pairs(
     )
 
 
-def _block_pair_intersections(
+def block_pair_intersections(
     docs: DataFrame,
     text_col: str,
     block_cols: tuple[str, ...],
@@ -1082,9 +1092,17 @@ def ngram_containment_pairs(
     superset. Same blocking, df-capping, and combination-list plan as
     :func:`ngram_jaccard_pairs` (shared core), so the scale bounds are
     identical."""
-    with_sizes = _block_pair_intersections(
+    with_sizes = block_pair_intersections(
         docs, text_col, block_cols, max_doc_freq
     )
+    return containment_from_intersections(with_sizes, threshold)
+
+
+def containment_from_intersections(
+    with_sizes: DataFrame, threshold: float = 0.5
+) -> DataFrame:
+    """Containment scoring over a block_pair_intersections frame (see
+    :func:`jaccard_from_intersections` for why this is split out)."""
     c_a = F.round(F.col("n_common") / F.col("size_a"), 6)
     c_b = F.round(F.col("n_common") / F.col("size_b"), 6)
     return (

@@ -677,7 +677,16 @@ def perplexity_buckets(
     interpolation (parity established by percentile_prices); the bucket
     is a comparison of identical doubles.
     """
-    ppl = bigram_lm_perplexity(docs, text_col)
+    # Materialize the scored corpus once: `ppl` is referenced by the
+    # percentile aggregate AND the final bucketing join, and each
+    # reference would re-run the whole LM pipeline (tokenize + two
+    # corpus explodes + LM shuffles — the plan audit showed 19 shuffles
+    # for this query, ~2× its real cost). Same localCheckpoint idiom as
+    # knn_join's SRP index; storage is GC-released with the frame. At
+    # 100 TB the scored frame is (doc_id, 2 doubles, 1 long) — a tiny
+    # fraction of the corpus — and a production CCNet run would persist
+    # it anyway before choosing cuts.
+    ppl = bigram_lm_perplexity(docs, text_col).localCheckpoint(eager=True)
     cuts = ppl.agg(
         F.expr(f"percentile(perplexity, {lo})").alias("t_lo"),
         F.expr(f"percentile(perplexity, {hi})").alias("t_hi"),
