@@ -265,7 +265,20 @@ def kcore_vertices(
     fixpoint (peeling is idempotent once stable, so extra oracle
     stages are no-ops).
     """
-    e = pairs.select("doc_a", "doc_b").distinct()
+    # Canonicalize BEFORE the distinct (least/greatest, self-loops
+    # dropped): the downstream union counts each edge once per
+    # direction, so an input that already carries both orientations of
+    # an edge would otherwise double-count degrees — silently, since
+    # the SQL twin's UNION dedups. This removes the undocumented
+    # dependence on lsh_candidate_pairs' doc_a < doc_b output contract.
+    e = (
+        pairs.select(
+            F.least("doc_a", "doc_b").alias("doc_a"),
+            F.greatest("doc_a", "doc_b").alias("doc_b"),
+        )
+        .where(F.col("doc_a") != F.col("doc_b"))
+        .distinct()
+    )
     bi = (
         e.union(e.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")))
         .withColumnsRenamed({"doc_a": "src", "doc_b": "dst"})

@@ -14,10 +14,15 @@ counters persist across the partition's batch iterator — no per-row
 Python), emitting ``m`` summary rows per partition. The merge is a
 groupBy over ~``partitions × m`` rows, independent of corpus size.
 Summed SpaceSaving summaries stay mergeable (Agarwal et al.,
-"Mergeable Summaries", PODS 2012): the merged count keeps
-overestimating, the merged guarantee threshold is the sum of the
-per-partition thresholds Σ n_p/m — both are test-asserted against
-exact counts (tests/test_heavyhitters.py).
+"Mergeable Summaries", PODS 2012) — but note which guarantees survive
+the sum-merge: a token's occurrences in partitions that EVICTED it are
+simply absent from the sum, so the merged ``est`` is no longer a
+per-stream-style overestimate (it can under-count the global truth).
+What does survive, and what the tests assert
+(tests/test_heavyhitters.py): the upper bound ``est <= true + err``
+(each partition's count never exceeds its local truth plus its
+inherited error), and the detection guarantee — every token with true
+global frequency > Σ n_p/m is present in the merged summary.
 
 Tokenization matches ext/textstats.py (space-split, empties dropped)
 so exact twins computed with those helpers line up term for term.

@@ -101,7 +101,28 @@ def plan_lint(df: DataFrame) -> list[dict]:
                 "FlatMapGroupsInPandas)",
             }
         )
-    if "Window" in simple and "Exchange SinglePartition" in simple:
+    # Tie the global-window rule to the Window node's OWN child exchange:
+    # two independent substring tests flagged any plan that had both a
+    # properly partitioned window and an unrelated single-partition
+    # exchange (final global aggregate, limit, global sort). A Window
+    # over an empty partitionBy plans as Window -> Sort -> Exchange
+    # SinglePartition, so look only a few lines below each Window node
+    # and stop at the first hash-partitioned exchange (a keyed window's
+    # own shuffle).
+    global_window = False
+    lines = simple.splitlines()
+    for i, ln in enumerate(lines):
+        if not re.search(r"\bWindow\b", ln):
+            continue
+        for nxt in lines[i + 1 : i + 4]:
+            if "Exchange SinglePartition" in nxt:
+                global_window = True
+                break
+            if "Exchange hashpartitioning" in nxt:
+                break
+        if global_window:
+            break
+    if global_window:
         findings.append(
             {
                 "rule": "global-window",

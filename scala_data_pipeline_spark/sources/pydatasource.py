@@ -171,8 +171,14 @@ class _JsonlWriter(DataSourceWriter):
             raise ValueError("jsonl_sink requires option 'path'")
 
     def write(self, iterator):
+        # Tasks write to a dot-prefixed TEMP name; only commit() renames
+        # to the final part-*.jsonl. A task that dies without returning
+        # a commit message therefore never leaves a file that a
+        # part-glob reader (or a retry of the same task) could confuse
+        # with committed output — the rename is the publish step, like
+        # Hadoop's output committer.
         os.makedirs(self.path, exist_ok=True)
-        fname = os.path.join(self.path, f"part-{uuid.uuid4().hex}.jsonl")
+        fname = os.path.join(self.path, f".part-{uuid.uuid4().hex}.jsonl.tmp")
         n = 0
         with open(fname, "w") as fh:
             for row in iterator:
@@ -180,12 +186,22 @@ class _JsonlWriter(DataSourceWriter):
                 n += 1
         return _JsonlCommitMessage(fname, n)
 
+    @staticmethod
+    def _final_name(tmp_path: str) -> str:
+        base = os.path.basename(tmp_path)
+        return os.path.join(
+            os.path.dirname(tmp_path),
+            base.removeprefix(".").removesuffix(".tmp"),
+        )
+
     def commit(self, messages):
+        finals = []
+        for m in sorted(messages, key=lambda m: m.path):
+            final = self._final_name(m.path)
+            os.replace(m.path, final)
+            finals.append({"path": final, "n_rows": m.n_rows})
         manifest = {
-            "files": [
-                {"path": m.path, "n_rows": m.n_rows}
-                for m in sorted(messages, key=lambda m: m.path)
-            ],
+            "files": finals,
             "total_rows": sum(m.n_rows for m in messages),
         }
         with open(os.path.join(self.path, "_SUCCESS"), "w") as fh:

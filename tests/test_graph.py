@@ -103,3 +103,22 @@ def test_triangle_counts_known_graphs(spark):
     # must be the low-degree vertex 1, counted exactly once.
     mix = [(0, 1), (0, 2), (0, 3), (0, 4), (1, 2)]
     assert run(mix) == {0: 1, 1: 1, 2: 1}
+
+
+def test_kcore_tolerates_bidirectional_input(spark):
+    """kcore_vertices must not double-count degrees when the caller
+    passes an edge list already containing both orientations (the
+    round-5 advisor finding): a triangle fed both ways is still only a
+    2-core, not a 4-core."""
+    from scala_data_pipeline_spark.ext.graph import kcore_vertices
+
+    tri = [(1, 2), (2, 3), (1, 3)]
+    both = tri + [(b, a) for a, b in tri]
+    pairs = spark.createDataFrame(both, ["doc_a", "doc_b"])
+    canon = spark.createDataFrame(tri, ["doc_a", "doc_b"])
+    got = sorted(r.doc_id for r in kcore_vertices(pairs, k=2).collect())
+    want = sorted(r.doc_id for r in kcore_vertices(canon, k=2).collect())
+    assert got == want == [1, 2, 3]
+    # a triangle has max degree 2: with double-counted degrees k=3
+    # would wrongly keep the triangle
+    assert kcore_vertices(pairs, k=3).count() == 0

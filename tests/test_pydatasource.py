@@ -74,3 +74,35 @@ def test_jsonl_sink_roundtrip_with_manifest(spark, tmp_path):
     got = {(r.id, r.bucket) for r in back.collect()}
     want = {(r.id, r.bucket) for r in src.collect()}
     assert got == want
+
+
+def test_jsonl_sink_publishes_only_on_commit(spark, tmp_path):
+    """Two-phase commit actually two-phase: tasks write dot-prefixed
+    .tmp names, commit() renames to part-*.jsonl — so an orphaned file
+    from a task that died without committing is invisible to both the
+    part-glob and the manifest."""
+    import glob
+    import json
+    import os
+
+    from scala_data_pipeline_spark.sources.pydatasource import register_sink
+
+    register_sink(spark)
+    target = str(tmp_path / "out")
+    spark.range(50).write.format("jsonl_sink").option("path", target).mode(
+        "append"
+    ).save()
+
+    # no temp residue after a successful commit
+    assert glob.glob(os.path.join(target, ".part-*.tmp")) == []
+
+    # simulate a task that died mid-write: its temp file must be
+    # ignored by the part-glob and absent from the manifest
+    orphan = os.path.join(target, ".part-deadbeef.jsonl.tmp")
+    with open(orphan, "w") as fh:
+        fh.write('{"id": 999999}\n')
+    manifest = json.load(open(os.path.join(target, "_SUCCESS")))
+    assert all("deadbeef" not in f["path"] for f in manifest["files"])
+    back = spark.read.json(os.path.join(target, "part-*.jsonl"))
+    assert back.where("id = 999999").count() == 0
+    assert back.count() == 50
