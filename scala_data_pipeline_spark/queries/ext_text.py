@@ -136,6 +136,20 @@ def text_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["text_bm25"] = text_bm25
 ORACLES["text_bm25"] = bm25_scores_sql()
 
+
+def text_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IR eval (new r6): nDCG@20 / MRR / AP / P / recall of multi-query
+    BM25 rankings vs exact AND-term-containment relevance."""
+    from ..ext.ranking import retrieval_eval
+
+    return retrieval_eval(load_table(spark, sf_dir, "documents"))
+
+
+def _retrieval_eval_oracle() -> str:
+    from ..ext.ranking import retrieval_eval_sql
+
+    return retrieval_eval_sql()
+
 EXTRA_QUERIES = {
     "text_fingerprint": text_fingerprint,
     "text_token_count": text_token_count,
@@ -143,6 +157,7 @@ EXTRA_QUERIES = {
     "text_pack_bins": text_pack_bins,
     "text_surprisal": text_surprisal,
     "text_ppl_buckets": text_ppl_buckets,
+    "text_retrieval_eval": text_retrieval_eval,
 }
 EXTRA_ORACLES = {
     "text_fingerprint": fingerprint_sql(),
@@ -151,6 +166,7 @@ EXTRA_ORACLES = {
     "text_pack_bins": _pack_oracle(),
     "text_surprisal": unigram_surprisal_sql(),
     "text_ppl_buckets": perplexity_buckets_sql(),
+    "text_retrieval_eval": _retrieval_eval_oracle(),
 }
 
 

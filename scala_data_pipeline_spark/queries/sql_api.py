@@ -510,3 +510,73 @@ def sql_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dimension join).
 QUERIES["sql_market_share"] = sql_market_share
 ORACLES["sql_market_share"] = SQL_MARKET_SHARE
+
+
+# TPC-H Q13 shape (customer order-count distribution): the registry's
+# only filtered LEFT OUTER join whose NULL-extension feeds a
+# count-of-counts histogram — customers with NO qualifying orders must
+# appear as c_count = 0, which an inner join silently drops (the
+# classic Q13 trap). The join-time predicate (exclude low-priority
+# orders) must live in the ON clause, not WHERE, to preserve those
+# customers. Scale: customer/orders shuffle once on custkey; the
+# second aggregation runs over one row per customer.
+SQL_CUSTDIST = """
+SELECT c_count,
+       CAST(COUNT(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c.c_custkey,
+         CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+  FROM customer c
+  LEFT OUTER JOIN orders o
+    ON c.c_custkey = o.o_custkey
+   AND o.o_orderpriority NOT LIKE '%LOW%'
+  GROUP BY c.c_custkey
+) per_cust
+GROUP BY c_count
+"""
+
+
+def sql_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(SQL_CUSTDIST)
+
+
+EXTRA_QUERIES["sql_custdist"] = sql_custdist
+EXTRA_ORACLES["sql_custdist"] = SQL_CUSTDIST
+
+
+# TPC-H Q11 shape (important stock): per-part revenue from the
+# lineitems of one nation's suppliers, kept only when it exceeds a
+# fixed fraction of that nation's total — the registry's only
+# uncorrelated scalar subquery inside HAVING. Both engines push the
+# same decimal-exact per-part sums; the scalar total is one broadcast
+# row. Engine-exactness: revenue summed as decimal(18,4) per part and
+# for the global threshold, double only at the final comparison/emit.
+SQL_IMPORTANT_PARTS = """
+SELECT l_partkey,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+            AS DOUBLE) AS part_rev
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_7'
+GROUP BY l_partkey
+HAVING SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+       > (
+  SELECT SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+         * 0.001
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_7'
+)
+"""
+
+
+def sql_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(SQL_IMPORTANT_PARTS)
+
+
+EXTRA_QUERIES["sql_important_parts"] = sql_important_parts
+EXTRA_ORACLES["sql_important_parts"] = SQL_IMPORTANT_PARTS

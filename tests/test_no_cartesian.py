@@ -58,6 +58,11 @@ BNLJ_ALLOWED = {
     # user factors for top-k scoring (queries/seqmine.py) — the
     # bounded-item-axis alternative to MLlib's blocked cartesian.
     "ml_als_recommend",
+    # text_retrieval_eval broadcasts ONE corpus-stats row (N, avgdl,
+    # per-term dfs) onto per-doc term frequencies — the same scalar
+    # crossJoin pattern as text_surprisal/bm25 (ext/ranking.py
+    # docstring).
+    "text_retrieval_eval",
     # survival_km_users broadcasts the one-row censoring-horizon
     # aggregate onto per-user lifetimes (queries/tsstats.py).
     "survival_km_users",
