@@ -71,6 +71,7 @@ def cluster_split(
     docs: DataFrame,
     test_fraction: float = 0.1,
     salt: str = "split",
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Leakage-free train/test split: the split key is the document's
     near-dup CLUSTER, not the document — two near-duplicates can never
@@ -89,11 +90,15 @@ def cluster_split(
     Scale shape: the pair chain's own bounds (capped buckets, never
     all-pairs), one left equi-join of the corpus against the (small,
     edge-bounded) component labels, and a per-row hash for the side.
+    Callers that already hold the candidate edge list (the registry
+    memoizes one per sf_dir) pass it via ``pairs`` to skip the rebuild.
     """
     from .components import connected_components
     from .dedup import lsh_candidate_pairs
 
-    comp = connected_components(lsh_candidate_pairs(docs))
+    if pairs is None:
+        pairs = lsh_candidate_pairs(docs)
+    comp = connected_components(pairs)
     thr = sample_threshold_hex(test_fraction)
     labeled = (
         docs.select("doc_id")

@@ -1233,6 +1233,183 @@ WHERE ROUND(CAST(n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_common
 """
 
 
+def contrastive_triplets(
+    docs: DataFrame,
+    candidates: DataFrame,
+    text_col: str = "text",
+    hi: float = 0.5,
+    lo: float = 0.1,
+    per_anchor: int = 3,
+) -> DataFrame:
+    """Contrastive training-pair mining over the LSH candidate graph:
+    (anchor, positive, hard-negative) triplets for embedding-model
+    training (the SimCSE/E5-style data-prep step a retrieval stack
+    needs). Positives are candidate pairs whose EXACT Jaccard ≥ ``hi``
+    (true near-dups); hard negatives are candidate pairs with Jaccard
+    ≤ ``lo`` — "hard" precisely because LSH already found them
+    collision-close, the negatives a random sampler never surfaces.
+    Each anchor contributes up to ``per_anchor`` triplets: its i-th
+    best positive paired with the corpus's i-th hardest negative PAIR
+    (the in-batch-negative convention — near-dup clusters and index
+    collisions are usually disjoint doc sets, so anchor-local hard
+    negatives rarely exist; the negative row carries its own doc pair).
+    All rankings order by Jaccard with doc-id tiebreaks — fully
+    deterministic.
+
+    Scale shape: reuses jaccard_verify_pairs' linear verify plan
+    (shingle sets built only for candidate docs, two hash joins, no
+    combination explode); direction fan-out is an explode; per-anchor
+    ranking is one window over the candidate-bounded pair set. Cost is
+    O(|candidates|), never corpus-pairs.
+
+    Engine-exactness: Jaccard rounded to 6 (as everywhere), ranks are
+    integer windows over rounded scores, the positive/negative join is
+    an integer equi-join — hash-stable against the DuckDB twin.
+    """
+    cand_docs = (
+        candidates.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(candidates.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sets_ = docs.join(cand_docs, on="doc_id").select(
+        "doc_id", F.array_distinct(shingles(F.col(text_col))).alias("sh")
+    )
+    joined = candidates.join(
+        sets_.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")),
+        on="doc_a",
+    ).join(
+        sets_.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")),
+        on="doc_b",
+    )
+    n_common = F.size(F.array_intersect("sh_a", "sh_b"))
+    union_size = F.size("sh_a") + F.size("sh_b") - n_common
+    scored = joined.select(
+        "doc_a",
+        "doc_b",
+        F.round(F.try_divide(n_common, union_size), 6).alias("jaccard"),
+    )
+    directed = scored.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("doc_a").alias("anchor_id"),
+                    F.col("doc_b").alias("other_id"),
+                    F.col("jaccard"),
+                ),
+                F.struct(
+                    F.col("doc_b").alias("anchor_id"),
+                    F.col("doc_a").alias("other_id"),
+                    F.col("jaccard"),
+                ),
+            )
+        ).alias("d")
+    ).select("d.anchor_id", "d.other_id", "d.jaccard")
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("jaccard").desc(), F.col("other_id").asc()
+    )
+    pos = (
+        directed.filter(F.col("jaccard") >= hi)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= per_anchor)
+        .select(
+            "anchor_id",
+            "rank",
+            F.col("other_id").alias("positive_id"),
+            F.col("jaccard").alias("pos_jaccard"),
+        )
+    )
+    # Global hardest collisions: the window is single-partition BY
+    # DESIGN but runs over the ≤|candidates| filtered pair set already
+    # cut to per_anchor ranks downstream — a bounded frame, not the
+    # corpus (the stamp_max_literal precedent).
+    w_global = Window.orderBy(
+        F.col("jaccard").desc(), F.col("doc_a").asc(), F.col("doc_b").asc()
+    )
+    neg = (
+        scored.filter(F.col("jaccard") <= lo)
+        .withColumn("rank", F.row_number().over(w_global))
+        .filter(F.col("rank") <= per_anchor)
+        .select(
+            "rank",
+            F.col("doc_a").alias("neg_a"),
+            F.col("doc_b").alias("neg_b"),
+            F.col("jaccard").alias("neg_jaccard"),
+        )
+    )
+    return pos.join(neg, on="rank").select(
+        "anchor_id",
+        F.col("rank").cast("long").alias("rank"),
+        "positive_id",
+        "pos_jaccard",
+        "neg_a",
+        "neg_b",
+        "neg_jaccard",
+    )
+
+
+def contrastive_triplets_sql(
+    pairs_sql: str,
+    text_col: str = "text",
+    table: str = "documents",
+    hi: float = 0.5,
+    lo: float = 0.1,
+    per_anchor: int = 3,
+) -> str:
+    """DuckDB twin of :func:`contrastive_triplets` over the same
+    candidate-pair query."""
+    return f"""
+WITH cand AS ({pairs_sql}
+), cand_docs AS (
+  SELECT doc_a AS doc_id FROM cand UNION SELECT doc_b FROM cand
+), sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id, unnest({shingles_sql(text_col)}) AS shingle
+    FROM {table} WHERE doc_id IN (SELECT doc_id FROM cand_docs)
+  )
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+), scored AS (
+  -- LEFT JOIN: a candidate pair with zero common shingles is the
+  -- hardest negative of all and must not vanish
+  SELECT c.doc_a, c.doc_b,
+         ROUND(CAST(COALESCE(i.n_common, 0) AS DOUBLE)
+               / NULLIF(sa.n + sb.n - COALESCE(i.n_common, 0), 0), 6)
+           AS jaccard
+  FROM cand c
+  LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+  JOIN sizes sa ON sa.doc_id = c.doc_a
+  JOIN sizes sb ON sb.doc_id = c.doc_b
+), directed AS (
+  SELECT doc_a AS anchor_id, doc_b AS other_id, jaccard FROM scored
+  UNION ALL
+  SELECT doc_b, doc_a, jaccard FROM scored
+), pos AS (
+  SELECT anchor_id, rank, other_id AS positive_id, jaccard AS pos_jaccard
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+        ORDER BY jaccard DESC, other_id ASC) AS rank
+    FROM directed WHERE jaccard >= {hi}
+  ) WHERE rank <= {per_anchor}
+), neg AS (
+  SELECT rank, doc_a AS neg_a, doc_b AS neg_b, jaccard AS neg_jaccard
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        ORDER BY jaccard DESC, doc_a ASC, doc_b ASC) AS rank
+    FROM scored WHERE jaccard <= {lo}
+  ) WHERE rank <= {per_anchor}
+)
+SELECT anchor_id, CAST(rank AS BIGINT) AS rank,
+       positive_id, pos_jaccard, neg_a, neg_b, neg_jaccard
+FROM pos JOIN neg USING (rank)
+"""
+
+
 # Byte == character semantics for levenshtein on both engines holds
 # exactly on this alphabet (see edit_distance_verify docstring).
 ASCII_RE = "^[\\x00-\\x7F]*$"

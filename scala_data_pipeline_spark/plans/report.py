@@ -65,6 +65,14 @@ def generate(out_path: str = "PLAN_AUDIT.md", sf_dir: str | None = None) -> str:
         "distinct WholeStageCodegen spans. `*name` rows are the",
         "locally-oracled EXTRA queries beyond the 50 driver slots.",
         "",
+        "NB: the dedup/graph family consumes MEMOIZED checkpointed hubs",
+        "(the LSH candidate-pair list and the shingle-intersection core,",
+        "one per sf_dir — queries/ext_dedup.py), so those rows' plans",
+        "start from the materialized edge list; the hub's own build cost",
+        "(shingle scan -> minhash -> bands, ~4 shuffles) is paid once per",
+        "sweep, exactly like a production run that persists candidates",
+        "between generation and verification.",
+        "",
         "| query | shuffles | bcast joins | sortmerge | Py | partial | pushdown | codegen |",
         "|---|---|---|---|---|---|---|---|",
     ]

@@ -166,8 +166,14 @@ def curation_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def curation_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Leakage-free train/test split keyed on near-dup clusters."""
-    return cluster_split(load_table(spark, sf_dir, "documents"))
+    """Leakage-free train/test split keyed on near-dup clusters (pairs
+    from the registry's shared memoized LSH edge list)."""
+    from .ext_dedup import _lsh_pairs
+
+    return cluster_split(
+        load_table(spark, sf_dir, "documents"),
+        pairs=_lsh_pairs(spark, sf_dir),
+    )
 
 
 def _cluster_split_oracle() -> str:

