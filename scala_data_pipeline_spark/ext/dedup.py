@@ -208,8 +208,19 @@ def lsh_candidate_pairs(
     )
 
 
-def minhash_lsh_sql(text_col: str = "text", table: str = "documents") -> str:
-    """DuckDB oracle for the full MinHash+LSH candidate-pair pipeline."""
+def minhash_lsh_sql(
+    text_col: str = "text", table: str = "documents", bucket_cap: int = 64
+) -> str:
+    """DuckDB oracle for the full MinHash+LSH candidate-pair pipeline.
+
+    Replays :func:`lsh_candidate_pairs`' cap-with-keeper-star
+    degradation (per-bucket COUNT/MIN window + ``bsz <= cap OR doc_a =
+    keeper`` predicate, the knn_join_sql pattern): parity no longer
+    silently depends on no LSH bucket exceeding the cap in the test
+    corpora — every downstream oracle composing this query
+    (components, pagerank, triangles, kcore, cluster_split,
+    contrastive_triplets, …) inherits the replay.
+    """
     mh_cols = ",\n      ".join(
         f"MIN(substr(md5(shingle), {4 * i + 1}, 4)) AS mh_{i}"
         for i in range(N_HASHES)
@@ -232,10 +243,18 @@ WITH exploded AS (
   FROM exploded GROUP BY doc_id
 ), buckets AS (
   {band_rows}
+), bucketed AS (
+  SELECT doc_id, band, bucket,
+         COUNT(*) OVER (PARTITION BY band, bucket) AS bsz,
+         MIN(doc_id) OVER (PARTITION BY band, bucket) AS keeper
+  FROM buckets
 )
+-- full clique for buckets within the cap, keeper star above it
+-- (a.doc_id < b.doc_id makes the keeper always the a side):
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM buckets a JOIN buckets b
+FROM bucketed a JOIN bucketed b
   ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+WHERE a.bsz <= {bucket_cap} OR a.doc_id = a.keeper
 """
 
 
@@ -1318,17 +1337,25 @@ def contrastive_triplets(
             F.col("jaccard").alias("pos_jaccard"),
         )
     )
-    # Global hardest collisions: the window is single-partition BY
-    # DESIGN but runs over the ≤|candidates| filtered pair set already
-    # cut to per_anchor ranks downstream — a bounded frame, not the
-    # corpus (the stamp_max_literal precedent).
+    # Global hardest collisions: orderBy().limit() compiles to
+    # TakeOrderedAndProject (per-partition top-k + driver merge of
+    # per_anchor rows), so the global sort is distributed; only the
+    # residual row_number window runs single-partition — over at most
+    # per_anchor rows. A bare Window.orderBy here would instead sort
+    # the WHOLE <= lo pair set in one task, which on a degenerate
+    # corpus (LSH star pairing mostly-dissimilar docs) is nearly the
+    # entire candidate set. The ordering is a deterministic total
+    # order (doc-id tiebreaks), so the pre-cut keeps results identical.
     w_global = Window.orderBy(
         F.col("jaccard").desc(), F.col("doc_a").asc(), F.col("doc_b").asc()
     )
     neg = (
         scored.filter(F.col("jaccard") <= lo)
+        .orderBy(
+            F.col("jaccard").desc(), F.col("doc_a").asc(), F.col("doc_b").asc()
+        )
+        .limit(per_anchor)
         .withColumn("rank", F.row_number().over(w_global))
-        .filter(F.col("rank") <= per_anchor)
         .select(
             "rank",
             F.col("doc_a").alias("neg_a"),
@@ -1375,16 +1402,22 @@ WITH cand AS ({pairs_sql}
   JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
   GROUP BY 1, 2
 ), scored AS (
-  -- LEFT JOIN: a candidate pair with zero common shingles is the
-  -- hardest negative of all and must not vanish
+  -- LEFT JOINs: a candidate pair with zero common shingles is the
+  -- hardest negative of all and must not vanish — and a doc with an
+  -- EMPTY shingle set has no rows in sh/sizes at all, so an inner
+  -- sizes join would drop its pairs while Spark keeps them (empty
+  -- array, jaccard 0 via try_divide). COALESCE(n, 0) restores the
+  -- empty-set size; both-empty pairs get NULL jaccard on both
+  -- engines (0/0) and fall out of the hi/lo filters identically.
   SELECT c.doc_a, c.doc_b,
          ROUND(CAST(COALESCE(i.n_common, 0) AS DOUBLE)
-               / NULLIF(sa.n + sb.n - COALESCE(i.n_common, 0), 0), 6)
+               / NULLIF(COALESCE(sa.n, 0) + COALESCE(sb.n, 0)
+                        - COALESCE(i.n_common, 0), 0), 6)
            AS jaccard
   FROM cand c
   LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
-  JOIN sizes sa ON sa.doc_id = c.doc_a
-  JOIN sizes sb ON sb.doc_id = c.doc_b
+  LEFT JOIN sizes sa ON sa.doc_id = c.doc_a
+  LEFT JOIN sizes sb ON sb.doc_id = c.doc_b
 ), directed AS (
   SELECT doc_a AS anchor_id, doc_b AS other_id, jaccard FROM scored
   UNION ALL

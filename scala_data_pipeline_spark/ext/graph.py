@@ -350,9 +350,12 @@ def kcore_sql(
 WITH pairs AS (
   {pairs_sql}
 ), bi AS MATERIALIZED (
-  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  -- doc_a <> doc_b mirrors the Spark-side canonicalization: a (v,v)
+  -- input row would survive the UNION as one row and contribute a
+  -- phantom degree of 1 to v.
+  SELECT doc_a AS src, doc_b AS dst FROM pairs WHERE doc_a <> doc_b
   UNION
-  SELECT doc_b, doc_a FROM pairs
+  SELECT doc_b, doc_a FROM pairs WHERE doc_a <> doc_b
 ),
 {staged}
 SELECT src AS doc_id, CAST(COUNT(*) AS BIGINT) AS core_deg

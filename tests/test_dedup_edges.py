@@ -250,3 +250,80 @@ def test_edit_distance_verify_unicode(spark):
         edit_distance_verify(docs, cand, max_norm=0.5, ascii_only=True).count()
         == 0
     )
+
+
+def test_minhash_lsh_sql_replays_bucket_cap(spark):
+    """Round-6 advisor finding: minhash_lsh_sql used to emit the full
+    per-bucket clique, so every oracle composing it silently depended
+    on no LSH bucket exceeding the Spark-side cap. A 40-doc boilerplate
+    flood with cap=16 must yield the same keeper STAR on both engines."""
+    import duckdb
+    import pandas as pd
+
+    from scala_data_pipeline_spark.ext.dedup import (
+        lsh_candidate_pairs,
+        minhash_lsh_sql,
+    )
+
+    text = "error page not found please try again later soon"
+    rows = [(i, text) for i in range(40)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in lsh_candidate_pairs(docs, bucket_cap=16).collect()
+    }
+    assert got == {(0, i) for i in range(1, 40)}  # star, not 780-pair clique
+    con = duckdb.connect()
+    try:
+        con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+        want = {
+            tuple(r)
+            for r in con.execute(minhash_lsh_sql(bucket_cap=16)).fetchall()
+        }
+    finally:
+        con.close()
+    assert got == want
+
+
+def test_contrastive_triplets_parity_on_edge_docs(spark):
+    """Round-6 advisor finding: the SQL twin's inner sizes join dropped
+    pairs involving degenerate docs. Feed explicit candidates over
+    empty / single-token / duplicate / disjoint docs and assert exact
+    Spark-vs-DuckDB row parity."""
+    import duckdb
+    import pandas as pd
+
+    from scala_data_pipeline_spark.ext.dedup import (
+        contrastive_triplets,
+        contrastive_triplets_sql,
+    )
+
+    doc_rows = [
+        (0, ""),
+        (1, "solo"),
+        (2, "quick brown fox jumps over the lazy dog near the river"),
+        (3, "quick brown fox jumps over the lazy dog near the river"),
+        (4, "entirely different words compose this document body here now"),
+    ]
+    cand_rows = [(0, 2), (1, 4), (2, 3), (2, 4)]
+    docs = spark.createDataFrame(doc_rows, ["doc_id", "text"])
+    cand = spark.createDataFrame(cand_rows, ["doc_a", "doc_b"])
+    got = {tuple(r) for r in contrastive_triplets(docs, cand).collect()}
+    values = ", ".join(f"({a}, {b})" for a, b in cand_rows)
+    pairs_sql = f"SELECT * FROM (VALUES {values}) AS t(doc_a, doc_b)"
+    con = duckdb.connect()
+    try:
+        con.register("documents", pd.DataFrame(doc_rows, columns=["doc_id", "text"]))
+        want = {
+            tuple(r)
+            for r in con.execute(
+                contrastive_triplets_sql(pairs_sql)
+            ).fetchall()
+        }
+    finally:
+        con.close()
+    assert got == want
+    # The (2,3) exact duplicate is the only positive; all-zero-jaccard
+    # candidates (including the empty-doc pair) rank as hard negatives.
+    anchors = {t[0] for t in got}
+    assert anchors == {2, 3}

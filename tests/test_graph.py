@@ -122,3 +122,33 @@ def test_kcore_tolerates_bidirectional_input(spark):
     # a triangle has max degree 2: with double-counted degrees k=3
     # would wrongly keep the triangle
     assert kcore_vertices(pairs, k=3).count() == 0
+
+
+def test_kcore_sql_ignores_self_loops(spark):
+    """Round-6 advisor finding: kcore_vertices drops self-loops but the
+    DuckDB twin's bi CTE used to keep (v,v) as one row, granting v a
+    phantom degree. Vertex 4 here has one real edge plus a self-loop —
+    exactly k with the loop counted, below k without — so the engines
+    diverged on whether 4 (and 1's core_deg) survive."""
+    import duckdb
+
+    from scala_data_pipeline_spark.ext.graph import kcore_sql, kcore_vertices
+
+    edges = [(1, 2), (2, 3), (1, 3), (4, 1), (4, 4)]
+    pairs = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    got = {
+        (r.doc_id, r.core_deg) for r in kcore_vertices(pairs, k=2).collect()
+    }
+    con = duckdb.connect()
+    try:
+        con.execute("CREATE TABLE p(doc_a BIGINT, doc_b BIGINT)")
+        con.executemany("INSERT INTO p VALUES (?, ?)", edges)
+        want = {
+            (r[0], r[1])
+            for r in con.execute(
+                kcore_sql("SELECT doc_a, doc_b FROM p", k=2)
+            ).fetchall()
+        }
+    finally:
+        con.close()
+    assert got == want == {(1, 2), (2, 2), (3, 2)}
