@@ -359,13 +359,14 @@ WINDOW w AS (PARTITION BY o_orderpriority
 """
 
 
-QUERIES = {
-    "range_join_price_bands": range_join_price_bands,
-}
+# Round-7 driver rotation: range_join_price_bands (green r1-r6, the
+# longest-tenured core3 row) demoted to an extra — the range-join shape
+# stays oracle-checked locally; its slot goes to the never-checked
+# backlog_open_lineitems (tsstats), the interval-sweep twin of the
+# same band-join family.
+QUERIES: dict = {}
 
-ORACLES = {
-    "range_join_price_bands": RANGE_JOIN_ORACLE,
-}
+ORACLES: dict = {}
 
 # Demoted from driver slots (50-row cap): rollup is a strict subset of
 # cube's grouping sets, and the HLL query is rows-only by design — both
@@ -386,9 +387,12 @@ EXTRA_QUERIES = {
     "sliding_windows": sliding_windows,
     "cube_orders": cube_orders,
     "count_distinct_family": count_distinct_family,
+    # Round-7 demotion (green r1-r6):
+    "range_join_price_bands": range_join_price_bands,
 }
 
 EXTRA_ORACLES = {
+    "range_join_price_bands": RANGE_JOIN_ORACLE,
     "rollup_orders": ROLLUP_ORACLE,
     "grouping_sets_orders": GROUPING_SETS_ORACLE,
     "lateral_topn_nations": LATERAL_ORACLE,

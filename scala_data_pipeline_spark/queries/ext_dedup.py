@@ -112,15 +112,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # demoted to an extra — simhash stays covered locally (plus the
 # simhash_pairs twin); its slot goes to the round-5 edit-distance
 # verify, which has never had a driver row.
-QUERIES = {
-    "dedup_minhash_lsh": dedup_minhash_lsh,
-    "dedup_ngram_jaccard": dedup_ngram_jaccard,
-}
+# Round-7 rotation: dedup_minhash_lsh / dedup_ngram_jaccard (green
+# r1-r6, the longest-tenured dedup rows) demoted to extras — the LSH
+# family keeps driver rows via cluster_keepers / containment /
+# edit_distance / incremental, and both demotees stay under local
+# oracle parity; their slots go to graph_kcore and
+# dedup_contrastive_triplets (never driver-checked).
+QUERIES = {}
 
-ORACLES = {
-    "dedup_minhash_lsh": minhash_lsh_sql(),
-    "dedup_ngram_jaccard": ngram_jaccard_sql(),
-}
+ORACLES = {}
 
 
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -145,8 +145,11 @@ def _components_oracle() -> str:
 # in round 3 over near-twin matrix variants): they are the flagship
 # iterative + windowed tail of the dedup pipeline, and the recursive-CTE
 # oracle is the strongest non-trivial parity check in the repo.
-QUERIES["dedup_components"] = dedup_components
-ORACLES["dedup_components"] = _components_oracle()
+# Round-7 rotation: dedup_components (green r3-r6) demoted to an extra
+# — the components formulation stays driver-covered transitively via
+# dedup_cluster_keepers (pairs → components → keeper) and locally via
+# this oracle plus the star twin; its slot goes to graph_kcore
+# (registered into EXTRA_QUERIES below, with the other demotions).
 
 def dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same clustering as dedup_components via the O(log n)
@@ -213,6 +216,10 @@ EXTRA_QUERIES = {
     "dedup_lsh_quality": dedup_lsh_quality,
     "dedup_exact": dedup_exact,
     "dedup_containment": dedup_containment,
+    # Round-7 demotions (long-green; see rotation comments above):
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_components": dedup_components,
 }
 EXTRA_ORACLES = {
     "dedup_simhash_pairs": simhash_neardup_sql(),
@@ -221,6 +228,9 @@ EXTRA_ORACLES = {
     "dedup_lsh_quality": lsh_quality_metrics_sql(),
     "dedup_exact": DEDUP_EXACT_ORACLE,
     "dedup_containment": ngram_containment_sql(),
+    "dedup_minhash_lsh": minhash_lsh_sql(),
+    "dedup_ngram_jaccard": ngram_jaccard_sql(),
+    "dedup_components": _components_oracle(),
 }
 
 
@@ -433,8 +443,11 @@ def _kcore_oracle() -> str:
     return kcore_sql(minhash_lsh_sql())
 
 
-EXTRA_QUERIES["graph_kcore"] = graph_kcore
-EXTRA_ORACLES["graph_kcore"] = _kcore_oracle()
+# Round-7 rotation: graph_kcore promoted to a driver slot (never
+# driver-checked; the iterative-peel + unrolled-oracle parity is the
+# strongest new graph check) in place of the demoted dedup_components.
+QUERIES["graph_kcore"] = graph_kcore
+ORACLES["graph_kcore"] = _kcore_oracle()
 
 
 def dedup_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -456,5 +469,8 @@ def _contrastive_oracle() -> str:
     return contrastive_triplets_sql(minhash_lsh_sql())
 
 
-EXTRA_QUERIES["dedup_contrastive_triplets"] = dedup_contrastive_triplets
-EXTRA_ORACLES["dedup_contrastive_triplets"] = _contrastive_oracle()
+# Round-7 rotation: promoted to a driver slot (never driver-checked;
+# hardened this round against the advisor's edge-parity findings) in
+# place of the demoted dedup_minhash_lsh.
+QUERIES["dedup_contrastive_triplets"] = dedup_contrastive_triplets
+ORACLES["dedup_contrastive_triplets"] = _contrastive_oracle()

@@ -45,13 +45,14 @@ def sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # near-dup machinery keeps driver rows via sim_semantic_keepers'
 # bucketed-cosine core inside dedup flows and sim_knn_join/sim_topk_ivf
 # for the ANN side; still oracle-checked locally.
-QUERIES = {
-    "sim_topk_ivf": sim_topk_ivf,
-}
+# Round-7 driver rotation: sim_topk_ivf (green r1-r6, the longest-
+# tenured similarity row) demoted to an extra — the ANN family keeps
+# its driver row via sim_knn_join, and IVF stays oracle-checked
+# locally; its slot goes to the never-checked running_distinct_users
+# (tsstats).
+QUERIES: dict = {}
 
-ORACLES = {
-    "sim_topk_ivf": topk_ivf_sql(k=3, n_queries=N_QUERIES),
-}
+ORACLES: dict = {}
 
 
 def sim_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -88,11 +89,13 @@ EXTRA_QUERIES = {
     "sim_mmr_rerank": sim_mmr_rerank,
     "sim_topk_bruteforce": sim_topk_bruteforce,
     "sim_embedding_neardup": sim_embedding_neardup,
+    "sim_topk_ivf": sim_topk_ivf,
 }
 EXTRA_ORACLES = {
     "sim_quantize": _quantize_oracle(),
     "sim_topk_bruteforce": topk_bruteforce_sql(k=5, n_queries=N_QUERIES),
     "sim_embedding_neardup": embedding_neardup_sql(),
+    "sim_topk_ivf": topk_ivf_sql(k=3, n_queries=N_QUERIES),
 }
 
 # Round-6 rotation: sim_knn_join promoted to a driver slot (round-5

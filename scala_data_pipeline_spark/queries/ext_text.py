@@ -59,13 +59,15 @@ FROM documents
 # Round-6 rotation: text_fingerprint (winnowing scan, green r1-r4)
 # demoted — the text family keeps driver rows via lang_id, gopher,
 # tfidf and lm_perplexity. Slot freed for a never-checked SQL shape.
+# Round-7 driver rotation: text_lang_id (green r1-r5 + r6) demoted to
+# an extra — the text family keeps driver rows via gopher, tfidf, bm25
+# and lm_perplexity; its slot goes to the never-checked event_trigrams
+# (tsstats).
 QUERIES = {
-    "text_lang_id": text_lang_id,
     "multimodal_features": multimodal_features,
 }
 
 ORACLES = {
-    "text_lang_id": lang_id_sql(),
     "multimodal_features": MULTIMODAL_ORACLE,
 }
 
@@ -158,8 +160,10 @@ EXTRA_QUERIES = {
     "text_surprisal": text_surprisal,
     "text_ppl_buckets": text_ppl_buckets,
     "text_retrieval_eval": text_retrieval_eval,
+    "text_lang_id": text_lang_id,
 }
 EXTRA_ORACLES = {
+    "text_lang_id": lang_id_sql(),
     "text_fingerprint": fingerprint_sql(),
     "text_token_count": token_count_sql(),
     "text_chunks": _chunks_oracle(),

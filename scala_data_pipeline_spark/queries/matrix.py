@@ -99,13 +99,14 @@ GROUP BY user_id
 """
 
 
-QUERIES = {
-    "user_time_matrix": q_user_time_matrix,
-}
+# Round-7 driver rotation: user_time_matrix (green r1-r6) demoted to an
+# extra — the 201-column conditional-agg pivot machinery stays locked by
+# tests/test_plans.py and local parity (this module now has three
+# oracle-checked variants of it); its slot goes to the never-checked
+# feature_point_in_time (scd_queries).
+QUERIES: dict = {}
 
-ORACLES = {
-    "user_time_matrix": USER_TIME_ORACLE,
-}
+ORACLES: dict = {}
 
 # users_items_incremental: demoted round 3 (merge must equal the full
 # rebuild, so it shares USERS_ITEMS_ORACLE — a near-twin driver row).
@@ -115,8 +116,10 @@ ORACLES = {
 EXTRA_QUERIES = {
     "users_items_incremental": q_users_items_incremental,
     "users_items_matrix": q_users_items,
+    "user_time_matrix": q_user_time_matrix,
 }
 EXTRA_ORACLES = {
     "users_items_incremental": USERS_ITEMS_ORACLE,
     "users_items_matrix": USERS_ITEMS_ORACLE,
+    "user_time_matrix": USER_TIME_ORACLE,
 }

@@ -38,5 +38,12 @@ GROUP BY event_type
 """
 
 
-QUERIES = {"pydatasource_agg": pydatasource_agg}
-ORACLES = {"pydatasource_agg": PYDS_ORACLE}
+# Round-7 driver rotation: pydatasource_agg (green r1-r6) demoted to an
+# extra — the Python DataSource path stays covered by this local oracle
+# plus tests/test_pydatasource.py (reader, streaming offsets, writer
+# commit protocol); its slot goes to the never-checked
+# table_fingerprint (frontier).
+QUERIES: dict = {}
+ORACLES: dict = {}
+EXTRA_QUERIES = {"pydatasource_agg": pydatasource_agg}
+EXTRA_ORACLES = {"pydatasource_agg": PYDS_ORACLE}

@@ -795,8 +795,11 @@ FROM (SELECT DISTINCT CAST(ts AS DATE) AS day
       FROM events WHERE user_id IS NOT NULL) d
 """
 
-EXTRA_QUERIES["running_distinct_users"] = running_distinct_users
-EXTRA_ORACLES["running_distinct_users"] = RUNNING_DISTINCT_ORACLE
+# Round-7 driver rotation: promoted (never driver-checked; the
+# first-appearance-arithmetic vs correlated-DISTINCT cross-algorithm
+# parity is a strong external check) in place of sim_topk_ivf.
+QUERIES["running_distinct_users"] = running_distinct_users
+ORACLES["running_distinct_users"] = RUNNING_DISTINCT_ORACLE
 
 
 # --------------------------------------------------------------------
@@ -1341,10 +1344,14 @@ FROM seq WHERE e3 IS NOT NULL
 GROUP BY e1, e2, e3
 """
 
-EXTRA_QUERIES["backlog_open_lineitems"] = backlog_open_lineitems
-EXTRA_ORACLES["backlog_open_lineitems"] = BACKLOG_ORACLE
-EXTRA_QUERIES["event_trigrams"] = event_trigrams
-EXTRA_ORACLES["event_trigrams"] = TRIGRAM_ORACLE
+# Round-7 driver rotation: both promoted (never driver-checked) —
+# backlog_open_lineitems replaces the demoted range_join_price_bands
+# (same band-join family, checked via the delta-sweep cross-algorithm
+# oracle), event_trigrams replaces the demoted text_lang_id.
+QUERIES["backlog_open_lineitems"] = backlog_open_lineitems
+ORACLES["backlog_open_lineitems"] = BACKLOG_ORACLE
+QUERIES["event_trigrams"] = event_trigrams
+ORACLES["event_trigrams"] = TRIGRAM_ORACLE
 
 
 # --------------------------------------------------------------------
@@ -1411,5 +1418,7 @@ SELECT CAST(decile AS INTEGER) AS decile,
 FROM per_dec
 """
 
-EXTRA_QUERIES["lorenz_customer_spend"] = lorenz_customer_spend
-EXTRA_ORACLES["lorenz_customer_spend"] = LORENZ_ORACLE
+# Round-7 driver rotation: promoted (never driver-checked) in place
+# of the demoted dedup_ngram_jaccard.
+QUERIES["lorenz_customer_spend"] = lorenz_customer_spend
+ORACLES["lorenz_customer_spend"] = LORENZ_ORACLE
