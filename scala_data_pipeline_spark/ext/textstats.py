@@ -1052,3 +1052,64 @@ SELECT CAST(n AS BIGINT) AS n_ranks,
          AS zipf_intercept
 FROM agg
 """
+
+
+# ---------------------------------------------------------------------------
+# Inverted index build (round 7)
+# ---------------------------------------------------------------------------
+
+
+def inverted_index(
+    docs: DataFrame, text_col: str = "text", max_postings: int = 32
+) -> DataFrame:
+    """Term → posting-list build: (term, df, ctf, postings) where df is
+    the document frequency, ctf the collection term frequency, and
+    postings the sorted doc-id list — the batch index-construction step
+    behind BM25 serving / retrieval-index bootstrap (text_bm25 SCORES
+    with these statistics; this materializes the index itself).
+
+    Posting lists are capped at ``max_postings`` ids (the lowest doc
+    ids — deterministic truncation, replayed in the oracle): at 100 TB
+    a stopword's full posting list is corpus-sized and belongs in a
+    positional index shard, not one aggregation row, so hot terms keep
+    their exact df/ctf counts but only a bounded posting sample. Scale
+    shape: one (term, doc) pre-aggregate (map-side combinable) + one
+    term aggregate — two shuffles on uniform hash keys, no windows.
+    Postings emit as a comma-joined string (the collect_user_events
+    value-hash convention for list outputs).
+    """
+    per_doc = (
+        fan_out(docs)
+        .select(
+            "doc_id", F.explode(tokens_col(F.col(text_col))).alias("term")
+        )
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return per_doc.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("ctf"),
+        F.array_join(
+            F.slice(F.array_sort(F.collect_list("doc_id")), 1, max_postings),
+            ",",
+        ).alias("postings"),
+    )
+
+
+def inverted_index_sql(
+    text_col: str = "text", table: str = "documents", max_postings: int = 32
+) -> str:
+    """DuckDB twin of :func:`inverted_index` (same truncation replay)."""
+    toks = f"list_filter(string_split({text_col}, ' '), t -> t <> '')"
+    return f"""
+WITH per_doc AS (
+  SELECT term, doc_id, COUNT(*) AS tf FROM (
+    SELECT doc_id, unnest({toks}) AS term FROM {table}
+  ) GROUP BY term, doc_id
+)
+SELECT term,
+       CAST(COUNT(*) AS BIGINT) AS df,
+       CAST(SUM(tf) AS BIGINT) AS ctf,
+       array_to_string(list_slice(list_sort(list(doc_id)), 1, {max_postings}), ',') AS postings
+FROM per_doc GROUP BY term
+"""

@@ -6,6 +6,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..ext.multimodal import extract_features, to_media_frame
 from ..ext.textstats import (
+    inverted_index_sql,
     bigram_lm_perplexity,
     bigram_lm_perplexity_sql,
     bm25_scores,
@@ -108,6 +109,14 @@ def text_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_surprisal(load_table(spark, sf_dir, "documents"))
 
 
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term -> (df, ctf, capped posting list) retrieval-index build
+    (round 7; see ext/textstats.py::inverted_index)."""
+    from ..ext.textstats import inverted_index
+
+    return inverted_index(load_table(spark, sf_dir, "documents"))
+
+
 def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_lm_perplexity(load_table(spark, sf_dir, "documents"))
 
@@ -161,9 +170,11 @@ EXTRA_QUERIES = {
     "text_ppl_buckets": text_ppl_buckets,
     "text_retrieval_eval": text_retrieval_eval,
     "text_lang_id": text_lang_id,
+    "text_inverted_index": text_inverted_index,
 }
 EXTRA_ORACLES = {
     "text_lang_id": lang_id_sql(),
+    "text_inverted_index": inverted_index_sql(),
     "text_fingerprint": fingerprint_sql(),
     "text_token_count": token_count_sql(),
     "text_chunks": _chunks_oracle(),

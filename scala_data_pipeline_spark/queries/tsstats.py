@@ -1422,3 +1422,286 @@ FROM per_dec
 # of the demoted dedup_ngram_jaccard.
 QUERIES["lorenz_customer_spend"] = lorenz_customer_spend
 ORACLES["lorenz_customer_spend"] = LORENZ_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# Kolmogorov-Smirnov two-sample drift (round 7)
+# ---------------------------------------------------------------------------
+
+
+def ks_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic between the
+    `value` distributions of click vs view events — the
+    distribution-level drift detector that complements the categorical
+    chi-square in drift_priority_mix (a mean shift chi-square can't
+    see, a shape change a t-test can't see; KS sees both).
+
+    D = max over x of |ECDF_click(x) - ECDF_view(x)|, computed exactly:
+    one conditional aggregate to per-distinct-value counts (the only
+    corpus-sized shuffle; values are cent-quantized so the grain is
+    the bounded price domain, not the event count), one cumulative
+    window over that value grain, one max. Also emits the scaled
+    statistic sqrt(n·m/(n+m))·D (the asymptotic Kolmogorov argument —
+    > ~1.36 rejects at α=0.05).
+
+    Engine-exactness: ECDFs are ratios of exact longs (deterministic
+    double division); D and the scaling are rounded to 6.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    per_val = ev.groupBy(
+        F.col("value").cast("decimal(18,2)").alias("v")
+    ).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long")
+        .alias("c_click"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("long")
+        .alias("c_view"),
+    )
+    # Value-grain cumulative window (bounded domain — the
+    # anomaly_daily_revenue "windows over DAYS" precedent).
+    w_cum = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = Window.partitionBy()
+    n_click = F.sum("c_click").over(tot)
+    n_view = F.sum("c_view").over(tot)
+    diff = F.abs(
+        F.sum("c_click").over(w_cum).cast("double") / n_click.cast("double")
+        - F.sum("c_view").over(w_cum).cast("double") / n_view.cast("double")
+    )
+    stepped = per_val.select(
+        diff.alias("diff"),
+        n_click.alias("n_click"),
+        n_view.alias("n_view"),
+    )
+    return stepped.groupBy("n_click", "n_view").agg(
+        F.round(F.max("diff"), 6).alias("ks_d"),
+        F.round(
+            F.max("diff")
+            * F.sqrt(
+                (F.first("n_click") * F.first("n_view")).cast("double")
+                / (F.first("n_click") + F.first("n_view")).cast("double")
+            ),
+            6,
+        ).alias("ks_scaled"),
+    )
+
+
+KS_ORACLE = """
+WITH per_val AS (
+  SELECT CAST(value AS DECIMAL(18,2)) AS v,
+         CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT)
+           AS c_click,
+         CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT)
+           AS c_view
+  FROM events WHERE event_type IN ('click', 'view') GROUP BY 1
+), stepped AS (
+  SELECT ABS(
+           CAST(SUM(c_click) OVER (ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / CAST(SUM(c_click) OVER () AS DOUBLE)
+           - CAST(SUM(c_view) OVER (ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / CAST(SUM(c_view) OVER () AS DOUBLE)) AS diff,
+         CAST(SUM(c_click) OVER () AS BIGINT) AS n_click,
+         CAST(SUM(c_view) OVER () AS BIGINT) AS n_view
+  FROM per_val
+)
+SELECT n_click, n_view,
+       ROUND(MAX(diff), 6) AS ks_d,
+       ROUND(MAX(diff) * SQRT(CAST(MIN(n_click) * MIN(n_view) AS DOUBLE)
+             / CAST(MIN(n_click) + MIN(n_view) AS DOUBLE)), 6) AS ks_scaled
+FROM stepped GROUP BY n_click, n_view
+"""
+
+EXTRA_QUERIES["ks_value_drift"] = ks_value_drift
+EXTRA_ORACLES["ks_value_drift"] = KS_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# Autocorrelation function of daily revenue (round 7)
+# ---------------------------------------------------------------------------
+
+ACF_MAX_LAG = 7
+
+
+def acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the daily-revenue series at lags 1..7 — the
+    weekly-seasonality detector in its classical form (dow_seasonality
+    shows WHICH weekday is hot; a spike of the ACF at lag 7 shows THAT
+    the series is weekly-periodic, and at lag 1 how sticky it is).
+    Standard biased estimator ρ(k) = Σ(dev_t·dev_{t-k}) / Σ dev_t².
+
+    Scale shape: one corpus-sized groupBy to the daily grain; mean,
+    lags and the lag-term explode all run on the bounded DAYS frame
+    (the anomaly_daily_revenue precedent). Engine-exactness: daily
+    revenue is an exact decimal sum; the mean is one double division
+    of identical operands; deviations and lag products are rounded to
+    8 and summed as decimals (order-independent); the final ratio is
+    rounded to 6.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.to_date("o_orderdate").alias("day")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("rev")
+    )
+    tot = Window.partitionBy()
+    mean = F.sum("rev").over(tot).cast("double") / F.count(F.lit(1)).over(tot)
+    dev = daily.select(
+        "day", F.round(F.col("rev").cast("double") - mean, 8).alias("dev")
+    )
+    w_day = Window.orderBy("day")
+    lagged = dev.select(
+        "dev",
+        *[
+            F.lag("dev", k).over(w_day).alias(f"dev_{k}")
+            for k in range(1, ACF_MAX_LAG + 1)
+        ],
+    )
+    terms = lagged.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("lag"),
+                        F.round(
+                            F.col("dev")
+                            * (
+                                F.col("dev")
+                                if k == 0
+                                else F.col(f"dev_{k}")
+                            ),
+                            8,
+                        ).alias("term"),
+                    )
+                    for k in range(0, ACF_MAX_LAG + 1)
+                ]
+            )
+        ).alias("t")
+    ).select("t.lag", "t.term")
+    sums = (
+        terms.filter(F.col("term").isNotNull())
+        .groupBy("lag")
+        .agg(F.sum(F.col("term").cast("decimal(38,8)")).alias("s"))
+    )
+    den = F.max(F.when(F.col("lag") == 0, F.col("s"))).over(
+        Window.partitionBy()
+    )
+    return (
+        sums.withColumn("den", den)
+        .filter(F.col("lag") >= 1)
+        .select(
+            F.col("lag").cast("int").alias("lag"),
+            F.round(
+                F.col("s").cast("double") / F.col("den").cast("double"), 6
+            ).alias("acf"),
+        )
+    )
+
+
+def _acf_oracle() -> str:
+    term_selects = "\n  UNION ALL ".join(
+        f"SELECT {k} AS lag, ROUND(dev * "
+        + ("dev" if k == 0 else f"lag(dev, {k}) OVER (ORDER BY day)")
+        + ", 8) AS term FROM dev"
+        for k in range(0, ACF_MAX_LAG + 1)
+    )
+    return f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
+  FROM orders GROUP BY 1
+), dev AS (
+  SELECT day,
+         ROUND(CAST(rev AS DOUBLE)
+               - CAST(SUM(rev) OVER () AS DOUBLE) / COUNT(*) OVER (), 8)
+           AS dev
+  FROM daily
+), terms AS (
+  {term_selects}
+), sums AS (
+  SELECT lag, SUM(CAST(term AS DECIMAL(38,8))) AS s
+  FROM terms WHERE term IS NOT NULL GROUP BY lag
+)
+SELECT CAST(lag AS INTEGER) AS lag,
+       ROUND(CAST(s AS DOUBLE)
+             / CAST((SELECT s FROM sums WHERE lag = 0) AS DOUBLE), 6) AS acf
+FROM sums WHERE lag >= 1
+"""
+
+
+EXTRA_QUERIES["acf_daily_revenue"] = acf_daily_revenue
+EXTRA_ORACLES["acf_daily_revenue"] = _acf_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted average value per user (round 7)
+# ---------------------------------------------------------------------------
+
+
+def twap_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average event value per user (TWAP): each event's
+    value holds until the user's next event, weighted by that holding
+    duration — the correct "average state" statistic when observations
+    arrive irregularly (a plain AVG over-weights bursts; TWAP is what
+    pricing, telemetry and session-quality pipelines actually want).
+
+    Scale shape: one user-partitioned lead window + one groupBy on the
+    SAME key — Catalyst reuses the window's hash partitioning for the
+    aggregate, so the corpus shuffles once. Durations are exact
+    integer microseconds (no CAST(ts AS BIGINT); unix_micros on the
+    load_table-normalized timestamp), value is cent-exact decimal, so
+    the weighted sum is an exact decimal both engines agree on; the
+    one division is double, rounded to 6. Users with a single event
+    have no holding interval and are excluded (n_intervals >= 1).
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    stepped = ev.select(
+        "user_id",
+        (F.unix_micros(nxt) - F.unix_micros(F.col("ts"))).alias("dur_us"),
+        F.col("value").cast("decimal(18,2)").alias("v"),
+    ).filter(F.col("dur_us").isNotNull())
+    agg = stepped.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_intervals"),
+        F.sum(F.col("v") * F.col("dur_us")).alias("num"),
+        F.sum("dur_us").cast("long").alias("den_us"),
+    )
+    return agg.select(
+        "user_id",
+        "n_intervals",
+        F.round(
+            F.col("num").cast("double") / F.col("den_us").cast("double"), 6
+        ).alias("twap_value"),
+    )
+
+
+TWAP_ORACLE = """
+WITH stepped AS (
+  SELECT user_id,
+         epoch_us(lead(ts) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id))
+           - epoch_us(ts) AS dur_us,
+         CAST(value AS DECIMAL(18,2)) AS v
+  FROM events WHERE user_id IS NOT NULL
+), agg AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT) AS n_intervals,
+         SUM(v * dur_us) AS num,
+         CAST(SUM(dur_us) AS BIGINT) AS den_us
+  FROM stepped WHERE dur_us IS NOT NULL GROUP BY user_id
+)
+SELECT user_id, n_intervals,
+       ROUND(CAST(num AS DOUBLE) / CAST(den_us AS DOUBLE), 6) AS twap_value
+FROM agg
+"""
+
+EXTRA_QUERIES["twap_user_value"] = twap_user_value
+EXTRA_ORACLES["twap_user_value"] = TWAP_ORACLE
