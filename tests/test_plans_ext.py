@@ -139,3 +139,19 @@ def test_runtime_bloom_filter_join_pruning(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_contrastive_hard_negative_cut_is_take_ordered(spark, sf_dir):
+    """Round-6 advisor finding: the global hard-negative ranking must
+    compile to TakeOrderedAndProject (distributed per-partition top-k),
+    not a single-partition sort of the whole <=lo candidate set — on a
+    degenerate corpus that set is nearly all candidates."""
+    from scala_data_pipeline_spark.ext.dedup import (
+        contrastive_triplets,
+        lsh_candidate_pairs,
+    )
+    from scala_data_pipeline_spark.plans.inspect import explain_str
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = explain_str(contrastive_triplets(docs, lsh_candidate_pairs(docs)))
+    assert "TakeOrderedAndProject" in plan
