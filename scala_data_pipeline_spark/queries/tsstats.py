@@ -1447,19 +1447,34 @@ def ks_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     Engine-exactness: ECDFs are ratios of exact longs (deterministic
     double division); D and the scaling are rounded to 6.
     """
-    ev = load_table(spark, sf_dir, "events").filter(
-        F.col("event_type").isin("click", "view")
+    ev = load_table(spark, sf_dir, "events")
+    return ks_from_value_counts(ks_value_counts(ev))
+
+
+def ks_value_counts(events: DataFrame) -> DataFrame:
+    """The mergeable-partial half of the KS statistic: per-distinct-
+    value click/view counts. Longs are exactly additive, so per-micro-
+    batch partial frames merged by summation are BIT-IDENTICAL to one
+    batch pass — the continuous drift-monitor shape
+    (streaming/drift_sink.py maintains this frame incrementally)."""
+    return (
+        events.filter(F.col("event_type").isin("click", "view"))
+        .groupBy(F.col("value").cast("decimal(18,2)").alias("v"))
+        .agg(
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+            .cast("long")
+            .alias("c_click"),
+            F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+            .cast("long")
+            .alias("c_view"),
+        )
     )
-    per_val = ev.groupBy(
-        F.col("value").cast("decimal(18,2)").alias("v")
-    ).agg(
-        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
-        .cast("long")
-        .alias("c_click"),
-        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
-        .cast("long")
-        .alias("c_view"),
-    )
+
+
+def ks_from_value_counts(per_val: DataFrame) -> DataFrame:
+    """Finish the KS statistic from a (v, c_click, c_view) count frame
+    — shared verbatim by the batch query and the streaming merge-on-
+    read path, so the two agree by construction."""
     # Value-grain cumulative window (bounded domain — the
     # anomaly_daily_revenue "windows over DAYS" precedent).
     w_cum = Window.orderBy("v").rowsBetween(
