@@ -144,3 +144,47 @@ def sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 EXTRA_QUERIES["sketch_kll_prices"] = sketch_kll_prices
 EXTRA_QUERIES["sketch_theta_audiences"] = sketch_theta_audiences
 EXTRA_QUERIES["sketch_heavy_hitters"] = sketch_heavy_hitters
+
+
+def sketch_countmin_custkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min point estimates vs exact counts for customer keys
+    1..20 over orders (round 7; see ext/countmin.py). Deterministic
+    md5 slot arithmetic, so — unlike the other sketches here — this
+    one carries a full DuckDB hash oracle; the CM overestimate
+    invariant (est >= true, always) is additionally test-asserted."""
+    from ..ext.countmin import countmin_estimates, countmin_sketch
+
+    orders = load_table(spark, sf_dir, "orders")
+    sketch = countmin_sketch(orders, "o_custkey")
+    probes = spark.range(1, 21).select(F.col("id").alias("o_custkey"))
+    est = countmin_estimates(sketch, probes, "o_custkey")
+    truth = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("true_cnt")
+    )
+    return est.join(truth, on="o_custkey", how="left").select(
+        F.col("o_custkey").alias("custkey"),
+        F.coalesce(F.col("true_cnt"), F.lit(0).cast("long")).alias(
+            "true_cnt"
+        ),
+        F.col("cm_est").cast("long").alias("cm_est"),
+    )
+
+
+def _countmin_oracle() -> str:
+    from ..ext.countmin import countmin_sql
+
+    return f"""
+WITH est AS ({countmin_sql("o_custkey", "orders", 1, 20)}),
+truth AS (
+  SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS true_cnt
+  FROM orders GROUP BY 1
+)
+SELECT est.k AS custkey,
+       COALESCE(truth.true_cnt, 0) AS true_cnt,
+       est.cm_est
+FROM est LEFT JOIN truth ON truth.k = est.k
+"""
+
+
+EXTRA_QUERIES["sketch_countmin_custkey"] = sketch_countmin_custkey
+EXTRA_ORACLES: dict = {"sketch_countmin_custkey": _countmin_oracle()}

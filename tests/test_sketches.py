@@ -81,3 +81,47 @@ def test_theta_set_algebra_exact_below_capacity(spark, sf_dir):
     types = sorted(audiences)
     expected_pairs = {(x, y) for x in types for y in types if x < y}
     assert set(got) == expected_pairs
+
+
+def test_countmin_overestimates_and_merges(spark, sf_dir):
+    """CM guarantees: (a) point estimates never underestimate; (b)
+    partial sketches merge by cell-wise addition into exactly the
+    full-data sketch (the mergeable-summaries property)."""
+    from pyspark.sql import functions as F
+
+    from scala_data_pipeline_spark.ext.countmin import (
+        countmin_estimates,
+        countmin_sketch,
+    )
+    from scala_data_pipeline_spark.queries.sketches import (
+        sketch_countmin_custkey,
+    )
+    from scala_data_pipeline_spark.sources import load_table
+
+    rows = sketch_countmin_custkey(spark, sf_dir).collect()
+    assert len(rows) == 20
+    assert all(r.cm_est >= r.true_cnt for r in rows)
+
+    orders = load_table(spark, sf_dir, "orders")
+    half_a = orders.filter(F.col("o_orderkey") % 2 == 0)
+    half_b = orders.filter(F.col("o_orderkey") % 2 == 1)
+    merged = (
+        countmin_sketch(half_a, "o_custkey")
+        .unionByName(countmin_sketch(half_b, "o_custkey"))
+        .groupBy("depth", "slot")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+    full = countmin_sketch(orders, "o_custkey")
+    assert merged.exceptAll(full).count() == 0
+    assert full.exceptAll(merged).count() == 0
+    # And estimates from the merged sketch equal full-sketch estimates.
+    probes = spark.range(1, 21).select(F.col("id").alias("o_custkey"))
+    em = {
+        r.o_custkey: r.cm_est
+        for r in countmin_estimates(merged, probes, "o_custkey").collect()
+    }
+    ef = {
+        r.o_custkey: r.cm_est
+        for r in countmin_estimates(full, probes, "o_custkey").collect()
+    }
+    assert em == ef
