@@ -364,3 +364,74 @@ WHERE src IN (SELECT v FROM s{rounds})
   AND dst IN (SELECT v FROM s{rounds})
 GROUP BY src
 """
+
+
+# --------------------------------------------------------------------
+# Local clustering coefficient (round 7)
+# --------------------------------------------------------------------
+
+
+def clustering_coefficients(pairs: DataFrame) -> DataFrame:
+    """Per-vertex local clustering coefficient C(v) = 2·T(v) /
+    (deg(v)·(deg(v)−1)) over a canonical doc_a < doc_b pair graph
+    (Watts & Strogatz, "Collective dynamics of 'small-world'
+    networks", Nature 1998) — the per-vertex closure statistic the
+    triangle counts feed: C ≈ 1 marks mutual near-dup cliques
+    (template farms), C ≈ 0 marks hub-and-spoke collision stars, the
+    same corpus pathologies at two ends of the scale.
+
+    Composes the two existing bounded plans — degree counting (one
+    aggregate on uniform ids) and the degree-ordered triangle count
+    (m^1.5-bounded) — with one left join; vertices in no triangle get
+    C = 0, vertices of degree < 2 have no closable wedge and are
+    excluded (the standard convention).
+    """
+    e = pairs.select("doc_a", "doc_b").distinct().localCheckpoint(eager=True)
+    deg = (
+        e.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(e.select(F.col("doc_b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    tri = triangle_counts(e)
+    return (
+        deg.filter(F.col("degree") >= 2)
+        .join(tri, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            "degree",
+            F.coalesce(F.col("n_triangles"), F.lit(0))
+            .cast("long")
+            .alias("n_triangles"),
+            F.round(
+                (2 * F.coalesce(F.col("n_triangles"), F.lit(0))).cast(
+                    "double"
+                )
+                / (F.col("degree") * (F.col("degree") - 1)).cast("double"),
+                6,
+            ).alias("clustering_coeff"),
+        )
+    )
+
+
+def clustering_coefficients_sql(cand_sql: str) -> str:
+    """DuckDB twin composing :func:`triangle_counts_sql`'s plan with
+    the degree CTE."""
+    tri = triangle_counts_sql("SELECT doc_a, doc_b FROM cand0")
+    return f"""
+WITH cand0 AS ({cand_sql}),
+tri_counts AS ({tri}),
+degs AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+    SELECT doc_a AS doc_id FROM cand0
+    UNION ALL SELECT doc_b FROM cand0
+  ) GROUP BY doc_id
+)
+SELECT d.doc_id, d.degree,
+       CAST(COALESCE(t.n_triangles, 0) AS BIGINT) AS n_triangles,
+       ROUND(CAST(2 * COALESCE(t.n_triangles, 0) AS DOUBLE)
+             / CAST(d.degree * (d.degree - 1) AS DOUBLE), 6)
+         AS clustering_coeff
+FROM degs d LEFT JOIN tri_counts t ON t.doc_id = d.doc_id
+WHERE d.degree >= 2
+"""

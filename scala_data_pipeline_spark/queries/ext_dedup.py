@@ -474,3 +474,23 @@ def _contrastive_oracle() -> str:
 # place of the demoted dedup_minhash_lsh.
 QUERIES["dedup_contrastive_triplets"] = dedup_contrastive_triplets
 ORACLES["dedup_contrastive_triplets"] = _contrastive_oracle()
+
+
+def graph_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex local clustering coefficient over the LSH near-dup
+    graph (round 7): C≈1 = mutual near-dup clique (template farm),
+    C≈0 = hub-and-spoke collision star (see
+    ext/graph.py::clustering_coefficients)."""
+    from ..ext.graph import clustering_coefficients
+
+    return clustering_coefficients(_lsh_pairs(spark, sf_dir))
+
+
+def _clustering_oracle() -> str:
+    from ..ext.graph import clustering_coefficients_sql
+
+    return clustering_coefficients_sql(minhash_lsh_sql())
+
+
+EXTRA_QUERIES["graph_clustering"] = graph_clustering
+EXTRA_ORACLES["graph_clustering"] = _clustering_oracle()
