@@ -1720,3 +1720,117 @@ FROM agg
 
 EXTRA_QUERIES["twap_user_value"] = twap_user_value
 EXTRA_ORACLES["twap_user_value"] = TWAP_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# Benjamini-Hochberg FDR over the Welch t-test family (round 7)
+# ---------------------------------------------------------------------------
+
+_BH_Q = 0.05
+_INV_SQRT2 = 0.7071067811865476
+# Abramowitz & Stegun 7.1.26 erf polynomial (max abs error 1.5e-7 —
+# invisible at the 6-decimal rounding below).
+_AS_P = 0.3275911
+_AS_A = (0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429)
+
+
+def _p_two_sided(t_col):
+    """Two-sided normal-approximation p-value from a t statistic:
+    p = erfc(|t|/sqrt(2)) via the A&S 7.1.26 polynomial — plain
+    double arithmetic (mul/add/exp) in the SAME expression shape on
+    both engines, over the already-rounded t_stat, then rounded to 6;
+    a last-ulp exp() difference cannot surface at that scale."""
+    x = F.abs(t_col) * _INV_SQRT2
+    u = 1.0 / (1.0 + _AS_P * x)
+    poly = u * (
+        _AS_A[0]
+        + u * (_AS_A[1] + u * (_AS_A[2] + u * (_AS_A[3] + u * _AS_A[4])))
+    )
+    return F.round(poly * F.exp(-x * x), 6)
+
+
+def ab_welch_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg step-up FDR control over the pairwise Welch
+    t-test family (Benjamini & Hochberg, JRSS-B 1995) — the multiple-
+    testing correction a scan that fires thousands of A/B comparisons
+    needs: at q=0.05, raw per-test thresholds would produce ~5% false
+    discoveries among the nulls REGARDLESS of how many tests ran.
+
+    Composes ab_welch_value's constant-size pair frame: normal-approx
+    two-sided p (valid here — every Welch df is huge), rank by p
+    ascending, step-up rule "reject ranks 1..k where k = max{i : p_i <=
+    (i/m)q}". All windows run over the 10-row test family.
+    """
+    wel = ab_welch_value(spark, sf_dir)
+    m = F.count(F.lit(1)).over(Window.partitionBy())
+    w_rank = Window.orderBy(
+        F.col("p_value").asc(), F.col("type_a").asc(), F.col("type_b").asc()
+    )
+    ranked = (
+        wel.select(
+            "type_a",
+            "type_b",
+            "t_stat",
+            _p_two_sided(F.col("t_stat")).alias("p_value"),
+        )
+        .withColumn("m", m)
+        .withColumn("rank", F.row_number().over(w_rank))
+        .withColumn(
+            "bh_crit",
+            F.round(
+                F.col("rank").cast("double") / F.col("m").cast("double")
+                * _BH_Q,
+                6,
+            ),
+        )
+    )
+    k = F.max(
+        F.when(F.col("p_value") <= F.col("bh_crit"), F.col("rank")).otherwise(
+            0
+        )
+    ).over(Window.partitionBy())
+    return ranked.withColumn("k", k).select(
+        "type_a",
+        "type_b",
+        "t_stat",
+        "p_value",
+        F.col("rank").cast("int").alias("rank"),
+        "bh_crit",
+        (F.col("rank") <= F.col("k")).alias("significant"),
+    )
+
+
+def _welch_fdr_oracle() -> str:
+    x = f"(ABS(t_stat) * {_INV_SQRT2!r})"
+    u = f"(1.0 / (1.0 + {_AS_P!r} * {x}))"
+    poly = (
+        f"({u} * ({_AS_A[0]!r} + {u} * ({_AS_A[1]!r} + {u} * "
+        f"({_AS_A[2]!r} + {u} * ({_AS_A[3]!r} + {u} * {_AS_A[4]!r})))))"
+    )
+    p = f"ROUND({poly} * EXP(-{x} * {x}), 6)"
+    return f"""
+WITH wel AS ({WELCH_ORACLE}),
+scored AS (
+  SELECT type_a, type_b, t_stat, {p} AS p_value FROM wel
+), ranked AS (
+  SELECT *,
+         COUNT(*) OVER () AS m,
+         ROW_NUMBER() OVER (ORDER BY p_value ASC, type_a ASC, type_b ASC)
+           AS rank
+  FROM scored
+), crit AS (
+  SELECT *,
+         ROUND(CAST(rank AS DOUBLE) / CAST(m AS DOUBLE) * {_BH_Q!r}, 6)
+           AS bh_crit
+  FROM ranked
+)
+SELECT type_a, type_b, t_stat, p_value,
+       CAST(rank AS INTEGER) AS rank, bh_crit,
+       rank <= MAX(CASE WHEN p_value <= bh_crit THEN rank ELSE 0 END)
+                 OVER () AS significant
+FROM crit
+"""
+
+
+EXTRA_QUERIES["ab_welch_fdr"] = ab_welch_fdr
+EXTRA_ORACLES["ab_welch_fdr"] = _welch_fdr_oracle()
