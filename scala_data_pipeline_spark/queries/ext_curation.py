@@ -4,7 +4,7 @@ driver registry is capped at 50; see queries/__init__)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..ext.curation import (
@@ -252,3 +252,84 @@ def _source_reputation_oracle() -> str:
 
 EXTRA_QUERIES["curation_source_reputation"] = curation_source_reputation
 EXTRA_ORACLES["curation_source_reputation"] = _source_reputation_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Temporal embargo split (round 7)
+# ---------------------------------------------------------------------------
+
+_EMBARGO_DAYS = 7
+_TEST_FRACTION = 0.8
+
+
+def curation_time_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based train/embargo/test split of orders: test = the last
+    20% of the date span, train ends EMBARGO_DAYS before test starts —
+    the leakage gap that keeps look-ahead features (rolling windows,
+    as-of joins computed near the boundary) from straddling the split,
+    the temporal complement to curation_cluster_split's near-dup-
+    leakage control. Returns the 3-row split summary (count + date
+    range per split).
+
+    Scale shape: one corpus-sized groupBy to the day grain; the
+    min/max/cutoff arithmetic and the split assignment run on the DAYS
+    frame (integer date arithmetic — engine-identical), then a 3-group
+    aggregate. The corpus is never globally sorted or windowed.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tot = Window.partitionBy()
+    d_min = F.min("day").over(tot)
+    d_max = F.max("day").over(tot)
+    test_start = F.date_add(
+        d_min,
+        F.floor(
+            F.datediff(d_max, d_min) * F.lit(_TEST_FRACTION)
+        ).cast("int"),
+    )
+    embargo_start = F.date_add(test_start, -_EMBARGO_DAYS)
+    split = (
+        F.when(F.col("day") >= test_start, "test")
+        .when(F.col("day") >= embargo_start, "embargo")
+        .otherwise("train")
+    )
+    return (
+        daily.select(split.alias("split"), "day", "n")
+        .groupBy("split")
+        .agg(
+            F.sum("n").cast("long").alias("n_orders"),
+            F.min("day").alias("first_day"),
+            F.max("day").alias("last_day"),
+        )
+    )
+
+
+TIME_SPLIT_ORACLE = f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM orders GROUP BY 1
+), bounds AS (
+  SELECT *,
+         MIN(day) OVER () AS d_min,
+         MAX(day) OVER () AS d_max
+  FROM daily
+), tagged AS (
+  SELECT n, day,
+         d_min + CAST(FLOOR(date_diff('day', d_min, d_max)
+                            * {_TEST_FRACTION!r}) AS INTEGER) AS test_start
+  FROM bounds
+)
+SELECT CASE WHEN day >= test_start THEN 'test'
+            WHEN day >= test_start - {_EMBARGO_DAYS} THEN 'embargo'
+            ELSE 'train' END AS split,
+       CAST(SUM(n) AS BIGINT) AS n_orders,
+       MIN(day) AS first_day,
+       MAX(day) AS last_day
+FROM tagged GROUP BY 1
+"""
+
+EXTRA_QUERIES["curation_time_split"] = curation_time_split
+EXTRA_ORACLES["curation_time_split"] = TIME_SPLIT_ORACLE
