@@ -1834,3 +1834,124 @@ FROM crit
 
 EXTRA_QUERIES["ab_welch_fdr"] = ab_welch_fdr
 EXTRA_ORACLES["ab_welch_fdr"] = _welch_fdr_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Categorical association: Cramér's V + mutual information (round 7)
+# ---------------------------------------------------------------------------
+
+
+def assoc_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strength-of-association between order priority and order status:
+    chi-square, Cramér's V (chi-square normalized to [0,1] — comparable
+    across tables of different size/shape) and mutual information in
+    bits (the information-theoretic view; 0 iff independent). The
+    drift tests say WHETHER two categoricals co-move; this measures
+    HOW MUCH — the feature-redundancy screen a feature store runs
+    before shipping two nearly-identical columns.
+
+    Scale shape: one corpus-sized groupBy to the contingency grain
+    (r·c ≤ 15 rows here); every total/marginal/term runs on that tiny
+    frame via windows. Engine-exactness: counts are exact longs,
+    per-cell terms are rounded to 8 and decimal-summed, finals rounded
+    to 6.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cont = orders.groupBy(
+        F.col("o_orderpriority").alias("pri"),
+        F.col("o_orderstatus").alias("st"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    tot = Window.partitionBy()
+    w_pri = Window.partitionBy("pri")
+    w_st = Window.partitionBy("st")
+    n = F.sum("cnt").over(tot)
+    row_t = F.sum("cnt").over(w_pri)
+    col_t = F.sum("cnt").over(w_st)
+    r = F.size(F.collect_set("pri").over(tot))
+    c = F.size(F.collect_set("st").over(tot))
+    e = row_t.cast("double") * col_t.cast("double") / n.cast("double")
+    chi_term = F.round(
+        (F.col("cnt").cast("double") - e) * (F.col("cnt").cast("double") - e)
+        / e,
+        8,
+    )
+    p_xy = F.col("cnt").cast("double") / n.cast("double")
+    p_x = row_t.cast("double") / n.cast("double")
+    p_y = col_t.cast("double") / n.cast("double")
+    mi_term = F.round(p_xy * F.log2(p_xy / (p_x * p_y)), 8)
+    cells = cont.select(
+        n.alias("n"),
+        r.alias("r"),
+        c.alias("c"),
+        chi_term.cast("decimal(18,8)").alias("chi_term"),
+        mi_term.cast("decimal(18,8)").alias("mi_term"),
+    )
+    return cells.groupBy("n", "r", "c").agg(
+        F.round(F.sum("chi_term").cast("double"), 6).alias("chi_square"),
+        F.round(
+            F.sqrt(
+                F.sum("chi_term").cast("double")
+                / (
+                    F.first("n").cast("double")
+                    * (F.least(F.first("r"), F.first("c")) - 1)
+                )
+            ),
+            6,
+        ).alias("cramers_v"),
+        F.round(F.sum("mi_term").cast("double"), 6).alias("mi_bits"),
+    ).select(
+        F.col("n").cast("long").alias("n"),
+        F.col("r").cast("int").alias("r"),
+        F.col("c").cast("int").alias("c"),
+        "chi_square",
+        "cramers_v",
+        "mi_bits",
+    )
+
+
+ASSOC_ORACLE = """
+WITH cont AS (
+  SELECT o_orderpriority AS pri, o_orderstatus AS st,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM orders GROUP BY 1, 2
+), cells AS (
+  SELECT
+    SUM(cnt) OVER () AS n,
+    (SELECT COUNT(DISTINCT pri) FROM cont) AS r,
+    (SELECT COUNT(DISTINCT st) FROM cont) AS c,
+    CAST(ROUND(
+      (CAST(cnt AS DOUBLE)
+        - CAST(SUM(cnt) OVER (PARTITION BY pri) AS DOUBLE)
+          * CAST(SUM(cnt) OVER (PARTITION BY st) AS DOUBLE)
+          / CAST(SUM(cnt) OVER () AS DOUBLE))
+      * (CAST(cnt AS DOUBLE)
+        - CAST(SUM(cnt) OVER (PARTITION BY pri) AS DOUBLE)
+          * CAST(SUM(cnt) OVER (PARTITION BY st) AS DOUBLE)
+          / CAST(SUM(cnt) OVER () AS DOUBLE))
+      / (CAST(SUM(cnt) OVER (PARTITION BY pri) AS DOUBLE)
+         * CAST(SUM(cnt) OVER (PARTITION BY st) AS DOUBLE)
+         / CAST(SUM(cnt) OVER () AS DOUBLE)), 8) AS DECIMAL(18,8))
+      AS chi_term,
+    CAST(ROUND(
+      (CAST(cnt AS DOUBLE) / CAST(SUM(cnt) OVER () AS DOUBLE))
+      * log2((CAST(cnt AS DOUBLE) / CAST(SUM(cnt) OVER () AS DOUBLE))
+             / ((CAST(SUM(cnt) OVER (PARTITION BY pri) AS DOUBLE)
+                 / CAST(SUM(cnt) OVER () AS DOUBLE))
+                * (CAST(SUM(cnt) OVER (PARTITION BY st) AS DOUBLE)
+                   / CAST(SUM(cnt) OVER () AS DOUBLE)))), 8)
+      AS DECIMAL(18,8)) AS mi_term
+  FROM cont
+)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST(r AS INTEGER) AS r,
+       CAST(c AS INTEGER) AS c,
+       ROUND(CAST(SUM(chi_term) AS DOUBLE), 6) AS chi_square,
+       ROUND(SQRT(CAST(SUM(chi_term) AS DOUBLE)
+             / (CAST(MIN(n) AS DOUBLE) * (LEAST(MIN(r), MIN(c)) - 1))), 6)
+         AS cramers_v,
+       ROUND(CAST(SUM(mi_term) AS DOUBLE), 6) AS mi_bits
+FROM cells GROUP BY n, r, c
+"""
+
+EXTRA_QUERIES["assoc_priority_status"] = assoc_priority_status
+EXTRA_ORACLES["assoc_priority_status"] = ASSOC_ORACLE

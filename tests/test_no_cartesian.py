@@ -46,6 +46,10 @@ BNLJ_ALLOWED = {
     # `type_a < type_b` inequality join — one broadcast row per event
     # TYPE, never the events table (queries/tsstats.py).
     "ab_welch_value",
+    # ab_welch_fdr composes ab_welch_value and inherits the same
+    # per-event-type inequality join; everything it adds runs on the
+    # constant-size test-family frame (queries/tsstats.py).
+    "ab_welch_fdr",
     # ewma_daily_revenue band-joins the DAY-GRAIN series with itself
     # (≤ span rows per day over thousands of day rows, broadcast side
     # is the day grain, never the orders corpus — queries/tsstats.py).
