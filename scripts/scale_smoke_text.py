@@ -77,6 +77,14 @@ def main() -> None:
         timed(
             "retrieval_eval", lambda: retrieval_eval(docs).count()
         )
+        # round 7: index build is two uniform-key shuffles; the posting
+        # cap keeps hot-term rows bounded, so output rows track the
+        # (fixed) vocabulary, not the corpus.
+        from scala_data_pipeline_spark.ext.textstats import inverted_index
+
+        timed(
+            "inverted_index", lambda: inverted_index(docs).count()
+        )
 
     print(json.dumps(report), flush=True)
 
