@@ -4,7 +4,7 @@ brand-new keys — every branch of operators/scd.scd2_apply fires."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.scd import OPEN_END, scd2_apply, scd2_apply_sql
@@ -243,3 +243,94 @@ GROUP BY effective_from
 # shape) in place of the demoted user_time_matrix.
 QUERIES["feature_point_in_time"] = feature_point_in_time
 ORACLES["feature_point_in_time"] = FEATURE_PIT_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# CDC changelog apply: type-1 latest-wins MERGE with deletes (round 7)
+# ---------------------------------------------------------------------------
+
+
+def cdc_apply_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply a CDC changelog to a base table with MERGE semantics —
+    the type-1 complement to scd2_customer (type-2 keeps history; this
+    is the latest-wins compaction a Debezium/Delta-style ingest runs):
+    per key, only the LAST change matters — an upsert overwrites the
+    tracked attribute, a delete removes the row, untouched base rows
+    pass through.
+
+    Changelog fixture (deterministic from testdata): every order is a
+    change to its customer, sequenced by (o_orderdate, o_orderkey);
+    'F'-status changes are deletes, others upsert acctbal :=
+    o_totalprice. Scale shape: ONE window over the changelog
+    partitioned by the (uniform) key picks the latest change, then ONE
+    full outer join onto base — no iteration, no skew; this is exactly
+    how a log-structured table compacts at 100 TB.
+    """
+    base = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("cust_key"),
+        F.col("c_name").alias("name"),
+        F.round("c_acctbal", 2).alias("acctbal"),
+    )
+    log = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("cust_key"),
+        F.when(F.col("o_orderstatus") == "F", "D").otherwise("U").alias("op"),
+        F.round("o_totalprice", 2).alias("new_acctbal"),
+        "o_orderdate",
+        "o_orderkey",
+    )
+    w = Window.partitionBy("cust_key").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    latest = (
+        log.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("cust_key", "op", "new_acctbal")
+    )
+    merged = base.join(latest, on="cust_key", how="full_outer")
+    return (
+        merged.filter(
+            F.col("op").isNull() | (F.col("op") != "D")
+        )
+        .select(
+            "cust_key",
+            # an insert for a key absent from base synthesizes its name
+            F.coalesce(
+                F.col("name"),
+                F.concat(F.lit("NEW#"), F.col("cust_key").cast("string")),
+            ).alias("name"),
+            F.coalesce(F.col("new_acctbal"), F.col("acctbal")).alias(
+                "acctbal"
+            ),
+            F.coalesce(F.col("op"), F.lit("KEEP")).alias("last_op"),
+        )
+    )
+
+
+CDC_APPLY_ORACLE = """
+WITH base AS (
+  SELECT c_custkey AS cust_key, c_name AS name,
+         ROUND(c_acctbal, 2) AS acctbal
+  FROM customer
+), log AS (
+  SELECT o_custkey AS cust_key,
+         CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op,
+         ROUND(o_totalprice, 2) AS new_acctbal,
+         o_orderdate, o_orderkey
+  FROM orders
+), latest AS (
+  SELECT cust_key, op, new_acctbal FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY cust_key
+        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+    FROM log
+  ) WHERE rn = 1
+)
+SELECT COALESCE(b.cust_key, l.cust_key) AS cust_key,
+       COALESCE(b.name, 'NEW#' || CAST(l.cust_key AS VARCHAR)) AS name,
+       COALESCE(l.new_acctbal, b.acctbal) AS acctbal,
+       COALESCE(l.op, 'KEEP') AS last_op
+FROM base b FULL OUTER JOIN latest l ON l.cust_key = b.cust_key
+WHERE l.op IS NULL OR l.op <> 'D'
+"""
+
+EXTRA_QUERIES["cdc_apply_customer"] = cdc_apply_customer
+EXTRA_ORACLES["cdc_apply_customer"] = CDC_APPLY_ORACLE

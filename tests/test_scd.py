@@ -83,3 +83,61 @@ def test_scd2_fold_invariants(spark):
         for (f1, t1), (f2, t2) in zip(spans, spans[1:]):
             assert t1 == f2, (key, spans)  # contiguous, no gap/overlap
         assert spans[-1][1] == OPEN_END
+
+
+def test_cdc_apply_all_merge_branches(spark):
+    """cdc_apply's four MERGE branches on a synthetic base+log: KEEP
+    (no change), U (upsert), D (delete), and insert (key absent from
+    base) — the parquet fixture only fires U/D (every customer has
+    orders), so this locks the other branches."""
+    import datetime
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        ["cust_key", "name", "acctbal"],
+    )
+    d = datetime.date(2024, 1, 1)
+    log = spark.createDataFrame(
+        [
+            (2, "U", 99.0, d, 1),   # update
+            (3, "U", 7.0, d, 2),    # superseded by the later delete
+            (3, "D", 0.0, d, 3),    # delete wins (higher key, same day)
+            (4, "U", 5.0, d, 4),    # insert (not in base)
+        ],
+        ["cust_key", "op", "new_acctbal", "o_orderdate", "o_orderkey"],
+    )
+    w = Window.partitionBy("cust_key").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    latest = (
+        log.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("cust_key", "op", "new_acctbal")
+    )
+    merged = base.join(latest, on="cust_key", how="full_outer")
+    out = {
+        r.cust_key: r
+        for r in merged.filter(
+            F.col("op").isNull() | (F.col("op") != "D")
+        )
+        .select(
+            "cust_key",
+            F.coalesce(
+                F.col("name"),
+                F.concat(F.lit("NEW#"), F.col("cust_key").cast("string")),
+            ).alias("name"),
+            F.coalesce(F.col("new_acctbal"), F.col("acctbal")).alias(
+                "acctbal"
+            ),
+            F.coalesce(F.col("op"), F.lit("KEEP")).alias("last_op"),
+        )
+        .collect()
+    }
+    assert set(out) == {1, 2, 4}              # 3 deleted
+    assert out[1].last_op == "KEEP" and out[1].acctbal == 10.0
+    assert out[2].last_op == "U" and out[2].acctbal == 99.0
+    assert out[4].last_op == "U" and out[4].name == "NEW#4"
+    assert out[4].acctbal == 5.0
