@@ -1,0 +1,63 @@
+"""Streaming maintenance of the inverted index — the retrieval-index
+analogue of the rollup / fingerprint / KS-drift partial stores.
+
+Each micro-batch appends its own (term, doc_id, tf) rows as immutable
+parquet files. That grain — NOT the finished (df, ctf, postings) row —
+is what makes the store exactly mergeable: term frequencies are
+additive longs, df is a count over the merged (term, doc) grain, and
+the posting-list CAP is applied at READ time over the merged grain, so
+truncation never loses a doc id that a later batch's merge would have
+ranked into the cap. Reading through the same ``inverted_index``
+aggregation shape the batch operator uses yields a bit-identical index
+(test_index_stream.py asserts this).
+
+At 100 TB: per-batch partials are the batch's own term×doc touch set
+(the index segment), the merge is one uniform-key aggregate over
+segments — the standard segment-and-merge architecture (Lucene-style)
+expressed as plain Spark reads.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..ext.textstats import tokens_col
+
+
+def index_append_sink(target_dir: str, text_col: str = "text"):
+    """``foreachBatch`` function: append this micro-batch's
+    (term, doc_id, tf) segment."""
+
+    def write_segment(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.select(
+                "doc_id",
+                F.explode(tokens_col(F.col(text_col))).alias("term"),
+            )
+            .groupBy("term", "doc_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+            .write.mode("append")
+            .parquet(target_dir)
+        )
+
+    return write_segment
+
+
+def read_inverted_index(
+    spark: SparkSession, target_dir: str, max_postings: int = 32
+) -> DataFrame:
+    """Merge-on-read: collapse segments to the (term, doc) grain, then
+    finish through the batch operator's aggregation shape."""
+    segments = spark.read.parquet(target_dir)
+    per_doc = segments.groupBy("term", "doc_id").agg(
+        F.sum("tf").cast("long").alias("tf")
+    )
+    return per_doc.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("ctf"),
+        F.array_join(
+            F.slice(F.array_sort(F.collect_list("doc_id")), 1, max_postings),
+            ",",
+        ).alias("postings"),
+    )

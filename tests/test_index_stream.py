@@ -1,0 +1,48 @@
+"""Streaming inverted index = batch inverted index, exactly.
+
+The index segment store (streaming/index_sink.py) appends per-batch
+(term, doc_id, tf) rows; the merged read must be BIT-IDENTICAL to the
+batch inverted_index over the full corpus — the (term, doc) grain is
+additive and the posting cap is applied only at read time."""
+
+from __future__ import annotations
+
+from scala_data_pipeline_spark.ext.textstats import inverted_index
+from scala_data_pipeline_spark.sources import load_table
+from scala_data_pipeline_spark.streaming.index_sink import (
+    index_append_sink,
+    read_inverted_index,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_streamed_index_equals_batch(spark, tmp_path):
+    docs = load_table(spark, SF, "documents")
+    src = str(tmp_path / "src")
+    docs.repartition(4).write.mode("overwrite").parquet(src)
+    target = str(tmp_path / "segments")
+    sdf = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        sdf.writeStream.foreachBatch(index_append_sink(target))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=120)
+    assert not q.isActive
+
+    # Multiple segments must exist so the merge is exercised.
+    n_segment_rows = spark.read.parquet(target).count()
+    streamed = {
+        r.term: r for r in read_inverted_index(spark, target).collect()
+    }
+    batch = {r.term: r for r in inverted_index(docs).collect()}
+    assert n_segment_rows > len(batch)  # segment grain > index grain
+    assert set(streamed) == set(batch)
+    for t in batch:
+        assert streamed[t].asDict() == batch[t].asDict(), t
