@@ -273,3 +273,32 @@ def test_mmr_rerank_matches_pure_python_reference(spark, sf_dir):
     for q, rank, v, _ in got:
         mmr_order.setdefault(q, []).append(v)
     assert any(mmr_order[q] != rel_order[q] for q in range(5))
+
+
+def test_ivf_incremental_add_equals_rebuild(spark, sf_dir, tmp_path):
+    """Incremental index maintenance (round 7): new vectors are
+    assigned with the FROZEN quantizer and appended as a new segment;
+    serving over the incrementally-grown index must equal serving over
+    a one-shot rebuild — same centroids => identical assignments =>
+    identical buckets, so the only moving part is the append. This is
+    how a production ANN index absorbs a daily embedding delta without
+    re-clustering the corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 3 != 0)
+    delta = emb.filter(F.col("vec_id") % 3 == 0)
+    model = fit_ivf(base, k=8)
+
+    ipath = str(tmp_path / "ivf_inc")
+    assign_buckets(base, model).write.partitionBy("ivf_bucket").mode(
+        "overwrite"
+    ).parquet(ipath)
+    # the daily delta: assign with the frozen model, append
+    assign_buckets(delta, model).write.partitionBy("ivf_bucket").mode(
+        "append"
+    ).parquet(ipath)
+
+    rebuilt = assign_buckets(emb, model).select("vec_id", "ivf_bucket")
+    incremental = spark.read.parquet(ipath).select("vec_id", "ivf_bucket")
+    assert {tuple(r) for r in incremental.collect()} == {
+        tuple(r) for r in rebuilt.collect()
+    }
