@@ -61,3 +61,26 @@ def read_inverted_index(
             ",",
         ).alias("postings"),
     )
+
+
+def compact_segments(spark: SparkSession, target_dir: str) -> None:
+    """Offline segment compaction: rewrite the many per-batch files as
+    ONE merged (term, doc_id, tf) segment — the same merge plan
+    ``read_inverted_index`` runs on read, executed once and persisted,
+    so subsequent reads skip the per-read collapse (Lucene's merge
+    policy, as a job). Readers before/after see identical indexes
+    because the store's grain is unchanged; only the file layout is.
+
+    Write-then-swap via an overwrite of the same directory is safe
+    here because the merged frame is materialized (collected to a
+    local checkpoint) before the overwrite clears the inputs.
+    """
+    from pyspark.sql import functions as F
+
+    merged = (
+        spark.read.parquet(target_dir)
+        .groupBy("term", "doc_id")
+        .agg(F.sum("tf").cast("long").alias("tf"))
+        .localCheckpoint(eager=True)
+    )
+    merged.coalesce(1).write.mode("overwrite").parquet(target_dir)

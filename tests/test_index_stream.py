@@ -46,3 +46,39 @@ def test_streamed_index_equals_batch(spark, tmp_path):
     assert set(streamed) == set(batch)
     for t in batch:
         assert streamed[t].asDict() == batch[t].asDict(), t
+
+
+def test_segment_compaction_preserves_index(spark, tmp_path):
+    """compact_segments rewrites many per-batch files as one merged
+    segment; the index read before and after must be identical, and
+    the file count must actually drop."""
+    import glob
+
+    from scala_data_pipeline_spark.streaming.index_sink import (
+        compact_segments,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    src = str(tmp_path / "src")
+    docs.repartition(4).write.mode("overwrite").parquet(src)
+    target = str(tmp_path / "segments")
+    sdf = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        sdf.writeStream.foreachBatch(index_append_sink(target))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=120)
+
+    before = {r.term: r.asDict() for r in read_inverted_index(spark, target).collect()}
+    n_files_before = len(glob.glob(f"{target}/part-*"))
+    compact_segments(spark, target)
+    n_files_after = len(glob.glob(f"{target}/part-*"))
+    after = {r.term: r.asDict() for r in read_inverted_index(spark, target).collect()}
+    assert n_files_after < n_files_before
+    assert after == before
