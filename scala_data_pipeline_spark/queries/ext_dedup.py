@@ -494,3 +494,90 @@ def _clustering_oracle() -> str:
 
 EXTRA_QUERIES["graph_clustering"] = graph_clustering
 EXTRA_ORACLES["graph_clustering"] = _clustering_oracle()
+
+
+def dedup_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-and-reweight (round 7): drop every near-dup cluster member
+    except the quality keeper, but carry the cluster SIZE as a sample
+    weight on the keeper — the de-dup policy that preserves the
+    corpus's true distribution (naive dedup silently down-weights
+    popular content; keeping raw duplicates over-trains on it; the
+    weight column lets the training sampler have both). Singletons
+    (docs in no near-dup cluster) keep weight 1.
+
+    Scale shape: composes the memoized pair hub → components → keeper
+    window, then ONE left join of the corpus onto the (cluster-bounded)
+    membership/keeper frames. Output is one row per SURVIVING doc.
+    """
+    from pyspark.sql import Window
+
+    from ..ext.components import connected_components
+    from ..ext.textstats import quality_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    comp = connected_components(_lsh_pairs(spark, sf_dir))
+    sizes = comp.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members")
+    )
+    scored = comp.join(
+        quality_features(docs).select("doc_id", "quality_score"), on="doc_id"
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality_score").desc(), F.col("doc_id").asc()
+    )
+    keepers = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .join(sizes, on="cluster_id")
+        .select("doc_id", "n_members")
+    )
+    membership = comp.select("doc_id", F.lit(True).alias("clustered"))
+    return (
+        docs.select("doc_id", "source")
+        .join(membership, on="doc_id", how="left")
+        .join(keepers, on="doc_id", how="left")
+        .filter(
+            F.col("clustered").isNull() | F.col("n_members").isNotNull()
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.coalesce(F.col("n_members"), F.lit(1))
+            .cast("long")
+            .alias("weight"),
+        )
+    )
+
+
+def _reweight_oracle() -> str:
+    from ..ext.components import connected_components_sql
+    from ..ext.textstats import quality_score_sql
+
+    cc = connected_components_sql(minhash_lsh_sql())
+    return f"""
+WITH comp AS ({cc}), sizes AS (
+  SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members
+  FROM comp GROUP BY cluster_id
+), scored AS (
+  SELECT c.doc_id, c.cluster_id, {quality_score_sql()} AS quality_score
+  FROM comp c JOIN documents USING (doc_id)
+), keepers AS (
+  SELECT doc_id, n_members FROM (
+    SELECT s.*, ROW_NUMBER() OVER (
+        PARTITION BY cluster_id
+        ORDER BY quality_score DESC, doc_id ASC) AS rnk
+    FROM scored s
+  ) r JOIN sizes USING (cluster_id)
+  WHERE rnk = 1
+)
+SELECT d.doc_id, d.source,
+       CAST(COALESCE(k.n_members, 1) AS BIGINT) AS weight
+FROM documents d
+LEFT JOIN comp c ON c.doc_id = d.doc_id
+LEFT JOIN keepers k ON k.doc_id = d.doc_id
+WHERE c.doc_id IS NULL OR k.doc_id IS NOT NULL
+"""
+
+
+EXTRA_QUERIES["dedup_reweight"] = dedup_reweight
+EXTRA_ORACLES["dedup_reweight"] = _reweight_oracle()

@@ -136,3 +136,20 @@ def test_cluster_split_never_separates_near_dups(spark, sf_dir):
     for r in pairs:
         assert labeled[r["doc_a"]] == labeled[r["doc_b"]], (
             r["doc_a"], r["doc_b"])
+
+
+def test_dedup_reweight_conserves_mass(spark, sf_dir):
+    """Dedup-and-reweight must conserve corpus mass exactly: every
+    dropped near-dup's unit of weight moves onto its cluster keeper,
+    so sum(weight) == |docs| and keepers carry weight == cluster
+    size."""
+    from pyspark.sql import functions as F
+
+    from scala_data_pipeline_spark.queries.ext_dedup import dedup_reweight
+    from scala_data_pipeline_spark.sources import load_table
+
+    out = dedup_reweight(spark, sf_dir)
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert out.agg(F.sum("weight")).collect()[0][0] == n_docs
+    assert out.count() <= n_docs
+    assert out.filter(F.col("weight") < 1).count() == 0
