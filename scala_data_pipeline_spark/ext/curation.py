@@ -743,3 +743,125 @@ WITH scored AS (
 SELECT s.doc_id, s.source, s.lang, r.mean_quality, r.n_docs
 FROM scored s JOIN rep r ON s.source = r.source AND s.lang = r.lang
 """
+
+
+# ---------------------------------------------------------------------------
+# Cross-source score calibration (round 7)
+# ---------------------------------------------------------------------------
+
+
+def score_calibration(docs: DataFrame, score_frame: DataFrame) -> DataFrame:
+    """Quantile-map each source's score distribution onto the global
+    one: calibrated(x | source) = G⁻¹(F_source(x)) — the cross-source
+    normalization a mixed-corpus quality gate needs (a 0.7 from a
+    lenient scorer and a 0.7 from a strict one mean different things;
+    after calibration, equal scores mean equal global quantiles).
+
+    ``score_frame`` must carry (doc_id, score). Both ECDFs live on the
+    DISTINCT-score grain, which 6-decimal rounding bounds at 10⁶+1
+    rows REGARDLESS of corpus size; the G⁻¹ lookup is a single
+    backfill window over the union of the two grains (order by
+    position descending, carry the last seen global row), not an
+    inequality join. Returns the (source, score) → calibrated mapping
+    table (join it back to docs to materialize per-doc scores).
+    """
+    joined = docs.select("doc_id", "source").join(score_frame, on="doc_id")
+    src_grain = joined.groupBy("source", "score").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    w_src = (
+        Window.partitionBy("source")
+        .orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    n_src = F.sum("cnt").over(Window.partitionBy("source"))
+    s_rows = src_grain.select(
+        F.lit("B").alias("kind"),
+        F.col("source"),
+        F.col("score"),
+        (
+            F.sum("cnt").over(w_src).cast("double") / n_src.cast("double")
+        ).alias("pos"),
+        F.lit(None).cast("double").alias("g"),
+    )
+    g_grain = joined.groupBy("score").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    w_g = Window.orderBy("score").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    n_g = F.sum("cnt").over(Window.partitionBy())
+    g_rows = g_grain.select(
+        F.lit("A").alias("kind"),
+        F.lit(None).cast("string").alias("source"),
+        F.col("score"),
+        (F.sum("cnt").over(w_g).cast("double") / n_g.cast("double")).alias(
+            "pos"
+        ),
+        F.col("score").cast("double").alias("g"),
+    )
+    # Backfill window over the bounded union grain: descending by
+    # position with G rows ('A') sorting before S rows at equal
+    # position, so an S row's frame ends at the SMALLEST global
+    # position >= its own — exactly G⁻¹ (ECDF positions increase with
+    # score, so smallest qualifying position = smallest qualifying g).
+    w_fill = Window.orderBy(
+        F.col("pos").desc(),
+        F.col("kind").asc(),
+        F.coalesce(F.col("source"), F.lit("")).asc(),
+        F.col("score").asc(),
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        s_rows.unionByName(g_rows)
+        .withColumn("calibrated", F.last("g", ignorenulls=True).over(w_fill))
+        .filter(F.col("kind") == "B")
+        .select(
+            "source",
+            "score",
+            F.round("pos", 6).alias("src_ecdf"),
+            F.round("calibrated", 6).alias("calibrated_score"),
+        )
+    )
+
+
+def score_calibration_sql(
+    score_expr: str, table: str = "documents"
+) -> str:
+    """DuckDB twin of :func:`score_calibration` over the same score
+    expression (same grains, same backfill window)."""
+    return f"""
+WITH scored AS (
+  SELECT doc_id, source, {score_expr} AS score FROM {table}
+), src_grain AS (
+  SELECT source, score, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM scored GROUP BY 1, 2
+), s_rows AS (
+  SELECT 'B' AS kind, source, score,
+         CAST(SUM(cnt) OVER (PARTITION BY source ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+           / CAST(SUM(cnt) OVER (PARTITION BY source) AS DOUBLE) AS pos,
+         CAST(NULL AS DOUBLE) AS g
+  FROM src_grain
+), g_grain AS (
+  SELECT score, CAST(COUNT(*) AS BIGINT) AS cnt FROM scored GROUP BY 1
+), g_rows AS (
+  SELECT 'A' AS kind, CAST(NULL AS VARCHAR) AS source, score,
+         CAST(SUM(cnt) OVER (ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+           / CAST(SUM(cnt) OVER () AS DOUBLE) AS pos,
+         CAST(score AS DOUBLE) AS g
+  FROM g_grain
+), unioned AS (
+  SELECT * FROM s_rows UNION ALL SELECT * FROM g_rows
+), filled AS (
+  SELECT *,
+         last_value(g IGNORE NULLS) OVER (
+           ORDER BY pos DESC, kind ASC, COALESCE(source, '') ASC, score ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS calibrated
+  FROM unioned
+)
+SELECT source, score,
+       ROUND(pos, 6) AS src_ecdf,
+       ROUND(calibrated, 6) AS calibrated_score
+FROM filled WHERE kind = 'B'
+"""

@@ -333,3 +333,27 @@ FROM tagged GROUP BY 1
 
 EXTRA_QUERIES["curation_time_split"] = curation_time_split
 EXTRA_ORACLES["curation_time_split"] = TIME_SPLIT_ORACLE
+
+
+def curation_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-map per-source quality-score distributions onto the
+    global one (round 7; see ext/curation.py::score_calibration)."""
+    from ..ext.curation import score_calibration
+    from ..ext.textstats import quality_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    scores = quality_features(docs).select(
+        "doc_id", F.col("quality_score").alias("score")
+    )
+    return score_calibration(docs, scores)
+
+
+def _calibration_oracle() -> str:
+    from ..ext.curation import score_calibration_sql
+    from ..ext.textstats import quality_score_sql
+
+    return score_calibration_sql(quality_score_sql())
+
+
+EXTRA_QUERIES["curation_score_calibration"] = curation_score_calibration
+EXTRA_ORACLES["curation_score_calibration"] = _calibration_oracle()

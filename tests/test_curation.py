@@ -153,3 +153,34 @@ def test_dedup_reweight_conserves_mass(spark, sf_dir):
     assert out.agg(F.sum("weight")).collect()[0][0] == n_docs
     assert out.count() <= n_docs
     assert out.filter(F.col("weight") < 1).count() == 0
+
+
+def test_score_calibration_properties(spark, sf_dir):
+    """Quantile-mapping invariants: per source, calibration is
+    monotone in the raw score; calibrated values come from the global
+    score domain; and the mapped global quantile is >= the source
+    quantile position (G(G^-1(p)) >= p)."""
+    from pyspark.sql import functions as F
+
+    from scala_data_pipeline_spark.ext.textstats import quality_features
+    from scala_data_pipeline_spark.queries.ext_curation import (
+        curation_score_calibration,
+    )
+    from scala_data_pipeline_spark.sources import load_table
+
+    rows = curation_score_calibration(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents")
+    global_scores = {
+        r.quality_score
+        for r in quality_features(docs).select("quality_score").collect()
+    }
+    by_source = {}
+    for r in rows:
+        by_source.setdefault(r.source, []).append(r)
+        assert r.calibrated_score in global_scores
+        assert 0.0 < r.src_ecdf <= 1.0
+    for src, rs in by_source.items():
+        rs.sort(key=lambda r: r.score)
+        calibs = [r.calibrated_score for r in rs]
+        assert calibs == sorted(calibs), src  # monotone mapping
+        assert rs[-1].src_ecdf == 1.0  # top score maps the full mass
