@@ -293,3 +293,56 @@ def _zipf_oracle() -> str:
 
 EXTRA_QUERIES["text_zipf_spectrum"] = text_zipf_spectrum
 EXTRA_ORACLES["text_zipf_spectrum"] = _zipf_oracle()
+
+
+def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID eval (round 7): confusion counts of the marker-word
+    classifier against the corpus's labeled lang column, with
+    per-true-lang recall — the classifier-audit step before trusting
+    lang gates at scale. One corpus scan + one (true, predicted)
+    aggregate; recall is a window over the <=25-row confusion grain."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    preds = lang_id(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "predicted_lang"
+    )
+    labeled = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("lang").alias("true_lang")
+    )
+    conf = (
+        labeled.join(preds, on="doc_id")
+        .groupBy("true_lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    w_true = Window.partitionBy("true_lang")
+    return conf.select(
+        "true_lang",
+        "predicted_lang",
+        "n",
+        F.round(
+            F.col("n").cast("double")
+            / F.sum("n").over(w_true).cast("double"),
+            6,
+        ).alias("row_frac"),
+    )
+
+
+LANG_CONFUSION_ORACLE = f"""
+WITH preds AS (
+  SELECT doc_id, predicted_lang FROM ({lang_id_sql()})
+), conf AS (
+  SELECT d.lang AS true_lang, p.predicted_lang,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM documents d JOIN preds p USING (doc_id)
+  GROUP BY 1, 2
+)
+SELECT true_lang, predicted_lang, n,
+       ROUND(CAST(n AS DOUBLE)
+             / CAST(SUM(n) OVER (PARTITION BY true_lang) AS DOUBLE), 6)
+         AS row_frac
+FROM conf
+"""
+
+EXTRA_QUERIES["text_lang_confusion"] = text_lang_confusion
+EXTRA_ORACLES["text_lang_confusion"] = LANG_CONFUSION_ORACLE

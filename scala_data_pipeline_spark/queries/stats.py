@@ -389,3 +389,64 @@ FROM counts
 # Markov-transition (lead-window + conditional-probability) shape.
 QUERIES["event_transitions"] = event_transitions
 ORACLES["event_transitions"] = EVENT_TRANSITIONS_ORACLE
+
+
+def histogram_equidepth_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equal-height) histogram of order totals — the
+    optimizer-statistics companion to histogram_prices' fixed-width
+    buckets: bucket(v) = ceil(ECDF(v)·10), assigned on the DISTINCT
+    cent-price grain (bounded domain, the ks_value_drift precedent),
+    so no per-row global sort ever happens; ties land whole in one
+    bucket (the standard equi-depth-on-duplicates semantics). Output:
+    bucket, row count, value range — near-equal counts up to tie
+    granularity.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    orders = load_table(spark, sf_dir, "orders")
+    grain = orders.groupBy(
+        F.col("o_totalprice").cast("decimal(18,2)").alias("v")
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    w_cum = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = Window.partitionBy()
+    ecdf = F.sum("cnt").over(w_cum).cast("double") / F.sum("cnt").over(
+        tot
+    ).cast("double")
+    bucketed = grain.select(
+        F.least(F.ceil(ecdf * 10), F.lit(10)).cast("int").alias("bucket"),
+        "v",
+        "cnt",
+    )
+    return bucketed.groupBy("bucket").agg(
+        F.sum("cnt").cast("long").alias("n_orders"),
+        F.min("v").cast("double").alias("lo"),
+        F.max("v").cast("double").alias("hi"),
+    )
+
+
+HISTOGRAM_EQUIDEPTH_ORACLE = """
+WITH grain AS (
+  SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS v,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM orders GROUP BY 1
+), bucketed AS (
+  SELECT LEAST(CAST(CEIL(
+           CAST(SUM(cnt) OVER (ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+           / CAST(SUM(cnt) OVER () AS DOUBLE) * 10) AS INTEGER), 10)
+           AS bucket,
+         v, cnt
+  FROM grain
+)
+SELECT bucket,
+       CAST(SUM(cnt) AS BIGINT) AS n_orders,
+       CAST(MIN(v) AS DOUBLE) AS lo,
+       CAST(MAX(v) AS DOUBLE) AS hi
+FROM bucketed GROUP BY bucket
+"""
+
+EXTRA_QUERIES["histogram_equidepth_prices"] = histogram_equidepth_prices
+EXTRA_ORACLES["histogram_equidepth_prices"] = HISTOGRAM_EQUIDEPTH_ORACLE
