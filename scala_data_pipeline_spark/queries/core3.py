@@ -494,3 +494,39 @@ FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
 # Promoted to a driver slot in round 5 (never driver-checked before).
 QUERIES["gap_fill_purchases"] = gap_fill_purchases
 ORACLES["gap_fill_purchases"] = GAP_FILL_ORACLE
+
+
+def mart_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-aggregate mart maintained INCREMENTALLY (round 7): the
+    Spark side computes revenue-by-nation as mart(base orders) merged
+    with mart(delta orders) — the Δ(fact ⋈ dims) = Δfact ⋈ dims
+    identity — while the DuckDB oracle rebuilds the mart from scratch,
+    making this a cross-algorithm correctness check of incremental
+    view maintenance (see operators/ivm.py)."""
+    from ..operators.ivm import merge_marts, present_mart, revenue_mart
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    base = orders.filter(F.col("o_orderkey") % 10 < 8)
+    delta = orders.filter(F.col("o_orderkey") % 10 >= 8)
+    merged = merge_marts(
+        revenue_mart(base, customer, nation),
+        revenue_mart(delta, customer, nation),
+    )
+    return present_mart(merged)
+
+
+MART_INCREMENTAL_ORACLE = """
+SELECT n.n_name AS nation,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+         AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders o
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+GROUP BY n.n_name
+"""
+
+EXTRA_QUERIES["mart_incremental_join"] = mart_incremental_join
+EXTRA_ORACLES["mart_incremental_join"] = MART_INCREMENTAL_ORACLE

@@ -581,3 +581,39 @@ WHERE c.doc_id IS NULL OR k.doc_id IS NOT NULL
 
 EXTRA_QUERIES["dedup_reweight"] = dedup_reweight
 EXTRA_ORACLES["dedup_reweight"] = _reweight_oracle()
+
+
+def dedup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-size distribution of the near-dup graph (round 7):
+    (cluster_size, n_clusters) — the corpus-health fingerprint dedup
+    monitoring dashboards track (a fat tail of giant clusters means
+    template floods; mass in size-2 clusters means fuzzy mirrors).
+    Composes the memoized pair hub → components → two tiny group-bys.
+    """
+    from ..ext.components import connected_components
+
+    comp = connected_components(_lsh_pairs(spark, sf_dir))
+    sizes = comp.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters")
+    )
+
+
+def _cluster_histogram_oracle() -> str:
+    from ..ext.components import connected_components_sql
+
+    cc = connected_components_sql(minhash_lsh_sql())
+    return f"""
+WITH comp AS ({cc}), sizes AS (
+  SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+  FROM comp GROUP BY cluster_id
+)
+SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
+FROM sizes GROUP BY cluster_size
+"""
+
+
+EXTRA_QUERIES["dedup_cluster_histogram"] = dedup_cluster_histogram
+EXTRA_ORACLES["dedup_cluster_histogram"] = _cluster_histogram_oracle()
