@@ -1955,3 +1955,100 @@ FROM cells GROUP BY n, r, c
 
 EXTRA_QUERIES["assoc_priority_status"] = assoc_priority_status
 EXTRA_ORACLES["assoc_priority_status"] = ASSOC_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# Pairwise KS drift scan over all event types (round 7)
+# ---------------------------------------------------------------------------
+
+_KS_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def ks_pairwise_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every-pair KS distance matrix over the five event types' value
+    distributions — the distributional analogue of ab_welch_value's
+    pairwise mean scan (and the input ab_welch_fdr-style corrections
+    consume when the pair family is large). One corpus pass builds the
+    per-type counts on the bounded value grain; all 10 pairwise ECDF
+    gaps fall out of ONE set of cumulative windows over that grain —
+    the corpus is never re-scanned per pair.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(*_KS_TYPES)
+    )
+    counts = [
+        F.sum(F.when(F.col("event_type") == t, 1).otherwise(0))
+        .cast("long")
+        .alias(f"c_{t}")
+        for t in _KS_TYPES
+    ]
+    grain = ev.groupBy(
+        F.col("value").cast("decimal(18,2)").alias("v")
+    ).agg(*counts)
+    w_cum = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = Window.partitionBy()
+    # windows must materialize before the explode can reference them
+    with_cdfs = grain.select(
+        *[
+            (
+                F.sum(f"c_{t}").over(w_cum).cast("double")
+                / F.sum(f"c_{t}").over(tot).cast("double")
+            ).alias(f"cdf_{t}")
+            for t in _KS_TYPES
+        ]
+    )
+    pair_structs = [
+        F.struct(
+            F.lit(a).alias("type_a"),
+            F.lit(b).alias("type_b"),
+            F.abs(F.col(f"cdf_{a}") - F.col(f"cdf_{b}")).alias("diff"),
+        )
+        for i, a in enumerate(_KS_TYPES)
+        for b in _KS_TYPES[i + 1 :]
+    ]
+    stepped = with_cdfs.select(
+        F.explode(F.array(*pair_structs)).alias("p")
+    ).select("p.type_a", "p.type_b", "p.diff")
+    return stepped.groupBy("type_a", "type_b").agg(
+        F.round(F.max("diff"), 6).alias("ks_d")
+    )
+
+
+def _ks_pairwise_oracle() -> str:
+    count_cols = ",\n         ".join(
+        f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS c_{t}"
+        for t in _KS_TYPES
+    )
+    cdf = {
+        t: (
+            f"(CAST(SUM(c_{t}) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED "
+            f"PRECEDING AND CURRENT ROW) AS DOUBLE) "
+            f"/ CAST(SUM(c_{t}) OVER () AS DOUBLE))"
+        )
+        for t in _KS_TYPES
+    }
+    pair_rows = "\n  UNION ALL ".join(
+        f"SELECT '{a}' AS type_a, '{b}' AS type_b, "
+        f"ABS({cdf[a]} - {cdf[b]}) AS diff FROM grain"
+        for i, a in enumerate(_KS_TYPES)
+        for b in _KS_TYPES[i + 1 :]
+    )
+    types = ", ".join(f"'{t}'" for t in _KS_TYPES)
+    return f"""
+WITH grain AS (
+  SELECT CAST(value AS DECIMAL(18,2)) AS v,
+         {count_cols}
+  FROM events WHERE event_type IN ({types}) GROUP BY 1
+), stepped AS (
+  {pair_rows}
+)
+SELECT type_a, type_b, ROUND(MAX(diff), 6) AS ks_d
+FROM stepped GROUP BY type_a, type_b
+"""
+
+
+EXTRA_QUERIES["ks_pairwise_events"] = ks_pairwise_events
+EXTRA_ORACLES["ks_pairwise_events"] = _ks_pairwise_oracle()
