@@ -2052,3 +2052,96 @@ FROM stepped GROUP BY type_a, type_b
 
 EXTRA_QUERIES["ks_pairwise_events"] = ks_pairwise_events
 EXTRA_ORACLES["ks_pairwise_events"] = _ks_pairwise_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation per brand (round 7)
+# ---------------------------------------------------------------------------
+
+
+def spearman_brand_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand Spearman rank correlation of part size vs retail
+    price — the monotone-association complement to the Pearson fit in
+    regress_brand_price (Pearson sees only LINEAR relationships;
+    Spearman catches any monotone one and shrugs off outliers).
+    Computed as Pearson over tie-averaged ranks (the exact definition
+    with ties): rank(x) = average row_number within each tied value
+    group, from two brand-partitioned windows; the correlation then
+    reuses the decimal-partial closed form on the ranked frame. All
+    windows are brand-partitioned — no global sort.
+    """
+    part = load_table(spark, sf_dir, "part")
+
+    def avg_rank(col: str) -> F.Column:
+        rn = F.row_number().over(
+            Window.partitionBy("p_brand").orderBy(
+                F.col(col).asc(), F.col("p_partkey").asc()
+            )
+        )
+        return F.avg(rn).over(Window.partitionBy("p_brand", col))
+
+    ranked = part.select(
+        "p_brand",
+        avg_rank("p_size").alias("rx"),
+        avg_rank("p_retailprice").alias("ry"),
+    )
+    x = F.col("rx").cast("decimal(18,4)")
+    y = F.col("ry").cast("decimal(18,4)")
+    sums = ranked.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum((x * y).cast("decimal(38,8)")).cast("double").alias("sxy"),
+        F.sum((x * x).cast("decimal(38,8)")).cast("double").alias("sxx"),
+        F.sum((y * y).cast("decimal(38,8)")).cast("double").alias("syy"),
+    )
+    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return sums.select(
+        "p_brand",
+        F.col("n").cast("long").alias("n"),
+        F.round(cov / den, 6).alias("spearman_rho"),
+    )
+
+
+SPEARMAN_ORACLE = """
+WITH ranked AS (
+  SELECT p_brand,
+         AVG(rnx) OVER (PARTITION BY p_brand, p_size) AS rx,
+         AVG(rny) OVER (PARTITION BY p_brand, p_retailprice) AS ry
+  FROM (
+    SELECT p_brand, p_size, p_retailprice,
+           CAST(ROW_NUMBER() OVER (PARTITION BY p_brand
+               ORDER BY p_size ASC, p_partkey ASC) AS DOUBLE) AS rnx,
+           CAST(ROW_NUMBER() OVER (PARTITION BY p_brand
+               ORDER BY p_retailprice ASC, p_partkey ASC) AS DOUBLE) AS rny
+    FROM part
+  )
+), sums AS (
+  SELECT p_brand,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(rx AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(ry AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(CAST(rx AS DECIMAL(18,4))
+                       * CAST(ry AS DECIMAL(18,4)) AS DECIMAL(38,8)))
+              AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(CAST(rx AS DECIMAL(18,4))
+                       * CAST(rx AS DECIMAL(18,4)) AS DECIMAL(38,8)))
+              AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(CAST(ry AS DECIMAL(18,4))
+                       * CAST(ry AS DECIMAL(18,4)) AS DECIMAL(38,8)))
+              AS DOUBLE) AS syy
+  FROM ranked GROUP BY p_brand
+)
+SELECT p_brand, CAST(n AS BIGINT) AS n,
+       ROUND((n * sxy - sx * sy)
+             / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+         AS spearman_rho
+FROM sums
+"""
+
+EXTRA_QUERIES["spearman_brand_price"] = spearman_brand_price
+EXTRA_ORACLES["spearman_brand_price"] = SPEARMAN_ORACLE
