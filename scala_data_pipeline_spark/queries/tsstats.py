@@ -2145,3 +2145,125 @@ FROM sums
 
 EXTRA_QUERIES["spearman_brand_price"] = spearman_brand_price
 EXTRA_ORACLES["spearman_brand_price"] = SPEARMAN_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# STL-lite seasonal decomposition of daily revenue (round 7)
+# ---------------------------------------------------------------------------
+
+
+def seasonal_decompose_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive decomposition of the daily-revenue series:
+    trend = centered 7-day moving average (full windows only),
+    seasonal = mean detrended value per day-of-week re-centered to sum
+    to zero, residual = the rest — the explainability layer under the
+    anomaly detector (a z-score spike that the seasonal term explains
+    is a Tuesday, not an incident). Everything after the one
+    corpus-sized groupBy runs on the DAYS grain; means are ratios of
+    decimal sums over exact counts, every emitted component rounded
+    to 6 in the same expression shape as the oracle.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("rev")
+    )
+    w7 = Window.orderBy("day").rowsBetween(-3, 3)
+    trend = F.when(
+        F.count(F.lit(1)).over(w7) == 7,
+        F.round(
+            F.sum("rev").over(w7).cast("double") / 7,
+            6,
+        ),
+    )
+    detr = daily.select(
+        "day",
+        F.col("rev").cast("double").alias("revenue"),
+        trend.alias("trend"),
+    ).withColumn(
+        "detrended",
+        F.round(F.col("revenue") - F.col("trend"), 6),
+    )
+    w_dow = Window.partitionBy(F.dayofweek("day"))
+    tot = Window.partitionBy()
+    dow_mean = F.round(
+        F.sum(F.col("detrended").cast("decimal(18,6)")).over(w_dow).cast(
+            "double"
+        )
+        / F.count("detrended").over(w_dow),
+        6,
+    )
+    with_dow = detr.withColumn("dow_mean", dow_mean)
+    # Re-center so the seasonal component carries no level: subtract
+    # the mean of the 7 per-DOW means (computed over DISTINCT dows).
+    grand = F.round(
+        F.sum(
+            F.when(
+                F.row_number().over(
+                    Window.partitionBy(F.dayofweek("day")).orderBy("day")
+                )
+                == 1,
+                F.col("dow_mean"),
+            ).cast("decimal(18,6)")
+        ).over(tot).cast("double")
+        / 7,
+        6,
+    )
+    return (
+        with_dow.withColumn("grand", grand)
+        .select(
+            "day",
+            F.round("revenue", 6).alias("revenue"),
+            "trend",
+            F.round(F.col("dow_mean") - F.col("grand"), 6).alias("seasonal"),
+            F.round(
+                F.col("revenue")
+                - F.col("trend")
+                - (F.col("dow_mean") - F.col("grand")),
+                6,
+            ).alias("residual"),
+        )
+        .filter(F.col("trend").isNotNull())
+    )
+
+
+SEASONAL_ORACLE = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
+  FROM orders GROUP BY 1
+), detr AS (
+  SELECT day,
+         CAST(rev AS DOUBLE) AS revenue,
+         CASE WHEN COUNT(*) OVER w7 = 7
+              THEN ROUND(CAST(SUM(rev) OVER w7 AS DOUBLE) / 7, 6)
+         END AS trend
+  FROM daily
+  WINDOW w7 AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+), with_det AS (
+  SELECT *, ROUND(revenue - trend, 6) AS detrended FROM detr
+), with_dow AS (
+  SELECT *,
+         ROUND(CAST(SUM(CAST(detrended AS DECIMAL(18,6)))
+                 OVER (PARTITION BY dayofweek(day)) AS DOUBLE)
+               / COUNT(detrended) OVER (PARTITION BY dayofweek(day)), 6)
+           AS dow_mean,
+         ROW_NUMBER() OVER (PARTITION BY dayofweek(day) ORDER BY day)
+           AS dow_rn
+  FROM with_det
+), with_grand AS (
+  SELECT *,
+         ROUND(CAST(SUM(CASE WHEN dow_rn = 1
+                 THEN CAST(dow_mean AS DECIMAL(18,6)) END) OVER ()
+               AS DOUBLE) / 7, 6) AS grand
+  FROM with_dow
+)
+SELECT day,
+       ROUND(revenue, 6) AS revenue,
+       trend,
+       ROUND(dow_mean - grand, 6) AS seasonal,
+       ROUND(revenue - trend - (dow_mean - grand), 6) AS residual
+FROM with_grand WHERE trend IS NOT NULL
+"""
+
+EXTRA_QUERIES["seasonal_decompose_revenue"] = seasonal_decompose_revenue
+EXTRA_ORACLES["seasonal_decompose_revenue"] = SEASONAL_ORACLE
