@@ -2267,3 +2267,204 @@ FROM with_grand WHERE trend IS NOT NULL
 
 EXTRA_QUERIES["seasonal_decompose_revenue"] = seasonal_decompose_revenue
 EXTRA_ORACLES["seasonal_decompose_revenue"] = SEASONAL_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# Cohort LTV curves (round 7)
+# ---------------------------------------------------------------------------
+
+
+def cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative revenue per signup cohort by account age — the LTV
+    curve that prices acquisition (retention says users STAY; LTV says
+    what staying is worth). Cohort = month of a user's first event;
+    revenue = purchase values in each subsequent month; LTV/user =
+    cumulative cohort revenue over the cohort's user count.
+
+    Scale shape: one per-user aggregate for cohort assignment, one
+    (user, month) revenue aggregate, then everything on the
+    (cohort, age) grain — cumulative windows over months, not events.
+    """
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    cohorts = events.groupBy("user_id").agg(
+        F.date_trunc("month", F.min("ts")).cast("date").alias("cohort_month")
+    )
+    monthly = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            "user_id",
+            F.date_trunc("month", F.col("ts")).cast("date").alias("month"),
+        )
+        .agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("rev"))
+    )
+    per_cell = (
+        monthly.join(cohorts, on="user_id")
+        .groupBy(
+            "cohort_month",
+            F.months_between(F.col("month"), F.col("cohort_month"))
+            .cast("int")
+            .alias("age_months"),
+        )
+        .agg(F.sum("rev").alias("rev"))
+    )
+    sizes = cohorts.groupBy("cohort_month").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_users")
+    )
+    w_cum = (
+        Window.partitionBy("cohort_month")
+        .orderBy("age_months")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        per_cell.join(sizes, on="cohort_month")
+        .select(
+            "cohort_month",
+            "age_months",
+            F.round(F.col("rev").cast("double"), 6).alias("revenue"),
+            F.round(F.sum("rev").over(w_cum).cast("double"), 6).alias(
+                "cum_revenue"
+            ),
+            "cohort_users",
+            F.round(
+                F.sum("rev").over(w_cum).cast("double")
+                / F.col("cohort_users").cast("double"),
+                6,
+            ).alias("ltv_per_user"),
+        )
+    )
+
+
+COHORT_LTV_ORACLE = """
+WITH cohorts AS (
+  SELECT user_id,
+         CAST(date_trunc('month', MIN(ts)) AS DATE) AS cohort_month
+  FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+), monthly AS (
+  SELECT user_id, CAST(date_trunc('month', ts) AS DATE) AS month,
+         SUM(CAST(value AS DECIMAL(18,2))) AS rev
+  FROM events WHERE user_id IS NOT NULL AND event_type = 'purchase'
+  GROUP BY 1, 2
+), per_cell AS (
+  SELECT c.cohort_month,
+         CAST(date_diff('month', c.cohort_month, m.month) AS INTEGER)
+           AS age_months,
+         SUM(m.rev) AS rev
+  FROM monthly m JOIN cohorts c USING (user_id)
+  GROUP BY 1, 2
+), sizes AS (
+  SELECT cohort_month, CAST(COUNT(*) AS BIGINT) AS cohort_users
+  FROM cohorts GROUP BY 1
+)
+SELECT p.cohort_month, p.age_months,
+       ROUND(CAST(p.rev AS DOUBLE), 6) AS revenue,
+       ROUND(CAST(SUM(p.rev) OVER (PARTITION BY p.cohort_month
+               ORDER BY p.age_months
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS DOUBLE), 6) AS cum_revenue,
+       s.cohort_users,
+       ROUND(CAST(SUM(p.rev) OVER (PARTITION BY p.cohort_month
+               ORDER BY p.age_months
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS DOUBLE) / CAST(s.cohort_users AS DOUBLE), 6)
+         AS ltv_per_user
+FROM per_cell p JOIN sizes s USING (cohort_month)
+"""
+
+EXTRA_QUERIES["cohort_ltv"] = cohort_ltv
+EXTRA_ORACLES["cohort_ltv"] = COHORT_LTV_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# Rolling correlation: daily revenue vs daily event activity (round 7)
+# ---------------------------------------------------------------------------
+
+
+def rolling_corr_revenue_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Trailing-28-day Pearson correlation between daily purchase
+    revenue and daily event volume — the relationship-stability monitor (a
+    stable positive correlation breaking toward zero means activity
+    stopped converting, a different failure than either series' own
+    anomaly z-score catches). Five decimal partial sums over an
+    integer-day RANGE frame (the anomaly_daily_revenue machinery,
+    applied to a PAIR of series joined on day); the correlation is one
+    double expression per day, emitted only for full 28-day windows.
+    """
+    events = load_table(spark, sf_dir, "events")
+    rev = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.sum(F.col("value").cast("decimal(18,4)")).alias("x"))
+    )
+    act = events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("decimal(18,4)").alias("y")
+    )
+    paired = rev.join(act, on="day").select(
+        F.datediff(F.col("day"), F.lit("1970-01-01")).alias("d"),
+        "day",
+        "x",
+        "y",
+    )
+    w = (
+        Window.orderBy("d")
+        .rangeBetween(-27, 0)
+    )
+    n = F.count(F.lit(1)).over(w).cast("double")
+    sx = F.sum("x").over(w).cast("double")
+    sy = F.sum("y").over(w).cast("double")
+    sxy = F.sum((F.col("x") * F.col("y")).cast("decimal(38,8)")).over(w).cast(
+        "double"
+    )
+    sxx = F.sum((F.col("x") * F.col("x")).cast("decimal(38,8)")).over(w).cast(
+        "double"
+    )
+    syy = F.sum((F.col("y") * F.col("y")).cast("decimal(38,8)")).over(w).cast(
+        "double"
+    )
+    r = (n * sxy - sx * sy) / F.sqrt(
+        (n * sxx - sx * sx) * (n * syy - sy * sy)
+    )
+    return (
+        paired.select(
+            "day", n.alias("n"), F.round(r, 6).alias("rolling_corr")
+        )
+        .filter(F.col("n") == 28)
+        .select("day", F.col("n").cast("long").alias("n_days"), "rolling_corr")
+    )
+
+
+ROLLING_CORR_ORACLE = """
+WITH rev AS (
+  SELECT CAST(ts AS DATE) AS day,
+         SUM(CAST(value AS DECIMAL(18,4))) AS x
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+), act AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(COUNT(*) AS DECIMAL(18,4)) AS y
+  FROM events GROUP BY 1
+), paired AS (
+  SELECT date_diff('day', DATE '1970-01-01', r.day) AS d, r.day, r.x, a.y
+  FROM rev r JOIN act a USING (day)
+), stats AS (
+  SELECT day,
+         CAST(COUNT(*) OVER w AS DOUBLE) AS n,
+         CAST(SUM(x) OVER w AS DOUBLE) AS sx,
+         CAST(SUM(y) OVER w AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x * y AS DECIMAL(38,8))) OVER w AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(x * x AS DECIMAL(38,8))) OVER w AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(y * y AS DECIMAL(38,8))) OVER w AS DOUBLE) AS syy
+  FROM paired
+  WINDOW w AS (ORDER BY d RANGE BETWEEN 27 PRECEDING AND CURRENT ROW)
+)
+SELECT day, CAST(n AS BIGINT) AS n_days,
+       ROUND((n * sxy - sx * sy)
+             / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+         AS rolling_corr
+FROM stats WHERE n = 28
+"""
+
+EXTRA_QUERIES["rolling_corr_revenue_events"] = rolling_corr_revenue_events
+EXTRA_ORACLES["rolling_corr_revenue_events"] = ROLLING_CORR_ORACLE
