@@ -2468,3 +2468,205 @@ FROM stats WHERE n = 28
 
 EXTRA_QUERIES["rolling_corr_revenue_events"] = rolling_corr_revenue_events
 EXTRA_ORACLES["rolling_corr_revenue_events"] = ROLLING_CORR_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# Lead-lag cross-correlation: clicks vs purchase revenue (round 7)
+# ---------------------------------------------------------------------------
+
+XCORR_MAX_LAG = 3
+
+
+def xcorr_clicks_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation of daily click volume against daily purchase
+    revenue at lags -3..+3 — the lead-lag detector (a peak at positive
+    lag k means clicks LEAD purchases by k days: the conversion delay;
+    ACF sees a series' own rhythm, this sees the coupling between
+    two). Normalized like the ACF: ρ(k) = Σ dx_t·dy_{t+k} /
+    sqrt(Σdx²·Σdy²), deviations about each series' own mean. Day-grain
+    plan throughout; decimal-rounded lag products.
+    """
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(
+            F.when(F.col("event_type") == "click", 1).otherwise(0)
+        ).cast("decimal(18,4)").alias("clicks"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.col("value").cast("decimal(18,2)"),
+            ).otherwise(F.lit(0).cast("decimal(18,2)"))
+        ).cast("decimal(18,4)").alias("rev"),
+    )
+    tot = Window.partitionBy()
+    mx = F.sum("clicks").over(tot).cast("double") / F.count(F.lit(1)).over(tot)
+    my = F.sum("rev").over(tot).cast("double") / F.count(F.lit(1)).over(tot)
+    dev = daily.select(
+        "day",
+        F.round(F.col("clicks").cast("double") - mx, 8).alias("dx"),
+        F.round(F.col("rev").cast("double") - my, 8).alias("dy"),
+    )
+    w_day = Window.orderBy("day")
+    lags = dev.select(
+        "dx",
+        "dy",
+        *[
+            F.lead("dy", k).over(w_day).alias(f"dy_p{k}")
+            for k in range(1, XCORR_MAX_LAG + 1)
+        ],
+        *[
+            F.lag("dy", k).over(w_day).alias(f"dy_m{k}")
+            for k in range(1, XCORR_MAX_LAG + 1)
+        ],
+    )
+
+    def dy_at(k: int):
+        if k == 0:
+            return F.col("dy")
+        return F.col(f"dy_p{k}") if k > 0 else F.col(f"dy_m{-k}")
+
+    terms = lags.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("lag"),
+                        F.round(F.col("dx") * dy_at(k), 8).alias("xy"),
+                        F.when(
+                            dy_at(k).isNotNull(),
+                            F.round(F.col("dx") * F.col("dx"), 8),
+                        ).alias("xx"),
+                        F.when(
+                            dy_at(k).isNotNull(),
+                            F.round(dy_at(k) * dy_at(k), 8),
+                        ).alias("yy"),
+                    )
+                    for k in range(-XCORR_MAX_LAG, XCORR_MAX_LAG + 1)
+                ]
+            )
+        ).alias("t")
+    ).select("t.lag", "t.xy", "t.xx", "t.yy")
+    sums = (
+        terms.filter(F.col("xy").isNotNull())
+        .groupBy("lag")
+        .agg(
+            F.sum(F.col("xy").cast("decimal(38,8)")).alias("sxy"),
+            F.sum(F.col("xx").cast("decimal(38,8)")).alias("sxx"),
+            F.sum(F.col("yy").cast("decimal(38,8)")).alias("syy"),
+        )
+    )
+    return sums.select(
+        F.col("lag").cast("int").alias("lag"),
+        F.round(
+            F.col("sxy").cast("double")
+            / F.sqrt(
+                F.col("sxx").cast("double") * F.col("syy").cast("double")
+            ),
+            6,
+        ).alias("xcorr"),
+    )
+
+
+def _xcorr_oracle() -> str:
+    def dy_at(k: int) -> str:
+        if k == 0:
+            return "dy"
+        if k > 0:
+            return f"lead(dy, {k}) OVER (ORDER BY day)"
+        return f"lag(dy, {-k}) OVER (ORDER BY day)"
+
+    term_selects = "\n  UNION ALL ".join(
+        f"SELECT {k} AS lag, ROUND(dx * ({dy_at(k)}), 8) AS xy, "
+        f"CASE WHEN ({dy_at(k)}) IS NOT NULL "
+        f"THEN ROUND(dx * dx, 8) END AS xx, "
+        f"CASE WHEN ({dy_at(k)}) IS NOT NULL "
+        f"THEN ROUND(({dy_at(k)}) * ({dy_at(k)}), 8) END AS yy FROM dev"
+        for k in range(-XCORR_MAX_LAG, XCORR_MAX_LAG + 1)
+    )
+    return f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS DECIMAL(18,4)) AS clicks,
+         CAST(SUM(CASE WHEN event_type = 'purchase'
+                       THEN CAST(value AS DECIMAL(18,2))
+                       ELSE CAST(0 AS DECIMAL(18,2)) END)
+              AS DECIMAL(18,4)) AS rev
+  FROM events GROUP BY 1
+), dev AS (
+  SELECT day,
+         ROUND(CAST(clicks AS DOUBLE)
+               - CAST(SUM(clicks) OVER () AS DOUBLE) / COUNT(*) OVER (), 8)
+           AS dx,
+         ROUND(CAST(rev AS DOUBLE)
+               - CAST(SUM(rev) OVER () AS DOUBLE) / COUNT(*) OVER (), 8)
+           AS dy
+  FROM daily
+), terms AS (
+  {term_selects}
+), sums AS (
+  SELECT lag,
+         SUM(CAST(xy AS DECIMAL(38,8))) AS sxy,
+         SUM(CAST(xx AS DECIMAL(38,8))) AS sxx,
+         SUM(CAST(yy AS DECIMAL(38,8))) AS syy
+  FROM terms WHERE xy IS NOT NULL GROUP BY lag
+)
+SELECT CAST(lag AS INTEGER) AS lag,
+       ROUND(CAST(sxy AS DOUBLE)
+             / SQRT(CAST(sxx AS DOUBLE) * CAST(syy AS DOUBLE)), 6) AS xcorr
+FROM sums
+"""
+
+
+EXTRA_QUERIES["xcorr_clicks_purchases"] = xcorr_clicks_purchases
+EXTRA_ORACLES["xcorr_clicks_purchases"] = _xcorr_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Activity heat map: day-of-week × hour grid (round 7)
+# ---------------------------------------------------------------------------
+
+
+def activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × hour activity grid with each cell's share of
+    total traffic — the load-profile fingerprint capacity planning and
+    anomaly triage both start from (dow_seasonality collapses to one
+    axis; the 2-d grid shows WHICH hours of WHICH days carry the
+    load). One corpus aggregate to the ≤168-cell grid; shares via one
+    total window over it.
+    """
+    events = load_table(spark, sf_dir, "events")
+    grid = events.groupBy(
+        F.dayofweek("ts").cast("int").alias("dow"),
+        F.hour("ts").cast("int").alias("hour"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    tot = Window.partitionBy()
+    return grid.select(
+        "dow",
+        "hour",
+        "n_events",
+        F.round(
+            F.col("n_events").cast("double")
+            / F.sum("n_events").over(tot).cast("double"),
+            6,
+        ).alias("traffic_share"),
+    )
+
+
+# Spark dayofweek: 1 = Sunday; DuckDB dayofweek: 0 = Sunday — shift to
+# match Spark's numbering.
+ACTIVITY_HEATMAP_ORACLE = """
+WITH grid AS (
+  SELECT CAST(dayofweek(ts) + 1 AS INTEGER) AS dow,
+         CAST(hour(ts) AS INTEGER) AS hour,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+)
+SELECT dow, hour, n_events,
+       ROUND(CAST(n_events AS DOUBLE)
+             / CAST(SUM(n_events) OVER () AS DOUBLE), 6) AS traffic_share
+FROM grid
+"""
+
+EXTRA_QUERIES["activity_heatmap"] = activity_heatmap
+EXTRA_ORACLES["activity_heatmap"] = ACTIVITY_HEATMAP_ORACLE
