@@ -259,7 +259,7 @@ EXTRA_ORACLES["curation_source_reputation"] = _source_reputation_oracle()
 # ---------------------------------------------------------------------------
 
 _EMBARGO_DAYS = 7
-_TEST_FRACTION = 0.8
+_SPLIT_POINT_FRACTION = 0.8  # train+embargo share of the date span; test = last 20%
 
 
 def curation_time_split(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -286,7 +286,7 @@ def curation_time_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     test_start = F.date_add(
         d_min,
         F.floor(
-            F.datediff(d_max, d_min) * F.lit(_TEST_FRACTION)
+            F.datediff(d_max, d_min) * F.lit(_SPLIT_POINT_FRACTION)
         ).cast("int"),
     )
     embargo_start = F.date_add(test_start, -_EMBARGO_DAYS)
@@ -319,7 +319,7 @@ WITH daily AS (
 ), tagged AS (
   SELECT n, day,
          d_min + CAST(FLOOR(date_diff('day', d_min, d_max)
-                            * {_TEST_FRACTION!r}) AS INTEGER) AS test_start
+                            * {_SPLIT_POINT_FRACTION!r}) AS INTEGER) AS test_start
   FROM bounds
 )
 SELECT CASE WHEN day >= test_start THEN 'test'

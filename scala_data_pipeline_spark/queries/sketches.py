@@ -187,4 +187,4 @@ FROM est LEFT JOIN truth ON truth.k = est.k
 
 
 EXTRA_QUERIES["sketch_countmin_custkey"] = sketch_countmin_custkey
-EXTRA_ORACLES: dict = {"sketch_countmin_custkey": _countmin_oracle()}
+EXTRA_ORACLES["sketch_countmin_custkey"] = _countmin_oracle()

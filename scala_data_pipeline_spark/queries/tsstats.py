@@ -1497,7 +1497,8 @@ def ks_from_value_counts(per_val: DataFrame) -> DataFrame:
         F.round(
             F.max("diff")
             * F.sqrt(
-                (F.first("n_click") * F.first("n_view")).cast("double")
+                F.first("n_click").cast("double")
+                * F.first("n_view").cast("double")
                 / (F.first("n_click") + F.first("n_view")).cast("double")
             ),
             6,
@@ -1527,7 +1528,8 @@ WITH per_val AS (
 )
 SELECT n_click, n_view,
        ROUND(MAX(diff), 6) AS ks_d,
-       ROUND(MAX(diff) * SQRT(CAST(MIN(n_click) * MIN(n_view) AS DOUBLE)
+       ROUND(MAX(diff) * SQRT(CAST(MIN(n_click) AS DOUBLE)
+             * CAST(MIN(n_view) AS DOUBLE)
              / CAST(MIN(n_click) + MIN(n_view) AS DOUBLE)), 6) AS ks_scaled
 FROM stepped GROUP BY n_click, n_view
 """

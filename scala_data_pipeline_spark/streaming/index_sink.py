@@ -71,9 +71,12 @@ def compact_segments(spark: SparkSession, target_dir: str) -> None:
     policy, as a job). Readers before/after see identical indexes
     because the store's grain is unchanged; only the file layout is.
 
-    Write-then-swap via an overwrite of the same directory is safe
-    here because the merged frame is materialized (collected to a
-    local checkpoint) before the overwrite clears the inputs.
+    Failure safety: the merged segment is written to a temporary
+    sibling directory first, then swapped into place with two
+    filesystem renames (old store -> ``.old``, tmp -> store). At no
+    point is the store's only copy an executor-resident checkpoint —
+    if the job dies mid-swap, either the original directory or its
+    ``.old`` sibling still holds the complete index on disk.
     """
     from pyspark.sql import functions as F
 
@@ -81,6 +84,20 @@ def compact_segments(spark: SparkSession, target_dir: str) -> None:
         spark.read.parquet(target_dir)
         .groupBy("term", "doc_id")
         .agg(F.sum("tf").cast("long").alias("tf"))
-        .localCheckpoint(eager=True)
     )
-    merged.coalesce(1).write.mode("overwrite").parquet(target_dir)
+    tmp_dir = target_dir.rstrip("/") + ".compact-tmp"
+    old_dir = target_dir.rstrip("/") + ".old"
+    merged.coalesce(1).write.mode("overwrite").parquet(tmp_dir)
+
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    conf = spark._jsc.hadoopConfiguration()
+    fs = hpath(target_dir).getFileSystem(conf)
+    fs.delete(hpath(old_dir), True)
+    if not fs.rename(hpath(target_dir), hpath(old_dir)):
+        raise IOError(f"compact_segments: could not stage {target_dir}")
+    if not fs.rename(hpath(tmp_dir), hpath(target_dir)):
+        # roll back so readers keep a live store at the original path
+        fs.rename(hpath(old_dir), hpath(target_dir))
+        raise IOError(f"compact_segments: could not install {tmp_dir}")
+    fs.delete(hpath(old_dir), True)
