@@ -428,19 +428,28 @@ EXTRA_QUERIES["dedup_source_overlap"] = dedup_source_overlap
 EXTRA_ORACLES["dedup_source_overlap"] = _source_overlap_oracle()
 
 
+# k for the DRIVER-FACING k-core query. The library default (k=3)
+# yields an EMPTY core at sf0.01 — the driver's correctness SF — so the
+# r7 driver row externally verified nothing but an empty frame (round-7
+# verdict finding #1). k=2 (vertices on cycles of the near-dup graph)
+# is non-empty at every test SF; the same k is replayed into the
+# DuckDB oracle so both engines peel to the same fixpoint.
+KCORE_QUERY_K = 2
+
+
 def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-core community extraction over the LSH near-dup graph: the
     dense cluster membership that survives iterative peeling (see
     ext/graph.py kcore_vertices)."""
     from ..ext.graph import kcore_vertices
 
-    return kcore_vertices(_lsh_pairs(spark, sf_dir))
+    return kcore_vertices(_lsh_pairs(spark, sf_dir), k=KCORE_QUERY_K)
 
 
 def _kcore_oracle() -> str:
     from ..ext.graph import kcore_sql
 
-    return kcore_sql(minhash_lsh_sql())
+    return kcore_sql(minhash_lsh_sql(), k=KCORE_QUERY_K)
 
 
 # Round-7 rotation: graph_kcore promoted to a driver slot (never

@@ -112,33 +112,63 @@ SELECT day,
 FROM win
 """
 
-KM_CENSOR_DAYS = 14
+KM_GAP_DAYS = 3  # inactivity gap (in active-day terms) that counts as churn
 
 
 def survival_km_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Kaplan-Meier user-retention curve over event-activity lifetimes.
+    """Kaplan-Meier user-retention curve with churn-gap death times.
 
-    Lifetime = days between a user's first and last event. Users whose
-    last event falls within ``KM_CENSOR_DAYS`` of the corpus's max
-    timestamp are right-censored (they may still be active). One
-    row per distinct death time: at-risk count, deaths, and the KM
-    survival estimate.
+    A user "dies" (churns) at the last active day before their FIRST
+    inactivity gap of ``KM_GAP_DAYS`` or more between consecutive
+    active days — or at their last active day when the corpus ends
+    ``KM_GAP_DAYS``+ after it (trailing silence is the same gap,
+    truncated by observation). Users still active within the gap
+    horizon of the corpus edge are right-censored. Lifetime = days
+    from first active day to death/censoring. One row per distinct
+    death time: at-risk count, deaths, and the KM survival estimate.
+
+    (Round-8 fix: the previous edge-censoring definition produced an
+    EMPTY curve on this corpus at every SF — ~67 events/user over 30
+    days means no user's last event ever trails the corpus max by the
+    horizon. Gap-churn is the standard engagement-KM formulation and
+    yields a deaths/censored mix at every SF; the constant is replayed
+    into the DuckDB oracle below via the f-string.)
+
+    Scale shape: one distinct to the (user, day) grain, one lag window
+    partitioned BY USER (bounded per-partition by a user's active
+    days), one per-user aggregate; the curve itself runs on the
+    day-valued lifetime grain — structurally bounded, per the repo's
+    bounded-grain global-window convention.
     """
     events = load_table(spark, sf_dir, "events").filter(
         F.col("user_id").isNotNull()
     )
-    per_user = events.groupBy("user_id").agg(
-        F.datediff(
-            F.max("ts").cast("date"), F.min("ts").cast("date")
-        ).alias("lifetime"),
-        F.max("ts").alias("last_ts"),
+    days = events.select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    ).distinct()
+    w_seq = Window.partitionBy("user_id").orderBy("d")
+    seq = days.withColumn("next_d", F.lead("d").over(w_seq))
+    per_user = seq.groupBy("user_id").agg(
+        F.min(
+            F.when(
+                F.datediff("next_d", "d") >= KM_GAP_DAYS, F.col("d")
+            )
+        ).alias("churn_d"),
+        F.min("d").alias("first_d"),
+        F.max("d").alias("last_d"),
     )
-    horizon = events.agg(
-        F.date_sub(F.max("ts").cast("date"), KM_CENSOR_DAYS).alias("edge")
-    )
+    horizon = days.agg(F.max("d").alias("corpus_max"))
     subjects = per_user.crossJoin(F.broadcast(horizon)).select(
-        "lifetime",
-        (F.col("last_ts").cast("date") <= F.col("edge")).alias("died"),
+        F.when(
+            F.col("churn_d").isNotNull(),
+            F.datediff("churn_d", "first_d"),
+        )
+        .otherwise(F.datediff("last_d", "first_d"))
+        .alias("lifetime"),
+        (
+            F.col("churn_d").isNotNull()
+            | (F.datediff("corpus_max", "last_d") >= KM_GAP_DAYS)
+        ).alias("died"),
     )
     # one row per distinct lifetime: deaths and total leavers
     grouped = subjects.groupBy("lifetime").agg(
@@ -188,19 +218,30 @@ def survival_km_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 KM_ORACLE = f"""
-WITH per_user AS (
+WITH days AS (
+  SELECT user_id, CAST(ts AS DATE) AS d
+  FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2
+), seq AS (
+  SELECT user_id, d,
+         LEAD(d) OVER (PARTITION BY user_id ORDER BY d) AS next_d
+  FROM days
+), per_user AS (
   SELECT user_id,
-         datediff('day', MIN(CAST(ts AS DATE)), MAX(CAST(ts AS DATE)))
-           AS lifetime,
-         MAX(ts) AS last_ts
-  FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+         MIN(CASE WHEN date_diff('day', d, next_d) >= {KM_GAP_DAYS}
+                  THEN d END) AS churn_d,
+         MIN(d) AS first_d,
+         MAX(d) AS last_d
+  FROM seq GROUP BY user_id
 ), horizon AS (
-  SELECT MAX(CAST(ts AS DATE)) - INTERVAL {KM_CENSOR_DAYS} DAY AS edge
-  FROM events WHERE user_id IS NOT NULL
+  SELECT MAX(d) AS corpus_max FROM days
 ), subjects AS (
-  SELECT lifetime,
-         CAST(last_ts AS DATE) <= (SELECT CAST(edge AS DATE) FROM horizon)
-           AS died
+  SELECT CASE WHEN churn_d IS NOT NULL
+              THEN date_diff('day', first_d, churn_d)
+              ELSE date_diff('day', first_d, last_d) END AS lifetime,
+         (churn_d IS NOT NULL
+          OR date_diff('day', last_d,
+                       (SELECT corpus_max FROM horizon))
+             >= {KM_GAP_DAYS}) AS died
   FROM per_user
 ), grouped AS (
   SELECT lifetime,

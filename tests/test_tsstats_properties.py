@@ -99,17 +99,26 @@ def test_km_terminal_step_is_exactly_zero(spark, tmp_path):
     def ts(s):
         return dt.datetime.fromisoformat(s)
 
-    # user 1: lifetime 0, dies; user 2: lifetime 5, dies (the longest
-    # UNCENSORED lifetime -> exhausts the risk set); user 3: one event
-    # at the corpus max -> censored, lifetime 0.
+    # Gap-churn semantics (KM_GAP_DAYS = 3):
+    # user 1: one event Jan 1 -> trailing silence >= 3 days -> dies at
+    #   lifetime 0;
+    # user 2: Jan 1/2/3 (no internal gap) -> trailing churn, lifetime 2
+    #   (the longest UNCENSORED lifetime -> exhausts the risk set);
+    # user 3: one event at the corpus max -> censored, lifetime 0;
+    # user 4: Jan 5, 6, then a 9-day internal gap -> churns at Jan 6,
+    #   lifetime 1 (the Jan 15 event is post-churn and ignored).
     events = pd.DataFrame(
         {
-            "user_id": [1, 2, 2, 3],
+            "user_id": [1, 2, 2, 2, 3, 4, 4, 4],
             "ts": [
                 ts("2024-01-01 12:00:00"),
                 ts("2024-01-01 08:00:00"),
-                ts("2024-01-06 09:00:00"),
+                ts("2024-01-02 10:00:00"),
+                ts("2024-01-03 09:00:00"),
                 ts("2024-02-01 00:00:00"),
+                ts("2024-01-05 07:00:00"),
+                ts("2024-01-06 07:00:00"),
+                ts("2024-01-15 07:00:00"),
             ],
         }
     )
@@ -118,13 +127,15 @@ def test_km_terminal_step_is_exactly_zero(spark, tmp_path):
 
     got = survival_km_users(spark, str(tmp_path))
     rows = {r.lifetime_days: r for r in got.collect()}
-    assert set(rows) == {0, 5}
-    assert rows[0].at_risk == 3 and rows[0].deaths == 1
-    assert rows[0].survival == round(2 / 3, 6)
+    assert set(rows) == {0, 1, 2}
+    assert rows[0].at_risk == 4 and rows[0].deaths == 1
+    assert rows[0].survival == 0.75
+    assert rows[1].at_risk == 2 and rows[1].deaths == 1
+    assert rows[1].survival == 0.375
     # the terminal step: deaths == at_risk -> survival must be 0.0,
-    # not the previous step's 0.666667
-    assert rows[5].at_risk == 1 and rows[5].deaths == 1
-    assert rows[5].survival == 0.0
+    # not the previous step's value
+    assert rows[2].at_risk == 1 and rows[2].deaths == 1
+    assert rows[2].survival == 0.0
 
     # the oracle must neither error on ln(0) nor disagree
     con = duckdb.connect()
