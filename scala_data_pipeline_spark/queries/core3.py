@@ -528,5 +528,8 @@ JOIN nation n ON n.n_nationkey = c.c_nationkey
 GROUP BY n.n_name
 """
 
-EXTRA_QUERIES["mart_incremental_join"] = mart_incremental_join
-EXTRA_ORACLES["mart_incremental_join"] = MART_INCREMENTAL_ORACLE
+# Round-9 driver rotation: mart_incremental_join promoted (never
+# driver-checked; cross-algorithm parity — Spark merges base+Δ while
+# the DuckDB oracle rebuilds from scratch).
+QUERIES["mart_incremental_join"] = mart_incremental_join
+ORACLES["mart_incremental_join"] = MART_INCREMENTAL_ORACLE

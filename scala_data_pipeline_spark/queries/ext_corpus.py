@@ -61,8 +61,10 @@ FROM gated g JOIN prints p USING (doc_id)
 """
 
 
-QUERIES = {"corpus_curate": corpus_curate}
-ORACLES = {"corpus_curate": CORPUS_ORACLE}
+# Round-9 driver rotation: corpus_curate demoted after 6 green driver
+# rounds (r2-r8) — still oracle-checked via tests/test_oracle_parity.py.
+QUERIES: dict = {}
+ORACLES: dict = {}
 
 
 def corpus_export_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -111,5 +113,11 @@ FROM chunks c JOIN bins b USING (doc_id)
 """
 
 
-EXTRA_QUERIES = {"corpus_export_chain": corpus_export_chain}
-EXTRA_ORACLES = {"corpus_export_chain": _export_chain_oracle()}
+EXTRA_QUERIES = {
+    "corpus_curate": corpus_curate,
+    "corpus_export_chain": corpus_export_chain,
+}
+EXTRA_ORACLES = {
+    "corpus_curate": CORPUS_ORACLE,
+    "corpus_export_chain": _export_chain_oracle(),
+}

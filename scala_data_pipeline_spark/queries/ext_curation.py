@@ -149,10 +149,9 @@ def curation_training_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return training_shuffle(load_table(spark, sf_dir, "documents"))
 
 
-# curation_stratified promoted to a driver slot round 4 (per-stratum
-# deterministic sampling — the curation family's first hard driver row).
-QUERIES["curation_stratified"] = curation_stratified
-ORACLES["curation_stratified"] = STRATIFIED_ORACLE
+# curation_stratified promoted to a driver slot round 4; Round-9
+# rotation: demoted after 5 green rounds (r4-r8) — added to
+# EXTRA_QUERIES below; its slot funds curation_score_calibration.
 
 # curation_decontaminate promoted to a driver slot in round 5 (never
 # driver-checked before).
@@ -189,6 +188,8 @@ EXTRA_QUERIES = {
     "curation_source_quota": curation_source_quota,
     "curation_pii_redact": curation_pii_redact,
     "curation_repetition": curation_repetition,
+    # Round-9 demotion (green r4-r8):
+    "curation_stratified": curation_stratified,
 }
 
 EXTRA_ORACLES = {
@@ -198,6 +199,7 @@ EXTRA_ORACLES = {
     "curation_source_quota": QUOTA_ORACLE,
     "curation_pii_redact": PII_ORACLE,
     "curation_repetition": repetition_ratio_sql(),
+    "curation_stratified": STRATIFIED_ORACLE,
 }
 
 # Round-6 rotation: curation_cluster_split promoted to a driver slot
@@ -355,5 +357,8 @@ def _calibration_oracle() -> str:
     return score_calibration_sql(quality_score_sql())
 
 
-EXTRA_QUERIES["curation_score_calibration"] = curation_score_calibration
-EXTRA_ORACLES["curation_score_calibration"] = _calibration_oracle()
+# Round-9 driver rotation: curation_score_calibration promoted (never
+# driver-checked; ECDF backfill-window calibration over the bounded
+# 6-decimal score grain).
+QUERIES["curation_score_calibration"] = curation_score_calibration
+ORACLES["curation_score_calibration"] = _calibration_oracle()

@@ -177,10 +177,8 @@ def dedup_hot_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hot_ngram_flags(load_table(spark, sf_dir, "documents"))
 
 
-# dedup_segments promoted to a driver slot round 4 (never had a hard
-# driver row; CCNet-style segment dedup is a headline LLM-pipeline op).
-QUERIES["dedup_segments"] = dedup_segments
-ORACLES["dedup_segments"] = segment_dedup_sql()
+# dedup_segments promoted to a driver slot round 4; Round-9 rotation:
+# demoted after 5 green rounds (r4-r8) — added to EXTRA_QUERIES below.
 
 def dedup_common_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document repeated k-token spans (ExactSubstr-style,
@@ -220,6 +218,8 @@ EXTRA_QUERIES = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_components": dedup_components,
+    # Round-9 demotion (green r4-r8):
+    "dedup_segments": dedup_segments,
 }
 EXTRA_ORACLES = {
     "dedup_simhash_pairs": simhash_neardup_sql(),
@@ -231,6 +231,7 @@ EXTRA_ORACLES = {
     "dedup_minhash_lsh": minhash_lsh_sql(),
     "dedup_ngram_jaccard": ngram_jaccard_sql(),
     "dedup_components": _components_oracle(),
+    "dedup_segments": segment_dedup_sql(),
 }
 
 
@@ -285,8 +286,10 @@ FROM ranked WHERE rnk = 1
 """
 
 
-QUERIES["dedup_cluster_keepers"] = dedup_cluster_keepers
-ORACLES["dedup_cluster_keepers"] = _cluster_keepers_oracle()
+# Round-9 driver rotation: dedup_cluster_keepers demoted after 5 green
+# rounds (r4-r8); still oracle-checked locally.
+EXTRA_QUERIES["dedup_cluster_keepers"] = dedup_cluster_keepers
+EXTRA_ORACLES["dedup_cluster_keepers"] = _cluster_keepers_oracle()
 
 
 NEW_SOURCES = ("src18", "src19")
@@ -309,10 +312,11 @@ def _incremental_oracle() -> str:
     return lsh_incremental_sql("source IN ('src18', 'src19')")
 
 
-# Promoted to a driver slot round 4: the incremental batch-vs-index
-# shape is the production dedup path and deserves a hard driver row.
-QUERIES["dedup_incremental_lsh"] = dedup_incremental_lsh
-ORACLES["dedup_incremental_lsh"] = _incremental_oracle()
+# Promoted to a driver slot round 4; Round-9 rotation: demoted after 5
+# green rounds (r4-r8) — its slot funds the never-checked
+# dedup_reweight below.
+EXTRA_QUERIES["dedup_incremental_lsh"] = dedup_incremental_lsh
+EXTRA_ORACLES["dedup_incremental_lsh"] = _incremental_oracle()
 
 
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -588,8 +592,11 @@ WHERE c.doc_id IS NULL OR k.doc_id IS NOT NULL
 """
 
 
-EXTRA_QUERIES["dedup_reweight"] = dedup_reweight
-EXTRA_ORACLES["dedup_reweight"] = _reweight_oracle()
+# Round-9 driver rotation: dedup_reweight promoted (never
+# driver-checked; closes the dedup→sampler loop — keeper carries
+# cluster mass, mass conservation test-asserted).
+QUERIES["dedup_reweight"] = dedup_reweight
+ORACLES["dedup_reweight"] = _reweight_oracle()
 
 
 def dedup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -64,13 +64,11 @@ FROM documents
 # an extra — the text family keeps driver rows via gopher, tfidf, bm25
 # and lm_perplexity; its slot goes to the never-checked event_trigrams
 # (tsstats).
-QUERIES = {
-    "multimodal_features": multimodal_features,
-}
+# Round-9 driver rotation: multimodal_features demoted after 6 green
+# driver rounds (r2-r8); still oracle-checked locally.
+QUERIES: dict = {}
 
-ORACLES = {
-    "multimodal_features": MULTIMODAL_ORACLE,
-}
+ORACLES: dict = {}
 
 
 def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -121,11 +119,15 @@ def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_lm_perplexity(load_table(spark, sf_dir, "documents"))
 
 
-# text_tfidf promoted to a driver slot round 4 (corpus-statistics
-# aggregation — a different shape from the per-row text scans already
-# holding driver rows).
-QUERIES["text_tfidf"] = text_tfidf
-ORACLES["text_tfidf"] = tf_idf_sql()
+# text_tfidf promoted to a driver slot round 4; Round-9 rotation:
+# demoted after 5 green rounds (r4-r8) — the text family keeps driver
+# rows via gopher, bm25, lm_perplexity and the newly-promoted
+# text_inverted_index.
+# Round-9 driver rotation: text_inverted_index promoted (never
+# driver-checked; capped-postings retrieval-index build — the cap is
+# replayed in its oracle).
+QUERIES["text_inverted_index"] = text_inverted_index
+ORACLES["text_inverted_index"] = inverted_index_sql()
 
 # text_lm_perplexity promoted to a driver slot in round 5 (never
 # driver-checked before).
@@ -170,11 +172,13 @@ EXTRA_QUERIES = {
     "text_ppl_buckets": text_ppl_buckets,
     "text_retrieval_eval": text_retrieval_eval,
     "text_lang_id": text_lang_id,
-    "text_inverted_index": text_inverted_index,
+    "text_tfidf": text_tfidf,
+    "multimodal_features": multimodal_features,
 }
 EXTRA_ORACLES = {
     "text_lang_id": lang_id_sql(),
-    "text_inverted_index": inverted_index_sql(),
+    "text_tfidf": tf_idf_sql(),
+    "multimodal_features": MULTIMODAL_ORACLE,
     "text_fingerprint": fingerprint_sql(),
     "text_token_count": token_count_sql(),
     "text_chunks": _chunks_oracle(),

@@ -162,10 +162,12 @@ ML_CONFUSION_SF01: tuple[tuple[str, str, int], ...] = (
     ("zh", "zh", 309),
 )
 
-QUERIES = {"ml_confusion_matrix": ml_confusion_matrix}
+# Round-9 driver rotation: ml_confusion_matrix demoted after 6 green
+# driver rounds (r2-r8) — still oracle-checked locally via
+# tests/test_oracle_parity.py; its slot goes to a never-driver-checked
+# extra.
+QUERIES: dict = {}
 ORACLES: dict[str, str] = {}
-if ML_CONFUSION_SF001:
-    ORACLES["ml_confusion_matrix"] = _frozen_oracle()
 
 
 def ml_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -192,10 +194,13 @@ def ml_quality_pareto_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EXTRA_QUERIES = {
+    "ml_confusion_matrix": ml_confusion_matrix,
     "ml_quality_score": ml_quality_score,
     "ml_quality_pareto_sample": ml_quality_pareto_sample,
 }
 EXTRA_ORACLES: dict[str, str] = {}
+if ML_CONFUSION_SF001:
+    EXTRA_ORACLES["ml_confusion_matrix"] = _frozen_oracle()
 
 
 if __name__ == "__main__":

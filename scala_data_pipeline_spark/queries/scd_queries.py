@@ -332,5 +332,8 @@ FROM base b FULL OUTER JOIN latest l ON l.cust_key = b.cust_key
 WHERE l.op IS NULL OR l.op <> 'D'
 """
 
-EXTRA_QUERIES["cdc_apply_customer"] = cdc_apply_customer
-EXTRA_ORACLES["cdc_apply_customer"] = CDC_APPLY_ORACLE
+# Round-9 driver rotation: cdc_apply_customer promoted (never
+# driver-checked; latest-wins type-1 MERGE with all 4 branches
+# test-locked).
+QUERIES["cdc_apply_customer"] = cdc_apply_customer
+ORACLES["cdc_apply_customer"] = CDC_APPLY_ORACLE

@@ -37,6 +37,8 @@ from pyspark.sql import functions as F
 
 from ..sources import load_table
 
+QUERIES: dict = {}
+ORACLES: dict = {}
 EXTRA_QUERIES: dict = {}
 EXTRA_ORACLES: dict = {}
 
@@ -186,5 +188,8 @@ FROM est LEFT JOIN truth ON truth.k = est.k
 """
 
 
-EXTRA_QUERIES["sketch_countmin_custkey"] = sketch_countmin_custkey
-EXTRA_ORACLES["sketch_countmin_custkey"] = _countmin_oracle()
+# Round-9 driver rotation: sketch_countmin_custkey promoted (never
+# driver-checked; the only sketch with a full-hash oracle — the
+# deterministic CM sketch is replayed cell-by-cell in DuckDB).
+QUERIES["sketch_countmin_custkey"] = sketch_countmin_custkey
+ORACLES["sketch_countmin_custkey"] = _countmin_oracle()

@@ -1575,8 +1575,10 @@ SELECT n_click, n_view,
 FROM stepped GROUP BY n_click, n_view
 """
 
-EXTRA_QUERIES["ks_value_drift"] = ks_value_drift
-EXTRA_ORACLES["ks_value_drift"] = KS_ORACLE
+# Round-9 driver rotation: ks_value_drift promoted (never
+# driver-checked; exact 2-sample KS over the bounded cent-value grain).
+QUERIES["ks_value_drift"] = ks_value_drift
+ORACLES["ks_value_drift"] = KS_ORACLE
 
 
 # ---------------------------------------------------------------------------
@@ -1875,8 +1877,11 @@ FROM crit
 """
 
 
-EXTRA_QUERIES["ab_welch_fdr"] = ab_welch_fdr
-EXTRA_ORACLES["ab_welch_fdr"] = _welch_fdr_oracle()
+# Round-9 driver rotation: ab_welch_fdr promoted (never driver-checked;
+# Welch t per brand + Benjamini-Hochberg FDR — the BH step rank window
+# runs over the bounded 25-brand grain).
+QUERIES["ab_welch_fdr"] = ab_welch_fdr
+ORACLES["ab_welch_fdr"] = _welch_fdr_oracle()
 
 
 # ---------------------------------------------------------------------------
