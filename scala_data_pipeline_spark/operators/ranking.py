@@ -1,0 +1,142 @@
+"""Distributed exact global ranking: ``row_number()``/running sums over
+a total order WITHOUT a single-partition sort.
+
+``Window.orderBy(...)`` with an empty ``partitionBy`` funnels the whole
+frame through ONE task — fine on structurally bounded grains (days,
+cent values, a 25-brand axis), fatal on corpus-proportional grains
+(customers, parts: ~10^8+ rows at 100 TB). This module provides the
+scale-safe equivalent, the classic two-pass range-partitioned ranking
+(the same scheme Spark's own ``sortByKey``/range shuffle uses for
+distributed sorts):
+
+1. ``repartitionByRange`` on the order keys — each output partition
+   holds a contiguous, non-overlapping key range, so global order ==
+   (partition id, local order). Equal keys land in one partition.
+2. One tiny aggregation: per-partition row counts (and optional value
+   sums), collected to the driver — BOUNDED: one row per shuffle
+   partition, never corpus-proportional.
+3. Exclusive prefix offsets are broadcast-joined back on partition id;
+   the final rank is a PARTITION-LOCAL window (every task ranks only
+   its own range) plus the offset. Running sums likewise: local
+   cumulative sum + the exact (decimal) sum of all preceding
+   partitions.
+
+The result is bit-identical to the single-task global window (ties are
+resolved by the caller-supplied total order, which must be a total
+order — include a unique tiebreak column), but the frame never
+collapses to one task: wall-clock scales with the widest partition,
+not the corpus.
+
+Reference parity note: the reference engine (dlomakov/scala_data_pipeline)
+has no distributed ranking — this operator exists so the analytics
+queries (ABC classes, Lorenz deciles, Gini ranks) survive a 1000×
+scale-up.
+"""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def with_global_rank(
+    df: DataFrame,
+    order_cols: list[str],
+    rank_col: str = "i",
+    cum_cols: list[str] | None = None,
+    total_cols: list[str] | None = None,
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, int, dict[str, Decimal]]:
+    """Attach an exact global 1-based ``rank_col`` (row_number over
+    ``ORDER BY order_cols``) and, for each ``c`` in ``cum_cols``, an
+    exact global running sum ``cum_<c>`` (rows unbounded-preceding to
+    current) — all computed with partition-local windows only.
+
+    ``order_cols`` must define a TOTAL order (append a unique key as
+    tiebreak); ascending order (the windows the trio of ranking
+    queries need can be expressed ascending — a descending rank is
+    ``n + 1 - i``).
+
+    Returns ``(frame, n_rows, totals)`` where ``n_rows`` and the exact
+    per-column decimal ``totals`` (for every column in ``cum_cols`` +
+    ``total_cols``) fall out of the same bounded per-partition
+    aggregate that produced the offsets — callers use them as
+    broadcast scalars (ntile arithmetic, share denominators) instead
+    of re-aggregating through a global window. ``total_cols`` columns
+    get a total only, no per-row running sum.
+
+    The driver-side ``.collect()`` here is a DOCUMENTED BOUNDED SET:
+    one row per range partition (``num_partitions``, default the
+    session's shuffle partitioning), independent of corpus size.
+    """
+    cum_cols = list(cum_cols or [])
+    sum_cols = cum_cols + [
+        c for c in (total_cols or []) if c not in cum_cols
+    ]
+    spark = df.sparkSession
+    n_part = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    ranged = df.repartitionByRange(n_part, *[F.asc(c) for c in order_cols])
+    ranged = ranged.withColumn("_pid", F.spark_partition_id())
+    # Two actions consume `ranged` (offset scan + final plan); pin it so
+    # the range shuffle runs once and both see identical partitioning
+    # (localCheckpoint precedent: knn srp_index).
+    ranged = ranged.localCheckpoint(eager=True)
+
+    aggs = [F.count(F.lit(1)).alias("_cnt")] + [
+        F.sum(c).alias(f"_sum_{c}") for c in sum_cols
+    ]
+    part_rows = sorted(
+        ranged.groupBy("_pid").agg(*aggs).collect(),
+        key=lambda r: r["_pid"],
+    )
+    n_rows = 0
+    run: dict[str, Decimal] = {c: Decimal(0) for c in sum_cols}
+    offsets = []  # (pid, rank_offset, *sum_offsets) — exclusive prefixes
+    for r in part_rows:
+        offsets.append(
+            (r["_pid"], n_rows, *[run[c] for c in cum_cols])
+        )
+        n_rows += r["_cnt"]
+        for c in sum_cols:
+            run[c] += r[f"_sum_{c}"] if r[f"_sum_{c}"] is not None else 0
+
+    sum_types = {
+        c: ranged.groupBy().agg(F.sum(c).alias("x")).schema["x"].dataType
+        for c in cum_cols
+    }
+    off_schema = ", ".join(
+        ["_pid int", "_rank_off long"]
+        + [f"_off_{c} {sum_types[c].simpleString()}" for c in cum_cols]
+    )
+    off_df = spark.createDataFrame(offsets, off_schema)
+
+    w = Window.partitionBy("_pid").orderBy(*[F.asc(c) for c in order_cols])
+    out = ranged.join(F.broadcast(off_df), "_pid").withColumn(
+        rank_col, F.row_number().over(w) + F.col("_rank_off")
+    )
+    for c in cum_cols:
+        local = F.sum(c).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        out = out.withColumn(f"cum_{c}", local + F.col(f"_off_{c}"))
+    drop = ["_pid", "_rank_off"] + [f"_off_{c}" for c in cum_cols]
+    return out.drop(*drop), n_rows, run
+
+
+def ntile_from_rank(i, n_rows: int, n_tiles: int):
+    """The exact ``ntile(n_tiles)`` tile for global rank ``i`` of
+    ``n_rows`` rows, as a column expression with ``n_rows`` a driver
+    scalar: the first ``n_rows % n_tiles`` tiles get
+    ``n_rows // n_tiles + 1`` rows, the rest one fewer — SQL-standard
+    ntile semantics, assignable map-side once the rank is known."""
+    base, rem = divmod(n_rows, n_tiles)
+    cut = rem * (base + 1)
+    big = ((i - 1) / (base + 1)).cast("long") + 1
+    if base == 0:  # fewer rows than tiles: every row its own tile
+        return big
+    small = F.lit(rem) + ((i - F.lit(cut) - 1) / base).cast("long") + 1
+    return F.when(i <= cut, big).otherwise(small)

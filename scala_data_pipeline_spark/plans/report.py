@@ -78,9 +78,20 @@ def generate(out_path: str = "PLAN_AUDIT.md", sf_dir: str | None = None) -> str:
     ]
     for r in rows:
         lines.append("| " + " | ".join(str(x) for x in r) + " |")
+    # The audit must cover the WHOLE registry — a stale audit that
+    # trails the registry (round-7 defect) reads as full coverage
+    # when it isn't. Rows are generated from the registry itself, so
+    # this can only fire on a generator bug; it still makes the
+    # contract explicit for the gate that calls us.
+    if len(rows) != len(audited):
+        raise RuntimeError(
+            f"plan audit covered {len(rows)} of {len(audited)} "
+            "registry queries"
+        )
     text = "\n".join(lines) + "\n"
     with open(out_path, "w") as fh:
         fh.write(text)
+    print(f"plan audit: {len(rows)} registry queries covered")
     return out_path
 
 

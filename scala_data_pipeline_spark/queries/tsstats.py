@@ -404,10 +404,14 @@ def abc_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ABC inventory classification: parts ranked by revenue; the
     classic 80/95 cumulative-share cut (A = first 80 % of revenue,
     B = next 15 %, C = tail). Cumulative shares come from exact
-    decimal running sums over the revenue-ranked window, so class
-    boundaries are partitioning- and engine-independent. Shape: one
-    corpus shuffle to the per-part grain, then a window over PARTS.
+    decimal running sums, so class boundaries are partitioning- and
+    engine-independent. The part grain is corpus-proportional, so the
+    running sum goes through the two-pass range-partitioned prefix-sum
+    (operators/ranking.py) instead of a single-task global window:
+    descending revenue order is expressed as ascending (-rev, partkey).
     """
+    from ..operators.ranking import with_global_rank
+
     lineitem = load_table(spark, sf_dir, "lineitem")
     per_part = lineitem.groupBy("l_partkey").agg(
         F.sum(
@@ -416,25 +420,25 @@ def abc_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("rev")
     )
-    w = (
-        Window.orderBy(F.desc("rev"), F.asc("l_partkey"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # rev DESC, partkey ASC == (-rev) ASC, partkey ASC — lets the
+    # ascending range-ranking operator carry the exact running sum.
+    per_part = per_part.withColumn("_negrev", -F.col("rev"))
+    ranked, _n, totals = with_global_rank(
+        per_part, ["_negrev", "l_partkey"], rank_col="i", cum_cols=["rev"]
     )
-    cum = F.sum("rev").over(w)
-    total = F.sum("rev").over(Window.partitionBy())
-    share = (cum.cast("double") / total.cast("double"))
+    total = F.lit(str(totals["rev"])).cast("decimal(38,4)")
+    share = F.col("cum_rev").cast("double") / total.cast("double")
     klass = (
         F.when(share <= 0.80, "A")
         .when(share <= 0.95, "B")
         .otherwise("C")
     )
-    ranked = per_part.select(
+    return ranked.select(
         F.col("l_partkey").cast("long").alias("partkey"),
         F.col("rev").cast("double").alias("revenue"),
         F.round(share, 6).alias("cum_share"),
         klass.alias("abc_class"),
     )
-    return ranked
 
 
 ABC_ORACLE = """
@@ -475,14 +479,21 @@ def skew_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/skew.py). Exact percentiles over the per-key counts
     (a frame of #distinct-keys rows, tiny vs the corpus); the Gini
     uses the rank-weighted form 2·Σ(i·xᵢ)/(n·Σx) - (n+1)/n over
-    counts sorted ascending with deterministic key tie-break.
+    counts sorted ascending with deterministic key tie-break. The key
+    grain is corpus-proportional, so the rank comes from the two-pass
+    range-partitioned ranking (operators/ranking.py), not a
+    single-task global window — fitting, for the query whose job is
+    pre-shuffle skew diagnosis.
     """
+    from ..operators.ranking import with_global_rank
+
     orders = load_table(spark, sf_dir, "orders")
     per_key = orders.groupBy("o_custkey").agg(
         F.count(F.lit(1)).alias("cnt")
     )
-    w_rank = Window.orderBy(F.asc("cnt"), F.asc("o_custkey"))
-    ranked = per_key.withColumn("i", F.row_number().over(w_rank))
+    ranked, _n, _tot = with_global_rank(
+        per_key, ["cnt", "o_custkey"], rank_col="i"
+    )
     stats = ranked.agg(
         F.count(F.lit(1)).cast("long").alias("n_keys"),
         F.sum("cnt").cast("long").alias("n_rows"),
@@ -1406,28 +1417,40 @@ def lorenz_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-identical), each decile's share and cumulative share of
     total spend — "the bottom 50 % of customers hold X % of revenue",
     the inequality view the Gini in skew_profile_orders summarizes to
-    one number. Corpus reduces to per-customer decimal spend; deciles
-    and shares run on the customer grain."""
+    one number. Corpus reduces to per-customer decimal spend; the
+    customer grain is corpus-proportional (~10^8 at 100 TB), so the
+    decile assignment runs through the two-pass range-partitioned
+    ranking operator (operators/ranking.py) — exact ntile(10) replayed
+    from the global rank, NO single-partition sort; the 10-row decile
+    frame's cumulative window is bounded-grain."""
+    from ..operators.ranking import ntile_from_rank, with_global_rank
+
     orders = load_table(spark, sf_dir, "orders")
     per_cust = orders.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("spend")
     )
-    w_rank = Window.orderBy(F.asc("spend"), F.asc("o_custkey"))
-    ranked = per_cust.withColumn("decile", F.ntile(10).over(w_rank))
-    per_dec = ranked.groupBy("decile").agg(
+    ranked, n_cust, totals = with_global_rank(
+        per_cust, ["spend", "o_custkey"], rank_col="i",
+        total_cols=["spend"],
+    )
+    deciled = ranked.withColumn(
+        "decile", ntile_from_rank(F.col("i"), n_cust, 10)
+    )
+    per_dec = deciled.groupBy("decile").agg(
         F.count(F.lit(1)).cast("long").alias("n_customers"),
         F.sum("spend").alias("spend"),
     )
-    total = Window.partitionBy()
+    # total spend: exact decimal scalar from the same bounded offset
+    # scan (decimal addition is exact — identical to an engine-side
+    # global sum), broadcast as a literal instead of a global window.
+    total = F.lit(str(totals["spend"])).cast("decimal(38,4)")
     w_cum = Window.orderBy("decile").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
+    )  # bounded grain: exactly 10 decile rows
+    share = F.col("spend").cast("double") / total.cast("double")
+    cum_share = (
+        F.sum("spend").over(w_cum).cast("double") / total.cast("double")
     )
-    share = F.col("spend").cast("double") / F.sum("spend").over(total).cast(
-        "double"
-    )
-    cum_share = F.sum("spend").over(w_cum).cast("double") / F.sum(
-        "spend"
-    ).over(total).cast("double")
     return per_dec.select(
         F.col("decile").cast("int").alias("decile"),
         "n_customers",

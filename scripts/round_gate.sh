@@ -12,4 +12,8 @@ cd "$(dirname "$0")/.."
 
 python -m pytest tests/ -q
 python bench.py
+# Regenerate the plan audit FROM the gate so it can never trail the
+# registry (round-7 defect: two queries committed after the last
+# manual refresh). The generator asserts row count == registry size.
+python -m scala_data_pipeline_spark.plans.report
 echo "round gate: GREEN"

@@ -30,6 +30,7 @@ _needs_data = pytest.mark.skipif(
 )
 
 
+@pytest.mark.heavy
 @_needs_data
 @pytest.mark.parametrize("name", sorted(all_queries()))
 def test_driver_slot_nonempty_at_driver_sf(spark, name):

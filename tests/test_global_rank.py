@@ -1,0 +1,112 @@
+"""operators/ranking.py: the two-pass range-partitioned global ranking
+must be bit-identical to the single-task global window it replaces —
+rank, running sums, totals, and the ntile replay — while never planning
+a single-partition sort of the input frame."""
+
+from __future__ import annotations
+
+import re
+from decimal import Decimal
+
+import pyspark.sql.functions as F
+from pyspark.sql import Window
+
+from scala_data_pipeline_spark.operators.ranking import (
+    ntile_from_rank,
+    with_global_rank,
+)
+from scala_data_pipeline_spark.plans.inspect import explain_str
+from scala_data_pipeline_spark.sources import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _per_cust(spark):
+    return (
+        load_table(spark, SF, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("v")
+        )
+    )
+
+
+def test_rank_matches_global_window(spark):
+    df = _per_cust(spark)
+    got, n, totals = with_global_rank(
+        df, ["v", "o_custkey"], rank_col="i", cum_cols=["v"]
+    )
+    w = Window.orderBy(F.asc("v"), F.asc("o_custkey"))
+    want = df.withColumn("i", F.row_number().over(w)).withColumn(
+        "cum_v",
+        F.sum("v").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    g = {
+        r["o_custkey"]: (r["i"], Decimal(r["cum_v"]))
+        for r in got.collect()
+    }
+    e = {
+        r["o_custkey"]: (r["i"], Decimal(r["cum_v"]))
+        for r in want.collect()
+    }
+    assert g == e
+    assert n == df.count()
+    assert totals["v"] == sum(
+        (r["v"] for r in df.collect()), Decimal(0)
+    )
+
+
+def test_ntile_replay_matches_builtin(spark):
+    df = _per_cust(spark)
+    got, n, _ = with_global_rank(df, ["v", "o_custkey"], rank_col="i")
+    for tiles in (3, 7, 10):
+        replay = {
+            r["o_custkey"]: r["t"]
+            for r in got.select(
+                "o_custkey",
+                ntile_from_rank(F.col("i"), n, tiles).alias("t"),
+            ).collect()
+        }
+        w = Window.orderBy(F.asc("v"), F.asc("o_custkey"))
+        builtin = {
+            r["o_custkey"]: r["t"]
+            for r in df.select(
+                "o_custkey", F.ntile(tiles).over(w).alias("t")
+            ).collect()
+        }
+        assert replay == builtin, f"ntile({tiles}) mismatch"
+
+
+def test_ntile_fewer_rows_than_tiles(spark):
+    df = _per_cust(spark).limit(4)
+    got, n, _ = with_global_rank(df, ["v", "o_custkey"], rank_col="i")
+    assert n == 4
+    tiles = sorted(
+        r["t"]
+        for r in got.select(
+            ntile_from_rank(F.col("i"), n, 10).alias("t")
+        ).collect()
+    )
+    assert tiles == [1, 2, 3, 4]  # each row its own tile, SQL ntile
+
+
+def test_no_single_partition_window_in_plan(spark):
+    got, _, _ = with_global_rank(
+        _per_cust(spark), ["v", "o_custkey"], rank_col="i"
+    )
+    simple = explain_str(got, mode="simple")
+    lines = simple.splitlines()
+    for i, ln in enumerate(lines):
+        if re.search(r"\bWindow\b", ln):
+            for nxt in lines[i + 1 : i + 4]:
+                assert "Exchange SinglePartition" not in nxt, simple
+
+
+def test_empty_input(spark):
+    df = _per_cust(spark).where(F.lit(False))
+    got, n, totals = with_global_rank(
+        df, ["v", "o_custkey"], rank_col="i", cum_cols=["v"]
+    )
+    assert n == 0 and got.count() == 0 and totals["v"] == 0
