@@ -49,6 +49,7 @@ def read_inverted_index(
 ) -> DataFrame:
     """Merge-on-read: collapse segments to the (term, doc) grain, then
     finish through the batch operator's aggregation shape."""
+    _recover_store(spark, target_dir)
     segments = spark.read.parquet(target_dir)
     per_doc = segments.groupBy("term", "doc_id").agg(
         F.sum("tf").cast("long").alias("tf")
@@ -61,6 +62,49 @@ def read_inverted_index(
             ",",
         ).alias("postings"),
     )
+
+
+def _fs(spark: SparkSession, target_dir: str):
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    conf = spark._jsc.hadoopConfiguration()
+    return hpath(target_dir).getFileSystem(conf), hpath
+
+
+def _recover_store(spark: SparkSession, target_dir: str) -> None:
+    """Crash recovery for the two-rename compaction swap: if a previous
+    ``compact_segments`` died after staging the live store to ``.old``
+    but before installing the merged ``.compact-tmp`` (the window the
+    round-8 advisor flagged), the store path is missing while a
+    complete copy sits in a sibling. On open, restore it: prefer the
+    original ``.old`` (conservative — bit-identical to pre-compaction),
+    fall back to the fully-written ``.compact-tmp`` (same logical
+    content, already merged). No-op when the store exists.
+
+    Single-writer assumption (documented, not enforced): one compactor
+    at a time, and readers racing the millisecond-scale swap window on
+    a non-atomic-rename filesystem (object stores) should retry — the
+    store is never gone, only mid-rename.
+    """
+    fs, hpath = _fs(spark, target_dir)
+    tgt = hpath(target_dir)
+    if fs.exists(tgt):
+        return
+    old_p = hpath(target_dir.rstrip("/") + ".old")
+    tmp_p = hpath(target_dir.rstrip("/") + ".compact-tmp")
+    if fs.exists(old_p):
+        if not fs.rename(old_p, tgt):
+            raise IOError(
+                f"index store recovery: could not restore {old_p} -> "
+                f"{target_dir}"
+            )
+        fs.delete(tmp_p, True)
+    elif fs.exists(tmp_p):
+        if not fs.rename(tmp_p, tgt):
+            raise IOError(
+                f"index store recovery: could not install {tmp_p} -> "
+                f"{target_dir}"
+            )
 
 
 def compact_segments(spark: SparkSession, target_dir: str) -> None:
@@ -80,6 +124,7 @@ def compact_segments(spark: SparkSession, target_dir: str) -> None:
     """
     from pyspark.sql import functions as F
 
+    _recover_store(spark, target_dir)
     merged = (
         spark.read.parquet(target_dir)
         .groupBy("term", "doc_id")
@@ -89,15 +134,20 @@ def compact_segments(spark: SparkSession, target_dir: str) -> None:
     old_dir = target_dir.rstrip("/") + ".old"
     merged.coalesce(1).write.mode("overwrite").parquet(tmp_dir)
 
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path
-    conf = spark._jsc.hadoopConfiguration()
-    fs = hpath(target_dir).getFileSystem(conf)
+    fs, hpath = _fs(spark, target_dir)
     fs.delete(hpath(old_dir), True)
     if not fs.rename(hpath(target_dir), hpath(old_dir)):
         raise IOError(f"compact_segments: could not stage {target_dir}")
     if not fs.rename(hpath(tmp_dir), hpath(target_dir)):
-        # roll back so readers keep a live store at the original path
-        fs.rename(hpath(old_dir), hpath(target_dir))
-        raise IOError(f"compact_segments: could not install {tmp_dir}")
+        # roll back so readers keep a live store at the original path,
+        # and report a double-failure instead of silently leaving no
+        # store (next open would also self-heal via _recover_store)
+        restored = fs.rename(hpath(old_dir), hpath(target_dir))
+        fs.delete(hpath(tmp_dir), True)
+        raise IOError(
+            f"compact_segments: could not install {tmp_dir}"
+            + ("" if restored else
+               f"; ROLLBACK ALSO FAILED — store left at {old_dir}, "
+               "next read recovers it")
+        )
     fs.delete(hpath(old_dir), True)

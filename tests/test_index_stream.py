@@ -82,3 +82,42 @@ def test_segment_compaction_preserves_index(spark, tmp_path):
     after = {r.term: r.asDict() for r in read_inverted_index(spark, target).collect()}
     assert n_files_after < n_files_before
     assert after == before
+
+
+def test_crash_window_recovery(spark, tmp_path):
+    """The round-8 advisor's crash window: a compaction that died after
+    rename(target -> .old) leaves no store at the target path. The next
+    open (read_inverted_index or compact_segments) must restore it —
+    from .old preferentially, else from a fully-written .compact-tmp —
+    and the recovered index must read identically."""
+    import shutil
+
+    docs = load_table(spark, SF, "documents")
+    target = str(tmp_path / "segments")
+    docs.selectExpr(
+        "doc_id", "explode(split(lower(text), ' ')) AS term"
+    ).groupBy("term", "doc_id").count().withColumnRenamed(
+        "count", "tf"
+    ).write.parquet(target)
+    want = {r.term: r.asDict() for r in read_inverted_index(spark, target).collect()}
+
+    # crash after staging: target gone, .old holds the store
+    shutil.move(target, target + ".old")
+    got = {r.term: r.asDict() for r in read_inverted_index(spark, target).collect()}
+    assert got == want
+    import os
+    assert os.path.isdir(target) and not os.path.isdir(target + ".old")
+
+    # crash after staging AND .old lost, tmp fully written
+    shutil.move(target, target + ".compact-tmp")
+    got = {r.term: r.asDict() for r in read_inverted_index(spark, target).collect()}
+    assert got == want
+    assert os.path.isdir(target) and not os.path.isdir(target + ".compact-tmp")
+
+    # compaction itself self-heals too, then still compacts correctly
+    shutil.move(target, target + ".old")
+    from scala_data_pipeline_spark.streaming.index_sink import compact_segments
+
+    compact_segments(spark, target)
+    got = {r.term: r.asDict() for r in read_inverted_index(spark, target).collect()}
+    assert got == want
