@@ -127,6 +127,53 @@ WHERE u.{key} IN (SELECT {key} FROM changed_keys)
 """
 
 
+def cdc_latest_wins(
+    base: DataFrame,
+    log: DataFrame,
+    key: str = "cust_key",
+    seq_cols: tuple[str, ...] = ("o_orderdate", "o_orderkey"),
+) -> DataFrame:
+    """Type-1 CDC MERGE (the latest-wins compaction a Debezium/Delta
+    ingest runs): per key, ONE window over the changelog picks the
+    last change by ``seq_cols``; deletes drop the row, upserts
+    overwrite ``acctbal``, untouched base rows pass through, inserts
+    for keys absent from base synthesize a name. Exactly the merge
+    body of queries/scd_queries.py::cdc_apply_customer, lifted to
+    frame level so jobs and the IVM/CDC scale smoke drive the same
+    code path.
+
+    Scale shape: one changelog-sized window (uniform key) + one full
+    outer join onto base — no iteration. Exactly IDEMPOTENT: applying
+    the same log twice yields the same state (at-least-once delivery
+    safety; asserted by scripts/scale_smoke_ivm.py at 100x).
+
+    ``base`` columns: (key, name, acctbal); ``log`` columns:
+    (key, op in {'U','D'}, new_acctbal, *seq_cols).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key).orderBy(
+        *[F.col(c).desc() for c in seq_cols]
+    )
+    latest = (
+        log.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(key, "op", "new_acctbal")
+    )
+    merged = base.join(latest, on=key, how="full_outer")
+    return merged.filter(
+        F.col("op").isNull() | (F.col("op") != "D")
+    ).select(
+        key,
+        F.coalesce(
+            F.col("name"),
+            F.concat(F.lit("NEW#"), F.col(key).cast("string")),
+        ).alias("name"),
+        F.coalesce(F.col("new_acctbal"), F.col("acctbal")).alias("acctbal"),
+        F.coalesce(F.col("op"), F.lit("KEEP")).alias("last_op"),
+    )
+
+
 def table_diff(
     old: DataFrame,
     new: DataFrame,

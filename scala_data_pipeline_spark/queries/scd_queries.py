@@ -266,6 +266,8 @@ def cdc_apply_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     full outer join onto base — no iteration, no skew; this is exactly
     how a log-structured table compacts at 100 TB.
     """
+    from ..operators.scd import cdc_latest_wins
+
     base = load_table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("cust_key"),
         F.col("c_name").alias("name"),
@@ -278,32 +280,7 @@ def cdc_apply_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderdate",
         "o_orderkey",
     )
-    w = Window.partitionBy("cust_key").orderBy(
-        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
-    )
-    latest = (
-        log.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("cust_key", "op", "new_acctbal")
-    )
-    merged = base.join(latest, on="cust_key", how="full_outer")
-    return (
-        merged.filter(
-            F.col("op").isNull() | (F.col("op") != "D")
-        )
-        .select(
-            "cust_key",
-            # an insert for a key absent from base synthesizes its name
-            F.coalesce(
-                F.col("name"),
-                F.concat(F.lit("NEW#"), F.col("cust_key").cast("string")),
-            ).alias("name"),
-            F.coalesce(F.col("new_acctbal"), F.col("acctbal")).alias(
-                "acctbal"
-            ),
-            F.coalesce(F.col("op"), F.lit("KEEP")).alias("last_op"),
-        )
-    )
+    return cdc_latest_wins(base, log)
 
 
 CDC_APPLY_ORACLE = """
