@@ -127,16 +127,108 @@ def with_global_rank(
     return out.drop(*drop), n_rows, run
 
 
-def ntile_from_rank(i, n_rows: int, n_tiles: int):
-    """The exact ``ntile(n_tiles)`` tile for global rank ``i`` of
-    ``n_rows`` rows, as a column expression with ``n_rows`` a driver
-    scalar: the first ``n_rows % n_tiles`` tiles get
-    ``n_rows // n_tiles + 1`` rows, the rest one fewer — SQL-standard
-    ntile semantics, assignable map-side once the rank is known."""
-    base, rem = divmod(n_rows, n_tiles)
+def ntile_from_rank(i, n_rows, n_tiles: int):
+    """The exact ``ntile(n_tiles)`` tile for rank ``i`` of ``n_rows``
+    rows — SQL-standard semantics (the first ``n_rows % n_tiles``
+    tiles get ``n_rows // n_tiles + 1`` rows, the rest one fewer),
+    assignable map-side once the rank is known. ``n_rows`` may be a
+    driver scalar (global ranking) or a Column (per-group ranking,
+    where each row carries its group's size)."""
+    if isinstance(n_rows, int):
+        base, rem = divmod(n_rows, n_tiles)
+        cut = rem * (base + 1)
+        big = ((i - 1) / (base + 1)).cast("long") + 1
+        if base == 0:  # fewer rows than tiles: every row its own tile
+            return big
+        small = F.lit(rem) + ((i - F.lit(cut) - 1) / base).cast("long") + 1
+        return F.when(i <= cut, big).otherwise(small)
+    n = n_rows.cast("long")
+    base = (n / n_tiles).cast("long")
+    rem = n - base * n_tiles
     cut = rem * (base + 1)
     big = ((i - 1) / (base + 1)).cast("long") + 1
-    if base == 0:  # fewer rows than tiles: every row its own tile
-        return big
-    small = F.lit(rem) + ((i - F.lit(cut) - 1) / base).cast("long") + 1
-    return F.when(i <= cut, big).otherwise(small)
+    # greatest() keeps the untaken branch division-safe under ANSI mode
+    small = rem + ((i - cut - 1) / F.greatest(base, F.lit(1))).cast(
+        "long"
+    ) + 1
+    return F.when((base == 0) | (i <= cut), big).otherwise(small)
+
+
+def with_grouped_rank(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str],
+    rank_col: str = "i",
+    size_col: str = "n_in_group",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact per-group 1-based rank (row_number over ``PARTITION BY
+    group_cols ORDER BY order_cols``) plus each row's group size —
+    without ever materializing a whole group in one task.
+
+    ``Window.partitionBy(group)`` is already distributed when groups
+    are numerous and small (per-user, per-order); it becomes the
+    scale-killer when there are FEW, HUGE groups (5 market segments
+    over 10^8 customers → 5 tasks). This is the grouped variant of
+    :func:`with_global_rank` for exactly that case:
+    ``repartitionByRange(group_cols + order_cols)`` keeps each
+    partition a contiguous slice of one-or-more (group, key-range)
+    runs, a bounded ``(partition, group)`` count scan yields exclusive
+    prefix offsets AND group totals, and the final rank is a
+    partition-LOCAL window plus the broadcast offset.
+
+    The driver-side collect is bounded by ``num_partitions x
+    |groups|`` — use this operator only for LOW-CARDINALITY group
+    axes (segments, sources, priority classes); high-cardinality keys
+    should keep using ``Window.partitionBy``, which is already
+    parallel there.
+    """
+    spark = df.sparkSession
+    n_part = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    sort_cols = [F.asc(c) for c in [*group_cols, *order_cols]]
+    ranged = (
+        df.repartitionByRange(n_part, *sort_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    part_rows = sorted(
+        ranged.groupBy("_pid", *group_cols)
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .collect(),
+        key=lambda r: r["_pid"],
+    )
+    seen: dict[tuple, int] = {}  # group -> rows in earlier partitions
+    offsets = []
+    for r in part_rows:
+        g = tuple(r[c] for c in group_cols)
+        offsets.append((r["_pid"], *g, seen.get(g, 0)))
+        seen[g] = seen.get(g, 0) + r["_cnt"]
+    gtypes = {
+        f.name: f.dataType.simpleString()
+        for f in df.schema.fields
+        if f.name in group_cols
+    }
+    off_schema = ", ".join(
+        ["_pid int"]
+        + [f"{c} {gtypes[c]}" for c in group_cols]
+        + ["_rank_off long"]
+    )
+    off_df = spark.createDataFrame(offsets, off_schema)
+    size_df = spark.createDataFrame(
+        [(*g, n) for g, n in seen.items()],
+        ", ".join(
+            [f"{c} {gtypes[c]}" for c in group_cols]
+            + [f"{size_col} long"]
+        ),
+    )
+    w = Window.partitionBy("_pid", *group_cols).orderBy(
+        *[F.asc(c) for c in order_cols]
+    )
+    out = (
+        ranged.join(F.broadcast(off_df), ["_pid", *group_cols])
+        .join(F.broadcast(size_df), group_cols)
+        .withColumn(rank_col, F.row_number().over(w) + F.col("_rank_off"))
+    )
+    return out.drop("_pid", "_rank_off")

@@ -580,3 +580,81 @@ def sql_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EXTRA_QUERIES["sql_important_parts"] = sql_important_parts
 EXTRA_ORACLES["sql_important_parts"] = SQL_IMPORTANT_PARTS
+
+
+# TPC-H Q21 shape (suppliers who kept orders waiting): the DOUBLE
+# correlated subquery — EXISTS(another supplier touched the order) AND
+# NOT EXISTS(another supplier was ALSO late) — the one decorrelation
+# surface the Q4/Q16/Q18 shapes don't cover (Catalyst plans it as a
+# semi join plus an anti join on the same key, both shuffle-free on a
+# bucketed l_orderkey at scale). The fixture has no
+# commit/receipt dates, so "late" = shipped > 45 days after the order
+# date; the inner late-check re-joins orders inside the subquery so the
+# only correlation is the equi l_orderkey (both engines decorrelate
+# equality-correlated subqueries; Spark rejects non-equi outer refs).
+SQL_WAITING_SUPPLIERS = """
+SELECT s_name, COUNT(*) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+WHERE o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 45 DAY
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey
+      AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+    WHERE l3.l_orderkey = l1.l_orderkey
+      AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > o3.o_orderdate + INTERVAL 45 DAY
+  )
+GROUP BY s_name
+"""
+
+
+def sql_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(SQL_WAITING_SUPPLIERS)
+
+
+EXTRA_QUERIES["sql_waiting_suppliers"] = sql_waiting_suppliers
+EXTRA_ORACLES["sql_waiting_suppliers"] = SQL_WAITING_SUPPLIERS
+
+
+# TPC-H Q22 shape (global sales opportunity): an UNCORRELATED SCALAR
+# subquery (the above-average cut — planned as a broadcast scalar, no
+# cross join) plus a NOT EXISTS anti join — customers with
+# above-average balances and no RECENT order (every fixture customer
+# has some order, so Q22's literal "never ordered" would be vacuous;
+# "idle since 1999" keeps the identical plan shape non-empty), grouped
+# by segment (the fixture has no phone country codes). Balance sums
+# ride the dsum decimal pattern so the aggregate hashes identically in
+# both engines.
+SQL_IDLE_RICH_CUSTOMERS = f"""
+SELECT c_mktsegment,
+       COUNT(*) AS numcust,
+       {dsum_sql('c_acctbal', 2)} AS totacctbal
+FROM customer
+WHERE c_acctbal > (
+    SELECT AVG(CAST(c_acctbal AS DECIMAL(18,2)))
+    FROM customer WHERE c_acctbal > 0.0
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey
+      AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+  )
+GROUP BY c_mktsegment
+"""
+
+
+def sql_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(SQL_IDLE_RICH_CUSTOMERS)
+
+
+EXTRA_QUERIES["sql_idle_rich_customers"] = sql_idle_rich_customers
+EXTRA_ORACLES["sql_idle_rich_customers"] = SQL_IDLE_RICH_CUSTOMERS

@@ -2741,3 +2741,138 @@ FROM grid
 
 EXTRA_QUERIES["activity_heatmap"] = activity_heatmap
 EXTRA_ORACLES["activity_heatmap"] = ACTIVITY_HEATMAP_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# Distributed exact percentile rank (round 9)
+# ---------------------------------------------------------------------------
+
+
+def spend_percentile_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every customer's EXACT spend percentile — the per-entity twin of
+    lorenz_customer_spend's decile view (feature stores want the raw
+    percentile as a model feature, not the decile bucket). percent_rank
+    = (rank - 1) / (n - 1) over the total order (spend, cust_key). The
+    customer grain is corpus-proportional, so the rank comes from the
+    two-pass range-partitioned ranking (operators/ranking.py); the
+    oracle computes the same thing with a one-task window — a
+    cross-algorithm check, not a replay."""
+    from ..operators.ranking import with_global_rank
+
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("spend")
+    )
+    ranked, n, _tot = with_global_rank(
+        per_cust, ["spend", "o_custkey"], rank_col="i"
+    )
+    denom = float(max(n - 1, 1))
+    return ranked.select(
+        F.col("o_custkey").cast("long").alias("cust_key"),
+        F.col("spend").cast("double").alias("spend"),
+        F.round((F.col("i") - 1).cast("double") / denom, 6).alias(
+            "pct_rank"
+        ),
+    )
+
+
+SPEND_PERCENTILE_ORACLE = """
+WITH per_cust AS (
+  SELECT o_custkey AS cust_key,
+         SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS spend
+  FROM orders GROUP BY o_custkey
+)
+SELECT CAST(cust_key AS BIGINT) AS cust_key,
+       CAST(spend AS DOUBLE) AS spend,
+       ROUND(CAST(ROW_NUMBER() OVER (ORDER BY spend, cust_key) - 1
+                  AS DOUBLE)
+             / GREATEST(COUNT(*) OVER () - 1, 1), 6) AS pct_rank
+FROM per_cust
+"""
+
+EXTRA_QUERIES["spend_percentile_customers"] = spend_percentile_customers
+EXTRA_ORACLES["spend_percentile_customers"] = SPEND_PERCENTILE_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# Grouped exact deciles: few huge groups (round 9)
+# ---------------------------------------------------------------------------
+
+
+def segment_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-market-segment spend deciles: Lorenz's decile view computed
+    WITHIN each of the 5 segments. The naive plan —
+    ``Window.partitionBy(segment)`` — collapses 10^8 customers into 5
+    tasks at 100 TB (few-huge-groups, the grouped scale-killer); this
+    runs on operators/ranking.py::with_grouped_rank instead:
+    range-partition on (segment, spend, key), bounded (partition x
+    segment) offset scan, partition-local windows, exact ntile replay
+    from the per-group rank + group size. The final share window runs
+    on the bounded segment x decile frame (50 rows)."""
+    from ..operators.ranking import ntile_from_rank, with_grouped_rank
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    per_cust = (
+        orders.join(
+            customer.select(
+                F.col("c_custkey").alias("o_custkey"),
+                F.col("c_mktsegment").alias("segment"),
+            ),
+            on="o_custkey",
+        )
+        .groupBy("segment", "o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias(
+                "spend"
+            )
+        )
+    )
+    ranked = with_grouped_rank(
+        per_cust, ["segment"], ["spend", "o_custkey"], rank_col="i"
+    )
+    deciled = ranked.withColumn(
+        "decile", ntile_from_rank(F.col("i"), F.col("n_in_group"), 10)
+    )
+    per_dec = deciled.groupBy("segment", "decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("spend").alias("spend"),
+    )
+    w_seg = Window.partitionBy("segment")  # bounded: 5 x 10 rows
+    return per_dec.select(
+        "segment",
+        F.col("decile").cast("int").alias("decile"),
+        "n_customers",
+        F.round(
+            F.col("spend").cast("double")
+            / F.sum("spend").over(w_seg).cast("double"),
+            6,
+        ).alias("spend_share"),
+    )
+
+
+SEGMENT_DECILES_ORACLE = """
+WITH per_cust AS (
+  SELECT c_mktsegment AS segment, o_custkey AS cust_key,
+         SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS spend
+  FROM orders JOIN customer ON c_custkey = o_custkey
+  GROUP BY c_mktsegment, o_custkey
+), ranked AS (
+  SELECT segment, spend,
+         ntile(10) OVER (PARTITION BY segment
+                         ORDER BY spend, cust_key) AS decile
+  FROM per_cust
+), per_dec AS (
+  SELECT segment, decile, CAST(COUNT(*) AS BIGINT) AS n_customers,
+         SUM(spend) AS spend
+  FROM ranked GROUP BY segment, decile
+)
+SELECT segment, CAST(decile AS INTEGER) AS decile, n_customers,
+       ROUND(CAST(spend AS DOUBLE)
+             / CAST(SUM(spend) OVER (PARTITION BY segment) AS DOUBLE),
+             6) AS spend_share
+FROM per_dec
+"""
+
+EXTRA_QUERIES["segment_spend_deciles"] = segment_spend_deciles
+EXTRA_ORACLES["segment_spend_deciles"] = SEGMENT_DECILES_ORACLE

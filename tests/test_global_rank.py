@@ -110,3 +110,65 @@ def test_empty_input(spark):
         df, ["v", "o_custkey"], rank_col="i", cum_cols=["v"]
     )
     assert n == 0 and got.count() == 0 and totals["v"] == 0
+
+
+def test_grouped_rank_matches_partitioned_window(spark):
+    from scala_data_pipeline_spark.operators.ranking import (
+        with_grouped_rank,
+    )
+
+    orders = load_table(spark, SF, "orders")
+    customer = load_table(spark, SF, "customer")
+    df = (
+        orders.join(
+            customer.select(
+                F.col("c_custkey").alias("o_custkey"),
+                F.col("c_mktsegment").alias("seg"),
+            ),
+            on="o_custkey",
+        )
+        .groupBy("seg", "o_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("v"))
+    )
+    got = with_grouped_rank(df, ["seg"], ["v", "o_custkey"], rank_col="i")
+    w = Window.partitionBy("seg").orderBy(F.asc("v"), F.asc("o_custkey"))
+    want = df.withColumn("i", F.row_number().over(w)).withColumn(
+        "n_in_group", F.count(F.lit(1)).over(Window.partitionBy("seg"))
+    )
+    g = {
+        (r["seg"], r["o_custkey"]): (r["i"], r["n_in_group"])
+        for r in got.collect()
+    }
+    e = {
+        (r["seg"], r["o_custkey"]): (r["i"], r["n_in_group"])
+        for r in want.collect()
+    }
+    assert g == e
+
+
+def test_grouped_ntile_column_n_matches_builtin(spark):
+    from scala_data_pipeline_spark.operators.ranking import (
+        ntile_from_rank,
+        with_grouped_rank,
+    )
+
+    df = _per_cust(spark).withColumn(
+        "g", (F.col("o_custkey") % 3).cast("int")
+    )
+    got = with_grouped_rank(df, ["g"], ["v", "o_custkey"], rank_col="i")
+    replay = {
+        (r["g"], r["o_custkey"]): r["t"]
+        for r in got.select(
+            "g",
+            "o_custkey",
+            ntile_from_rank(F.col("i"), F.col("n_in_group"), 7).alias("t"),
+        ).collect()
+    }
+    w = Window.partitionBy("g").orderBy(F.asc("v"), F.asc("o_custkey"))
+    builtin = {
+        (r["g"], r["o_custkey"]): r["t"]
+        for r in df.select(
+            "g", "o_custkey", F.ntile(7).over(w).alias("t")
+        ).collect()
+    }
+    assert replay == builtin
