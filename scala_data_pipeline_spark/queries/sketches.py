@@ -193,3 +193,26 @@ FROM est LEFT JOIN truth ON truth.k = est.k
 # deterministic CM sketch is replayed cell-by-cell in DuckDB).
 QUERIES["sketch_countmin_custkey"] = sketch_countmin_custkey
 ORACLES["sketch_countmin_custkey"] = _countmin_oracle()
+
+
+def sketch_hdr_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HDR-histogram quantile estimates over events.value (round 9;
+    see ext/hdrhist.py). Pure integer bucketing (bit-length octaves x
+    32 linear sub-buckets), so — like sketch_countmin_custkey and
+    unlike the rows-only KLL — the DuckDB oracle replays the identical
+    arithmetic and this row is full-hash-checked; the <= 2^-5 relative
+    error bound vs the exact percentile is test-asserted."""
+    from ..ext.hdrhist import hdr_histogram, hdr_quantiles
+
+    events = load_table(spark, sf_dir, "events")
+    return hdr_quantiles(hdr_histogram(events, "value"))
+
+
+def _hdr_oracle() -> str:
+    from ..ext.hdrhist import hdr_quantiles_sql
+
+    return hdr_quantiles_sql()
+
+
+EXTRA_QUERIES["sketch_hdr_quantiles"] = sketch_hdr_quantiles
+EXTRA_ORACLES["sketch_hdr_quantiles"] = _hdr_oracle()

@@ -50,6 +50,8 @@ GLOBAL_WINDOW_ALLOWED: dict[str, str] = {
     "lorenz_customer_spend": "cumulative share over the 10-row decile "
     "frame (deciles themselves come from operators/ranking.py)",
     "mau_28d_hll": "rollup window over the DAY grain",
+    "sketch_hdr_quantiles": "cumulative lookup over the bounded HDR "
+    "bucket grain (<= (64-M)*2^M rows regardless of corpus)",
     "rolling_corr_revenue_events": "rolling window over the DAY grain",
     "running_distinct_users": "running count over the DAY grain",
     "seasonal_decompose_revenue": "STL-lite windows over the DAY grain",

@@ -125,3 +125,37 @@ def test_countmin_overestimates_and_merges(spark, sf_dir):
         for r in countmin_estimates(full, probes, "o_custkey").collect()
     }
     assert em == ef
+
+
+def test_hdr_quantile_error_bound(spark):
+    """HDR estimates must sit within the sub-bucket relative error
+    bound (2^-5) of the exact percentile — and the bucketing must be
+    pure integer arithmetic (bit-length octaves), asserted implicitly
+    by the oracle hash check in test_oracle_parity."""
+    import duckdb
+
+    from scala_data_pipeline_spark.ext.hdrhist import (
+        HDR_SUB_BITS,
+        hdr_histogram,
+        hdr_quantiles,
+    )
+    from scala_data_pipeline_spark.sources import load_table
+
+    sf = "/root/testdata/sf0.001"
+    events = load_table(spark, sf, "events")
+    got = {
+        r["q"]: r["est_cents"]
+        for r in hdr_quantiles(hdr_histogram(events, "value")).collect()
+    }
+    con = duckdb.connect()
+    exact = {
+        q: con.execute(
+            f"SELECT quantile_cont(CAST(ROUND(value*100) AS BIGINT), {q})"
+            f" FROM '{sf}/events.parquet' WHERE value > 0"
+        ).fetchone()[0]
+        for q in got
+    }
+    rel = 2.0 ** -HDR_SUB_BITS
+    for q, est in got.items():
+        true = float(exact[q])
+        assert abs(est - true) <= rel * true + 1.0, (q, est, true)
