@@ -350,3 +350,70 @@ FROM conf
 
 EXTRA_QUERIES["text_lang_confusion"] = text_lang_confusion
 EXTRA_ORACLES["text_lang_confusion"] = LANG_CONFUSION_ORACLE
+
+
+def quality_reliability_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability curve of the heuristic quality score vs the Gopher
+    rule bundle (round 9): score deciles x empirical rule pass-rate —
+    the calibration view a pipeline checks before trusting a cheap
+    score as a gate proxy for the expensive rule set. Shape: two
+    codegen corpus scans joined once on the uniform doc_id key, then a
+    10-row aggregate; both the score and the rules are deterministic
+    expressions, so the DuckDB twin replays them exactly."""
+    from pyspark.sql import functions as F
+
+    from ..ext.textstats import gopher_quality_rules, quality_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = quality_features(docs).select("doc_id", "quality_score")
+    rules = gopher_quality_rules(docs).select("doc_id", "passes_gopher")
+    joined = scored.join(rules, on="doc_id")
+    binned = joined.select(
+        F.least(
+            F.floor(F.col("quality_score") * 10).cast("int"), F.lit(9)
+        ).alias("score_bin"),
+        F.col("passes_gopher").cast("int").alias("p"),
+    )
+    return (
+        binned.groupBy("score_bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("p").cast("long").alias("n_pass"),
+        )
+        .select(
+            "score_bin",
+            "n_docs",
+            "n_pass",
+            F.round(
+                F.col("n_pass") / F.col("n_docs").cast("double"), 6
+            ).alias("pass_rate"),
+        )
+    )
+
+
+def _reliability_oracle() -> str:
+    from ..ext.textstats import (
+        gopher_quality_rules_sql,
+        quality_score_sql,
+    )
+
+    return f"""
+WITH scored AS (
+  SELECT doc_id, {quality_score_sql()} AS quality_score FROM documents
+), rules AS ({gopher_quality_rules_sql()}),
+binned AS (
+  SELECT LEAST(CAST(FLOOR(s.quality_score * 10) AS INTEGER), 9)
+           AS score_bin,
+         CAST(r.passes_gopher AS INTEGER) AS p
+  FROM scored s JOIN rules r USING (doc_id)
+)
+SELECT score_bin,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(p) AS BIGINT) AS n_pass,
+       ROUND(CAST(SUM(p) AS DOUBLE) / COUNT(*), 6) AS pass_rate
+FROM binned GROUP BY score_bin
+"""
+
+
+EXTRA_QUERIES["quality_reliability_curve"] = quality_reliability_curve
+EXTRA_ORACLES["quality_reliability_curve"] = _reliability_oracle()
