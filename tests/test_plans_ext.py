@@ -155,3 +155,65 @@ def test_contrastive_hard_negative_cut_is_take_ordered(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     plan = explain_str(contrastive_triplets(docs, lsh_candidate_pairs(docs)))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join(spark, sf_dir):
+    """Scale-posture lock (round 9): Spark's runtime bloom-filter join
+    pruning must engage for a selective dim-side filter on a shuffle
+    join — at 100 TB the fact scan is pre-filtered by a bloom filter
+    of the filtered side's join keys BEFORE the shuffle, the Catalyst
+    equivalent of a semi-join reducer. The size thresholds are lowered
+    here because the test fixture is KBs; at production sizes the
+    session defaults engage on their own. If a Spark upgrade or a
+    session-conf change silently disables the feature, this fails."""
+    import io
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    assert (
+        spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled")
+        == "true"
+    )
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "creationSideThreshold",
+            "10GB",
+        )
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            "0",
+        )
+        # force a shuffle join: broadcast would bypass the bloom path
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = load_table(spark, sf_dir, "lineitem")
+        od = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(od, li.l_orderkey == od.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            j.explain(mode="formatted")
+        plan = buf.getvalue().lower()
+        assert "might_contain" in plan, "bloom filter not injected"
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
