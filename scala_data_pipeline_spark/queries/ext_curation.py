@@ -362,3 +362,54 @@ def _calibration_oracle() -> str:
 # 6-decimal score grain).
 QUERIES["curation_score_calibration"] = curation_score_calibration
 ORACLES["curation_score_calibration"] = _calibration_oracle()
+
+
+def curation_class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic class-balanced downsample (round 9): every
+    language keeps exactly min-class-size documents, picked by md5
+    order (reproducible, seed-free) — the balancing step a
+    multilingual pretraining mix runs on its language axis. The
+    language axis is the textbook FEW-HUGE-GROUPS case (5 groups over
+    the whole corpus), so the per-class rank comes from
+    operators/ranking.py::with_grouped_rank — bounded (partition x
+    lang) offset scan, partition-local windows — never a 5-task
+    Window.partitionBy(lang). The min class size reduces the bounded
+    (lang, size) frame driver-side (5 rows, documented bounded set)."""
+    from pyspark.sql import functions as F
+
+    from ..operators.ranking import with_grouped_rank
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.md5(F.col("doc_id").cast("string")).alias("h")
+    )
+    ranked = with_grouped_rank(
+        docs, ["lang"], ["h", "doc_id"], rank_col="rn"
+    )
+    min_size = min(
+        r["n_in_group"]
+        for r in ranked.select("lang", "n_in_group").distinct().collect()
+    )
+    return (
+        ranked.filter(F.col("rn") <= min_size)
+        .select("lang", "doc_id", F.col("rn").cast("long").alias("rn"))
+    )
+
+
+CLASS_BALANCE_ORACLE = """
+WITH ranked AS (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY lang) AS n_in_group
+  FROM documents
+), m AS (
+  SELECT MIN(n_in_group) AS min_size
+  FROM (SELECT DISTINCT lang, n_in_group FROM ranked)
+)
+SELECT lang, doc_id, CAST(rn AS BIGINT) AS rn
+FROM ranked, m WHERE rn <= min_size
+"""
+
+EXTRA_QUERIES["curation_class_balance"] = curation_class_balance
+EXTRA_ORACLES["curation_class_balance"] = CLASS_BALANCE_ORACLE
