@@ -144,6 +144,44 @@ def main() -> None:
     assert a == b
     report["slice_rows_checked"] = len(a)
 
+    # grouped variant: 5 huge groups over the same frame — the case
+    # where Window.partitionBy(group) itself is the scale-killer
+    from scala_data_pipeline_spark.operators.ranking import (
+        with_grouped_rank,
+    )
+
+    gframe = frame.withColumn("g", (F.col("k") % 5).cast("int"))
+    t0 = time.monotonic()
+    granked = with_grouped_rank(gframe, ["g"], ["v", "k"], rank_col="i")
+    g_fp = granked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("i").cast("decimal(38,0)")).alias("si"),
+        F.sum(F.col("i") * F.col("g")).alias("sg"),
+        F.sum("n_in_group").alias("sn"),
+    ).collect()[0]
+    report["t_grouped_distributed_sec"] = round(time.monotonic() - t0, 2)
+
+    t0 = time.monotonic()
+    wg = Window.partitionBy("g").orderBy(F.asc("v"), F.asc("k"))
+    gref = gframe.withColumn("i", F.row_number().over(wg)).withColumn(
+        "n_in_group", F.count(F.lit(1)).over(Window.partitionBy("g"))
+    )
+    g_ref_fp = gref.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("i").cast("decimal(38,0)")).alias("si"),
+        F.sum(F.col("i") * F.col("g")).alias("sg"),
+        F.sum("n_in_group").alias("sn"),
+    ).collect()[0]
+    report["t_grouped_5task_window_sec"] = round(time.monotonic() - t0, 2)
+    for f in ("n", "si", "sg", "sn"):
+        assert g_fp[f] == g_ref_fp[f], (f, g_fp[f], g_ref_fp[f])
+    ga = {r["k"]: (r["i"], r["n_in_group"])
+          for r in granked.filter(sl).collect()}
+    gb = {r["k"]: (r["i"], r["n_in_group"])
+          for r in gref.filter(sl).collect()}
+    assert ga == gb
+    report["grouped_bit_identity"] = True
+
     print(json.dumps(report))
 
 

@@ -42,6 +42,11 @@ BNLJ_ALLOWED = {
     # TYPE (a handful of KB-sized sketches), never the events table
     # (queries/sketches.py docstring).
     "sketch_theta_audiences",
+    # sketch_hdr_quantiles joins FOUR broadcast probe-quantile rows
+    # against the BOUNDED bucket-grain cumulative frame ((64-M)*2^M
+    # rows regardless of corpus) on a `cum >= ceil(q*total)`
+    # inequality — never the events table (ext/hdrhist.py docstring).
+    "sketch_hdr_quantiles",
     # ab_welch_value pairs per-event-type moment rows with a
     # `type_a < type_b` inequality join — one broadcast row per event
     # TYPE, never the events table (queries/tsstats.py).
