@@ -160,6 +160,37 @@ def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
     return media.mapInPandas(batches, schema=FEATURE_SCHEMA)
 
 
+def extract_features_arrow(media: DataFrame) -> DataFrame:
+    """``mapInArrow`` twin of :func:`extract_features` (fake path):
+    RecordBatch-in/RecordBatch-out with no pandas materialization —
+    the zero-copy lane for media transforms whose per-row work is
+    vectorizable Arrow compute (here ``binary_length``) plus cheap
+    per-element Python. Bit-identical to the pandas path
+    (tests/test_multimodal.py asserts it), so pipelines can pick the
+    lane per workload without a semantics change."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb in it:
+            payload = rb.column(rb.schema.get_field_index("payload"))
+            doc_id = rb.column(rb.schema.get_field_index("doc_id"))
+            n_bytes = pc.cast(pc.binary_length(payload), pa.int64())
+            raw = payload.to_pylist()
+            head_hex = pa.array(
+                [b[:8].hex() for b in raw], type=pa.string()
+            )
+            first_byte = pa.array(
+                [(b[0] if b else -1) for b in raw], type=pa.int64()
+            )
+            yield pa.RecordBatch.from_arrays(
+                [doc_id, n_bytes, head_hex, first_byte],
+                names=["doc_id", "n_bytes", "head_hex", "first_byte"],
+            )
+
+    return media.mapInArrow(batches, schema=FEATURE_SCHEMA)
+
+
 def read_media_dir(spark, path: str, glob: str | None = None):
     """Ingest raw media files as a media frame via Spark's binaryFile
     source — the canonical 100 TB pattern for image/audio/video: each

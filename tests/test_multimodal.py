@@ -151,3 +151,25 @@ def test_resize_thumbnail_size_contract(spark):
     assert got[1]["thumb_n_bytes"] == 2  # already under the cap
     assert got[2]["thumb_n_bytes"] == 0 and got[2]["thumb_hex"] == ""
     assert bytes.fromhex(got[0]["thumb_hex"]) == b"abcdefghijklmnop"
+
+
+def test_arrow_lane_matches_pandas_lane(spark):
+    """extract_features_arrow (mapInArrow, zero-copy) must be
+    bit-identical to extract_features (mapInPandas) — same fake
+    byte-level features, two exchange lanes."""
+    from scala_data_pipeline_spark.ext.multimodal import (
+        extract_features,
+        extract_features_arrow,
+        to_media_frame,
+    )
+    from scala_data_pipeline_spark.sources import load_table
+
+    media = to_media_frame(
+        load_table(spark, "/root/testdata/sf0.001", "documents")
+    )
+    a = {r["doc_id"]: r.asDict() for r in extract_features(media).collect()}
+    b = {
+        r["doc_id"]: r.asDict()
+        for r in extract_features_arrow(media).collect()
+    }
+    assert a == b
