@@ -63,3 +63,57 @@ def salted_join(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
     )
     return big_salted.join(small_replicated, on=[key, "_salt"]).drop("_salt")
+
+
+def adaptive_salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    hot_threshold: int = 100_000,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Hot-key-only salting — the production form of :func:`salted_join`.
+
+    ``salted_join`` replicates the ENTIRE small side ``n_salts`` times;
+    at 100 TB that multiplies the shuffle of a possibly-large build
+    side by 16 to fix a handful of keys. This variant first profiles
+    the big side's key frequencies (one map-side-combined count pass —
+    the same diagnostic ``skew_profile_orders`` runs), tags keys above
+    ``hot_threshold`` as hot, and then:
+
+    - big side: hot rows get a random salt in [0, n_salts), cold rows
+      salt 0 — each hot key spreads over n_salts tasks, cold keys are
+      untouched;
+    - small side: ONLY hot-key rows are replicated n_salts times; the
+      rest ship once.
+
+    Replicated-row overhead is ``(n_salts - 1) x |small ∩ hot|``
+    instead of ``(n_salts - 1) x |small|``. The hot set is carried as
+    a broadcast semi-join tag, never collected to the driver, so an
+    adversarial corpus with many hot keys degrades to extra broadcast
+    size, not a driver OOM. Join results are row-identical to the
+    plain equi-join (tests/test_skew_ivf.py asserts multiset
+    equality)."""
+    counts = big.groupBy(key).agg(F.count(F.lit(1)).alias("_cnt"))
+    hot = counts.filter(F.col("_cnt") > hot_threshold).select(
+        key, F.lit(True).alias("_hot")
+    )
+    big_tagged = big.join(F.broadcast(hot), on=key, how="left")
+    big_salted = big_tagged.withColumn(
+        "_salt",
+        F.when(
+            F.col("_hot").isNotNull(),
+            (F.rand(seed=42) * n_salts).cast("int"),
+        ).otherwise(F.lit(0)),
+    ).drop("_hot")
+    small_tagged = small.join(F.broadcast(hot), on=key, how="left")
+    small_replicated = small_tagged.withColumn(
+        "_salt",
+        F.explode(
+            F.when(
+                F.col("_hot").isNotNull(),
+                F.array(*[F.lit(i) for i in range(n_salts)]),
+            ).otherwise(F.array(F.lit(0)))
+        ),
+    ).drop("_hot")
+    return big_salted.join(small_replicated, on=[key, "_salt"]).drop("_salt")

@@ -302,3 +302,38 @@ def test_ivf_incremental_add_equals_rebuild(spark, sf_dir, tmp_path):
     assert {tuple(r) for r in incremental.collect()} == {
         tuple(r) for r in rebuilt.collect()
     }
+
+
+def test_adaptive_salted_join_equals_plain(spark, sf_dir):
+    """Hot-key-only salting must be row-identical to the plain join,
+    with a hot threshold that actually splits some keys and leaves
+    others cold (events: 'click'/'view' dominate the type axis)."""
+    from scala_data_pipeline_spark.operators.skew import (
+        adaptive_salted_join,
+    )
+
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    dim = events.select("event_type").distinct().withColumn(
+        "type_tag", F.upper("event_type")
+    )
+    counts = {
+        r["event_type"]: r["n"]
+        for r in events.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    # threshold between min and max multiplicity: some hot, some cold
+    thresh = (min(counts.values()) + max(counts.values())) // 2
+    assert any(n > thresh for n in counts.values())
+    assert any(n <= thresh for n in counts.values())
+    plain = events.join(dim, on="event_type").groupBy("type_tag").count()
+    adaptive = (
+        adaptive_salted_join(
+            events, dim, key="event_type", hot_threshold=thresh, n_salts=4
+        )
+        .groupBy("type_tag")
+        .count()
+    )
+    pd.testing.assert_frame_equal(_sorted(plain), _sorted(adaptive))
