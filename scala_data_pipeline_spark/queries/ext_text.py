@@ -417,3 +417,113 @@ FROM binned GROUP BY score_bin
 
 EXTRA_QUERIES["quality_reliability_curve"] = quality_reliability_curve
 EXTRA_ORACLES["quality_reliability_curve"] = _reliability_oracle()
+
+
+def text_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between per-source unigram
+    distributions (round 9) — the mixture-health matrix a pretraining
+    recipe watches when balancing sources (a source drifting from the
+    rest shows up as a rising JS row). Shape: one corpus token
+    aggregation to the bounded (source x vocab) grain (~20 x ~30
+    rows), a dense broadcast grid fill for absent terms, then the
+    bounded pairwise join — the corpus is scanned ONCE regardless of
+    how many source pairs exist. Per-term contributions round to 8
+    decimals and sum as exact decimals (order-independent), final JS
+    rounded to 6 — the repo's float-exactness convention."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), " "), lambda t: t != ""
+            )
+        ).alias("term"),
+    )
+    counts = toks.groupBy("source", "term").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    totals = counts.groupBy("source").agg(F.sum("cnt").alias("total"))
+    sources = totals.select("source", "total")
+    vocab = counts.select("term").distinct()
+    # dense bounded grid (sources x vocab) so absent terms carry p=0
+    grid = (
+        sources.crossJoin(F.broadcast(vocab))
+        .join(counts, on=["source", "term"], how="left")
+        .select(
+            "source",
+            "term",
+            (
+                F.coalesce(F.col("cnt"), F.lit(0)).cast("double")
+                / F.col("total").cast("double")
+            ).alias("p"),
+        )
+    )
+    a = grid.select(
+        F.col("source").alias("source_a"),
+        "term",
+        F.col("p").alias("pa"),
+    )
+    b = grid.select(
+        F.col("source").alias("source_b"),
+        "term",
+        F.col("p").alias("pb"),
+    )
+    pairs = a.join(b, on="term").filter(
+        F.col("source_a") < F.col("source_b")
+    )
+    m = (F.col("pa") + F.col("pb")) / 2
+    contrib = (
+        F.when(
+            F.col("pa") > 0,
+            F.col("pa") * F.log(F.col("pa") / m) * 0.5,
+        ).otherwise(F.lit(0.0))
+        + F.when(
+            F.col("pb") > 0,
+            F.col("pb") * F.log(F.col("pb") / m) * 0.5,
+        ).otherwise(F.lit(0.0))
+    )
+    return (
+        pairs.select(
+            "source_a",
+            "source_b",
+            F.round(contrib, 8).cast("decimal(18,8)").alias("c"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.round(F.sum("c").cast("double"), 6).alias("js_divergence"))
+    )
+
+
+SOURCE_DIVERGENCE_ORACLE = """
+WITH toks AS (
+  SELECT source, unnest(list_filter(string_split(lower(text), ' '),
+                                    t -> t <> '')) AS term
+  FROM documents
+), counts AS (
+  SELECT source, term, COUNT(*) AS cnt FROM toks GROUP BY 1, 2
+), totals AS (
+  SELECT source, SUM(cnt) AS total FROM counts GROUP BY 1
+), vocab AS (SELECT DISTINCT term FROM counts),
+grid AS (
+  SELECT s.source, v.term,
+         CAST(COALESCE(c.cnt, 0) AS DOUBLE) / CAST(s.total AS DOUBLE) AS p
+  FROM totals s CROSS JOIN vocab v
+  LEFT JOIN counts c ON c.source = s.source AND c.term = v.term
+), pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b, a.term,
+         a.p AS pa, b.p AS pb
+  FROM grid a JOIN grid b ON a.term = b.term AND a.source < b.source
+)
+SELECT source_a, source_b,
+       ROUND(CAST(SUM(CAST(ROUND(
+           CASE WHEN pa > 0
+                THEN pa * ln(pa / ((pa + pb) / 2)) * 0.5 ELSE 0 END
+         + CASE WHEN pb > 0
+                THEN pb * ln(pb / ((pa + pb) / 2)) * 0.5 ELSE 0 END,
+           8) AS DECIMAL(18,8))) AS DOUBLE), 6) AS js_divergence
+FROM pairs GROUP BY 1, 2
+"""
+
+EXTRA_QUERIES["text_source_divergence"] = text_source_divergence
+EXTRA_ORACLES["text_source_divergence"] = SOURCE_DIVERGENCE_ORACLE

@@ -42,6 +42,10 @@ BNLJ_ALLOWED = {
     # TYPE (a handful of KB-sized sketches), never the events table
     # (queries/sketches.py docstring).
     "sketch_theta_audiences",
+    # text_source_divergence cross-joins the BOUNDED per-source totals
+    # (~20 rows) with the broadcast ~30-term vocabulary to densify the
+    # probability grid — never the documents table (query docstring).
+    "text_source_divergence",
     # sketch_hdr_quantiles joins FOUR broadcast probe-quantile rows
     # against the BOUNDED bucket-grain cumulative frame ((64-M)*2^M
     # rows regardless of corpus) on a `cum >= ceil(q*total)`
