@@ -172,3 +172,67 @@ def test_grouped_ntile_column_n_matches_builtin(spark):
         ).collect()
     }
     assert replay == builtin
+
+
+def test_ntile_replay_property(spark):
+    """Property check of the ntile replay against SQL-standard ntile
+    semantics computed in pure Python, across many (n_rows, n_tiles)
+    shapes — including n_rows < n_tiles, exact multiples, and
+    off-by-one sizes."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        n=st.integers(min_value=1, max_value=500),
+        tiles=st.integers(min_value=1, max_value=20),
+    )
+    def check(n, tiles):
+        df = spark.range(1, n + 1).select(
+            F.col("id").alias("i"),
+            ntile_from_rank(F.col("id"), n, tiles).alias("t"),
+        )
+        got = {r["i"]: r["t"] for r in df.collect()}
+        base, rem = divmod(n, tiles)
+        want = {}
+        i = 1
+        for tile in range(1, tiles + 1):
+            size = base + (1 if tile <= rem else 0)
+            for _ in range(size):
+                want[i] = tile
+                i += 1
+        assert got == want, (n, tiles)
+
+    check()
+
+
+def test_ntile_replay_property_column_n(spark):
+    """Same property for the Column-valued n_rows variant (per-group
+    sizes carried as a column)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        n=st.integers(min_value=1, max_value=300),
+        tiles=st.integers(min_value=1, max_value=15),
+    )
+    def check(n, tiles):
+        df = spark.range(1, n + 1).select(
+            F.col("id").alias("i"),
+            ntile_from_rank(
+                F.col("id"), F.lit(n).cast("long"), tiles
+            ).alias("t"),
+        )
+        got = {r["i"]: r["t"] for r in df.collect()}
+        base, rem = divmod(n, tiles)
+        want = {}
+        i = 1
+        for tile in range(1, tiles + 1):
+            size = base + (1 if tile <= rem else 0)
+            for _ in range(size):
+                want[i] = tile
+                i += 1
+        assert got == want, (n, tiles)
+
+    check()
