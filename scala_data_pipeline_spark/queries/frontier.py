@@ -448,3 +448,140 @@ WHERE levenshtein(a.c_name, b.c_name) <= {NAME_MAX_DIST}
 
 EXTRA_QUERIES["name_match_pairs"] = name_match_pairs
 EXTRA_ORACLES["name_match_pairs"] = NAME_MATCH_ORACLE
+
+
+# --------------------------------------------------------------------
+# Layout data-skipping effectiveness (round 9)
+# --------------------------------------------------------------------
+
+# 2-D predicate box the scan-pruning comparison probes (fixed
+# literals, replayed in the oracle): a custkey band x a ~6-month day
+# band inside the 1995-2001 order range.
+SKIP_CK_LO, SKIP_CK_HI = 10, 50
+SKIP_DAY_LO, SKIP_DAY_HI = 9500, 9700
+SKIP_CK_SHIFT = 4  # custkey-sorted layout: buckets of 16 adjacent keys
+SKIP_DAY_SHIFT = 5  # day-sorted layout: buckets of 32 adjacent days
+# Finer z shift than layout_zorder's 1024-bucket view: the fixture's
+# custkeys occupy ~11 of the 16 interleaved bits, so the global shift
+# collapses to a handful of buckets; 2^18 granularity yields a bucket
+# count comparable to the two single-column layouts at these SFs.
+SKIP_Z_SHIFT = 18
+
+
+def layout_skipping_effectiveness(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """QUANTIFIES the z-order claim layout_zorder only illustrates:
+    for one 2-D predicate box, what fraction of layout buckets can a
+    scan prune from footer min/max envelopes alone — under the Morton
+    z-order layout vs a custkey-only sort vs a day-only sort?
+    Single-column layouts prune hard on their own axis and not at all
+    on the other; z-order prunes on BOTH. One corpus scan: each row
+    emits its bucket under all three layouts (explode of 3 structs),
+    ONE (layout, bucket) aggregation builds the envelopes, and the
+    final per-layout rollup (<= 3 x 1024 rows) counts prunable
+    buckets and the rows a scan would still read.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    day = F.datediff(
+        F.col("o_orderdate").cast("date"), F.lit("1970-01-01")
+    ).cast("long")
+    ck = F.col("o_custkey").cast("long")
+    xk = ck.bitwiseAND(F.lit((1 << ZBITS) - 1))
+    yk = day.bitwiseAND(F.lit((1 << ZBITS) - 1))
+    zbucket = F.shiftrightunsigned(
+        _morton_spark(xk, yk), SKIP_Z_SHIFT
+    )
+    cbucket = F.shiftrightunsigned(ck, SKIP_CK_SHIFT)
+    dbucket = F.shiftrightunsigned(day, SKIP_DAY_SHIFT)
+    coded = orders.select(
+        ck.alias("custkey"),
+        day.alias("day"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("zorder").alias("layout"),
+                    zbucket.cast("long").alias("bucket"),
+                ),
+                F.struct(
+                    F.lit("custkey_sort").alias("layout"),
+                    cbucket.cast("long").alias("bucket"),
+                ),
+                F.struct(
+                    F.lit("day_sort").alias("layout"),
+                    dbucket.cast("long").alias("bucket"),
+                ),
+            )
+        ).alias("lb"),
+    ).select("custkey", "day", "lb.layout", "lb.bucket")
+    envelopes = coded.groupBy("layout", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.min("custkey").alias("min_ck"),
+        F.max("custkey").alias("max_ck"),
+        F.min("day").alias("min_day"),
+        F.max("day").alias("max_day"),
+    )
+    prunable = (
+        (F.col("max_ck") < SKIP_CK_LO)
+        | (F.col("min_ck") > SKIP_CK_HI)
+        | (F.col("max_day") < SKIP_DAY_LO)
+        | (F.col("min_day") > SKIP_DAY_HI)
+    )
+    return envelopes.groupBy("layout").agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.sum(prunable.cast("long")).cast("long").alias("n_prunable"),
+        F.round(
+            F.sum(prunable.cast("long"))
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("frac_prunable"),
+        F.sum(
+            F.when(prunable, F.lit(0)).otherwise(F.col("n_rows"))
+        ).cast("long").alias("rows_scanned"),
+    )
+
+
+LAYOUT_SKIPPING_ORACLE = f"""
+WITH coded AS (
+  SELECT CAST(o_custkey AS BIGINT) AS custkey,
+         CAST(datediff('day', DATE '1970-01-01',
+                       CAST(o_orderdate AS DATE)) AS BIGINT) AS day
+  FROM orders
+), lb AS (
+  SELECT 'zorder' AS layout,
+         CAST(({_morton_sql(f"(custkey & {_ZMASK})",
+                            f"(day & {_ZMASK})")}) >> {SKIP_Z_SHIFT}
+              AS BIGINT) AS bucket,
+         custkey, day
+  FROM coded
+  UNION ALL
+  SELECT 'custkey_sort', custkey >> {SKIP_CK_SHIFT}, custkey, day
+  FROM coded
+  UNION ALL
+  SELECT 'day_sort', day >> {SKIP_DAY_SHIFT}, custkey, day FROM coded
+), env AS (
+  SELECT layout, bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         MIN(custkey) AS min_ck, MAX(custkey) AS max_ck,
+         MIN(day) AS min_day, MAX(day) AS max_day
+  FROM lb GROUP BY 1, 2
+), flagged AS (
+  SELECT layout, n_rows,
+         CASE WHEN max_ck < {SKIP_CK_LO} OR min_ck > {SKIP_CK_HI}
+                OR max_day < {SKIP_DAY_LO} OR min_day > {SKIP_DAY_HI}
+              THEN 1 ELSE 0 END AS prunable
+  FROM env
+)
+SELECT layout,
+       CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       CAST(SUM(prunable) AS BIGINT) AS n_prunable,
+       ROUND(CAST(SUM(prunable) AS DOUBLE) / COUNT(*), 6)
+         AS frac_prunable,
+       CAST(SUM(CASE WHEN prunable = 1 THEN 0 ELSE n_rows END)
+            AS BIGINT) AS rows_scanned
+FROM flagged GROUP BY 1
+"""
+
+EXTRA_QUERIES["layout_skipping_effectiveness"] = (
+    layout_skipping_effectiveness
+)
+EXTRA_ORACLES["layout_skipping_effectiveness"] = LAYOUT_SKIPPING_ORACLE
