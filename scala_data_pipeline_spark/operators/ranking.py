@@ -160,6 +160,7 @@ def with_grouped_rank(
     order_cols: list[str],
     rank_col: str = "i",
     size_col: str = "n_in_group",
+    cum_cols: list[str] | None = None,
     num_partitions: int | None = None,
 ) -> DataFrame:
     """Exact per-group 1-based rank (row_number over ``PARTITION BY
@@ -182,6 +183,12 @@ def with_grouped_rank(
     axes (segments, sources, priority classes); high-cardinality keys
     should keep using ``Window.partitionBy``, which is already
     parallel there.
+
+    For each ``c`` in ``cum_cols`` the output additionally carries the
+    exact per-group running sum ``cum_<c>`` (rows unbounded-preceding
+    to current within the group) and the per-group total ``total_<c>``
+    — the pieces a per-group Pareto/ABC share needs, computed from the
+    same bounded offset scan.
     """
     spark = df.sparkSession
     n_part = num_partitions or int(
@@ -193,34 +200,49 @@ def with_grouped_rank(
         .withColumn("_pid", F.spark_partition_id())
         .localCheckpoint(eager=True)
     )
+    cum_cols = list(cum_cols or [])
+    aggs = [F.count(F.lit(1)).alias("_cnt")] + [
+        F.sum(c).alias(f"_sum_{c}") for c in cum_cols
+    ]
     part_rows = sorted(
-        ranged.groupBy("_pid", *group_cols)
-        .agg(F.count(F.lit(1)).alias("_cnt"))
-        .collect(),
+        ranged.groupBy("_pid", *group_cols).agg(*aggs).collect(),
         key=lambda r: r["_pid"],
     )
     seen: dict[tuple, int] = {}  # group -> rows in earlier partitions
+    run: dict[tuple, list] = {}  # group -> per-cum-col prefix sums
     offsets = []
     for r in part_rows:
         g = tuple(r[c] for c in group_cols)
-        offsets.append((r["_pid"], *g, seen.get(g, 0)))
+        prefix = run.setdefault(g, [Decimal(0)] * len(cum_cols))
+        offsets.append((r["_pid"], *g, seen.get(g, 0), *prefix))
         seen[g] = seen.get(g, 0) + r["_cnt"]
+        run[g] = [
+            p + (r[f"_sum_{c}"] if r[f"_sum_{c}"] is not None else 0)
+            for p, c in zip(prefix, cum_cols)
+        ]
     gtypes = {
         f.name: f.dataType.simpleString()
         for f in df.schema.fields
         if f.name in group_cols
     }
+    gsum_types = {
+        c: ranged.groupBy().agg(F.sum(c).alias("x")).schema["x"]
+        .dataType.simpleString()
+        for c in cum_cols
+    }
     off_schema = ", ".join(
         ["_pid int"]
         + [f"{c} {gtypes[c]}" for c in group_cols]
         + ["_rank_off long"]
+        + [f"_off_{c} {gsum_types[c]}" for c in cum_cols]
     )
     off_df = spark.createDataFrame(offsets, off_schema)
     size_df = spark.createDataFrame(
-        [(*g, n) for g, n in seen.items()],
+        [(*g, seen[g], *run[g]) for g in seen],
         ", ".join(
             [f"{c} {gtypes[c]}" for c in group_cols]
             + [f"{size_col} long"]
+            + [f"total_{c} {gsum_types[c]}" for c in cum_cols]
         ),
     )
     w = Window.partitionBy("_pid", *group_cols).orderBy(
@@ -231,4 +253,10 @@ def with_grouped_rank(
         .join(F.broadcast(size_df), group_cols)
         .withColumn(rank_col, F.row_number().over(w) + F.col("_rank_off"))
     )
-    return out.drop("_pid", "_rank_off")
+    for c in cum_cols:
+        local = F.sum(c).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        out = out.withColumn(f"cum_{c}", local + F.col(f"_off_{c}"))
+    drop = ["_pid", "_rank_off"] + [f"_off_{c}" for c in cum_cols]
+    return out.drop(*drop)

@@ -2876,3 +2876,89 @@ FROM per_dec
 
 EXTRA_QUERIES["segment_spend_deciles"] = segment_spend_deciles
 EXTRA_ORACLES["segment_spend_deciles"] = SEGMENT_DECILES_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# Per-brand ABC classes: grouped Pareto via grouped prefix sums (round 9)
+# ---------------------------------------------------------------------------
+
+
+def brand_abc_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC inventory classes WITHIN each of the 25 brands — abc_parts'
+    grouped twin (category managers read per-brand Paretos, not the
+    global one). The brand axis is few-huge-groups, so the per-brand
+    revenue running sums come from with_grouped_rank's grouped
+    prefix-sum extension (bounded (partition x brand) offset scan,
+    partition-local windows) — never a 25-task
+    Window.partitionBy(brand) over the corpus-proportional part grain.
+    """
+    from ..operators.ranking import with_grouped_rank
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    per_part = (
+        lineitem.join(
+            part.select(
+                F.col("p_partkey").alias("l_partkey"), "p_brand"
+            ),
+            on="l_partkey",
+        )
+        .groupBy("p_brand", "l_partkey")
+        .agg(
+            F.sum(
+                (
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                ).cast("decimal(18,4)")
+            ).alias("rev")
+        )
+    )
+    per_part = per_part.withColumn("_negrev", -F.col("rev"))
+    ranked = with_grouped_rank(
+        per_part,
+        ["p_brand"],
+        ["_negrev", "l_partkey"],
+        rank_col="i",
+        cum_cols=["rev"],
+    )
+    share = F.col("cum_rev").cast("double") / F.col("total_rev").cast(
+        "double"
+    )
+    klass = (
+        F.when(share <= 0.80, "A").when(share <= 0.95, "B").otherwise("C")
+    )
+    return ranked.select(
+        "p_brand",
+        F.col("l_partkey").cast("long").alias("partkey"),
+        F.col("rev").cast("double").alias("revenue"),
+        F.round(share, 6).alias("cum_share"),
+        klass.alias("abc_class"),
+    )
+
+
+BRAND_ABC_ORACLE = """
+WITH per_part AS (
+  SELECT p_brand, l_partkey,
+         SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+           AS rev
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  GROUP BY p_brand, l_partkey
+), ranked AS (
+  SELECT p_brand, l_partkey, rev,
+         CAST(SUM(rev) OVER (PARTITION BY p_brand
+              ORDER BY rev DESC, l_partkey ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+           / CAST(SUM(rev) OVER (PARTITION BY p_brand) AS DOUBLE) AS share
+  FROM per_part
+)
+SELECT p_brand,
+       CAST(l_partkey AS BIGINT) AS partkey,
+       CAST(rev AS DOUBLE) AS revenue,
+       ROUND(share, 6) AS cum_share,
+       CASE WHEN share <= 0.80 THEN 'A'
+            WHEN share <= 0.95 THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM ranked
+"""
+
+EXTRA_QUERIES["brand_abc_parts"] = brand_abc_parts
+EXTRA_ORACLES["brand_abc_parts"] = BRAND_ABC_ORACLE

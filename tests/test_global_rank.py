@@ -236,3 +236,45 @@ def test_ntile_replay_property_column_n(spark):
         assert got == want, (n, tiles)
 
     check()
+
+
+def test_grouped_cum_matches_partitioned_window(spark):
+    """with_grouped_rank's cum_cols extension: per-group running sums
+    and totals must numerically equal the partitioned-window builtins
+    (Decimal compare — scales differ, values must not)."""
+    from scala_data_pipeline_spark.operators.ranking import (
+        with_grouped_rank,
+    )
+
+    df = _per_cust(spark).withColumn(
+        "g", (F.col("o_custkey") % 4).cast("int")
+    )
+    got = with_grouped_rank(
+        df, ["g"], ["v", "o_custkey"], rank_col="i", cum_cols=["v"]
+    )
+    w = Window.partitionBy("g").orderBy(F.asc("v"), F.asc("o_custkey"))
+    want = (
+        df.withColumn("i", F.row_number().over(w))
+        .withColumn(
+            "cum_v",
+            F.sum("v").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .withColumn(
+            "total_v", F.sum("v").over(Window.partitionBy("g"))
+        )
+    )
+    a = {
+        (r["g"], r["o_custkey"]): (
+            r["i"], Decimal(r["cum_v"]), Decimal(r["total_v"])
+        )
+        for r in got.collect()
+    }
+    b = {
+        (r["g"], r["o_custkey"]): (
+            r["i"], Decimal(r["cum_v"]), Decimal(r["total_v"])
+        )
+        for r in want.collect()
+    }
+    assert a == b
