@@ -201,3 +201,100 @@ def _rrf_oracle() -> str:
 
 EXTRA_QUERIES["sim_rrf_fusion"] = sim_rrf_fusion
 EXTRA_ORACLES["sim_rrf_fusion"] = _rrf_oracle()
+
+
+def embedding_class_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space health audit (round 9): per-label centroids and
+    all pairwise centroid cosines — the class-separation matrix a
+    curation pipeline watches when embeddings feed dedup or retrieval
+    (collapsing centroids = labels the embedding can't separate).
+    Shape: ONE corpus pass explodes vectors to the (label, dim) grain
+    (10 x 64 rows), everything after runs on bounded frames. Float
+    means and dot products follow the decimal-exactness convention
+    (per-term round-8 + exact decimal sums), so the DuckDB twin
+    hash-matches."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vals = emb.select(
+        "label", F.posexplode("embedding").alias("dim", "v")
+    ).select("label", "dim", F.col("v").cast("double").alias("v"))
+    centroids = vals.groupBy("label", "dim").agg(
+        (
+            F.sum(F.round("v", 8).cast("decimal(18,8)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("c")
+    )
+    norms = centroids.groupBy("label").agg(
+        F.sqrt(
+            F.sum(
+                F.round(F.col("c") * F.col("c"), 8).cast("decimal(18,8)")
+            ).cast("double")
+        ).alias("norm")
+    )
+    a = centroids.select(
+        F.col("label").alias("label_a"), "dim", F.col("c").alias("ca")
+    )
+    b = centroids.select(
+        F.col("label").alias("label_b"), "dim", F.col("c").alias("cb")
+    )
+    dots = (
+        a.join(b, on="dim")
+        .filter(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.sum(
+                F.round(F.col("ca") * F.col("cb"), 8).cast(
+                    "decimal(18,8)"
+                )
+            ).cast("double").alias("dot")
+        )
+    )
+    na = norms.select(
+        F.col("label").alias("label_a"), F.col("norm").alias("norm_a")
+    )
+    nb = norms.select(
+        F.col("label").alias("label_b"), F.col("norm").alias("norm_b")
+    )
+    return (
+        dots.join(F.broadcast(na), on="label_a")
+        .join(F.broadcast(nb), on="label_b")
+        .select(
+            "label_a",
+            "label_b",
+            F.round(
+                F.col("dot") / (F.col("norm_a") * F.col("norm_b")), 6
+            ).alias("centroid_cosine"),
+        )
+    )
+
+
+CLASS_SEPARATION_ORACLE = """
+WITH vals AS (
+  SELECT label, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS v
+  FROM embeddings, range(1, 65) t(i)
+), centroids AS (
+  SELECT label, dim,
+         CAST(SUM(CAST(ROUND(v, 8) AS DECIMAL(18,8))) AS DOUBLE)
+           / COUNT(*) AS c
+  FROM vals GROUP BY 1, 2
+), norms AS (
+  SELECT label,
+         sqrt(CAST(SUM(CAST(ROUND(c * c, 8) AS DECIMAL(18,8)))
+              AS DOUBLE)) AS norm
+  FROM centroids GROUP BY 1
+), dots AS (
+  SELECT a.label AS label_a, b.label AS label_b,
+         CAST(SUM(CAST(ROUND(a.c * b.c, 8) AS DECIMAL(18,8)))
+              AS DOUBLE) AS dot
+  FROM centroids a JOIN centroids b
+    ON a.dim = b.dim AND a.label < b.label
+  GROUP BY 1, 2
+)
+SELECT label_a, label_b,
+       ROUND(dot / (na.norm * nb.norm), 6) AS centroid_cosine
+FROM dots
+JOIN norms na ON na.label = label_a
+JOIN norms nb ON nb.label = label_b
+"""
+
+EXTRA_QUERIES["embedding_class_separation"] = embedding_class_separation
+EXTRA_ORACLES["embedding_class_separation"] = CLASS_SEPARATION_ORACLE
