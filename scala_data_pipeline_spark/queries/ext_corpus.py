@@ -121,3 +121,106 @@ EXTRA_ORACLES = {
     "corpus_curate": CORPUS_ORACLE,
     "corpus_export_chain": _export_chain_oracle(),
 }
+
+
+def recipe_funnel_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token accounting through the curation funnel (round 9): docs
+    and whitespace tokens surviving each stage — raw → exact-dedup
+    keepers → Gopher quality gate → benchmark decontamination. The
+    observability view a pretraining recipe publishes ("how many
+    training tokens does each filter cost?"). Each stage is the SAME
+    operator the recipe job runs (ext/dedup, ext/textstats,
+    ext/curation); the output is 4 bounded rows from corpus-pass
+    aggregations, exact long token sums."""
+    from pyspark.sql import functions as F
+
+    from ..ext.curation import decontaminate
+    from ..ext.dedup import exact_dedup_groups
+    from ..ext.textstats import gopher_quality_rules
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(
+        F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    ).cast("long")
+    toks = docs.select("doc_id", n_tok.alias("n_tok"))
+
+    keepers = exact_dedup_groups(docs).select(
+        F.col("keeper_id").alias("doc_id")
+    )
+    quality = keepers.join(
+        gopher_quality_rules(docs).select("doc_id", "passes_gopher"),
+        on="doc_id",
+    ).filter(F.col("passes_gopher")).select("doc_id")
+    stage3_docs = docs.join(quality, on="doc_id").filter(
+        F.col("doc_id") >= 25
+    )
+    bench = docs.filter(F.col("doc_id") < 25)
+    decon = decontaminate(stage3_docs, bench).select("doc_id")
+
+    def stage(name, ids):
+        return (
+            ids.join(toks, on="doc_id")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum("n_tok").cast("long").alias("n_tokens"),
+            )
+            .select(F.lit(name).alias("stage"), "n_docs", "n_tokens")
+        )
+
+    return (
+        stage("1_raw", docs.select("doc_id"))
+        .unionByName(stage("2_exact_dedup", keepers))
+        .unionByName(stage("3_quality", quality))
+        .unionByName(stage("4_decontaminated", decon))
+    )
+
+
+def _funnel_oracle() -> str:
+    from ..ext.dedup import shingles_sql
+    from ..ext.textstats import gopher_quality_rules_sql
+
+    grams = shingles_sql("text", 8)
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
+              AS BIGINT) AS n_tok
+  FROM documents
+), keepers AS (
+  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+), gq AS (
+  SELECT doc_id, passes_gopher
+  FROM ({gopher_quality_rules_sql()})
+), quality AS (
+  SELECT k.doc_id FROM keepers k JOIN gq USING (doc_id)
+  WHERE passes_gopher
+), bench_grams AS (
+  SELECT DISTINCT md5(g) AS h
+  FROM (SELECT unnest({grams}) AS g FROM documents WHERE doc_id < 25)
+), contaminated AS (
+  SELECT DISTINCT d.doc_id
+  FROM (SELECT doc_id, md5(unnest({grams})) AS h
+        FROM documents
+        WHERE doc_id >= 25
+          AND doc_id IN (SELECT doc_id FROM quality)) d
+  WHERE d.h IN (SELECT h FROM bench_grams)
+), decon AS (
+  SELECT doc_id FROM quality
+  WHERE doc_id >= 25
+    AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+), stages AS (
+  SELECT '1_raw' AS stage, doc_id FROM documents
+  UNION ALL SELECT '2_exact_dedup', doc_id FROM keepers
+  UNION ALL SELECT '3_quality', doc_id FROM quality
+  UNION ALL SELECT '4_decontaminated', doc_id FROM decon
+)
+SELECT stage,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+FROM stages JOIN toks USING (doc_id)
+GROUP BY stage
+"""
+
+
+EXTRA_QUERIES["recipe_funnel_accounting"] = recipe_funnel_accounting
+EXTRA_ORACLES["recipe_funnel_accounting"] = _funnel_oracle()
