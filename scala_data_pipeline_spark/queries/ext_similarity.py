@@ -298,3 +298,162 @@ JOIN norms nb ON nb.label = label_b
 
 EXTRA_QUERIES["embedding_class_separation"] = embedding_class_separation
 EXTRA_ORACLES["embedding_class_separation"] = CLASS_SEPARATION_ORACLE
+
+
+def embedding_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silhouette-style cluster audit per label (round 9): mean member
+    cosine to the OWN centroid (cohesion) vs the max cosine the
+    centroid has to any OTHER centroid (separation), and the margin —
+    the one-row-per-label readout of whether the labeled structure in
+    embedding space is real. One corpus pass to the (label, dim) grain
+    for centroids, one map-side broadcast join of members against the
+    640-row centroid table for the cohesion dots; every float sum
+    rides the round-8 decimal convention."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vals = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("dim", "v")
+    ).select(
+        "vec_id", "label", "dim", F.col("v").cast("double").alias("v")
+    )
+    centroids = vals.groupBy("label", "dim").agg(
+        (
+            F.sum(F.round("v", 8).cast("decimal(18,8)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("c")
+    )
+    cnorms = centroids.groupBy("label").agg(
+        F.sqrt(
+            F.sum(
+                F.round(F.col("c") * F.col("c"), 8).cast("decimal(18,8)")
+            ).cast("double")
+        ).alias("cnorm")
+    )
+    member = (
+        vals.join(F.broadcast(centroids), on=["label", "dim"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(
+                F.round(F.col("v") * F.col("c"), 8).cast("decimal(18,8)")
+            ).cast("double").alias("dot"),
+            F.sqrt(
+                F.sum(
+                    F.round(F.col("v") * F.col("v"), 8).cast(
+                        "decimal(18,8)"
+                    )
+                ).cast("double")
+            ).alias("vnorm"),
+        )
+        .join(F.broadcast(cnorms), on="label")
+        .select(
+            "label",
+            (
+                F.col("dot") / (F.col("vnorm") * F.col("cnorm"))
+            ).alias("cos_i"),
+        )
+    )
+    cohesion = member.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        (
+            F.sum(F.round("cos_i", 8).cast("decimal(18,8)")).cast(
+                "double"
+            )
+            / F.count(F.lit(1))
+        ).alias("mean_intra"),
+    )
+    a = centroids.select(
+        F.col("label").alias("la"), "dim", F.col("c").alias("ca")
+    )
+    b = centroids.select(
+        F.col("label").alias("lb"), "dim", F.col("c").alias("cb")
+    )
+    inter = (
+        a.join(b, on="dim")
+        .filter(F.col("la") != F.col("lb"))
+        .groupBy("la", "lb")
+        .agg(
+            F.sum(
+                F.round(F.col("ca") * F.col("cb"), 8).cast(
+                    "decimal(18,8)"
+                )
+            ).cast("double").alias("dot")
+        )
+        .join(
+            F.broadcast(cnorms.select(F.col("label").alias("la"),
+                                      F.col("cnorm").alias("na"))),
+            on="la",
+        )
+        .join(
+            F.broadcast(cnorms.select(F.col("label").alias("lb"),
+                                      F.col("cnorm").alias("nb"))),
+            on="lb",
+        )
+        .groupBy(F.col("la").alias("label"))
+        .agg(
+            F.max(
+                F.col("dot") / (F.col("na") * F.col("nb"))
+            ).alias("max_other")
+        )
+    )
+    return cohesion.join(inter, on="label").select(
+        "label",
+        "n_members",
+        F.round("mean_intra", 6).alias("mean_intra_cosine"),
+        F.round("max_other", 6).alias("max_other_centroid_cosine"),
+        F.round(
+            F.col("mean_intra") - F.col("max_other"), 6
+        ).alias("margin"),
+    )
+
+
+SILHOUETTE_ORACLE = """
+WITH vals AS (
+  SELECT vec_id, label, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS v
+  FROM embeddings, range(1, 65) t(i)
+), centroids AS (
+  SELECT label, dim,
+         CAST(SUM(CAST(ROUND(v, 8) AS DECIMAL(18,8))) AS DOUBLE)
+           / COUNT(*) AS c
+  FROM vals GROUP BY 1, 2
+), cnorms AS (
+  SELECT label,
+         sqrt(CAST(SUM(CAST(ROUND(c * c, 8) AS DECIMAL(18,8)))
+              AS DOUBLE)) AS cnorm
+  FROM centroids GROUP BY 1
+), member AS (
+  SELECT m.vec_id, m.label,
+         CAST(SUM(CAST(ROUND(m.v * c.c, 8) AS DECIMAL(18,8)))
+              AS DOUBLE) AS dot,
+         sqrt(CAST(SUM(CAST(ROUND(m.v * m.v, 8) AS DECIMAL(18,8)))
+              AS DOUBLE)) AS vnorm
+  FROM vals m JOIN centroids c ON c.label = m.label AND c.dim = m.dim
+  GROUP BY 1, 2
+), cohesion AS (
+  SELECT mm.label, CAST(COUNT(*) AS BIGINT) AS n_members,
+         CAST(SUM(CAST(ROUND(mm.dot / (mm.vnorm * cn.cnorm), 8)
+              AS DECIMAL(18,8))) AS DOUBLE) / COUNT(*) AS mean_intra
+  FROM member mm JOIN cnorms cn ON cn.label = mm.label
+  GROUP BY 1
+), inter AS (
+  SELECT la AS label, MAX(dot / (na * nb)) AS max_other
+  FROM (
+    SELECT a.label AS la, b.label AS lb,
+           CAST(SUM(CAST(ROUND(a.c * b.c, 8) AS DECIMAL(18,8)))
+                AS DOUBLE) AS dot
+    FROM centroids a JOIN centroids b
+      ON a.dim = b.dim AND a.label <> b.label
+    GROUP BY 1, 2
+  ) d
+  JOIN cnorms x ON x.label = d.la
+  JOIN cnorms y ON y.label = d.lb
+  CROSS JOIN LATERAL (SELECT x.cnorm AS na, y.cnorm AS nb) z
+  GROUP BY 1
+)
+SELECT c.label, c.n_members,
+       ROUND(c.mean_intra, 6) AS mean_intra_cosine,
+       ROUND(i.max_other, 6) AS max_other_centroid_cosine,
+       ROUND(c.mean_intra - i.max_other, 6) AS margin
+FROM cohesion c JOIN inter i ON i.label = c.label
+"""
+
+EXTRA_QUERIES["embedding_silhouette"] = embedding_silhouette
+EXTRA_ORACLES["embedding_silhouette"] = SILHOUETTE_ORACLE
