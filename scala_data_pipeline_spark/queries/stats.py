@@ -450,3 +450,53 @@ FROM bucketed GROUP BY bucket
 
 EXTRA_QUERIES["histogram_equidepth_prices"] = histogram_equidepth_prices
 EXTRA_ORACLES["histogram_equidepth_prices"] = HISTOGRAM_EQUIDEPTH_ORACLE
+
+
+def skewsafe_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated join, oracle-checked end-to-end (round 9): the
+    orders⋈customer join keyed on c_nationkey is the classic hot-key
+    shape (every nation is a huge key group); this runs it through
+    operators/skew.py::adaptive_salted_join — frequency profile, hot
+    keys salted over 8 sub-keys, cold keys untouched — and aggregates
+    to per-nation revenue. Salting changes the PHYSICAL distribution
+    only: the result must equal the plain join, which is exactly what
+    the DuckDB oracle computes (cross-algorithm check)."""
+    from ..operators.skew import adaptive_salted_join
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), F.col("c_nationkey")
+    )
+    big = orders.join(
+        customer, orders.o_custkey == customer.c_custkey
+    ).select("c_nationkey", "o_totalprice")
+    nation = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"),
+        F.col("n_name").alias("nation"),
+    )
+    # every nation key exceeds the threshold at sf>=0.001 → all hot,
+    # genuinely salted; threshold kept low deliberately
+    joined = adaptive_salted_join(
+        big, nation, key="c_nationkey", hot_threshold=10, n_salts=8
+    )
+    return joined.groupBy("nation").agg(
+        F.sum(
+            F.col("o_totalprice").cast("decimal(18,4)")
+        ).cast("double").alias("revenue"),
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+    )
+
+
+SKEWSAFE_ORACLE = """
+SELECT n_name AS nation,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+         AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders
+JOIN customer ON c_custkey = o_custkey
+JOIN nation ON n_nationkey = c_nationkey
+GROUP BY n_name
+"""
+
+EXTRA_QUERIES["skewsafe_nation_revenue"] = skewsafe_nation_revenue
+EXTRA_ORACLES["skewsafe_nation_revenue"] = SKEWSAFE_ORACLE

@@ -278,3 +278,29 @@ def test_grouped_cum_matches_partitioned_window(spark):
         for r in want.collect()
     }
     assert a == b
+
+
+def test_grouped_rank_two_group_columns(spark):
+    """with_grouped_rank over a COMPOSITE group axis (two columns) —
+    offsets and sizes keyed on the tuple must match the
+    partitioned-window builtins."""
+    from scala_data_pipeline_spark.operators.ranking import (
+        with_grouped_rank,
+    )
+
+    orders = load_table(spark, SF, "orders")
+    df = orders.select(
+        F.col("o_orderstatus").alias("g1"),
+        F.col("o_orderpriority").alias("g2"),
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").cast("decimal(18,4)").alias("v"),
+    )
+    got = with_grouped_rank(df, ["g1", "g2"], ["v", "k"], rank_col="i")
+    w = Window.partitionBy("g1", "g2").orderBy(F.asc("v"), F.asc("k"))
+    want = df.withColumn("i", F.row_number().over(w)).withColumn(
+        "n_in_group",
+        F.count(F.lit(1)).over(Window.partitionBy("g1", "g2")),
+    )
+    a = {r["k"]: (r["i"], r["n_in_group"]) for r in got.collect()}
+    b = {r["k"]: (r["i"], r["n_in_group"]) for r in want.collect()}
+    assert a == b
