@@ -2962,3 +2962,226 @@ FROM ranked
 
 EXTRA_QUERIES["brand_abc_parts"] = brand_abc_parts
 EXTRA_ORACLES["brand_abc_parts"] = BRAND_ABC_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# Robust statistics: MAD anomalies, CUSUM changepoint, Theil-Sen (round 9)
+# ---------------------------------------------------------------------------
+
+
+def mad_anomaly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier days by modified z-score (Iglewicz-Hoaglin
+    0.6745·(x-med)/MAD, cut at 3.5) — the median-based complement to
+    anomaly_daily_revenue's rolling mean/std, immune to the outliers
+    it hunts. Two bounded scalar aggregates over the DAY grain
+    broadcast back onto it (the documented tiny-broadcast pattern)."""
+    orders = load_table(spark, sf_dir, "orders")
+    day = F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01"))
+    daily = orders.groupBy(day.alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("rev")
+    )
+    med_row = daily.agg(
+        F.expr("percentile(rev, 0.5)").alias("med")
+    )
+    with_med = daily.crossJoin(F.broadcast(med_row))
+    mad_row = with_med.agg(
+        F.expr("percentile(abs(rev - med), 0.5)").alias("mad"),
+        F.first("med").alias("med"),
+    )
+    out = daily.crossJoin(F.broadcast(mad_row))
+    rz = F.lit(0.6745) * (F.col("rev") - F.col("med")) / F.col("mad")
+    return out.select(
+        F.col("day").cast("long").alias("day"),
+        F.round("rev", 4).alias("rev"),
+        F.round(rz, 6).alias("robust_z"),
+        (F.abs(rz) > 3.5).alias("is_outlier"),
+    )
+
+
+MAD_ANOMALY_ORACLE = """
+WITH daily AS (
+  SELECT CAST(datediff('day', DATE '1970-01-01',
+              CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS rev
+  FROM orders GROUP BY 1
+), med AS (
+  SELECT quantile_cont(rev, 0.5) AS med FROM daily
+), mad AS (
+  SELECT quantile_cont(abs(rev - med), 0.5) AS mad, ANY_VALUE(med) AS med
+  FROM daily, med
+)
+SELECT day,
+       ROUND(rev, 4) AS rev,
+       ROUND(0.6745 * (rev - med) / mad, 6) AS robust_z,
+       abs(0.6745 * (rev - med) / mad) > 3.5 AS is_outlier
+FROM daily, mad
+"""
+
+EXTRA_QUERIES["mad_anomaly_revenue"] = mad_anomaly_revenue
+EXTRA_ORACLES["mad_anomaly_revenue"] = MAD_ANOMALY_ORACLE
+
+
+def cusum_revenue_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM level-shift detector over daily revenue: cumulative sum
+    of mean-centered revenues; the day where |CUSUM| peaks is the
+    most likely changepoint, and the before/after means quantify the
+    shift. All windows run over the bounded DAY grain."""
+    orders = load_table(spark, sf_dir, "orders")
+    day = F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01"))
+    daily = orders.groupBy(day.alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("rev")
+    )
+    mean_row = daily.agg(
+        (
+            F.sum(F.round("rev", 4).cast("decimal(18,4)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mu")
+    )
+    w_cum = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )  # bounded DAY grain
+    cs = daily.crossJoin(F.broadcast(mean_row)).select(
+        "day",
+        "rev",
+        "mu",
+        F.sum(
+            F.round(F.col("rev") - F.col("mu"), 4).cast("decimal(18,4)")
+        ).over(w_cum).cast("double").alias("cusum"),
+    )
+    best = cs.orderBy(F.abs(F.col("cusum")).desc(), F.col("day").asc()).limit(1)
+    after = cs.join(
+        F.broadcast(best.select(F.col("day").alias("cp_day"))),
+        F.col("day") > F.col("cp_day"),
+    )
+    before = cs.join(
+        F.broadcast(best.select(F.col("day").alias("cp_day"))),
+        F.col("day") <= F.col("cp_day"),
+    )
+
+    def mean_of(df_, alias):
+        return df_.agg(
+            (
+                F.sum(F.round("rev", 4).cast("decimal(18,4)")).cast(
+                    "double"
+                )
+                / F.count(F.lit(1))
+            ).alias(alias)
+        )
+
+    return (
+        best.select(
+            F.col("day").cast("long").alias("changepoint_day"),
+            F.round("cusum", 4).alias("peak_cusum"),
+        )
+        .crossJoin(F.broadcast(mean_of(before, "mean_before")))
+        .crossJoin(F.broadcast(mean_of(after, "mean_after")))
+        .select(
+            "changepoint_day",
+            "peak_cusum",
+            F.round("mean_before", 4).alias("mean_before"),
+            F.round("mean_after", 4).alias("mean_after"),
+        )
+    )
+
+
+CUSUM_ORACLE = """
+WITH daily AS (
+  SELECT CAST(datediff('day', DATE '1970-01-01',
+              CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS rev
+  FROM orders GROUP BY 1
+), mu AS (
+  SELECT CAST(SUM(CAST(ROUND(rev, 4) AS DECIMAL(18,4))) AS DOUBLE)
+           / COUNT(*) AS mu
+  FROM daily
+), cs AS (
+  SELECT day, rev,
+         CAST(SUM(CAST(ROUND(rev - mu, 4) AS DECIMAL(18,4)))
+              OVER (ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS DOUBLE) AS cusum
+  FROM daily, mu
+), best AS (
+  SELECT day AS changepoint_day, cusum
+  FROM cs ORDER BY abs(cusum) DESC, day ASC LIMIT 1
+)
+SELECT b.changepoint_day,
+       ROUND(b.cusum, 4) AS peak_cusum,
+       ROUND((SELECT CAST(SUM(CAST(ROUND(rev, 4) AS DECIMAL(18,4)))
+                     AS DOUBLE) / COUNT(*)
+              FROM cs WHERE day <= b.changepoint_day), 4) AS mean_before,
+       ROUND((SELECT CAST(SUM(CAST(ROUND(rev, 4) AS DECIMAL(18,4)))
+                     AS DOUBLE) / COUNT(*)
+              FROM cs WHERE day > b.changepoint_day), 4) AS mean_after
+FROM best b
+"""
+
+EXTRA_QUERIES["cusum_revenue_shift"] = cusum_revenue_shift
+EXTRA_ORACLES["cusum_revenue_shift"] = CUSUM_ORACLE
+
+
+def theilsen_event_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend of daily event revenue: the median of
+    all pairwise day-to-day slopes (breakdown point 29%, vs OLS's 0) —
+    the slope estimate a noisy ops series deserves. The events corpus
+    spans ~30 days, so the pairwise frame is ~435 rows from a bounded
+    self-join of the DAY grain; the corpus itself is scanned once."""
+    events = load_table(spark, sf_dir, "events")
+    day = F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01"))
+    daily = events.groupBy(day.alias("day")).agg(
+        F.sum(F.round("value", 2).cast("decimal(18,2)"))
+        .cast("double")
+        .alias("rev")
+    )
+    a = daily.select(F.col("day").alias("da"), F.col("rev").alias("ra"))
+    b = daily.select(F.col("day").alias("db"), F.col("rev").alias("rb"))
+    slopes = (
+        a.join(F.broadcast(b), F.col("da") < F.col("db"))
+        .select(
+            (
+                (F.col("rb") - F.col("ra"))
+                / (F.col("db") - F.col("da")).cast("double")
+            ).alias("slope")
+        )
+    )
+    slope_row = slopes.agg(
+        F.expr("percentile(slope, 0.5)").alias("slope")
+    )
+    inter = daily.crossJoin(F.broadcast(slope_row)).agg(
+        F.expr("percentile(rev - slope * day, 0.5)").alias("intercept"),
+        F.first("slope").alias("slope"),
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+    )
+    return inter.select(
+        "n_days",
+        F.round("slope", 6).alias("slope"),
+        F.round("intercept", 4).alias("intercept"),
+    )
+
+
+THEILSEN_ORACLE = """
+WITH daily AS (
+  SELECT CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+              AS BIGINT) AS day,
+         CAST(SUM(CAST(ROUND(value, 2) AS DECIMAL(18,2))) AS DOUBLE)
+           AS rev
+  FROM events GROUP BY 1
+), slopes AS (
+  SELECT (b.rev - a.rev) / CAST(b.day - a.day AS DOUBLE) AS slope
+  FROM daily a JOIN daily b ON a.day < b.day
+), sl AS (
+  SELECT quantile_cont(slope, 0.5) AS slope FROM slopes
+)
+SELECT CAST((SELECT COUNT(*) FROM daily) AS BIGINT) AS n_days,
+       ROUND(ANY_VALUE(sl.slope), 6) AS slope,
+       ROUND(quantile_cont(d.rev - sl.slope * d.day, 0.5), 4)
+         AS intercept
+FROM daily d, sl
+"""
+
+EXTRA_QUERIES["theilsen_event_trend"] = theilsen_event_trend
+EXTRA_ORACLES["theilsen_event_trend"] = THEILSEN_ORACLE

@@ -42,6 +42,7 @@ GLOBAL_WINDOW_ALLOWED: dict[str, str] = {
     "curation_score_calibration": "ECDF backfill over the 6-decimal "
     "score grain (<= 1e6+1 distinct values)",
     "curation_time_split": "split boundary over the DAY grain",
+    "cusum_revenue_shift": "cumulative CUSUM over the DAY grain",
     "dow_seasonality": "window over the 7-row day-of-week axis",
     "histogram_equidepth_prices": "ECDF over the bounded cent-value "
     "grain (~13k distinct at 10M rows)",

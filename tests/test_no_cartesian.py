@@ -42,6 +42,16 @@ BNLJ_ALLOWED = {
     # TYPE (a handful of KB-sized sketches), never the events table
     # (queries/sketches.py docstring).
     "sketch_theta_audiences",
+    # mad_anomaly_revenue broadcasts two one-row median/MAD frames
+    # onto the bounded day grain (tiny-broadcast pattern).
+    "mad_anomaly_revenue",
+    # cusum_revenue_shift broadcasts one-row mean/changepoint/segment-
+    # mean frames onto (and against) the bounded day grain.
+    "cusum_revenue_shift",
+    # theilsen_event_trend self-joins the bounded ~30-row day grain on
+    # an inequality (pairwise slopes) and broadcasts the one-row
+    # median-slope frame — never the events table.
+    "theilsen_event_trend",
     # text_source_divergence cross-joins the BOUNDED per-source totals
     # (~20 rows) with the broadcast ~30-term vocabulary to densify the
     # probability grid — never the documents table (query docstring).
