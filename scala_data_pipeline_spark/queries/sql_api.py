@@ -658,3 +658,39 @@ def sql_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EXTRA_QUERIES["sql_idle_rich_customers"] = sql_idle_rich_customers
 EXTRA_ORACLES["sql_idle_rich_customers"] = SQL_IDLE_RICH_CUSTOMERS
+
+
+# TPC-H Q7 shape (volume shipping / cross-nation trade flows): the
+# same dimension table joined TWICE under different roles (supplier
+# nation, customer nation) with a symmetric pair predicate — the
+# self-aliased-dimension surface none of the other SQL shapes covers.
+# Both nation sides broadcast; the fact side shuffles once per equi
+# join, never for the pair filter.
+SQL_NATION_TRADE_FLOWS = f"""
+SELECT supp_nation, cust_nation, l_year,
+       {dsum_sql('volume')} AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation,
+         n2.n_name AS cust_nation,
+         year(l_shipdate) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM lineitem
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation n1 ON n1.n_nationkey = s_nationkey
+  JOIN nation n2 ON n2.n_nationkey = c_nationkey
+  WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+      OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+def sql_nation_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(SQL_NATION_TRADE_FLOWS)
+
+
+EXTRA_QUERIES["sql_nation_trade_flows"] = sql_nation_trade_flows
+EXTRA_ORACLES["sql_nation_trade_flows"] = SQL_NATION_TRADE_FLOWS
