@@ -694,3 +694,61 @@ def sql_nation_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EXTRA_QUERIES["sql_nation_trade_flows"] = sql_nation_trade_flows
 EXTRA_ORACLES["sql_nation_trade_flows"] = SQL_NATION_TRADE_FLOWS
+
+
+# TPC-H Q2 shape (min-cost supplier): a CORRELATED SCALAR subquery —
+# each part keeps the supplier(s) whose account balance equals the MAX
+# over that part's own shippers (lineitem stands in for partsupp).
+# Catalyst decorrelates the scalar MAX into an aggregate + join; the
+# membership filter never duplicates fact rows.
+SQL_BEST_SUPPLIER_PER_PART = """
+SELECT p_partkey, s_name, s_acctbal
+FROM part
+JOIN lineitem ON l_partkey = p_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+WHERE p_size <= 10
+  AND s_acctbal = (
+    SELECT MAX(s2.s_acctbal)
+    FROM lineitem l2
+    JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+    WHERE l2.l_partkey = p_partkey
+  )
+GROUP BY p_partkey, s_name, s_acctbal
+"""
+
+
+def sql_best_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(SQL_BEST_SUPPLIER_PER_PART)
+
+
+EXTRA_QUERIES["sql_best_supplier_per_part"] = sql_best_supplier_per_part
+EXTRA_ORACLES["sql_best_supplier_per_part"] = SQL_BEST_SUPPLIER_PER_PART
+
+
+# TPC-H Q15 shape (top supplier): aggregate-of-aggregate — a revenue
+# CTE per supplier, then tie-preserving membership against the MAX of
+# that CTE (Q15's view + scalar-subquery structure).
+SQL_TOP_SUPPLIER = f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         {dsum_sql('l_extendedprice * (1 - l_discount)')} AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier
+JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+"""
+
+
+def sql_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(SQL_TOP_SUPPLIER)
+
+
+EXTRA_QUERIES["sql_top_supplier"] = sql_top_supplier
+EXTRA_ORACLES["sql_top_supplier"] = SQL_TOP_SUPPLIER
