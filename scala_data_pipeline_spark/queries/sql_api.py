@@ -752,3 +752,83 @@ def sql_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EXTRA_QUERIES["sql_top_supplier"] = sql_top_supplier
 EXTRA_ORACLES["sql_top_supplier"] = SQL_TOP_SUPPLIER
+
+
+# TPC-H Q10 shape (returned-item reporting): revenue lost to returns
+# per customer, top 20 — a 4-table join funneled through
+# TakeOrderedAndProject (ORDER BY + LIMIT never global-sorts the
+# aggregate). Ties on revenue broken by custkey so the LIMIT edge is
+# engine-deterministic.
+SQL_RETURNED_ITEM_LOSS = f"""
+SELECT c_custkey, c_name, n_name,
+       {dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM customer
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON n_nationkey = c_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+def sql_returned_item_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(SQL_RETURNED_ITEM_LOSS)
+
+
+EXTRA_QUERIES["sql_returned_item_loss"] = sql_returned_item_loss
+EXTRA_ORACLES["sql_returned_item_loss"] = SQL_RETURNED_ITEM_LOSS
+
+
+# TPC-H Q14 shape (promotion effect): conditional-sum ratio — promo
+# revenue share of a one-quarter window. The division's operands are
+# both dsum-exact, so the ratio hashes identically.
+SQL_PROMO_REVENUE_SHARE = f"""
+SELECT ROUND(100.0 * {dsum_sql(
+    "CASE WHEN p_type = 'PROMO' "
+    "THEN l_extendedprice * (1 - l_discount) ELSE 0 END")}
+         / {dsum_sql('l_extendedprice * (1 - l_discount)')}, 6)
+         AS promo_revenue_pct
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+"""
+
+
+def sql_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(SQL_PROMO_REVENUE_SHARE)
+
+
+EXTRA_QUERIES["sql_promo_revenue_share"] = sql_promo_revenue_share
+EXTRA_ORACLES["sql_promo_revenue_share"] = SQL_PROMO_REVENUE_SHARE
+
+
+# TPC-H Q19 shape (discounted revenue, disjunctive predicates): an
+# OR-of-ANDs across two tables — the predicate-pushdown stress case
+# (Catalyst must split the disjunction into per-scan filters plus a
+# join-level residual; a naive planner reads both tables in full).
+SQL_DISJUNCTIVE_REVENUE = f"""
+SELECT {dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+       AND l_quantity BETWEEN 10 AND 35)
+   OR (p_type = 'PROMO' AND p_size BETWEEN 20 AND 50
+       AND l_quantity BETWEEN 25 AND 50)
+"""
+
+
+def sql_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(SQL_DISJUNCTIVE_REVENUE)
+
+
+EXTRA_QUERIES["sql_disjunctive_revenue"] = sql_disjunctive_revenue
+EXTRA_ORACLES["sql_disjunctive_revenue"] = SQL_DISJUNCTIVE_REVENUE

@@ -2991,7 +2991,13 @@ def mad_anomaly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("med").alias("med"),
     )
     out = daily.crossJoin(F.broadcast(mad_row))
-    rz = F.lit(0.6745) * (F.col("rev") - F.col("med")) / F.col("mad")
+    # a constant series has MAD 0 — emit null, not a divide error
+    # (ANSI-safe); NULLIF twin in the oracle
+    rz = (
+        F.lit(0.6745)
+        * (F.col("rev") - F.col("med"))
+        / F.nullif(F.col("mad"), F.lit(0.0))
+    )
     return out.select(
         F.col("day").cast("long").alias("day"),
         F.round("rev", 4).alias("rev"),
@@ -3014,8 +3020,8 @@ WITH daily AS (
 )
 SELECT day,
        ROUND(rev, 4) AS rev,
-       ROUND(0.6745 * (rev - med) / mad, 6) AS robust_z,
-       abs(0.6745 * (rev - med) / mad) > 3.5 AS is_outlier
+       ROUND(0.6745 * (rev - med) / NULLIF(mad, 0.0), 6) AS robust_z,
+       abs(0.6745 * (rev - med) / NULLIF(mad, 0.0)) > 3.5 AS is_outlier
 FROM daily, mad
 """
 
