@@ -832,3 +832,59 @@ def sql_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EXTRA_QUERIES["sql_disjunctive_revenue"] = sql_disjunctive_revenue
 EXTRA_ORACLES["sql_disjunctive_revenue"] = SQL_DISJUNCTIVE_REVENUE
+
+
+# TPC-H Q6 shape (forecasting revenue change): the pure single-scan
+# predicate aggregate — no join at all; the whole query must collapse
+# to a parquet scan with every predicate pushed + one partial/final
+# agg pair (the simplest shape worth plan-locking at 100 TB).
+SQL_FORECAST_REVENUE_CHANGE = f"""
+SELECT {dsum_sql('l_extendedprice * l_discount')} AS revenue_delta,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def sql_forecast_revenue_change(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(SQL_FORECAST_REVENUE_CHANGE)
+
+
+EXTRA_QUERIES["sql_forecast_revenue_change"] = sql_forecast_revenue_change
+EXTRA_ORACLES["sql_forecast_revenue_change"] = SQL_FORECAST_REVENUE_CHANGE
+
+
+# TPC-H Q20 shape (dominant supplier): a CORRELATED AGGREGATE in the
+# predicate — suppliers who shipped an outsized share (>15%; the
+# fixture's supplier-part quantities are near-uniform, max share
+# ~0.245, so Q20's literal one-half cut would be vacuous) of a part's
+# total quantity (partsupp-free adaptation). The inner per-(part) total and
+# the outer per-(part, supplier) sum decorrelate into two aggregates
+# joined on the part key.
+SQL_DOMINANT_SUPPLIERS = """
+SELECT s_suppkey, s_name, l_partkey AS partkey,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+         AS supp_qty
+FROM lineitem l1
+JOIN supplier ON s_suppkey = l1.l_suppkey
+GROUP BY s_suppkey, s_name, l_partkey
+HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > (
+    SELECT SUM(CAST(l2.l_quantity AS DECIMAL(18,2))) * 0.15
+    FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey
+)
+"""
+
+
+def sql_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(SQL_DOMINANT_SUPPLIERS)
+
+
+EXTRA_QUERIES["sql_dominant_suppliers"] = sql_dominant_suppliers
+EXTRA_ORACLES["sql_dominant_suppliers"] = SQL_DOMINANT_SUPPLIERS
