@@ -37,8 +37,30 @@ from __future__ import annotations
 
 from decimal import Decimal
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _to_dec(x) -> Decimal:
+    """Coerce a collected per-partition partial sum to Decimal for the
+    driver-side exclusive-prefix accumulation. Exact for decimal/int
+    partials; float/double partials route through ``str()`` (shortest
+    round-trip repr), so the PREFIX arithmetic is exact over the
+    partials — the partials themselves already carry executor-side
+    float rounding, which no driver-side scheme can undo. (Advisor
+    round-9 finding: ``Decimal(0) += float`` raised TypeError, making
+    cum_cols silently decimal/int-only.)"""
+    if x is None:
+        return Decimal(0)
+    if isinstance(x, float):
+        return Decimal(str(x))
+    return Decimal(x)
+
+
+def _emit(v: Decimal, type_str: str):
+    """Render a Decimal prefix for a createDataFrame cell of the given
+    Spark type — DoubleType/FloatType verification rejects Decimal."""
+    return float(v) if type_str in ("double", "float") else v
 
 
 def with_global_rank(
@@ -93,24 +115,29 @@ def with_global_rank(
         ranged.groupBy("_pid").agg(*aggs).collect(),
         key=lambda r: r["_pid"],
     )
+    sum_types = {
+        c: ranged.groupBy().agg(F.sum(c).alias("x")).schema["x"]
+        .dataType.simpleString()
+        for c in cum_cols
+    }
     n_rows = 0
     run: dict[str, Decimal] = {c: Decimal(0) for c in sum_cols}
     offsets = []  # (pid, rank_offset, *sum_offsets) — exclusive prefixes
     for r in part_rows:
         offsets.append(
-            (r["_pid"], n_rows, *[run[c] for c in cum_cols])
+            (
+                r["_pid"],
+                n_rows,
+                *[_emit(run[c], sum_types[c]) for c in cum_cols],
+            )
         )
         n_rows += r["_cnt"]
         for c in sum_cols:
-            run[c] += r[f"_sum_{c}"] if r[f"_sum_{c}"] is not None else 0
+            run[c] += _to_dec(r[f"_sum_{c}"])
 
-    sum_types = {
-        c: ranged.groupBy().agg(F.sum(c).alias("x")).schema["x"].dataType
-        for c in cum_cols
-    }
     off_schema = ", ".join(
         ["_pid int", "_rank_off long"]
-        + [f"_off_{c} {sum_types[c].simpleString()}" for c in cum_cols]
+        + [f"_off_{c} {sum_types[c]}" for c in cum_cols]
     )
     off_df = spark.createDataFrame(offsets, off_schema)
 
@@ -127,30 +154,42 @@ def with_global_rank(
     return out.drop(*drop), n_rows, run
 
 
+def _floordiv(a: Column, b) -> Column:
+    """Exact integer floor division for non-negative long operands:
+    ``(a - a mod b) / b``. The numerator is an exact multiple of ``b``,
+    so the double division returns the true integer quotient for every
+    ``a < 2^53`` (~9e15 — beyond any feasible rank grain) — unlike
+    naive ``(a / b).cast('long')``, whose correctly-rounded double
+    quotient can land just above an integer boundary and bump a row
+    into the wrong tile (advisor round-9 finding)."""
+    a = a.cast("long")
+    return ((a - F.pmod(a, b)) / b).cast("long")
+
+
 def ntile_from_rank(i, n_rows, n_tiles: int):
     """The exact ``ntile(n_tiles)`` tile for rank ``i`` of ``n_rows``
     rows — SQL-standard semantics (the first ``n_rows % n_tiles``
     tiles get ``n_rows // n_tiles + 1`` rows, the rest one fewer),
     assignable map-side once the rank is known. ``n_rows`` may be a
     driver scalar (global ranking) or a Column (per-group ranking,
-    where each row carries its group's size)."""
+    where each row carries its group's size). All tile arithmetic is
+    exact integer floor division (:func:`_floordiv`), valid to
+    ``n_rows < 2^53``."""
     if isinstance(n_rows, int):
         base, rem = divmod(n_rows, n_tiles)
         cut = rem * (base + 1)
-        big = ((i - 1) / (base + 1)).cast("long") + 1
+        big = _floordiv(i - 1, F.lit(base + 1)) + 1
         if base == 0:  # fewer rows than tiles: every row its own tile
             return big
-        small = F.lit(rem) + ((i - F.lit(cut) - 1) / base).cast("long") + 1
+        small = F.lit(rem) + _floordiv(i - F.lit(cut) - 1, F.lit(base)) + 1
         return F.when(i <= cut, big).otherwise(small)
     n = n_rows.cast("long")
-    base = (n / n_tiles).cast("long")
+    base = _floordiv(n, F.lit(n_tiles))
     rem = n - base * n_tiles
     cut = rem * (base + 1)
-    big = ((i - 1) / (base + 1)).cast("long") + 1
+    big = _floordiv(i - 1, base + 1) + 1
     # greatest() keeps the untaken branch division-safe under ANSI mode
-    small = rem + ((i - cut - 1) / F.greatest(base, F.lit(1))).cast(
-        "long"
-    ) + 1
+    small = rem + _floordiv(i - cut - 1, F.greatest(base, F.lit(1))) + 1
     return F.when((base == 0) | (i <= cut), big).otherwise(small)
 
 
@@ -208,16 +247,31 @@ def with_grouped_rank(
         ranged.groupBy("_pid", *group_cols).agg(*aggs).collect(),
         key=lambda r: r["_pid"],
     )
+    gsum_types = {
+        c: ranged.groupBy().agg(F.sum(c).alias("x")).schema["x"]
+        .dataType.simpleString()
+        for c in cum_cols
+    }
     seen: dict[tuple, int] = {}  # group -> rows in earlier partitions
     run: dict[tuple, list] = {}  # group -> per-cum-col prefix sums
     offsets = []
     for r in part_rows:
         g = tuple(r[c] for c in group_cols)
         prefix = run.setdefault(g, [Decimal(0)] * len(cum_cols))
-        offsets.append((r["_pid"], *g, seen.get(g, 0), *prefix))
+        offsets.append(
+            (
+                r["_pid"],
+                *g,
+                seen.get(g, 0),
+                *[
+                    _emit(p, gsum_types[c])
+                    for p, c in zip(prefix, cum_cols)
+                ],
+            )
+        )
         seen[g] = seen.get(g, 0) + r["_cnt"]
         run[g] = [
-            p + (r[f"_sum_{c}"] if r[f"_sum_{c}"] is not None else 0)
+            p + _to_dec(r[f"_sum_{c}"])
             for p, c in zip(prefix, cum_cols)
         ]
     gtypes = {
@@ -225,32 +279,50 @@ def with_grouped_rank(
         for f in df.schema.fields
         if f.name in group_cols
     }
-    gsum_types = {
-        c: ranged.groupBy().agg(F.sum(c).alias("x")).schema["x"]
-        .dataType.simpleString()
-        for c in cum_cols
-    }
+    # The offset/size frames carry the group columns under `_g_` /
+    # `_s_` aliases and join back with eqNullSafe: NULL group keys form
+    # their own group (Window.partitionBy semantics, which this
+    # operator claims bit-parity with) — a plain equi-join would
+    # silently drop every NULL-keyed row (advisor round-9 finding).
     off_schema = ", ".join(
-        ["_pid int"]
-        + [f"{c} {gtypes[c]}" for c in group_cols]
+        ["_opid int"]
+        + [f"_g_{c} {gtypes[c]}" for c in group_cols]
         + ["_rank_off long"]
         + [f"_off_{c} {gsum_types[c]}" for c in cum_cols]
     )
     off_df = spark.createDataFrame(offsets, off_schema)
     size_df = spark.createDataFrame(
-        [(*g, seen[g], *run[g]) for g in seen],
+        [
+            (
+                *g,
+                seen[g],
+                *[
+                    _emit(p, gsum_types[c])
+                    for p, c in zip(run[g], cum_cols)
+                ],
+            )
+            for g in seen
+        ],
         ", ".join(
-            [f"{c} {gtypes[c]}" for c in group_cols]
+            [f"_s_{c} {gtypes[c]}" for c in group_cols]
             + [f"{size_col} long"]
             + [f"total_{c} {gsum_types[c]}" for c in cum_cols]
         ),
     )
+    off_cond = F.col("_pid") == F.col("_opid")
+    for c in group_cols:
+        off_cond = off_cond & F.col(c).eqNullSafe(F.col(f"_g_{c}"))
+    size_cond = F.lit(True)
+    for c in group_cols:
+        size_cond = size_cond & F.col(c).eqNullSafe(F.col(f"_s_{c}"))
     w = Window.partitionBy("_pid", *group_cols).orderBy(
         *[F.asc(c) for c in order_cols]
     )
     out = (
-        ranged.join(F.broadcast(off_df), ["_pid", *group_cols])
-        .join(F.broadcast(size_df), group_cols)
+        ranged.join(F.broadcast(off_df), on=off_cond)
+        .drop("_opid", *[f"_g_{c}" for c in group_cols])
+        .join(F.broadcast(size_df), on=size_cond)
+        .drop(*[f"_s_{c}" for c in group_cols])
         .withColumn(rank_col, F.row_number().over(w) + F.col("_rank_off"))
     )
     for c in cum_cols:

@@ -16,4 +16,8 @@ python bench.py
 # registry (round-7 defect: two queries committed after the last
 # manual refresh). The generator asserts row count == registry size.
 python -m scala_data_pipeline_spark.plans.report
+# The regeneration fixes the LOCAL tree only — fail the gate when the
+# COMMITTED audit is stale (advisor round-9: a stale committed audit
+# still gated GREEN).
+git diff --exit-code -- PLAN_AUDIT.md
 echo "round gate: GREEN"

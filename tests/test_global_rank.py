@@ -304,3 +304,142 @@ def test_grouped_rank_two_group_columns(spark):
     a = {r["k"]: (r["i"], r["n_in_group"]) for r in got.collect()}
     b = {r["k"]: (r["i"], r["n_in_group"]) for r in want.collect()}
     assert a == b
+
+def test_grouped_rank_null_group_keys(spark):
+    """NULL group keys must form their own group (Window.partitionBy
+    semantics) — advisor round-9: the plain equi-join back onto the
+    offset/size frames silently dropped every NULL-keyed row."""
+    from scala_data_pipeline_spark.operators.ranking import (
+        with_grouped_rank,
+    )
+
+    df = _per_cust(spark).withColumn(
+        "g",
+        F.when(F.col("o_custkey") % 3 == 0, F.lit(None)).otherwise(
+            (F.col("o_custkey") % 3).cast("int")
+        ),
+    )
+    n_in = df.count()
+    got = with_grouped_rank(df, ["g"], ["v", "o_custkey"], rank_col="i")
+    assert got.count() == n_in  # no silent loss of the NULL group
+    w = Window.partitionBy("g").orderBy(F.asc("v"), F.asc("o_custkey"))
+    want = df.withColumn("i", F.row_number().over(w)).withColumn(
+        "n_in_group", F.count(F.lit(1)).over(Window.partitionBy("g"))
+    )
+    a = {
+        (r["g"], r["o_custkey"]): (r["i"], r["n_in_group"])
+        for r in got.collect()
+    }
+    b = {
+        (r["g"], r["o_custkey"]): (r["i"], r["n_in_group"])
+        for r in want.collect()
+    }
+    assert a == b
+
+
+def test_global_rank_double_cum_col(spark):
+    """cum_cols on a double column must work (advisor round-9: the
+    Decimal(0) += float prefix accumulation raised TypeError) and agree
+    with the single-task window to float tolerance — the prefix
+    arithmetic is exact over the per-partition partials; only the
+    partials' own float rounding differs from the window's running
+    order."""
+    import math
+
+    df = _per_cust(spark).withColumn("vd", F.col("v").cast("double"))
+    got, n, totals = with_global_rank(
+        df, ["vd", "o_custkey"], rank_col="i", cum_cols=["vd"]
+    )
+    w = Window.orderBy(F.asc("vd"), F.asc("o_custkey"))
+    want = df.withColumn("i", F.row_number().over(w)).withColumn(
+        "cum_vd",
+        F.sum("vd").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    a = {r["o_custkey"]: (r["i"], r["cum_vd"]) for r in got.collect()}
+    b = {r["o_custkey"]: (r["i"], r["cum_vd"]) for r in want.collect()}
+    assert set(a) == set(b)
+    for k in a:
+        assert a[k][0] == b[k][0]
+        assert math.isclose(a[k][1], b[k][1], rel_tol=1e-9), k
+    assert n == df.count()
+    assert math.isclose(
+        float(totals["vd"]),
+        sum(r["vd"] for r in df.collect()),
+        rel_tol=1e-9,
+    )
+
+
+def test_grouped_rank_double_cum_col(spark):
+    """Grouped variant of the float-cum fix: double cum_cols through
+    the (partition x group) prefix scan."""
+    import math
+
+    from scala_data_pipeline_spark.operators.ranking import (
+        with_grouped_rank,
+    )
+
+    df = (
+        _per_cust(spark)
+        .withColumn("g", (F.col("o_custkey") % 3).cast("int"))
+        .withColumn("vd", F.col("v").cast("double"))
+    )
+    got = with_grouped_rank(
+        df, ["g"], ["vd", "o_custkey"], rank_col="i", cum_cols=["vd"]
+    )
+    w = Window.partitionBy("g").orderBy(F.asc("vd"), F.asc("o_custkey"))
+    want = (
+        df.withColumn("i", F.row_number().over(w))
+        .withColumn(
+            "cum_vd",
+            F.sum("vd").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .withColumn("total_vd", F.sum("vd").over(Window.partitionBy("g")))
+    )
+    a = {
+        (r["g"], r["o_custkey"]): (r["i"], r["cum_vd"], r["total_vd"])
+        for r in got.collect()
+    }
+    b = {
+        (r["g"], r["o_custkey"]): (r["i"], r["cum_vd"], r["total_vd"])
+        for r in want.collect()
+    }
+    assert set(a) == set(b)
+    for k in a:
+        assert a[k][0] == b[k][0], k
+        assert math.isclose(a[k][1], b[k][1], rel_tol=1e-9), k
+        assert math.isclose(a[k][2], b[k][2], rel_tol=1e-9), k
+
+
+def test_ntile_exact_at_huge_ranks(spark):
+    """The integer-floor-division replay must stay exact where the old
+    double-division form went off by one tile (advisor round-9): ranks
+    near 2^50 with tile boundaries landing a ULP away from integers."""
+    n = (1 << 50) + 7
+    tiles = 3
+    base, rem = divmod(n, tiles)
+    # Probe the exact boundary ranks of every tile (first/last rank of
+    # each tile) plus neighbors — the off-by-one shows at boundaries.
+    probes = []
+    i = 1
+    for tile in range(1, tiles + 1):
+        size = base + (1 if tile <= rem else 0)
+        probes += [i, i + size - 1]
+        i += size
+    probes += [p + 1 for p in probes if p + 1 <= n]
+    want = {}
+    for p in sorted(set(probes)):
+        # SQL-standard ntile in exact Python integer arithmetic
+        cut = rem * (base + 1)
+        if p <= cut:
+            want[p] = (p - 1) // (base + 1) + 1
+        else:
+            want[p] = rem + (p - cut - 1) // base + 1
+    df = spark.createDataFrame(
+        [(p,) for p in sorted(set(probes))], "i long"
+    ).select("i", ntile_from_rank(F.col("i"), n, tiles).alias("t"))
+    got = {r["i"]: r["t"] for r in df.collect()}
+    assert got == want
