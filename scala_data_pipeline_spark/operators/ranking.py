@@ -59,8 +59,12 @@ def _to_dec(x) -> Decimal:
 
 def _emit(v: Decimal, type_str: str):
     """Render a Decimal prefix for a createDataFrame cell of the given
-    Spark type — DoubleType/FloatType verification rejects Decimal."""
-    return float(v) if type_str in ("double", "float") else v
+    Spark type — Double/Float/Long type verification rejects Decimal."""
+    if type_str in ("double", "float"):
+        return float(v)
+    if type_str in ("bigint", "int", "smallint", "tinyint"):
+        return int(v)
+    return v
 
 
 def with_global_rank(
@@ -69,6 +73,7 @@ def with_global_rank(
     rank_col: str = "i",
     cum_cols: list[str] | None = None,
     total_cols: list[str] | None = None,
+    min_cols: list[str] | None = None,
     num_partitions: int | None = None,
 ) -> tuple[DataFrame, int, dict[str, Decimal]]:
     """Attach an exact global 1-based ``rank_col`` (row_number over
@@ -89,11 +94,21 @@ def with_global_rank(
     of re-aggregating through a global window. ``total_cols`` columns
     get a total only, no per-row running sum.
 
+    For each ``c`` in ``min_cols`` the output carries ``cummin_<c>``:
+    the exact running MIN over rows unbounded-preceding to current
+    (nulls ignored, SQL ``min`` semantics) — a partition-local min
+    window plus the driver-side exclusive prefix min, same scheme as
+    the running sums. This is the distributed form of the
+    ``last_value(ignorenulls)`` carry-backfill pattern whenever the
+    carried value is monotone along the sort order (an ECDF inverse
+    lookup, an as-of price carry).
+
     The driver-side ``.collect()`` here is a DOCUMENTED BOUNDED SET:
     one row per range partition (``num_partitions``, default the
     session's shuffle partitioning), independent of corpus size.
     """
     cum_cols = list(cum_cols or [])
+    min_cols = list(min_cols or [])
     sum_cols = cum_cols + [
         c for c in (total_cols or []) if c not in cum_cols
     ]
@@ -108,9 +123,11 @@ def with_global_rank(
     # (localCheckpoint precedent: knn srp_index).
     ranged = ranged.localCheckpoint(eager=True)
 
-    aggs = [F.count(F.lit(1)).alias("_cnt")] + [
-        F.sum(c).alias(f"_sum_{c}") for c in sum_cols
-    ]
+    aggs = (
+        [F.count(F.lit(1)).alias("_cnt")]
+        + [F.sum(c).alias(f"_sum_{c}") for c in sum_cols]
+        + [F.min(c).alias(f"_min_{c}") for c in min_cols]
+    )
     part_rows = sorted(
         ranged.groupBy("_pid").agg(*aggs).collect(),
         key=lambda r: r["_pid"],
@@ -120,24 +137,39 @@ def with_global_rank(
         .dataType.simpleString()
         for c in cum_cols
     }
+    min_types = {
+        c: next(
+            f.dataType.simpleString()
+            for f in df.schema.fields
+            if f.name == c
+        )
+        for c in min_cols
+    }
     n_rows = 0
     run: dict[str, Decimal] = {c: Decimal(0) for c in sum_cols}
-    offsets = []  # (pid, rank_offset, *sum_offsets) — exclusive prefixes
+    run_min: dict[str, object] = {c: None for c in min_cols}
+    offsets = []  # (pid, rank_offset, *offsets) — exclusive prefixes
     for r in part_rows:
         offsets.append(
             (
                 r["_pid"],
                 n_rows,
                 *[_emit(run[c], sum_types[c]) for c in cum_cols],
+                *[run_min[c] for c in min_cols],
             )
         )
         n_rows += r["_cnt"]
         for c in sum_cols:
             run[c] += _to_dec(r[f"_sum_{c}"])
+        for c in min_cols:
+            v = r[f"_min_{c}"]
+            if v is not None and (run_min[c] is None or v < run_min[c]):
+                run_min[c] = v
 
     off_schema = ", ".join(
         ["_pid int", "_rank_off long"]
         + [f"_off_{c} {sum_types[c]}" for c in cum_cols]
+        + [f"_minoff_{c} {min_types[c]}" for c in min_cols]
     )
     off_df = spark.createDataFrame(offsets, off_schema)
 
@@ -150,7 +182,20 @@ def with_global_rank(
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
         out = out.withColumn(f"cum_{c}", local + F.col(f"_off_{c}"))
-    drop = ["_pid", "_rank_off"] + [f"_off_{c}" for c in cum_cols]
+    for c in min_cols:
+        local = F.min(c).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        # least() skips nulls: first partitions carry a null prefix,
+        # rows before the first non-null value carry a null local min.
+        out = out.withColumn(
+            f"cummin_{c}", F.least(local, F.col(f"_minoff_{c}"))
+        )
+    drop = (
+        ["_pid", "_rank_off"]
+        + [f"_off_{c}" for c in cum_cols]
+        + [f"_minoff_{c}" for c in min_cols]
+    )
     return out.drop(*drop), n_rows, run
 
 

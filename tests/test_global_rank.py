@@ -443,3 +443,28 @@ def test_ntile_exact_at_huge_ranks(spark):
     ).select("i", ntile_from_rank(F.col("i"), n, tiles).alias("t"))
     got = {r["i"]: r["t"] for r in df.collect()}
     assert got == want
+
+def test_global_rank_cummin_matches_window(spark):
+    """min_cols: the distributed running min (partition-local min +
+    driver prefix min) must equal the single-task window's running
+    min, including null handling (rows before the first non-null carry
+    null)."""
+    df = _per_cust(spark).withColumn(
+        "m",
+        F.when(F.col("o_custkey") % 5 == 0, F.lit(None)).otherwise(
+            -F.col("o_custkey").cast("double")
+        ),
+    )
+    got, n, _ = with_global_rank(
+        df, ["v", "o_custkey"], rank_col="i", min_cols=["m"]
+    )
+    w = Window.orderBy(F.asc("v"), F.asc("o_custkey"))
+    want = df.withColumn("i", F.row_number().over(w)).withColumn(
+        "cummin_m",
+        F.min("m").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    a = {r["o_custkey"]: (r["i"], r["cummin_m"]) for r in got.collect()}
+    b = {r["o_custkey"]: (r["i"], r["cummin_m"]) for r in want.collect()}
+    assert a == b

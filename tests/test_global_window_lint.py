@@ -39,8 +39,6 @@ GLOBAL_WINDOW_ALLOWED: dict[str, str] = {
     "backlog_open_lineitems": "cumulative window over the DAY grain",
     "benford_prices": "rank over the 9-digit leading-digit axis",
     "curation_mixture_sample": "cumulative quota over the ~20-source axis",
-    "curation_score_calibration": "ECDF backfill over the 6-decimal "
-    "score grain (<= 1e6+1 distinct values)",
     "curation_time_split": "split boundary over the DAY grain",
     "cusum_revenue_shift": "cumulative CUSUM over the DAY grain",
     "dow_seasonality": "window over the 7-row day-of-week axis",
