@@ -82,6 +82,10 @@ FROM ranked WHERE rank <= {QUOTA_N}
 
 QUERIES: dict = {}
 ORACLES: dict[str, str] = {}
+# Initialized early so rotation demotions can assign at their query's
+# definition site; the bulk literal below uses update().
+EXTRA_QUERIES: dict = {}
+EXTRA_ORACLES: dict = {}
 
 def curation_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The synthetic corpus carries no real PII, so the query plants a
@@ -155,8 +159,9 @@ def curation_training_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # curation_decontaminate promoted to a driver slot in round 5 (never
 # driver-checked before).
-QUERIES["curation_decontaminate"] = curation_decontaminate
-ORACLES["curation_decontaminate"] = DECON_ORACLE
+# Round-10 rotation: demoted after 5 green driver rounds (r5-r9).
+EXTRA_QUERIES["curation_decontaminate"] = curation_decontaminate
+EXTRA_ORACLES["curation_decontaminate"] = DECON_ORACLE
 
 def curation_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A-ES weighted sample: top-50 docs by md5-uniform priority
@@ -181,7 +186,7 @@ def _cluster_split_oracle() -> str:
     return cluster_split_sql(minhash_lsh_sql())
 
 
-EXTRA_QUERIES = {
+EXTRA_QUERIES.update({
     "curation_mixture_sample": curation_mixture_sample,
     "curation_training_shuffle": curation_training_shuffle,
     "curation_sample": curation_sample,
@@ -190,9 +195,9 @@ EXTRA_QUERIES = {
     "curation_repetition": curation_repetition,
     # Round-9 demotion (green r4-r8):
     "curation_stratified": curation_stratified,
-}
+})
 
-EXTRA_ORACLES = {
+EXTRA_ORACLES.update({
     "curation_mixture_sample": mixture_sample_sql(MIXTURE_TARGET),
     "curation_training_shuffle": training_shuffle_sql(),
     "curation_sample": SAMPLE_ORACLE,
@@ -200,19 +205,21 @@ EXTRA_ORACLES = {
     "curation_pii_redact": PII_ORACLE,
     "curation_repetition": repetition_ratio_sql(),
     "curation_stratified": STRATIFIED_ORACLE,
-}
+})
 
 # Round-6 rotation: curation_cluster_split promoted to a driver slot
 # (per-verdict: the leakage-free split keyed on near-dup clusters closes
 # the dedup→curation chain and was never driver-checked).
-QUERIES["curation_cluster_split"] = curation_cluster_split
-ORACLES["curation_cluster_split"] = _cluster_split_oracle()
+# Round-10 rotation: demoted after 4 green driver rounds (r6-r9).
+EXTRA_QUERIES["curation_cluster_split"] = curation_cluster_split
+EXTRA_ORACLES["curation_cluster_split"] = _cluster_split_oracle()
 
 # Round-6 rotation: curation_weighted_sample promoted to a driver slot
 # (round-5 Efraimidis-Spirakis A-ES weighted sampling, never
 # driver-checked).
-QUERIES["curation_weighted_sample"] = curation_weighted_sample
-ORACLES["curation_weighted_sample"] = weighted_sample_sql(n=50)
+# Round-10 rotation: demoted after 4 green driver rounds (r6-r9).
+EXTRA_QUERIES["curation_weighted_sample"] = curation_weighted_sample
+EXTRA_ORACLES["curation_weighted_sample"] = weighted_sample_sql(n=50)
 
 
 EPOCH_RATES = {"src0": 2.5, "src1": 1.0, "src2": 0.25, "src3": 1.75}

@@ -337,8 +337,9 @@ def _pagerank_oracle() -> str:
 # Round-6 rotation: both promoted to driver slots — graph_pagerank is
 # the new iterative-graph flagship; dedup_containment (asymmetric
 # Jaccard, round 5) was never driver-checked.
-QUERIES["graph_pagerank"] = graph_pagerank
-ORACLES["graph_pagerank"] = _pagerank_oracle()
+# Round-10 rotation: demoted after 4 green driver rounds (r6-r9).
+EXTRA_QUERIES["graph_pagerank"] = graph_pagerank
+EXTRA_ORACLES["graph_pagerank"] = _pagerank_oracle()
 QUERIES["dedup_containment"] = EXTRA_QUERIES.pop("dedup_containment")
 ORACLES["dedup_containment"] = EXTRA_ORACLES.pop("dedup_containment")
 

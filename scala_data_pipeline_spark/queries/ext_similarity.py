@@ -100,8 +100,11 @@ EXTRA_ORACLES = {
 
 # Round-6 rotation: sim_knn_join promoted to a driver slot (round-5
 # SRP-LSH KNN self-join, never driver-checked).
-QUERIES["sim_knn_join"] = sim_knn_join
-ORACLES["sim_knn_join"] = knn_join_sql(k=5)
+# Round-10 rotation: demoted after 4 green driver rounds (r6-r9) —
+# slot funds a never-driver-checked promotion; still oracle-checked by
+# tests/test_oracle_parity.py.
+EXTRA_QUERIES["sim_knn_join"] = sim_knn_join
+EXTRA_ORACLES["sim_knn_join"] = knn_join_sql(k=5)
 
 
 def sim_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -455,5 +458,6 @@ SELECT c.label, c.n_members,
 FROM cohesion c JOIN inter i ON i.label = c.label
 """
 
-EXTRA_QUERIES["embedding_silhouette"] = embedding_silhouette
-EXTRA_ORACLES["embedding_silhouette"] = SILHOUETTE_ORACLE
+# Round-10 rotation: promoted to a driver slot (never driver-checked).
+QUERIES["embedding_silhouette"] = embedding_silhouette
+ORACLES["embedding_silhouette"] = SILHOUETTE_ORACLE

@@ -70,6 +70,11 @@ QUERIES: dict = {}
 
 ORACLES: dict = {}
 
+# Initialized early so rotation demotions can assign at their query's
+# definition site; the bulk literal below uses update().
+EXTRA_QUERIES: dict = {}
+EXTRA_ORACLES: dict = {}
+
 
 def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_count(load_table(spark, sf_dir, "documents"))
@@ -131,8 +136,9 @@ ORACLES["text_inverted_index"] = inverted_index_sql()
 
 # text_lm_perplexity promoted to a driver slot in round 5 (never
 # driver-checked before).
-QUERIES["text_lm_perplexity"] = text_lm_perplexity
-ORACLES["text_lm_perplexity"] = bigram_lm_perplexity_sql()
+# Round-10 rotation: demoted after 5 green driver rounds (r5-r9).
+EXTRA_QUERIES["text_lm_perplexity"] = text_lm_perplexity
+EXTRA_ORACLES["text_lm_perplexity"] = bigram_lm_perplexity_sql()
 
 def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-20 documents for a fixed query over the corpus."""
@@ -146,8 +152,9 @@ def text_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # text_bm25 promoted to a driver slot in round 6 (per-verdict: newest
 # ranked-retrieval family, never driver-checked before).
-QUERIES["text_bm25"] = text_bm25
-ORACLES["text_bm25"] = bm25_scores_sql()
+# Round-10 rotation: demoted after 4 green driver rounds (r6-r9).
+EXTRA_QUERIES["text_bm25"] = text_bm25
+EXTRA_ORACLES["text_bm25"] = bm25_scores_sql()
 
 
 def text_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -163,7 +170,7 @@ def _retrieval_eval_oracle() -> str:
 
     return retrieval_eval_sql()
 
-EXTRA_QUERIES = {
+EXTRA_QUERIES.update({
     "text_fingerprint": text_fingerprint,
     "text_token_count": text_token_count,
     "text_chunks": text_chunks,
@@ -174,8 +181,8 @@ EXTRA_QUERIES = {
     "text_lang_id": text_lang_id,
     "text_tfidf": text_tfidf,
     "multimodal_features": multimodal_features,
-}
-EXTRA_ORACLES = {
+})
+EXTRA_ORACLES.update({
     "text_lang_id": lang_id_sql(),
     "text_tfidf": tf_idf_sql(),
     "multimodal_features": MULTIMODAL_ORACLE,
@@ -186,7 +193,7 @@ EXTRA_ORACLES = {
     "text_surprisal": unigram_surprisal_sql(),
     "text_ppl_buckets": perplexity_buckets_sql(),
     "text_retrieval_eval": _retrieval_eval_oracle(),
-}
+})
 
 
 def text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -225,8 +232,9 @@ def _gopher_oracle() -> str:
 # flagship quality-filter bundle, never driver-checked); text_quality
 # (green rounds 1-4, a strict subset of the gopher statistics) demoted
 # to keep the family under one hard row.
-QUERIES["text_gopher_rules"] = text_gopher_rules
-ORACLES["text_gopher_rules"] = _gopher_oracle()
+# Round-10 rotation: demoted after 5 green driver rounds (r5-r9).
+EXTRA_QUERIES["text_gopher_rules"] = text_gopher_rules
+EXTRA_ORACLES["text_gopher_rules"] = _gopher_oracle()
 EXTRA_QUERIES["text_quality"] = text_quality
 EXTRA_ORACLES["text_quality"] = quality_features_sql()
 
@@ -525,5 +533,6 @@ SELECT source_a, source_b,
 FROM pairs GROUP BY 1, 2
 """
 
-EXTRA_QUERIES["text_source_divergence"] = text_source_divergence
-EXTRA_ORACLES["text_source_divergence"] = SOURCE_DIVERGENCE_ORACLE
+# Round-10 rotation: promoted to a driver slot (never driver-checked).
+QUERIES["text_source_divergence"] = text_source_divergence
+ORACLES["text_source_divergence"] = SOURCE_DIVERGENCE_ORACLE

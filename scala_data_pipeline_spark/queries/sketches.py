@@ -214,5 +214,6 @@ def _hdr_oracle() -> str:
     return hdr_quantiles_sql()
 
 
-EXTRA_QUERIES["sketch_hdr_quantiles"] = sketch_hdr_quantiles
-EXTRA_ORACLES["sketch_hdr_quantiles"] = _hdr_oracle()
+# Round-10 rotation: promoted to a driver slot (never driver-checked).
+QUERIES["sketch_hdr_quantiles"] = sketch_hdr_quantiles
+ORACLES["sketch_hdr_quantiles"] = _hdr_oracle()

@@ -856,8 +856,9 @@ def sql_forecast_revenue_change(
     return spark.sql(SQL_FORECAST_REVENUE_CHANGE)
 
 
-EXTRA_QUERIES["sql_forecast_revenue_change"] = sql_forecast_revenue_change
-EXTRA_ORACLES["sql_forecast_revenue_change"] = SQL_FORECAST_REVENUE_CHANGE
+# Round-10 rotation: promoted to a driver slot (never driver-checked).
+QUERIES["sql_forecast_revenue_change"] = sql_forecast_revenue_change
+ORACLES["sql_forecast_revenue_change"] = SQL_FORECAST_REVENUE_CHANGE
 
 
 # TPC-H Q20 shape (dominant supplier): a CORRELATED AGGREGATE in the

@@ -448,8 +448,9 @@ SELECT bucket,
 FROM bucketed GROUP BY bucket
 """
 
-EXTRA_QUERIES["histogram_equidepth_prices"] = histogram_equidepth_prices
-EXTRA_ORACLES["histogram_equidepth_prices"] = HISTOGRAM_EQUIDEPTH_ORACLE
+# Round-10 rotation: promoted to a driver slot (never driver-checked).
+QUERIES["histogram_equidepth_prices"] = histogram_equidepth_prices
+ORACLES["histogram_equidepth_prices"] = HISTOGRAM_EQUIDEPTH_ORACLE
 
 
 def skewsafe_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -3025,8 +3025,9 @@ SELECT day,
 FROM daily, mad
 """
 
-EXTRA_QUERIES["mad_anomaly_revenue"] = mad_anomaly_revenue
-EXTRA_ORACLES["mad_anomaly_revenue"] = MAD_ANOMALY_ORACLE
+# Round-10 rotation: promoted to a driver slot (never driver-checked).
+QUERIES["mad_anomaly_revenue"] = mad_anomaly_revenue
+ORACLES["mad_anomaly_revenue"] = MAD_ANOMALY_ORACLE
 
 
 def cusum_revenue_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3126,8 +3127,9 @@ SELECT b.changepoint_day,
 FROM best b
 """
 
-EXTRA_QUERIES["cusum_revenue_shift"] = cusum_revenue_shift
-EXTRA_ORACLES["cusum_revenue_shift"] = CUSUM_ORACLE
+# Round-10 rotation: promoted to a driver slot (never driver-checked).
+QUERIES["cusum_revenue_shift"] = cusum_revenue_shift
+ORACLES["cusum_revenue_shift"] = CUSUM_ORACLE
 
 
 def theilsen_event_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3189,5 +3191,6 @@ SELECT CAST((SELECT COUNT(*) FROM daily) AS BIGINT) AS n_days,
 FROM daily d, sl
 """
 
-EXTRA_QUERIES["theilsen_event_trend"] = theilsen_event_trend
-EXTRA_ORACLES["theilsen_event_trend"] = THEILSEN_ORACLE
+# Round-10 rotation: promoted to a driver slot (never driver-checked).
+QUERIES["theilsen_event_trend"] = theilsen_event_trend
+ORACLES["theilsen_event_trend"] = THEILSEN_ORACLE
