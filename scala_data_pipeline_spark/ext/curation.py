@@ -781,8 +781,14 @@ def score_calibration(docs: DataFrame, score_frame: DataFrame) -> DataFrame:
     from ..operators.ranking import with_global_rank, with_grouped_rank
 
     joined = docs.select("doc_id", "source").join(score_frame, on="doc_id")
-    src_grain = joined.groupBy("source", "score").agg(
-        F.count(F.lit(1)).cast("long").alias("cnt")
+    # One corpus pass: the per-source grain is the only corpus-wide
+    # aggregation; the global grain derives from it (sum of per-source
+    # counts per score — exact longs), and the pin makes the derivation
+    # read the bounded materialized grain, not the corpus lineage.
+    src_grain = (
+        joined.groupBy("source", "score")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .localCheckpoint(eager=True)
     )
     s_ranked = with_grouped_rank(
         src_grain, ["source"], ["score"], rank_col="_i", cum_cols=["cnt"]
@@ -797,8 +803,8 @@ def score_calibration(docs: DataFrame, score_frame: DataFrame) -> DataFrame:
         ).alias("pos"),
         F.lit(None).cast("double").alias("g"),
     )
-    g_grain = joined.groupBy("score").agg(
-        F.count(F.lit(1)).cast("long").alias("cnt")
+    g_grain = src_grain.groupBy("score").agg(
+        F.sum("cnt").cast("long").alias("cnt")
     )
     g_ranked, _, g_totals = with_global_rank(
         g_grain, ["score"], rank_col="_i", cum_cols=["cnt"]

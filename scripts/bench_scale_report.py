@@ -1,0 +1,72 @@
+"""Merge two bench.py JSON lines (base SF and a scaled-up SF) into the
+committed whole-registry scaling artifact (verdict r9 item 4).
+
+Usage:
+  python scripts/bench_scale_report.py BASE.json SCALED.json SCALE OUT.json
+
+Writes OUT.json with per-query times at both scales, the time ratio,
+and a `flag` on any query whose ratio exceeds SCALE * log2(SCALE) * 1.5
+(worse than ~linearxlog growth — the threshold the verdict names, with
+50% measurement headroom). Prints a markdown table for SCALE_NOTES.md.
+"""
+from __future__ import annotations
+
+import json
+import math
+import sys
+
+
+def main() -> None:
+    base_path, scaled_path, scale_s, out_path = sys.argv[1:5]
+    scale = float(scale_s)
+    base = json.load(open(base_path))
+    scaled = json.load(open(scaled_path))
+    limit = scale * math.log2(scale) * 1.5 if scale > 1 else scale
+    rows = []
+    for name in sorted(base["queries"]):
+        b = base["queries"][name]
+        s = scaled["queries"].get(name)
+        if s is None:
+            continue
+        # sub-second base times are fixed-overhead dominated; ratios on
+        # them are noise — still reported, flagged only above 0.3 s base
+        ratio = round(s / b, 2) if b else None
+        flagged = bool(b >= 0.3 and ratio is not None and ratio > limit)
+        rows.append(
+            {
+                "query": name,
+                "base_sec": b,
+                "scaled_sec": s,
+                "ratio": ratio,
+                "flag": flagged,
+            }
+        )
+    out = {
+        "base_sf": base.get("sf"),
+        "scaled_sf": scaled.get("sf"),
+        "scale_factor": scale,
+        "flag_threshold_ratio": round(limit, 2),
+        "base_total_sec": base["value"],
+        "scaled_total_sec": scaled["value"],
+        "total_ratio": round(scaled["value"] / base["value"], 2),
+        "queries": rows,
+        "n_flagged": sum(r["flag"] for r in rows),
+    }
+    json.dump(out, open(out_path, "w"), indent=1)
+    print(f"| query | {base.get('sf')} s | {scaled.get('sf')} s | ratio |")
+    print("|---|---|---|---|")
+    for r in sorted(rows, key=lambda r: -(r["ratio"] or 0)):
+        mark = " **FLAG**" if r["flag"] else ""
+        print(
+            f"| {r['query']}{mark} | {r['base_sec']} | {r['scaled_sec']} "
+            f"| {r['ratio']} |"
+        )
+    print(
+        f"\ntotal {base['value']} -> {scaled['value']} s "
+        f"(x{out['total_ratio']}), {out['n_flagged']} flagged "
+        f"(threshold x{out['flag_threshold_ratio']})"
+    )
+
+
+if __name__ == "__main__":
+    main()
