@@ -536,3 +536,49 @@ FROM pairs GROUP BY 1, 2
 # Round-10 rotation: promoted to a driver slot (never driver-checked).
 QUERIES["text_source_divergence"] = text_source_divergence
 ORACLES["text_source_divergence"] = SOURCE_DIVERGENCE_ORACLE
+
+
+def text_normalize_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/CCNet-style ingestion cleaning (ext/textnorm.py). The
+    synthetic corpus is already clean ASCII, so -- pii_redact precedent
+    -- the query plants deterministic dirt per document (curly quotes,
+    a zero-width space, an NBSP, an en dash, a BEL control char,
+    double spaces; same expression in the oracle) so the chain is
+    exercised for real, not as a no-op."""
+    from pyspark.sql import functions as F
+
+    from ..ext.textnorm import clean_text
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("\u201cHdr\u200b\u201d  "),
+            F.col("text"),
+            F.lit("\u00a0\u2013 t\u0007ail "),
+            (F.col("doc_id") % 7).cast("string"),
+        ).alias("text"),
+    )
+    return clean_text(docs).select(
+        "doc_id", "text_clean", "n_chars_text_clean"
+    )
+
+
+def _textnorm_oracle() -> str:
+    from ..ext.textnorm import clean_text_sql
+
+    dirty = (
+        "chr(8220) || 'Hdr' || chr(8203) || chr(8221) || '  ' || text"
+        " || chr(160) || chr(8211) || ' t' || chr(7) || 'ail '"
+        " || CAST(doc_id % 7 AS VARCHAR)"
+    )
+    clean = clean_text_sql(dirty)
+    return f"""
+SELECT doc_id,
+       {clean} AS text_clean,
+       CAST(LENGTH({clean}) AS BIGINT) AS n_chars_text_clean
+FROM documents
+"""
+
+
+EXTRA_QUERIES["text_normalize_clean"] = text_normalize_clean
+EXTRA_ORACLES["text_normalize_clean"] = _textnorm_oracle()
