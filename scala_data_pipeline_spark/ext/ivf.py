@@ -91,9 +91,24 @@ def ivf_topk(
             lambda acc, v: acc + v,
         )
 
+    # Guard the dimension: zip_with null-pads a shorter side, which
+    # would silently assign buckets 0..nprobe-1 (null distances sort
+    # first) — the numpy path this replaced raised instead, so raise.
+    dim = len(centers[0])
     q_df = queries.select(
         F.col("vec_id").cast("bigint").alias("query_id"),
-        F.col("embedding").alias("q_emb"),
+        F.when(F.size("embedding") == dim, F.col("embedding"))
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"ivf_topk: query embedding dim != centroid dim {dim}: "
+                    ),
+                    F.size("embedding").cast("string"),
+                )
+            )
+        )
+        .alias("q_emb"),
     ).withColumn(
         "ivf_bucket",
         F.explode(

@@ -163,7 +163,12 @@ def with_global_rank(
             run[c] += _to_dec(r[f"_sum_{c}"])
         for c in min_cols:
             v = r[f"_min_{c}"]
-            if v is not None and (run_min[c] is None or v < run_min[c]):
+            # NaN partials (an all-NaN partition) must not freeze the
+            # running min: Spark orders NaN greater than every value,
+            # so skip it here exactly as `least` does executor-side.
+            if v is None or (isinstance(v, float) and v != v):
+                continue
+            if run_min[c] is None or v < run_min[c]:
                 run_min[c] = v
 
     off_schema = ", ".join(

@@ -80,7 +80,14 @@ def main() -> None:
         return rd(t).crossJoin(copies)
 
     def shift(col, mx):
-        return (F.col(col) + F.col("_c") * F.lit(mx)).cast("bigint").alias(col)
+        # fixture keys are 0-based (0..max), so the per-copy stride is
+        # max+1 — a stride of max would collide each copy's top key
+        # with the next copy's key 0
+        return (
+            (F.col(col) + F.col("_c") * F.lit(mx + 1))
+            .cast("bigint")
+            .alias(col)
+        )
 
     wr(
         rep("customer").select(

@@ -47,7 +47,12 @@ def main() -> None:
     queries = (
         base.crossJoin(copies)
         .select(
-            (F.col("vec_id") * n_copies + F.col("copy")).alias("vec_id"),
+            # query ids live past the corpus id range so ivf_topk's
+            # vec_id != query_id self-exclusion never bars an unrelated
+            # corpus vector from a query's top-k
+            (
+                F.lit(n_base) * (F.col("copy") + 1) + F.col("vec_id")
+            ).alias("vec_id"),
             F.transform(
                 F.col("embedding"),
                 lambda x: x

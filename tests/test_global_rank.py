@@ -468,3 +468,38 @@ def test_global_rank_cummin_matches_window(spark):
     a = {r["o_custkey"]: (r["i"], r["cummin_m"]) for r in got.collect()}
     b = {r["o_custkey"]: (r["i"], r["cummin_m"]) for r in want.collect()}
     assert a == b
+
+def test_global_rank_cummin_nan_partials(spark):
+    """An all-NaN range partition's partial min is NaN; the driver
+    prefix scan must skip it (Spark orders NaN greater than every
+    value) instead of freezing the running min (round-10 review
+    finding)."""
+    import math
+
+    rows = [
+        (1, float("nan")),
+        (2, float("nan")),
+        (3, 5.0),
+        (4, 7.0),
+        (5, 9.0),
+        (6, 11.0),
+    ]
+    df = spark.createDataFrame(rows, "k long, m double")
+    got, _, _ = with_global_rank(
+        df, ["k"], rank_col="i", min_cols=["m"], num_partitions=3
+    )
+    w = Window.orderBy(F.asc("k"))
+    want = df.withColumn(
+        "cummin_m",
+        F.min("m").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    a = {r["k"]: r["cummin_m"] for r in got.collect()}
+    b = {r["k"]: r["cummin_m"] for r in want.collect()}
+    assert set(a) == set(b)
+    for k in a:
+        if b[k] != b[k]:  # NaN expected
+            assert a[k] != a[k], (k, a[k])
+        else:
+            assert a[k] == b[k], (k, a[k], b[k])

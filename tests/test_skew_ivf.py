@@ -381,3 +381,18 @@ def test_ivf_topk_no_driver_collect_of_queries(spark, sf_dir):
     out = ivf_topk(indexed, model, queries, k=5, nprobe=2)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Scan ExistingRDD" not in plan, plan
+
+def test_ivf_topk_raises_on_dim_mismatch(spark, sf_dir):
+    """zip_with null-pads a shorter array, which would silently assign
+    buckets 0..nprobe-1 — the guard must raise instead (parity with
+    the numpy broadcast error it replaced)."""
+    import pytest
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    model = fit_ivf(emb, k=8)
+    indexed = assign_buckets(emb, model)
+    bad = emb.filter(F.col("vec_id") < 3).select(
+        "vec_id", F.slice("embedding", 1, 7).alias("embedding")
+    )
+    with pytest.raises(Exception, match="dim"):
+        ivf_topk(indexed, model, bad, k=3, nprobe=2).collect()
