@@ -501,3 +501,224 @@ GROUP BY n_name
 
 EXTRA_QUERIES["skewsafe_nation_revenue"] = skewsafe_nation_revenue
 EXTRA_ORACLES["skewsafe_nation_revenue"] = SKEWSAFE_ORACLE
+
+
+def chi2_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared test of independence between the two categorical
+    curation axes of the corpus (``lang`` x ``source``) plus Cramér's V
+    effect size (round 12) — the "is my source mix language-balanced?"
+    audit a pretraining recipe runs before fixing per-source quotas.
+
+    Plan shape: ONE corpus scan aggregated straight to the bounded
+    (lang x source) contingency grain (~5 x ~20 cells, map-side
+    combinable longs); marginals, N and the dense expected grid all
+    derive from that pinned tiny frame (cross join of the two marginal
+    frames is bounded |langs| x |sources| — absent cells carry O=0 but
+    E>0 and must contribute). Per-cell (O-E)^2/E contributions round to
+    8 decimals and sum as exact decimals (order-independent), chi2 and
+    V round to 6 — the repo's float-exactness convention. Scale: the
+    corpus is touched once; everything after is constant-size.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    cells = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("o")
+    ).localCheckpoint(eager=True)  # pinned: 4 derivations below reuse it
+    rows = cells.groupBy("lang").agg(F.sum("o").cast("long").alias("rl"))
+    cols = cells.groupBy("source").agg(
+        F.sum("o").cast("long").alias("cs")
+    )
+    tot = cells.agg(
+        F.sum("o").cast("long").alias("n"),
+        F.count_distinct("lang").cast("long").alias("r"),
+        F.count_distinct("source").cast("long").alias("c"),
+    )
+    grid = (
+        rows.crossJoin(F.broadcast(cols))
+        .join(cells, on=["lang", "source"], how="left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "r",
+            "c",
+            "n",
+            F.coalesce(F.col("o"), F.lit(0)).cast("double").alias("od"),
+            (
+                F.col("rl").cast("double")
+                * F.col("cs").cast("double")
+                / F.col("n").cast("double")
+            ).alias("e"),
+        )
+    )
+    # (od-e)*(od-e), not **2: pow(x, 2.0) may differ from x*x in the
+    # last ulp and the oracle multiplies
+    dev = F.col("od") - F.col("e")
+    contrib = dev * dev / F.col("e")
+    return (
+        grid.groupBy("r", "c", "n")
+        .agg(
+            F.round(
+                F.sum(F.round(contrib, 8).cast("decimal(18,8)")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("chi2")
+        )
+        .select(
+            F.col("chi2"),
+            ((F.col("r") - 1) * (F.col("c") - 1)).cast("long").alias("dof"),
+            F.round(
+                F.sqrt(
+                    F.col("chi2")
+                    / (
+                        F.col("n").cast("double")
+                        * F.least(F.col("r") - 1, F.col("c") - 1).cast(
+                            "double"
+                        )
+                    )
+                ),
+                6,
+            ).alias("cramers_v"),
+            F.col("n").alias("n_docs"),
+        )
+    )
+
+
+CHI2_ORACLE = """
+WITH cells AS (
+  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS o
+  FROM documents GROUP BY 1, 2
+), rows_m AS (SELECT lang, SUM(o) AS rl FROM cells GROUP BY 1),
+cols_m AS (SELECT source, SUM(o) AS cs FROM cells GROUP BY 1),
+tot AS (
+  SELECT CAST(SUM(o) AS BIGINT) AS n,
+         CAST(COUNT(DISTINCT lang) AS BIGINT) AS r,
+         CAST(COUNT(DISTINCT source) AS BIGINT) AS c
+  FROM cells
+), grid AS (
+  SELECT t.r, t.c, t.n,
+         CAST(COALESCE(x.o, 0) AS DOUBLE) AS od,
+         CAST(rm.rl AS DOUBLE) * CAST(cm.cs AS DOUBLE)
+           / CAST(t.n AS DOUBLE) AS e
+  FROM rows_m rm CROSS JOIN cols_m cm CROSS JOIN tot t
+  LEFT JOIN cells x ON x.lang = rm.lang AND x.source = cm.source
+), agg AS (
+  SELECT r, c, n,
+         ROUND(CAST(SUM(CAST(ROUND((od - e) * (od - e) / e, 8)
+                            AS DECIMAL(18,8))) AS DOUBLE), 6) AS chi2
+  FROM grid GROUP BY 1, 2, 3
+)
+SELECT chi2,
+       CAST((r - 1) * (c - 1) AS BIGINT) AS dof,
+       ROUND(sqrt(chi2 / (CAST(n AS DOUBLE)
+                          * CAST(least(r - 1, c - 1) AS DOUBLE))), 6)
+         AS cramers_v,
+       n AS n_docs
+FROM agg
+"""
+
+EXTRA_QUERIES["chi2_lang_source"] = chi2_lang_source
+EXTRA_ORACLES["chi2_lang_source"] = CHI2_ORACLE
+
+
+def mutual_info_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information (nats) between ``lang`` and ``source`` plus
+    both marginal entropies and normalized MI (round 12) — the
+    information-theoretic twin of :func:`chi2_lang_source`: how much
+    knowing a document's source tells you about its language, the
+    redundancy number a mixture designer watches when sources are
+    near-monolingual.
+
+    Same one-scan shape: the bounded (lang x source) grain is pinned
+    once, marginals/N derive from it (sums of longs — exact), and MI
+    sums only over OBSERVED cells (0·ln0 = 0 needs no dense grid,
+    unlike chi2's E>0 cells). Per-cell p·ln-ratio terms round to 8 and
+    sum as decimals; final metrics round to 6. NMI derives from the
+    rounded components so both engines agree bit-for-bit.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    cells = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("o")
+    ).localCheckpoint(eager=True)
+    rows = cells.groupBy("lang").agg(F.sum("o").cast("long").alias("rl"))
+    cols = cells.groupBy("source").agg(
+        F.sum("o").cast("long").alias("cs")
+    )
+    tot = cells.agg(F.sum("o").cast("long").alias("n"))
+
+    def _entropy(marg: DataFrame, cnt: str, out: str) -> DataFrame:
+        p = F.col(cnt).cast("double") / F.col("n").cast("double")
+        return (
+            marg.crossJoin(F.broadcast(tot))
+            .select(
+                F.round(-p * F.log(p), 8).cast("decimal(18,8)").alias("t")
+            )
+            .agg(F.round(F.sum("t").cast("double"), 6).alias(out))
+        )
+    h_lang = _entropy(rows, "rl", "h_lang")
+    h_source = _entropy(cols, "cs", "h_source")
+    p_joint = F.col("o").cast("double") / F.col("n").cast("double")
+    ratio = (
+        F.col("o").cast("double") * F.col("n").cast("double")
+        / (F.col("rl").cast("double") * F.col("cs").cast("double"))
+    )
+    mi = (
+        cells.join(rows, on="lang")
+        .join(cols, on="source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.round(p_joint * F.log(ratio), 8)
+            .cast("decimal(18,8)")
+            .alias("t")
+        )
+        .agg(F.round(F.sum("t").cast("double"), 6).alias("mi_nats"))
+    )
+    return (
+        mi.crossJoin(F.broadcast(h_lang))
+        .crossJoin(F.broadcast(h_source))
+        .select(
+            "mi_nats",
+            "h_lang",
+            "h_source",
+            F.round(
+                F.col("mi_nats")
+                / F.sqrt(F.col("h_lang") * F.col("h_source")),
+                6,
+            ).alias("nmi"),
+        )
+    )
+
+
+MUTUAL_INFO_ORACLE = """
+WITH cells AS (
+  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS o
+  FROM documents GROUP BY 1, 2
+), rows_m AS (SELECT lang, SUM(o) AS rl FROM cells GROUP BY 1),
+cols_m AS (SELECT source, SUM(o) AS cs FROM cells GROUP BY 1),
+tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells),
+hl AS (
+  SELECT ROUND(CAST(SUM(CAST(ROUND(
+             -(CAST(rl AS DOUBLE) / n) * ln(CAST(rl AS DOUBLE) / n), 8)
+           AS DECIMAL(18,8))) AS DOUBLE), 6) AS h_lang
+  FROM rows_m CROSS JOIN tot
+), hs AS (
+  SELECT ROUND(CAST(SUM(CAST(ROUND(
+             -(CAST(cs AS DOUBLE) / n) * ln(CAST(cs AS DOUBLE) / n), 8)
+           AS DECIMAL(18,8))) AS DOUBLE), 6) AS h_source
+  FROM cols_m CROSS JOIN tot
+), mi AS (
+  SELECT ROUND(CAST(SUM(CAST(ROUND(
+             (CAST(o AS DOUBLE) / n)
+             * ln(CAST(o AS DOUBLE) * CAST(n AS DOUBLE)
+                  / (CAST(rl AS DOUBLE) * CAST(cs AS DOUBLE))), 8)
+           AS DECIMAL(18,8))) AS DOUBLE), 6) AS mi_nats
+  FROM cells
+  JOIN rows_m USING (lang)
+  JOIN cols_m USING (source)
+  CROSS JOIN tot
+)
+SELECT mi_nats, h_lang, h_source,
+       ROUND(mi_nats / sqrt(h_lang * h_source), 6) AS nmi
+FROM mi CROSS JOIN hl CROSS JOIN hs
+"""
+
+EXTRA_QUERIES["mutual_info_lang_source"] = mutual_info_lang_source
+EXTRA_ORACLES["mutual_info_lang_source"] = MUTUAL_INFO_ORACLE

@@ -93,6 +93,15 @@ BNLJ_ALLOWED = {
     "text_lm_perplexity",
     "text_ppl_buckets",
     "text_surprisal",
+    # chi2_lang_source crosses the BOUNDED lang marginal (~5 rows)
+    # with the broadcast ~20-row source marginal to densify the
+    # contingency grid (absent cells carry E>0), plus the one-row
+    # (n, r, c) totals frame — never the documents table.
+    "chi2_lang_source",
+    # mutual_info_lang_source broadcasts the one-row N total onto the
+    # bounded marginal/cell grains and the three one-row metric
+    # frames onto each other — never the documents table.
+    "mutual_info_lang_source",
 }
 
 QUERIES = {**all_queries(), **extra_queries()}
