@@ -41,10 +41,19 @@ from .util import fan_out
 # ---------------------------------------------------------------------------
 
 
+def content_digest(text: Column) -> Column:
+    """THE content-identity digest for exact dedup. Single definition
+    shared by the batch operator and the streaming store's serving
+    join (streaming/dedup_sink.py) — if the identity ever changes
+    (e.g. md5 over normalized text), both sides move together instead
+    of the store silently matching nothing."""
+    return F.md5(text)
+
+
 def exact_dedup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Digest-grouped duplicates: keeper = min doc_id per digest."""
     return (
-        docs.withColumn("digest", F.md5(F.col(text_col)))
+        docs.withColumn("digest", content_digest(F.col(text_col)))
         .groupBy("digest")
         .agg(
             F.min("doc_id").alias("keeper_id"),

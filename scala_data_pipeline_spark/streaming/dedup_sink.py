@@ -3,15 +3,21 @@
 pipeline runs so a batch re-scan of all history is never needed to ask
 "have we seen this document before, and who is its keeper?".
 
-Each micro-batch appends its own ``(digest, keeper_partial,
-n_copies_partial)`` rows as immutable parquet files; readers merge
-partials on read. The grain is ASSOCIATIVE — min-of-mins for the
-keeper and sum-of-longs for the copy count — so merge-on-read is
-bit-identical to the batch operator over the full history regardless
-of how documents were sliced into batches, which the streaming test
-asserts. Same segment model as the rollup/fingerprint/index stores:
-append-only (no read-modify-write races, object-store friendly), with
-compaction = the same read → merge → overwrite plan run offline.
+Each micro-batch OVERWRITES its own ``batch-{id}/`` subdirectory of
+immutable ``(digest, keeper_partial, n_copies_partial)`` parquet;
+readers merge partials on read across all batch subdirs. Keying the
+write by ``batch_id`` makes the sink idempotent under foreachBatch's
+at-least-once delivery: a batch retried after a crash-between-write-
+and-checkpoint rewrites the SAME subdir instead of appending a second
+copy of its partials (which would double-count ``n_copies`` — plain
+``mode("append")`` is not retry-safe for an additive grain). The
+grain itself is ASSOCIATIVE — min-of-mins for the keeper and
+sum-of-longs for the copy count — so merge-on-read is bit-identical
+to the batch operator over the full history regardless of how
+documents were sliced into batches, which the streaming test asserts.
+Same segment model as the rollup/fingerprint/index stores: immutable
+files, no read-modify-write races, compaction = the same read →
+merge → overwrite plan run offline.
 
 At 100 TB the store holds one row per DISTINCT digest per batch that
 saw it — far smaller than the corpus, and the merge groupBy shuffles
@@ -23,34 +29,58 @@ against the merged index, not a corpus scan.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
-from ..ext.dedup import exact_dedup_groups
+from ..ext.dedup import content_digest, exact_dedup_groups
+
+_INDEX_SCHEMA = T.StructType(
+    [
+        T.StructField("digest", T.StringType()),
+        T.StructField("keeper_id", T.LongType()),
+        T.StructField("n_copies", T.LongType()),
+    ]
+)
 
 
 def dedup_append_sink(target_dir: str, text_col: str = "text"):
-    """``foreachBatch`` function: append this micro-batch's digest
-    partials. The per-batch frame IS the batch operator's output (min
-    doc_id + count within the batch) — one code path, so the store can
-    never drift from the batch semantics."""
+    """``foreachBatch`` function: write this micro-batch's digest
+    partials into ``batch-{batch_id}/`` (overwrite → retry-idempotent).
+    The per-batch frame IS the batch operator's output (min doc_id +
+    count within the batch) — one code path, so the store can never
+    drift from the batch semantics."""
 
     def write_partials(batch_df: DataFrame, batch_id: int) -> None:
         partials = exact_dedup_groups(batch_df, text_col=text_col).select(
             "digest",
-            "keeper_id",
-            "n_copies",
+            F.col("keeper_id").cast("long").alias("keeper_id"),
+            F.col("n_copies").cast("long").alias("n_copies"),
         )
-        partials.write.mode("append").parquet(target_dir)
+        partials.write.mode("overwrite").parquet(
+            f"{target_dir}/batch-{batch_id}"
+        )
 
     return write_partials
+
+
+def _read_partials(spark: SparkSession, target_dir: str) -> DataFrame:
+    """All batch subdirs' partials; an absent or not-yet-written store
+    reads as EMPTY (the realistic startup state: the serving query can
+    run before the stream's first commit) rather than raising."""
+    try:
+        return (
+            spark.read.schema(_INDEX_SCHEMA)
+            .option("recursiveFileLookup", "true")
+            .parquet(target_dir)
+        )
+    except Exception:  # Path does not exist / no parquet files yet
+        return spark.createDataFrame([], _INDEX_SCHEMA)
 
 
 def merged_groups(spark: SparkSession, target_dir: str) -> DataFrame:
     """Merge-on-read: collapse per-batch digest fragments to the exact
     full-history dedup groups (min keeper wins, copy counts add)."""
-    from pyspark.sql import functions as F
-
-    partials = spark.read.parquet(target_dir)
-    return partials.groupBy("digest").agg(
+    return _read_partials(spark, target_dir).groupBy("digest").agg(
         F.min("keeper_id").alias("keeper_id"),
         F.sum("n_copies").cast("long").alias("n_copies"),
     )
@@ -62,14 +92,15 @@ def flag_new_batch(
 ) -> DataFrame:
     """The serving query: mark each document of an incoming batch as a
     duplicate-of-history or novel, with the historical keeper when one
-    exists. Joins the BATCH's digests (small side) against the merged
-    index on the digest key — no corpus re-scan."""
-    from pyspark.sql import functions as F
-
+    exists (every doc is novel against an empty/absent store). Joins
+    the BATCH's digests (small side) against the merged index on the
+    digest key — no corpus re-scan. The digest is the shared
+    ext/dedup.py::content_digest, so serving can never drift from what
+    the store was written with."""
     index = merged_groups(spark, target_dir).select(
         "digest", F.col("keeper_id").alias("history_keeper")
     )
-    digests = batch.withColumn("digest", F.md5(F.col(text_col)))
+    digests = batch.withColumn("digest", content_digest(F.col(text_col)))
     return digests.join(index, on="digest", how="left").select(
         "doc_id",
         "digest",

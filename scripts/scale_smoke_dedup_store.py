@@ -8,9 +8,10 @@ artifact:
    is flat while raw history grows without bound.
 2. **Merge-on-read ≡ batch bit-identity at scale**: min-keeper and
    copy counts from fragmented micro-batch partials equal the batch
-   operator over the full replicated corpus (sampled row check + full
-   aggregate fingerprint — collecting 5M rows to compare dicts would
-   be a driver anti-pattern at this size).
+   operator over the full replicated corpus — checked by a full-frame
+   aggregate fingerprint PLUS an exact per-row comparison on a
+   1k-digest sample and a full-frame keeper-range filter (collecting
+   all rows to compare dicts would be a driver anti-pattern here).
 3. **Serving cost is store-bound, not history-bound**: flagging a
    FIXED 5k-doc batch against the compacted index costs ~the same for
    10x and 100x raw history (both compact to the same digest grain).
@@ -118,8 +119,8 @@ def main() -> None:
         report["index_rows_big"] = merged_big.count()
         report["index_flat"] = report["index_rows_big"] == n_distinct
 
-        # claim 2: merge-on-read ≡ batch over the full history, to the
-        # fingerprint (and min-keeper = copy 0 on a 1k row sample)
+        # claim 2: merge-on-read ≡ batch over the full history —
+        # full-frame fingerprint + exact 1k-digest row sample below
         batch_groups = exact_dedup_groups(
             replicated(docs, list(range(n_copies)))
         )
@@ -128,13 +129,29 @@ def main() -> None:
         report["t_merge_read_big_sec"] = round(time.monotonic() - t0, 2)
         fp_batch = fingerprint(batch_groups)
         report["merge_equals_batch"] = fp_merge == fp_batch
-        sample_ok = (
+        # per-row check on a 1k-digest sample (the fingerprint alone
+        # could in principle hide compensating row differences):
+        # every sampled digest must agree on (keeper, count) exactly
+        sample = merged_big.orderBy("digest").limit(1000)
+        mismatches = (
+            sample.alias("m")
+            .join(batch_groups.alias("b"), on="digest", how="left")
+            .filter(
+                (F.col("m.keeper_id") != F.col("b.keeper_id"))
+                | (F.col("m.n_copies") != F.col("b.n_copies"))
+                | F.col("b.keeper_id").isNull()
+            )
+            .count()
+        )
+        report["sampled_rows_checked"] = 1000
+        report["sampled_row_mismatches"] = mismatches
+        keepers_ok = (
             merged_big.filter(F.col("keeper_id") >= F.lit(ID_STRIDE))
             .limit(1)
             .count()
             == 0
         )
-        report["keepers_are_copy0"] = sample_ok
+        report["keepers_are_copy0"] = keepers_ok  # full-frame filter
 
         # compaction: rewrite the fragmented partials as ONE partial
         # per digest (same read→merge plan, offline)

@@ -87,3 +87,43 @@ def test_streaming_dedup_flags_new_batch(spark, sf_dir, tmp_path):
         assert flags[r.doc_id] == (True, r.doc_id)
     for r in novel.select("doc_id").collect():
         assert flags[r.doc_id] == (False, None)
+
+
+def test_streaming_dedup_retry_idempotent(spark, sf_dir, tmp_path):
+    """At-least-once safety: re-delivering a micro-batch under the
+    SAME batch_id (crash between write and checkpoint commit) must not
+    double-count n_copies — the per-batch_id overwrite absorbs it."""
+    docs = load_table(spark, sf_dir, "documents").limit(100)
+    target = str(tmp_path / "partials")
+    sink = dedup_append_sink(target)
+    sink(docs, 0)
+    once = {
+        r.digest: (r.keeper_id, r.n_copies)
+        for r in merged_groups(spark, target).collect()
+    }
+    sink(docs, 0)  # the retry
+    twice = {
+        r.digest: (r.keeper_id, r.n_copies)
+        for r in merged_groups(spark, target).collect()
+    }
+    assert once == twice
+    sink(docs, 1)  # a genuinely NEW batch with the same docs does add
+    thrice = {
+        r.digest: r.n_copies
+        for r in merged_groups(spark, target).collect()
+    }
+    assert all(thrice[d] == n * 2 for d, (_, n) in once.items())
+
+
+def test_streaming_dedup_empty_store_all_novel(spark, sf_dir, tmp_path):
+    """Serving before the first micro-batch commits (or against a
+    just-provisioned path) reports every doc novel, not an error."""
+    docs = load_table(spark, sf_dir, "documents").limit(5)
+    flags = flag_new_batch(
+        spark, str(tmp_path / "never_written"), docs
+    ).collect()
+    assert len(flags) == 5
+    assert all(
+        (r.is_dup_of_history, r.history_keeper) == (False, None)
+        for r in flags
+    )
