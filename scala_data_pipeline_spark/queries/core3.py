@@ -447,8 +447,8 @@ FROM orders
 
 # Round-6 rotation: rolling_revenue_7d promoted to a driver slot (the
 # registry's only RANGE-frame rolling window, never driver-checked).
-QUERIES["rolling_revenue_7d"] = rolling_revenue_7d
-ORACLES["rolling_revenue_7d"] = ROLLING_ORACLE
+EXTRA_QUERIES["rolling_revenue_7d"] = rolling_revenue_7d
+EXTRA_ORACLES["rolling_revenue_7d"] = ROLLING_ORACLE
 
 
 def gap_fill_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -492,8 +492,8 @@ FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
 """
 
 # Promoted to a driver slot in round 5 (never driver-checked before).
-QUERIES["gap_fill_purchases"] = gap_fill_purchases
-ORACLES["gap_fill_purchases"] = GAP_FILL_ORACLE
+EXTRA_QUERIES["gap_fill_purchases"] = gap_fill_purchases
+EXTRA_ORACLES["gap_fill_purchases"] = GAP_FILL_ORACLE
 
 
 def mart_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -506,8 +506,8 @@ def _clustering_oracle() -> str:
     return clustering_coefficients_sql(minhash_lsh_sql())
 
 
-EXTRA_QUERIES["graph_clustering"] = graph_clustering
-EXTRA_ORACLES["graph_clustering"] = _clustering_oracle()
+QUERIES["graph_clustering"] = graph_clustering
+ORACLES["graph_clustering"] = _clustering_oracle()
 
 
 def dedup_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:

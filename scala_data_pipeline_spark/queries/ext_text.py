@@ -423,8 +423,8 @@ FROM binned GROUP BY score_bin
 """
 
 
-EXTRA_QUERIES["quality_reliability_curve"] = quality_reliability_curve
-EXTRA_ORACLES["quality_reliability_curve"] = _reliability_oracle()
+QUERIES["quality_reliability_curve"] = quality_reliability_curve
+ORACLES["quality_reliability_curve"] = _reliability_oracle()
 
 
 def text_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -580,5 +580,5 @@ FROM documents
 """
 
 
-EXTRA_QUERIES["text_normalize_clean"] = text_normalize_clean
-EXTRA_ORACLES["text_normalize_clean"] = _textnorm_oracle()
+QUERIES["text_normalize_clean"] = text_normalize_clean
+ORACLES["text_normalize_clean"] = _textnorm_oracle()

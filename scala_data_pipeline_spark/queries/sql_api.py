@@ -124,8 +124,8 @@ EXTRA_ORACLES = {
 
 # Round-6 rotation: sql_cohort_retention promoted to a driver slot
 # (never driver-checked; the registry's only cohort-analysis shape).
-QUERIES["sql_cohort_retention"] = sql_cohort_retention
-ORACLES["sql_cohort_retention"] = SQL_COHORT_RETENTION_DUCKDB
+EXTRA_QUERIES["sql_cohort_retention"] = sql_cohort_retention
+EXTRA_ORACLES["sql_cohort_retention"] = SQL_COHORT_RETENTION_DUCKDB
 
 
 def session_funnel_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -223,8 +223,8 @@ FROM p
 """
 
 # Promoted to a driver slot in round 5 (never driver-checked before).
-QUERIES["session_funnel_ordered"] = session_funnel_ordered
-ORACLES["session_funnel_ordered"] = SESSION_FUNNEL_ORACLE
+EXTRA_QUERIES["session_funnel_ordered"] = session_funnel_ordered
+EXTRA_ORACLES["session_funnel_ordered"] = SESSION_FUNNEL_ORACLE
 
 
 # TPC-H Q3 shape (shipping priority), adapted to the fixture schema
@@ -315,8 +315,8 @@ def sql_late_orders_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Round-6 rotation: promoted to a driver slot — the registry's only
 # EXISTS-decorrelation shape, never driver-checked.
-QUERIES["sql_late_orders_exists"] = sql_late_orders_exists
-ORACLES["sql_late_orders_exists"] = SQL_LATE_ORDERS_EXISTS
+EXTRA_QUERIES["sql_late_orders_exists"] = sql_late_orders_exists
+EXTRA_ORACLES["sql_late_orders_exists"] = SQL_LATE_ORDERS_EXISTS
 
 
 # TPC-H Q16 shape (supplier counting with an exclusion list): NOT IN
@@ -346,8 +346,8 @@ def sql_part_suppliers_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Round-6 rotation: promoted — the only null-aware anti-join shape.
-QUERIES["sql_part_suppliers_anti"] = sql_part_suppliers_anti
-ORACLES["sql_part_suppliers_anti"] = SQL_PART_SUPPLIERS_ANTI
+EXTRA_QUERIES["sql_part_suppliers_anti"] = sql_part_suppliers_anti
+EXTRA_ORACLES["sql_part_suppliers_anti"] = SQL_PART_SUPPLIERS_ANTI
 
 
 # Correlated SCALAR subqueries: orders worth more than 2× their own
@@ -887,5 +887,5 @@ def sql_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(SQL_DOMINANT_SUPPLIERS)
 
 
-EXTRA_QUERIES["sql_dominant_suppliers"] = sql_dominant_suppliers
-EXTRA_ORACLES["sql_dominant_suppliers"] = SQL_DOMINANT_SUPPLIERS
+QUERIES["sql_dominant_suppliers"] = sql_dominant_suppliers
+ORACLES["sql_dominant_suppliers"] = SQL_DOMINANT_SUPPLIERS

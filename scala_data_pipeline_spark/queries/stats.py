@@ -330,8 +330,8 @@ def _profile_oracle() -> str:
 
 
 # Promoted to a driver slot in round 5 (never driver-checked before).
-QUERIES["profile_orders"] = profile_orders
-ORACLES["profile_orders"] = _profile_oracle()
+EXTRA_QUERIES["profile_orders"] = profile_orders
+EXTRA_ORACLES["profile_orders"] = _profile_oracle()
 
 
 def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -387,8 +387,8 @@ FROM counts
 
 # Round-6 rotation: promoted to a driver slot — the registry's only
 # Markov-transition (lead-window + conditional-probability) shape.
-QUERIES["event_transitions"] = event_transitions
-ORACLES["event_transitions"] = EVENT_TRANSITIONS_ORACLE
+EXTRA_QUERIES["event_transitions"] = event_transitions
+EXTRA_ORACLES["event_transitions"] = EVENT_TRANSITIONS_ORACLE
 
 
 def histogram_equidepth_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -499,8 +499,8 @@ JOIN nation ON n_nationkey = c_nationkey
 GROUP BY n_name
 """
 
-EXTRA_QUERIES["skewsafe_nation_revenue"] = skewsafe_nation_revenue
-EXTRA_ORACLES["skewsafe_nation_revenue"] = SKEWSAFE_ORACLE
+QUERIES["skewsafe_nation_revenue"] = skewsafe_nation_revenue
+ORACLES["skewsafe_nation_revenue"] = SKEWSAFE_ORACLE
 
 
 def chi2_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -615,8 +615,8 @@ SELECT chi2,
 FROM agg
 """
 
-EXTRA_QUERIES["chi2_lang_source"] = chi2_lang_source
-EXTRA_ORACLES["chi2_lang_source"] = CHI2_ORACLE
+QUERIES["chi2_lang_source"] = chi2_lang_source
+ORACLES["chi2_lang_source"] = CHI2_ORACLE
 
 
 def mutual_info_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:

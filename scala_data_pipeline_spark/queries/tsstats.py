@@ -2443,8 +2443,8 @@ SELECT p.cohort_month, p.age_months,
 FROM per_cell p JOIN sizes s USING (cohort_month)
 """
 
-EXTRA_QUERIES["cohort_ltv"] = cohort_ltv
-EXTRA_ORACLES["cohort_ltv"] = COHORT_LTV_ORACLE
+QUERIES["cohort_ltv"] = cohort_ltv
+ORACLES["cohort_ltv"] = COHORT_LTV_ORACLE
 
 
 # ---------------------------------------------------------------------------
@@ -2790,8 +2790,8 @@ SELECT CAST(cust_key AS BIGINT) AS cust_key,
 FROM per_cust
 """
 
-EXTRA_QUERIES["spend_percentile_customers"] = spend_percentile_customers
-EXTRA_ORACLES["spend_percentile_customers"] = SPEND_PERCENTILE_ORACLE
+QUERIES["spend_percentile_customers"] = spend_percentile_customers
+ORACLES["spend_percentile_customers"] = SPEND_PERCENTILE_ORACLE
 
 
 # ---------------------------------------------------------------------------
