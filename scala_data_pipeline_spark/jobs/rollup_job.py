@@ -31,11 +31,15 @@ from ..streaming.rollup_sink import read_daily_rollup, rollup_append_sink
 
 
 def run_batch(spark: SparkSession, events: DataFrame, target_dir: str) -> None:
-    """Backfill the partial store from a batch of raw events."""
+    """Backfill the partial store from a batch of raw events. Writes
+    into a ``batch-backfill/`` subdir with overwrite so a re-run
+    backfill replaces itself instead of double-counting (the same
+    retry-idempotence rule the streaming path keys by batch id,
+    see streaming/partial_store.py)."""
     partials = hourly_rollup(events).join(
         hourly_user_sketches(events), on="bucket_hour"
     )
-    partials.write.mode("append").parquet(target_dir)
+    partials.write.mode("overwrite").parquet(f"{target_dir}/batch-backfill")
 
 
 def run_stream(

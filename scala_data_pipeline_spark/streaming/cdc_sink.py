@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .partial_store import per_batch_writer, read_partials
+
 SEQ_COLS = ("o_orderdate", "o_orderkey")
 LOG_COLS = ("cust_key", "op", "new_acctbal", *SEQ_COLS)
 
@@ -40,19 +42,20 @@ def _latest_per_key(log: DataFrame) -> DataFrame:
 
 
 def cdc_append_sink(target_dir: str):
-    """``foreachBatch`` function: append this micro-batch's
-    latest-change-per-key partials (columns ``LOG_COLS``)."""
-
-    def write_partials(batch_df: DataFrame, batch_id: int) -> None:
-        _latest_per_key(batch_df).write.mode("append").parquet(target_dir)
-
-    return write_partials
+    """``foreachBatch`` function: write this micro-batch's
+    latest-change-per-key partials (columns ``LOG_COLS``) into
+    ``batch-{batch_id}/``. The latest-wins grain is already
+    replay-SAFE under append (max-by is idempotent over duplicates);
+    per-batch overwrite is still the family contract — it keeps a
+    replayed batch from doubling the store's row count
+    (see streaming/partial_store.py)."""
+    return per_batch_writer(target_dir, _latest_per_key)
 
 
 def compacted_log(spark: SparkSession, target_dir: str) -> DataFrame:
     """Merge-on-read: latest change per key across all batch partials
     (associative latest-of-latests)."""
-    return _latest_per_key(spark.read.parquet(target_dir))
+    return _latest_per_key(read_partials(spark, target_dir))
 
 
 def read_cdc_state(

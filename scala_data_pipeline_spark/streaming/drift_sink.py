@@ -17,16 +17,17 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from .partial_store import per_batch_writer, read_partials
+
 
 def drift_append_sink(target_dir: str):
-    """``foreachBatch`` function: append this micro-batch's per-value
-    click/view count partials."""
+    """``foreachBatch`` function: write this micro-batch's per-value
+    click/view count partials into ``batch-{batch_id}/`` (overwrite →
+    retry-idempotent; a replayed append would double-count the long
+    sums, see streaming/partial_store.py)."""
     from ..queries.tsstats import ks_value_counts
 
-    def write_partials(batch_df: DataFrame, batch_id: int) -> None:
-        ks_value_counts(batch_df).write.mode("append").parquet(target_dir)
-
-    return write_partials
+    return per_batch_writer(target_dir, ks_value_counts)
 
 
 def merged_value_counts(spark: SparkSession, target_dir: str) -> DataFrame:
@@ -34,7 +35,7 @@ def merged_value_counts(spark: SparkSession, target_dir: str) -> DataFrame:
     per distinct value (exact long sums)."""
     from pyspark.sql import functions as F
 
-    partials = spark.read.parquet(target_dir)
+    partials = read_partials(spark, target_dir)
     return partials.groupBy("v").agg(
         F.sum("c_click").cast("long").alias("c_click"),
         F.sum("c_view").cast("long").alias("c_view"),

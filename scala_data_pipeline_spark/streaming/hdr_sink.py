@@ -18,18 +18,19 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from .partial_store import per_batch_writer, read_partials
+
 
 def hdr_append_sink(target_dir: str, value_col: str = "value"):
-    """``foreachBatch`` function: append this micro-batch's bucket
-    count partials."""
+    """``foreachBatch`` function: write this micro-batch's bucket
+    count partials into ``batch-{batch_id}/`` (overwrite →
+    retry-idempotent; a replayed append would double-count the bucket
+    longs, see streaming/partial_store.py)."""
     from ..ext.hdrhist import hdr_histogram
 
-    def write_partials(batch_df: DataFrame, batch_id: int) -> None:
-        hdr_histogram(batch_df, value_col).write.mode("append").parquet(
-            target_dir
-        )
-
-    return write_partials
+    return per_batch_writer(
+        target_dir, lambda batch_df: hdr_histogram(batch_df, value_col)
+    )
 
 
 def merged_histogram(spark: SparkSession, target_dir: str) -> DataFrame:
@@ -37,7 +38,7 @@ def merged_histogram(spark: SparkSession, target_dir: str) -> DataFrame:
     per (e, sub) bucket (exact long sums)."""
     from pyspark.sql import functions as F
 
-    partials = spark.read.parquet(target_dir)
+    partials = read_partials(spark, target_dir)
     return partials.groupBy("e", "sub").agg(
         F.sum("cnt").cast("long").alias("cnt")
     )

@@ -27,17 +27,23 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..ext.heavyhitters import M_COUNTERS, spacesaving_summaries
+from .partial_store import read_partials
 
 
 def heavyhitters_append_sink(target_dir: str, m: int = M_COUNTERS):
-    """``foreachBatch`` function: append this micro-batch's
-    per-partition SpaceSaving summaries tagged with the batch id."""
+    """``foreachBatch`` function: write this micro-batch's
+    per-partition SpaceSaving summaries (tagged with the batch id)
+    into ``batch-{batch_id}/`` (overwrite → retry-idempotent; a
+    replayed append would double-count est/err AND inflate the
+    detection guarantee Σ n/m, see streaming/partial_store.py)."""
 
     def write_partials(batch_df: DataFrame, batch_id: int) -> None:
         partials = spacesaving_summaries(batch_df, m).withColumn(
             "batch_id", F.lit(batch_id)
         )
-        partials.write.mode("append").parquet(target_dir)
+        partials.write.mode("overwrite").parquet(
+            f"{target_dir}/batch-{batch_id}"
+        )
 
     return write_partials
 
@@ -46,7 +52,7 @@ def merged_heavy_hitters(
     spark: SparkSession, target_dir: str, k: int = 20
 ) -> DataFrame:
     """Merge-on-read: approximate top-k over the whole stream so far."""
-    partials = spark.read.parquet(target_dir)
+    partials = read_partials(spark, target_dir)
     return (
         partials.groupBy("token")
         .agg(F.sum("est").alias("est"), F.sum("err").alias("err"))
@@ -61,7 +67,7 @@ def stream_guarantee(
 ) -> float:
     """Detection threshold Σ n/m across every (batch, partition)
     stream summarized into the store."""
-    partials = spark.read.parquet(target_dir)
+    partials = read_partials(spark, target_dir)
     row = (
         partials.select("batch_id", "pid", "n_part")
         .distinct()
@@ -74,7 +80,7 @@ def stream_guarantee(
 def merged_summary(spark: SparkSession, target_dir: str) -> DataFrame:
     """Full merged summary (for bound checks / compaction): token,
     summed est and err over every partial."""
-    partials = spark.read.parquet(target_dir)
+    partials = read_partials(spark, target_dir)
     return partials.groupBy("token").agg(
         F.sum("est").alias("est"), F.sum("err").alias("err")
     )

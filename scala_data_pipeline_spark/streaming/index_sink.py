@@ -23,25 +23,26 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..ext.textstats import tokens_col
+from .partial_store import per_batch_writer, read_partials
 
 
 def index_append_sink(target_dir: str, text_col: str = "text"):
-    """``foreachBatch`` function: append this micro-batch's
-    (term, doc_id, tf) segment."""
+    """``foreachBatch`` function: write this micro-batch's
+    (term, doc_id, tf) segment into ``batch-{batch_id}/`` (overwrite →
+    retry-idempotent; a replayed append would double the replayed
+    batch's tf sums, see streaming/partial_store.py)."""
 
-    def write_segment(batch_df: DataFrame, batch_id: int) -> None:
-        (
+    def segment(batch_df: DataFrame) -> DataFrame:
+        return (
             batch_df.select(
                 "doc_id",
                 F.explode(tokens_col(F.col(text_col))).alias("term"),
             )
             .groupBy("term", "doc_id")
             .agg(F.count(F.lit(1)).cast("long").alias("tf"))
-            .write.mode("append")
-            .parquet(target_dir)
         )
 
-    return write_segment
+    return per_batch_writer(target_dir, segment)
 
 
 def read_inverted_index(
@@ -50,7 +51,7 @@ def read_inverted_index(
     """Merge-on-read: collapse segments to the (term, doc) grain, then
     finish through the batch operator's aggregation shape."""
     _recover_store(spark, target_dir)
-    segments = spark.read.parquet(target_dir)
+    segments = read_partials(spark, target_dir)
     per_doc = segments.groupBy("term", "doc_id").agg(
         F.sum("tf").cast("long").alias("tf")
     )
@@ -114,6 +115,10 @@ def compact_segments(spark: SparkSession, target_dir: str) -> None:
     so subsequent reads skip the per-read collapse (Lucene's merge
     policy, as a job). Readers before/after see identical indexes
     because the store's grain is unchanged; only the file layout is.
+    Run only while the stream is STOPPED after a clean commit: folding
+    an uncommitted batch's subdir into the segment and then replaying
+    that batch id would re-add its partials alongside the compacted
+    copy (streaming/partial_store.py documents the family rule).
 
     Failure safety: the merged segment is written to a temporary
     sibling directory first, then swapped into place with two
@@ -126,7 +131,7 @@ def compact_segments(spark: SparkSession, target_dir: str) -> None:
 
     _recover_store(spark, target_dir)
     merged = (
-        spark.read.parquet(target_dir)
+        read_partials(spark, target_dir)
         .groupBy("term", "doc_id")
         .agg(F.sum("tf").cast("long").alias("tf"))
     )

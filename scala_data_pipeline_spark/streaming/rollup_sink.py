@@ -22,21 +22,24 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.rollup import hourly_rollup, hourly_user_sketches
+from .partial_store import per_batch_writer, read_partials
+
+
+def _batch_partials(batch_df: DataFrame) -> DataFrame:
+    return hourly_rollup(batch_df).join(
+        hourly_user_sketches(batch_df), on="bucket_hour"
+    )
 
 
 def rollup_append_sink(target_dir: str):
-    """``foreachBatch`` function: append this micro-batch's hourly
+    """``foreachBatch`` function: write this micro-batch's hourly
     partials — additive stats AND the HLL distinct-user sketch (a
     binary column; sketches survive parquet and merge with
-    ``hll_union_agg``, so the non-additive statistic rolls up too)."""
-
-    def write_partials(batch_df: DataFrame, batch_id: int) -> None:
-        partials = hourly_rollup(batch_df).join(
-            hourly_user_sketches(batch_df), on="bucket_hour"
-        )
-        partials.write.mode("append").parquet(target_dir)
-
-    return write_partials
+    ``hll_union_agg``, so the non-additive statistic rolls up too) —
+    into ``batch-{batch_id}/`` (overwrite → retry-idempotent under
+    foreachBatch's at-least-once delivery; a replayed append would
+    double-count the additive partials, see streaming/partial_store.py)."""
+    return per_batch_writer(target_dir, _batch_partials)
 
 
 def merged_hourly(spark: SparkSession, target_dir: str) -> DataFrame:
@@ -44,7 +47,7 @@ def merged_hourly(spark: SparkSession, target_dir: str) -> DataFrame:
     partial row per hour (decimal sums stay exact; sketches union)."""
     from pyspark.sql import functions as F
 
-    partials = spark.read.parquet(target_dir)
+    partials = read_partials(spark, target_dir)
     return partials.groupBy("bucket_hour").agg(
         F.sum("revenue_partial").alias("revenue_partial"),
         F.sum("n_events").cast("long").alias("n_events"),

@@ -18,6 +18,7 @@ from scala_data_pipeline_spark.streaming.cdc_sink import (
     cdc_append_sink,
     read_cdc_state,
 )
+from scala_data_pipeline_spark.streaming.partial_store import read_partials
 
 SF = "/root/testdata/sf0.001"
 
@@ -64,7 +65,7 @@ def test_streamed_cdc_equals_batch(spark, tmp_path):
     assert not q.isActive
 
     # partial grain: keys-seen x batches > distinct keys → merge real
-    n_partial = spark.read.parquet(target).count()
+    n_partial = read_partials(spark, target).count()
     n_keys = log.select("cust_key").distinct().count()
     assert n_partial > n_keys
 

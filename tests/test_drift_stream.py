@@ -18,6 +18,7 @@ from scala_data_pipeline_spark.streaming.drift_sink import (
     merged_value_counts,
     read_ks_drift,
 )
+from scala_data_pipeline_spark.streaming.partial_store import read_partials
 
 SF = "/root/testdata/sf0.001"
 
@@ -43,7 +44,7 @@ def test_streamed_ks_equals_batch(spark, tmp_path):
 
     # More than one partial fragment must exist for the merge to be
     # exercised (4 source files -> 4 micro-batches).
-    frags = spark.read.parquet(target).count()
+    frags = read_partials(spark, target).count()
     merged = merged_value_counts(spark, target).count()
     assert frags > merged
 

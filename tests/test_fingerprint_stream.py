@@ -1,17 +1,17 @@
-"""Streaming maintenance of the table fingerprint: per-micro-batch
-partial hash sums (the fold is additive decimal arithmetic) merge to
-EXACTLY the batch fingerprint — continuous integrity checking of an
-append-only table without ever rescanning it."""
+"""Streaming maintenance of the table fingerprint
+(streaming/fingerprint_sink.py): per-micro-batch partial hash sums
+merge to EXACTLY the batch fingerprint — continuous integrity checking
+of an append-only table without ever rescanning it."""
 
 from __future__ import annotations
 
-import pyspark.sql.functions as F
-
-from scala_data_pipeline_spark.queries.frontier import (
-    orders_row_hash,
-    table_fingerprint,
-)
+from scala_data_pipeline_spark.queries.frontier import table_fingerprint
 from scala_data_pipeline_spark.sources import load_table
+from scala_data_pipeline_spark.streaming.fingerprint_sink import (
+    fingerprint_append_sink,
+    read_fingerprint,
+)
+from scala_data_pipeline_spark.streaming.partial_store import read_partials
 
 SF = "/root/testdata/sf0.001"
 
@@ -22,20 +22,13 @@ def test_streamed_partials_merge_to_batch_fingerprint(spark, tmp_path):
     orders.repartition(4).write.mode("overwrite").parquet(src)
     target = str(tmp_path / "partials")
 
-    def append_partial(batch_df, batch_id):
-        batch_df.select(orders_row_hash().alias("h")).agg(
-            F.lit(batch_id).alias("batch_id"),
-            F.count(F.lit(1)).cast("long").alias("n_rows"),
-            F.sum("h").cast("decimal(38,0)").alias("partial"),
-        ).write.mode("append").parquet(target)
-
     sdf = (
         spark.readStream.schema(orders.schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
     q = (
-        sdf.writeStream.foreachBatch(append_partial)
+        sdf.writeStream.foreachBatch(fingerprint_append_sink(target))
         .option("checkpointLocation", str(tmp_path / "ckpt"))
         .trigger(availableNow=True)
         .start()
@@ -43,11 +36,16 @@ def test_streamed_partials_merge_to_batch_fingerprint(spark, tmp_path):
     q.awaitTermination(timeout=120)
     assert not q.isActive
 
-    partials = spark.read.parquet(target)
-    assert partials.select("batch_id").distinct().count() >= 2
-    merged = partials.agg(
-        F.sum("n_rows").cast("long").alias("n_rows"),
-        F.sum("partial").cast("decimal(38,0)").cast("string").alias("fp"),
-    ).collect()[0]
+    # >1 partial must exist for the merge to be exercised.
+    assert read_partials(spark, target).count() >= 2
+    merged = read_fingerprint(spark, target).collect()[0]
     batch = table_fingerprint(spark, SF).collect()[0]
-    assert (merged.n_rows, merged.fp) == (batch.n_rows, batch.fingerprint)
+    assert (merged.n_rows, merged.fingerprint) == (
+        batch.n_rows,
+        batch.fingerprint,
+    )
+
+
+def test_absent_store_reads_as_empty_fingerprint(spark, tmp_path):
+    merged = read_fingerprint(spark, str(tmp_path / "nowhere")).collect()[0]
+    assert merged.n_rows == 0 and merged.fingerprint is None

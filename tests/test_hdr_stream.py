@@ -19,6 +19,7 @@ from scala_data_pipeline_spark.streaming.hdr_sink import (
     merged_histogram,
     read_hdr_quantiles,
 )
+from scala_data_pipeline_spark.streaming.partial_store import read_partials
 
 SF = "/root/testdata/sf0.001"
 
@@ -43,7 +44,7 @@ def test_streamed_hdr_equals_batch(spark, tmp_path):
     assert not q.isActive
 
     # multiple per-batch fragments must exist so the merge is exercised
-    n_partial_rows = spark.read.parquet(target).count()
+    n_partial_rows = read_partials(spark, target).count()
     batch_hist = {
         (r["e"], r["sub"]): r["cnt"]
         for r in hdr_histogram(events, "value").collect()

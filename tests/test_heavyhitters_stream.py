@@ -14,6 +14,7 @@ from scala_data_pipeline_spark.streaming.heavyhitters_sink import (
     merged_summary,
     stream_guarantee,
 )
+from scala_data_pipeline_spark.streaming.partial_store import read_partials
 
 SF = "/root/testdata/sf0.001"
 M = 64
@@ -41,7 +42,7 @@ def test_streamed_summaries_keep_bounds(spark, tmp_path):
 
     # multiple batches actually ran (one per source file)
     n_batches = (
-        spark.read.parquet(target).select("batch_id").distinct().count()
+        read_partials(spark, target).select("batch_id").distinct().count()
     )
     assert n_batches >= 2, n_batches
 

@@ -13,6 +13,7 @@ from scala_data_pipeline_spark.streaming.index_sink import (
     index_append_sink,
     read_inverted_index,
 )
+from scala_data_pipeline_spark.streaming.partial_store import read_partials
 
 SF = "/root/testdata/sf0.001"
 
@@ -37,7 +38,7 @@ def test_streamed_index_equals_batch(spark, tmp_path):
     assert not q.isActive
 
     # Multiple segments must exist so the merge is exercised.
-    n_segment_rows = spark.read.parquet(target).count()
+    n_segment_rows = read_partials(spark, target).count()
     streamed = {
         r.term: r for r in read_inverted_index(spark, target).collect()
     }
@@ -76,9 +77,9 @@ def test_segment_compaction_preserves_index(spark, tmp_path):
     q.awaitTermination(timeout=120)
 
     before = {r.term: r.asDict() for r in read_inverted_index(spark, target).collect()}
-    n_files_before = len(glob.glob(f"{target}/part-*"))
+    n_files_before = len(glob.glob(f"{target}/**/part-*", recursive=True))
     compact_segments(spark, target)
-    n_files_after = len(glob.glob(f"{target}/part-*"))
+    n_files_after = len(glob.glob(f"{target}/**/part-*", recursive=True))
     after = {r.term: r.asDict() for r in read_inverted_index(spark, target).collect()}
     assert n_files_after < n_files_before
     assert after == before
