@@ -889,3 +889,144 @@ def sql_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["sql_dominant_suppliers"] = sql_dominant_suppliers
 ORACLES["sql_dominant_suppliers"] = SQL_DOMINANT_SUPPLIERS
+
+
+# TPC-H Q5 shape (local supplier volume): the LOCAL-trade predicate —
+# customer and supplier must sit in the SAME nation — expressed as an
+# extra equi-key on the supplier join (c_nationkey = s_nationkey), plus
+# a region filter reached through two dimension hops. Catalyst
+# broadcasts the nation/region dims and AQE picks broadcast for
+# supplier/customer at bench SF; the only big shuffle is the
+# orders⋈lineitem key. Completes the 22-shape TPC-H sweep together
+# with Q9/Q12/Q17 below (reference has no SQL surface at all — this
+# family is the engine's ANSI-SQL parity evidence).
+SQL_LOCAL_SUPPLIER_VOLUME = f"""
+SELECT n_name,
+       {dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY n_name
+"""
+
+
+def sql_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(SQL_LOCAL_SUPPLIER_VOLUME)
+
+
+EXTRA_QUERIES["sql_local_supplier_volume"] = sql_local_supplier_volume
+EXTRA_ORACLES["sql_local_supplier_volume"] = SQL_LOCAL_SUPPLIER_VOLUME
+
+
+# TPC-H Q9 shape (product-type profit): a five-way join whose measure
+# MIXES columns from two fact-side tables (lineitem revenue minus a
+# cost term built from part), under a part-NAME substring filter.
+# partsupp (and with it ps_supplycost) is absent from the fixture —
+# the cost term substitutes p_retailprice * 0.4 * l_quantity, keeping
+# the shape (cross-table arithmetic inside the aggregated expression)
+# while staying honest about the stand-in, like the other
+# partsupp-free adaptations (sql_important_parts et al.). All-double
+# arithmetic inside, per-row decimal rounding at the sum: order- and
+# engine-independent.
+SQL_PRODUCT_TYPE_PROFIT = f"""
+SELECT nation, o_year,
+       {dsum_sql(
+           'l_extendedprice * (1 - l_discount) '
+           '- p_retailprice * 0.4 * l_quantity'
+       )} AS sum_profit
+FROM (
+  SELECT n_name AS nation,
+         year(o_orderdate) AS o_year,
+         l_extendedprice, l_discount, p_retailprice, l_quantity
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN part     ON p_partkey = l_partkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE p_name LIKE '%widget%'
+) profit
+GROUP BY nation, o_year
+"""
+
+
+def sql_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(SQL_PRODUCT_TYPE_PROFIT)
+
+
+EXTRA_QUERIES["sql_product_type_profit"] = sql_product_type_profit
+EXTRA_ORACLES["sql_product_type_profit"] = SQL_PRODUCT_TYPE_PROFIT
+
+
+# TPC-H Q12 shape (shipmode / order-priority checking): one fact join
+# + per-group CONDITIONAL COUNTS keyed on an attribute of the OTHER
+# table (order priority counted per lineitem group). The fixture has
+# no l_shipmode/l_commitdate/l_receiptdate; l_returnflag stands in as
+# the grouping attribute and the ship-date year bounds the scan —
+# same shape: the counts pivot the joined-in dimension attribute, one
+# shuffle on the group key after map-side partials.
+SQL_PRIORITY_SHIPMENTS = """
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+GROUP BY l_returnflag
+"""
+
+
+def sql_priority_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(SQL_PRIORITY_SHIPMENTS)
+
+
+EXTRA_QUERIES["sql_priority_shipments"] = sql_priority_shipments
+EXTRA_ORACLES["sql_priority_shipments"] = SQL_PRIORITY_SHIPMENTS
+
+
+# TPC-H Q17 shape (small-quantity-order revenue): a correlated
+# per-part AVERAGE in the predicate — keep lineitems whose quantity is
+# below 20% of their part's average — decorrelated into one per-part
+# aggregate joined back to the fact (same decorrelation Catalyst
+# applies to the textbook correlated form; written decorrelated so
+# both engines run the identical plan shape). The 0.2·avg comparison
+# is done in EXACT arithmetic (l_quantity · 5 · count < sum, all
+# decimal) — a double avg would be engine-order-dependent at ties.
+# p_brand stands in for Q17's brand+container filter pair.
+SQL_SMALL_QTY_REVENUE = """
+SELECT p_brand,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+         / 7.0 AS avg_yearly
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN (
+  SELECT l_partkey AS agg_partkey,
+         SUM(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty,
+         COUNT(*) AS cnt_qty
+  FROM lineitem
+  GROUP BY l_partkey
+) part_agg ON agg_partkey = l_partkey
+WHERE p_brand IN ('Brand#1', 'Brand#2')
+  AND CAST(l_quantity AS DECIMAL(18,4)) * 5 * cnt_qty < sum_qty
+GROUP BY p_brand
+"""
+
+
+def sql_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(SQL_SMALL_QTY_REVENUE)
+
+
+EXTRA_QUERIES["sql_small_qty_revenue"] = sql_small_qty_revenue
+EXTRA_ORACLES["sql_small_qty_revenue"] = SQL_SMALL_QTY_REVENUE
