@@ -634,3 +634,30 @@ FROM sizes GROUP BY cluster_size
 
 EXTRA_QUERIES["dedup_cluster_histogram"] = dedup_cluster_histogram
 EXTRA_ORACLES["dedup_cluster_histogram"] = _cluster_histogram_oracle()
+
+
+def dedup_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-Jaccard >= 0.95 pair join via prefix filtering
+    (ext/setjoin.py) — the no-false-negative complement to the LSH
+    candidate generators; the exactness-vs-bound dial is the
+    family-standard bucket_cap keeper-star. Threshold 0.95: the
+    fixture's small shared vocabulary makes lower cuts near-vacuous
+    (0.6 keeps ~58% of ALL pairs at sf0.001 — an output-volume bound,
+    not a candidate bound) while 0.95 isolates the true near-identical
+    sets; prefixes stay 1-2 tokens, the regime prefix filtering is
+    built for."""
+    from ..ext.setjoin import prefix_jaccard_join
+
+    return prefix_jaccard_join(
+        load_table(spark, sf_dir, "documents"), t_num=95, t_den=100
+    )
+
+
+def _prefix_jaccard_oracle() -> str:
+    from ..ext.setjoin import prefix_jaccard_sql
+
+    return prefix_jaccard_sql(t_num=95, t_den=100)
+
+
+EXTRA_QUERIES["dedup_prefix_jaccard"] = dedup_prefix_jaccard
+EXTRA_ORACLES["dedup_prefix_jaccard"] = _prefix_jaccard_oracle()
