@@ -18,10 +18,19 @@ Scale posture (100 TB):
   bucket sizes — rare tokens dominate prefixes, so buckets are small
   on natural corpora. The degenerate corpus (N identical boilerplate
   docs → identical prefixes) is bounded by the same keeper-star cap
-  the LSH/Jaccard generators use (``bucket_cap``; above the cap a
-  bucket emits only keeper pairs — all that dedup's connected
-  components need). The cap is the exactness dial: within it the join
-  is EXACT; past it, degraded-but-linear.
+  the LSH/Jaccard generators use (``bucket_cap``). The cap is the
+  exactness dial, with PRECISE semantics: if no prefix bucket exceeds
+  the cap the join is EXACT; an over-cap bucket contributes only its
+  keeper's pairs, and because this operator verifies inline, a pair
+  confined to over-cap buckets whose keeper fails verification is
+  LOST (recall loss, not just thinning). In the flood case the cap
+  targets — one identical family owning the bucket — the keeper IS a
+  family member, its star verifies at J=1, and the family stays one
+  connected component; a mixed over-cap bucket holding several
+  distinct families can split all but the keeper's. Size the cap to
+  the corpus's largest legitimate near-dup family (it bounds one
+  task's join fan-out, the same memory law as the other pair
+  generators).
 - No per-row combinatorial arrays: candidates come from a plain
   equi-join on the prefix token (two shuffle-join inputs), never a
   collect-then-explode of C(n,2) structs (the round-10 pair-array
