@@ -1113,3 +1113,189 @@ SELECT term,
        array_to_string(list_slice(list_sort(list(doc_id)), 1, {max_postings}), ',') AS postings
 FROM per_doc GROUP BY term
 """
+
+
+# ---------------------------------------------------------------------------
+# Repetition signals (Gopher, Rae et al. 2021 §A1.1 "repetitious text")
+# ---------------------------------------------------------------------------
+
+def _word_ngrams(toks: Column, n: int) -> Column:
+    """Array of (gram, chars) structs for word n-grams; chars counts the
+    tokens' characters (separators excluded), so char fractions are
+    separator-invariant."""
+    # sequence(1, 0) would generate DESCENDING [1, 0] — docs shorter
+    # than n grams must yield an EMPTY index array instead
+    idx = F.when(
+        F.size(toks) >= n,
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(
+        idx,
+        lambda i: F.struct(
+            F.concat_ws(" ", F.slice(toks, i, n)).alias("g"),
+            F.aggregate(
+                F.slice(toks, i, n),
+                F.lit(0).cast("long"),
+                lambda acc, t: acc + F.length(t),
+            ).alias("chars"),
+        ),
+    )
+
+
+def _run_stats(grams: Column) -> Column:
+    """One array-side pass over the SORTED gram structs: run-length
+    encoding yielding (best_cnt, best_gram, best_chars, dup_chars) —
+    the most frequent gram (ties: lexicographically smallest, which
+    the ascending sort makes the FIRST max run) and the
+    occurrence-weighted characters of grams appearing >= 2 times.
+    Shuffle-free and whole-stage-codegen: the per-document state never
+    leaves the row."""
+    srt = F.array_sort(grams)
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("prevch"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("bestc"),
+        F.lit(None).cast("string").alias("bestg"),
+        F.lit(0).cast("long").alias("bestch"),
+        F.lit(0).cast("long").alias("dupch"),
+    )
+
+    def close(acc):
+        # fold the open run into best/dup (used between runs + at end)
+        better = acc["run"] > acc["bestc"]
+        return (
+            F.when(better, acc["run"]).otherwise(acc["bestc"]),
+            F.when(better, acc["prev"]).otherwise(acc["bestg"]),
+            F.when(better, acc["prevch"]).otherwise(acc["bestch"]),
+            acc["dupch"]
+            + F.when(acc["run"] >= 2, acc["run"] * acc["prevch"]).otherwise(
+                F.lit(0).cast("long")
+            ),
+        )
+
+    def merge(acc, x):
+        same = acc["prev"].isNotNull() & (acc["prev"] == x["g"])
+        bestc, bestg, bestch, dupch = close(acc)
+        return F.struct(
+            x["g"].alias("prev"),
+            x["chars"].alias("prevch"),
+            F.when(same, acc["run"] + 1).otherwise(F.lit(1).cast("long")).alias("run"),
+            F.when(same, acc["bestc"]).otherwise(bestc).alias("bestc"),
+            F.when(same, acc["bestg"]).otherwise(bestg).alias("bestg"),
+            F.when(same, acc["bestch"]).otherwise(bestch).alias("bestch"),
+            F.when(same, acc["dupch"]).otherwise(dupch).alias("dupch"),
+        )
+
+    def finish(acc):
+        bestc, bestg, bestch, dupch = close(acc)
+        return F.struct(
+            bestc.alias("best_cnt"),
+            bestg.alias("best_gram"),
+            bestch.alias("best_chars"),
+            dupch.alias("dup_chars"),
+        )
+
+    return F.aggregate(srt, init, merge, finish)
+
+
+def repetition_signals(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signals per document, adapted to the
+    fixture's single-line token-stream texts (the line/paragraph
+    variants are vacuous there): the TOP word-2-gram's character
+    fraction (chars of the most frequent 2-gram x its count / total
+    token chars — boilerplate chant like "batch batch batch" scores
+    high) and the DUPLICATE word-5-gram character weight (occurrence-
+    weighted chars of 5-grams appearing >= 2 times / total token
+    chars; overlapping grams each count, so the weight can exceed 1 —
+    a deliberate, documented simplification of Gopher's char-coverage
+    accounting, monotone in the same behavior).
+
+    Scale: one whole-stage-codegen projection over the corpus scan —
+    the n-gram arrays, sort, and run-length fold all stay inside the
+    row; no shuffle, no UDF, no state. The reference has no text
+    analytics at all; this extends the training-data-pipeline family
+    (SURVEY.md north star) next to gopher_quality_rules.
+    """
+    text = F.col(text_col)
+    toks = tokens_col(text)
+    totch = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    top2 = _run_stats(_word_ngrams(toks, 2))
+    dup5 = _run_stats(_word_ngrams(toks, 5))
+    frac = F.coalesce(
+        F.try_divide(top2["best_cnt"] * top2["best_chars"], totch),
+        F.lit(0.0),
+    )
+    weight = F.coalesce(F.try_divide(dup5["dup_chars"], totch), F.lit(0.0))
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        totch.alias("n_token_chars"),
+        top2["best_gram"].alias("top2_gram"),
+        top2["best_cnt"].alias("top2_count"),
+        frac.alias("top2_char_frac"),
+        dup5["dup_chars"].alias("dup5_chars"),
+        weight.alias("dup5_char_weight"),
+    )
+
+
+def repetition_signals_sql(
+    text_col: str = "text", table: str = "documents"
+) -> str:
+    """DuckDB twin of :func:`repetition_signals` (set semantics, not
+    plan shape: grams unnested and grouped; argmax tie-break = count
+    desc, gram asc, matching the sorted-run fold)."""
+    toks = f"list_filter(string_split({text_col}, ' '), t -> t <> '')"
+    return f"""
+WITH base AS (
+  SELECT doc_id, {toks} AS t FROM {table}
+), tot AS (
+  SELECT doc_id,
+         len(t)::BIGINT AS n_tokens,
+         COALESCE(list_sum(list_transform(t, x -> len(x))), 0)::BIGINT
+           AS n_token_chars
+  FROM base
+), g2 AS (
+  SELECT b.doc_id,
+         array_to_string(b.t[i.i:i.i+1], ' ') AS g,
+         list_sum(list_transform(b.t[i.i:i.i+1], x -> len(x)))::BIGINT
+           AS chars
+  FROM base b, LATERAL (SELECT unnest(range(1, len(b.t))) AS i) i
+), g2c AS (
+  SELECT doc_id, g, chars, COUNT(*)::BIGINT AS cnt
+  FROM g2 GROUP BY doc_id, g, chars
+), top2 AS (
+  SELECT doc_id, g AS top2_gram, cnt AS top2_count, cnt * chars AS topchars
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY doc_id ORDER BY cnt DESC, g ASC
+    ) AS rn FROM g2c
+  ) WHERE rn = 1
+), g5 AS (
+  SELECT b.doc_id,
+         array_to_string(b.t[i.i:i.i+4], ' ') AS g,
+         list_sum(list_transform(b.t[i.i:i.i+4], x -> len(x)))::BIGINT
+           AS chars
+  FROM base b, LATERAL (SELECT unnest(range(1, len(b.t) - 3)) AS i) i
+  WHERE len(b.t) >= 5
+), g5dup AS (
+  SELECT doc_id, COALESCE(SUM(cnt * chars), 0)::BIGINT AS dup5_chars
+  FROM (
+    SELECT doc_id, g, chars, COUNT(*)::BIGINT AS cnt
+    FROM g5 GROUP BY doc_id, g, chars
+  ) WHERE cnt >= 2 GROUP BY doc_id
+)
+SELECT tot.doc_id, tot.n_tokens, tot.n_token_chars,
+       top2.top2_gram,
+       COALESCE(top2.top2_count, 0)::BIGINT AS top2_count,
+       COALESCE(top2.topchars::DOUBLE / NULLIF(tot.n_token_chars, 0), 0.0)
+         AS top2_char_frac,
+       COALESCE(g5dup.dup5_chars, 0)::BIGINT AS dup5_chars,
+       COALESCE(g5dup.dup5_chars::DOUBLE / NULLIF(tot.n_token_chars, 0),
+                0.0) AS dup5_char_weight
+FROM tot
+LEFT JOIN top2 USING (doc_id)
+LEFT JOIN g5dup USING (doc_id)
+"""

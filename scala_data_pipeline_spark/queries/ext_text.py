@@ -582,3 +582,22 @@ FROM documents
 
 QUERIES["text_normalize_clean"] = text_normalize_clean
 ORACLES["text_normalize_clean"] = _textnorm_oracle()
+
+
+def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (ext/textstats.py): top word-
+    2-gram character fraction + duplicate 5-gram character weight per
+    document — one codegen scan, no shuffle."""
+    from ..ext.textstats import repetition_signals
+
+    return repetition_signals(load_table(spark, sf_dir, "documents"))
+
+
+def _repetition_oracle() -> str:
+    from ..ext.textstats import repetition_signals_sql
+
+    return repetition_signals_sql()
+
+
+EXTRA_QUERIES["text_repetition_signals"] = text_repetition_signals
+EXTRA_ORACLES["text_repetition_signals"] = _repetition_oracle()
