@@ -435,3 +435,83 @@ SELECT d.doc_id, d.degree,
 FROM degs d LEFT JOIN tri_counts t ON t.doc_id = d.doc_id
 WHERE d.degree >= 2
 """
+
+
+def bfs_hops(
+    pairs: DataFrame, seeds: DataFrame, max_hops: int = 6
+) -> DataFrame:
+    """(doc_id, hops): minimum hop distance from the seed set over the
+    symmetric pair graph, bounded by ``max_hops`` — the influence-
+    radius / contamination-blast-radius primitive (how far does a bad
+    boilerplate source reach through the near-dup graph?).
+
+    Iterative frontier expansion, the components/pagerank execution
+    discipline: the edge list is localCheckpointed once, each round is
+    one equi-join frontier->neighbors plus one anti-join against the
+    visited set, and the (small) frontier is materialized per round so
+    lineage stays flat. Rounds = min(max_hops, graph eccentricity from
+    the seeds); the per-round driver round-trip is one count on the
+    frontier — the loop-control scalar, not data movement. At 100 TB
+    the work per round is proportional to the frontier's edge
+    neighborhood, the textbook distributed BFS shape.
+
+    ``seeds`` needs a ``doc_id`` column; seed vertices report hops=0
+    even when isolated. Unreached vertices are absent (not infinity).
+    """
+    bi = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(
+            pairs.select(
+                F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+            )
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    visited = (
+        seeds.select(F.col("doc_id").cast("long").alias("doc_id"))
+        .distinct()
+        .withColumn("hops", F.lit(0).cast("int"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = visited.select("doc_id")
+    for h in range(1, max_hops + 1):
+        nxt = (
+            bi.join(frontier, bi.src == frontier.doc_id)
+            .select(F.col("dst").alias("doc_id"))
+            .distinct()
+            .join(visited.select("doc_id"), on="doc_id", how="left_anti")
+            .withColumn("hops", F.lit(h).cast("int"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.union(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("doc_id")
+    return visited
+
+
+def bfs_hops_sql(
+    pairs_sql: str, seeds_sql: str, max_hops: int = 6
+) -> str:
+    """DuckDB twin of :func:`bfs_hops`: recursive CTE bounded by
+    ``max_hops``; MIN(h) per vertex = BFS distance. ``pairs_sql`` must
+    yield doc_a/doc_b, ``seeds_sql`` a doc_id column."""
+    return f"""
+WITH RECURSIVE pairs AS (
+  {pairs_sql}
+), bi AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+), seeds AS (
+  {seeds_sql}
+), walk AS (
+  SELECT doc_id AS v, 0 AS h FROM seeds
+  UNION
+  SELECT e.dst AS v, w.h + 1 AS h
+  FROM walk w JOIN bi e ON e.src = w.v
+  WHERE w.h < {max_hops}
+)
+SELECT v AS doc_id, CAST(MIN(h) AS INTEGER) AS hops FROM walk GROUP BY v
+"""

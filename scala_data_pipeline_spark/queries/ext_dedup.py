@@ -661,3 +661,36 @@ def _prefix_jaccard_oracle() -> str:
 
 EXTRA_QUERIES["dedup_prefix_jaccard"] = dedup_prefix_jaccard
 EXTRA_ORACLES["dedup_prefix_jaccard"] = _prefix_jaccard_oracle()
+
+
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum hop distance (<= 4) from the 10 smallest vertex ids of
+    the LSH pair graph — the influence-radius primitive
+    (ext/graph.py::bfs_hops) on a deterministic seed set."""
+    from ..ext.graph import bfs_hops
+
+    pairs = _lsh_pairs(spark, sf_dir)
+    vertices = (
+        pairs.selectExpr("doc_a AS doc_id")
+        .union(pairs.selectExpr("doc_b AS doc_id"))
+        .distinct()
+    )
+    seeds = vertices.orderBy("doc_id").limit(10)
+    return bfs_hops(pairs, seeds, max_hops=4)
+
+
+def _bfs_oracle() -> str:
+    from ..ext.graph import bfs_hops_sql
+
+    seeds = """
+  SELECT doc_id FROM (
+    SELECT doc_a AS doc_id FROM pairs
+    UNION
+    SELECT doc_b FROM pairs
+  ) ORDER BY doc_id LIMIT 10
+"""
+    return bfs_hops_sql(minhash_lsh_sql(), seeds, max_hops=4)
+
+
+EXTRA_QUERIES["graph_bfs_hops"] = graph_bfs_hops
+EXTRA_ORACLES["graph_bfs_hops"] = _bfs_oracle()
