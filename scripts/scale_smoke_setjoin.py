@@ -25,8 +25,11 @@ Two questions the smoke answers with numbers:
    grow 10x), and the operator docstring now states the recall-loss
    semantics precisely.
 
-Run:  python scripts/scale_smoke_setjoin.py [n_copies] [sf_dir]
+Run:  python scripts/scale_smoke_setjoin.py [n_copies] [sf_dir] [--capped-only]
 Defaults: 10 copies of /root/testdata/sf0.1/documents.parquet.
+--capped-only skips the uncapped exactness stage (its output volume is
+quadratic in planted family size — prohibitive at 100x) and reports
+just the capped path's wall-clock + pair count.
 Results recorded in SCALE_NOTES.md.
 """
 from __future__ import annotations
@@ -49,6 +52,7 @@ from scala_data_pipeline_spark.session import get_session  # noqa: E402
 def main() -> None:
     n_copies = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    capped_only = "--capped-only" in sys.argv
     spark = get_session()
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -90,6 +94,21 @@ def main() -> None:
     pairs_big = prefix_jaccard_join(corpus, t_num=95, t_den=100)
     n_pairs_big = pairs_big.count()
     t_big = time.time() - t0
+
+    if capped_only:
+        print(
+            json.dumps(
+                {
+                    "n_copies": n_copies,
+                    "big_docs": n_big,
+                    "pairs_big_capped": n_pairs_big,
+                    "t_small_sec": round(t_small, 2),
+                    "t_big_sec": round(t_big, 2),
+                    "mode": "capped-only",
+                }
+            )
+        )
+        return
 
     t0 = time.time()
     pairs_exact = prefix_jaccard_join(
