@@ -252,8 +252,9 @@ GROUP BY event_type
 
 def approx_count_distinct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL sketch counts — engine-specific estimates, so no value oracle;
-    the rows-only check plus tests/test_temporal.py's error-bound assert
-    cover it."""
+    the rows-only check plus a bounded-error check against the exact
+    DuckDB COUNT(DISTINCT) (tests/test_oracle_parity.py, 3-sigma of
+    rsd=0.02) cover it."""
     events = load_table(spark, sf_dir, "events")
     return events.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users")

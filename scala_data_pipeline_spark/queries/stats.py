@@ -241,8 +241,9 @@ def approx_percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based percentiles (Greenwald-Khanna): the at-scale
     companion to the exact interpolated percentile — single pass,
     mergeable state, bounded error. Engine-specific estimates, so no
-    value oracle; tests/test_temporal.py-style error bound asserts it
-    stays within accuracy of the exact answer."""
+    value oracle; the RANK-error contract (<= n/accuracy) is asserted
+    against exact DuckDB order statistics in
+    tests/test_oracle_parity.py."""
     lineitem = load_table(spark, sf_dir, "lineitem")
     return lineitem.groupBy("l_linestatus").agg(
         F.approx_percentile("l_extendedprice", [0.5, 0.9], 1000).alias(

@@ -97,3 +97,123 @@ def test_hll_estimate_within_bound_of_exact_oracle(spark, sf_dir, name):
         assert abs(g - e) <= max(1, bound * e), (
             f"{name}[{k}]: estimate {g} outside {bound:.0%} of exact {e}"
         )
+
+
+# --- bounded-error oracle checks for the estimate-valued rows-only
+# queries (round-11 continuation of the round-10 HLL upgrade): the
+# estimates are engine-specific so no value hash is possible, but each
+# estimator publishes an error bound, and the bound is checkable
+# against an EXACT DuckDB answer. approx_count_distinct: HLL++ at
+# rsd=0.02 -> 3-sigma 6%. theta (lgk=12, 4096 entries): relative
+# std err 1/sqrt(4096)=1.56% -> 5% covers 3 sigma on every set-op
+# estimate. approx_percentile / KLL: RANK-error contracts (value
+# bounds don't exist for heavy-tailed data), checked by ranking the
+# returned value in the exact order statistics.
+
+
+def test_approx_count_distinct_within_bound(spark, sf_dir):
+    got = {
+        r.event_type: r.approx_users
+        for r in QUERIES["approx_count_distinct"](spark, sf_dir).collect()
+    }
+    exact_pdf = duckdb_run(
+        "SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS v"
+        " FROM events GROUP BY 1",
+        sf_dir,
+    )
+    exact = dict(zip(exact_pdf["event_type"], exact_pdf["v"]))
+    assert set(got) == set(exact)
+    for k in exact:
+        assert abs(got[k] - exact[k]) <= max(1, 0.06 * exact[k]), (
+            f"approx_count_distinct[{k}]: {got[k]} vs exact {exact[k]}"
+        )
+
+
+def test_theta_audiences_within_bound(spark, sf_dir):
+    rows = QUERIES["sketch_theta_audiences"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        ex = duckdb_run(
+            f"""
+SELECT
+ (SELECT COUNT(DISTINCT user_id) FROM events
+   WHERE event_type = '{r.type_a}' AND user_id IS NOT NULL) AS a,
+ (SELECT COUNT(DISTINCT user_id) FROM events
+   WHERE event_type = '{r.type_b}' AND user_id IS NOT NULL) AS b,
+ (SELECT COUNT(DISTINCT user_id) FROM events
+   WHERE event_type IN ('{r.type_a}', '{r.type_b}')
+     AND user_id IS NOT NULL) AS u,
+ (SELECT COUNT(*) FROM (
+    SELECT DISTINCT user_id FROM events
+     WHERE event_type = '{r.type_a}' AND user_id IS NOT NULL
+    INTERSECT
+    SELECT DISTINCT user_id FROM events
+     WHERE event_type = '{r.type_b}' AND user_id IS NOT NULL)) AS i,
+ (SELECT COUNT(*) FROM (
+    SELECT DISTINCT user_id FROM events
+     WHERE event_type = '{r.type_a}' AND user_id IS NOT NULL
+    EXCEPT
+    SELECT DISTINCT user_id FROM events
+     WHERE event_type = '{r.type_b}' AND user_id IS NOT NULL)) AS d
+""",
+            sf_dir,
+        ).iloc[0]
+        for est, true in (
+            (r.est_a, ex.a),
+            (r.est_b, ex.b),
+            (r.est_union, ex.u),
+            (r.est_intersect, ex.i),
+            (r.est_a_only, ex.d),
+        ):
+            assert abs(est - true) <= max(2, 0.05 * true), (
+                f"theta[{r.type_a},{r.type_b}]: est {est} vs exact {true}"
+            )
+
+
+def _rank_of(sf_dir: str, group_filter: str, value: float) -> tuple:
+    row = duckdb_run(
+        f"""
+SELECT COUNT(*) FILTER (WHERE l_extendedprice <= {value!r}) AS n_le,
+       COUNT(*) FILTER (WHERE l_extendedprice < {value!r}) AS n_lt,
+       COUNT(*) AS n_all
+FROM lineitem WHERE {group_filter}
+""",
+        sf_dir,
+    ).iloc[0]
+    return int(row.n_lt), int(row.n_le), int(row.n_all)
+
+
+def _assert_rank(name, sf_dir, group_filter, value, q, tol_frac):
+    lo, hi, n = _rank_of(sf_dir, group_filter, value)
+    target = q * n
+    tol = tol_frac * n + 1  # +1: discrete rank granularity
+    # the returned value's rank interval [lt, le] must intersect
+    # [target - tol, target + tol]
+    assert lo <= target + tol and hi >= target - tol, (
+        f"{name}: value {value} rank [{lo},{hi}] vs target {target}±{tol}"
+        f" (n={n})"
+    )
+
+
+def test_approx_percentile_rank_error(spark, sf_dir):
+    rows = QUERIES["approx_percentile_prices"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        flt = f"l_linestatus = '{r.l_linestatus}'"
+        # accuracy=1000 -> rank error <= n/1000
+        _assert_rank("approx_p50", sf_dir, flt, r.approx_p50, 0.5, 1 / 1000)
+        _assert_rank("approx_p90", sf_dir, flt, r.approx_p90, 0.9, 1 / 1000)
+
+
+def test_kll_quantiles_rank_error(spark, sf_dir):
+    rows = QUERIES["sketch_kll_prices"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        flt = (
+            "TRUE"
+            if r.l_linestatus == "ALL"
+            else f"l_linestatus = '{r.l_linestatus}'"
+        )
+        # k=200 -> normalized rank error ~1.65%; 3% covers the merge
+        for q, v in ((0.5, r.kll_p50), (0.9, r.kll_p90), (0.99, r.kll_p99)):
+            _assert_rank(f"kll_q{q}", sf_dir, flt, v, q, 0.03)
