@@ -3194,3 +3194,53 @@ FROM daily d, sl
 # Round-10 rotation: promoted to a driver slot (never driver-checked).
 QUERIES["theilsen_event_trend"] = theilsen_event_trend
 ORACLES["theilsen_event_trend"] = THEILSEN_ORACLE
+
+
+def weighted_median_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact QUANTITY-WEIGHTED median price per return flag: the
+    smallest price whose cumulative quantity weight reaches half the
+    group's total (lower weighted median — the robust 'typical traded
+    price' a mean would let outliers drag). Runs on
+    operators/ranking.py::with_grouped_rank (3 huge groups — exactly
+    the few-huge-groups case Window.partitionBy mishandles at scale);
+    the half-total comparison is exact long arithmetic
+    (2*cum >= total), no float boundary."""
+    from ..operators.ranking import with_grouped_rank
+
+    li = load_table(spark, sf_dir, "lineitem")
+    grain = li.groupBy(
+        "l_returnflag", F.col("l_extendedprice").alias("price")
+    ).agg(F.sum(F.col("l_quantity").cast("long")).alias("w"))
+    ranked = with_grouped_rank(
+        grain, ["l_returnflag"], ["price"], rank_col="_i", cum_cols=["w"]
+    )
+    return (
+        ranked.filter(2 * F.col("cum_w") >= F.col("total_w"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("price").alias("weighted_median"),
+            F.min("total_w").cast("long").alias("total_weight"),
+        )
+    )
+
+
+WEIGHTED_MEDIAN_ORACLE = """
+WITH grain AS (
+  SELECT l_returnflag, l_extendedprice AS price,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+  FROM lineitem GROUP BY 1, 2
+), c AS (
+  SELECT l_returnflag, price, w,
+         SUM(w) OVER (PARTITION BY l_returnflag ORDER BY price) AS cumw,
+         SUM(w) OVER (PARTITION BY l_returnflag) AS totw
+  FROM grain
+)
+SELECT l_returnflag,
+       MIN(price) AS weighted_median,
+       CAST(MIN(totw) AS BIGINT) AS total_weight
+FROM c WHERE 2 * cumw >= totw
+GROUP BY l_returnflag
+"""
+
+EXTRA_QUERIES["weighted_median_prices"] = weighted_median_prices
+EXTRA_ORACLES["weighted_median_prices"] = WEIGHTED_MEDIAN_ORACLE
