@@ -515,3 +515,139 @@ WITH RECURSIVE pairs AS (
 )
 SELECT v AS doc_id, CAST(MIN(h) AS INTEGER) AS hops FROM walk GROUP BY v
 """
+
+
+def personalized_pagerank(
+    pairs: DataFrame,
+    seeds: DataFrame,
+    iterations: int = ITERATIONS,
+    damping: float = DAMPING,
+) -> DataFrame:
+    """Fixed-iteration PERSONALIZED PageRank: restart mass (1-d)
+    concentrates on the seed set instead of spreading uniformly, so
+    rank measures proximity-weighted influence FROM the seeds — the
+    "how exposed is this document to a known-bad boilerplate source"
+    score, the stationary cousin of :func:`bfs_hops`' hop distance.
+
+    Same execution and exactness discipline as
+    :func:`pagerank_on_pairs`: edge list and degrees localCheckpointed
+    once, per-iteration contributions rounded to _SCALE and summed as
+    exact decimals, so the result is partitioning-invariant and
+    oracle-replayable. Seeds are intersected with the graph's vertex
+    set (a seed with no edges can neither spread nor receive mass —
+    documented contract). Returns (doc_id, degree, is_seed, rank).
+    """
+    bi = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(
+            pairs.select(
+                F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+            )
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = bi.groupBy("src").agg(
+        F.count("*").cast("long").alias("degree")
+    ).localCheckpoint(eager=True)
+    seed_set = (
+        seeds.select(F.col("doc_id").cast("long").alias("src"))
+        .distinct()
+        .join(deg.select("src"), on="src")
+        .localCheckpoint(eager=True)
+    )
+    n_seeds = seed_set.count()
+    if n_seeds == 0:
+        return deg.select(
+            F.col("src").alias("doc_id"),
+            "degree",
+            F.lit(False).alias("is_seed"),
+            F.lit(0.0).alias("rank"),
+        ).filter(F.lit(False))
+    base_val = round((1.0 - damping) / n_seeds, _SCALE)
+    base = deg.join(
+        seed_set.withColumn("is_seed", F.lit(True)), on="src", how="left"
+    ).select(
+        "src",
+        "degree",
+        F.coalesce("is_seed", F.lit(False)).alias("is_seed"),
+        F.when(F.col("is_seed"), F.lit(base_val))
+        .otherwise(F.lit(0.0))
+        .alias("base"),
+    ).localCheckpoint(eager=True)
+    rank = base.select("src", F.col("base").alias("rank"))
+    for _ in range(iterations):
+        contrib = (
+            bi.join(rank, on="src")
+            .join(deg, on="src")
+            .select(
+                F.col("dst"),
+                F.round(F.col("rank") / F.col("degree"), _SCALE)
+                .cast(f"decimal(20,{_SCALE})")
+                .alias("contrib"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("contrib").alias("in_mass"))
+        )
+        rank = base.join(
+            contrib, base.src == contrib.dst, "left"
+        ).select(
+            "src",
+            F.round(
+                F.col("base")
+                + F.lit(damping)
+                * F.coalesce(F.col("in_mass").cast("double"), F.lit(0.0)),
+                _SCALE,
+            ).alias("rank"),
+        )
+    return base.join(rank, on="src").select(
+        F.col("src").alias("doc_id"), "degree", "is_seed", "rank"
+    )
+
+
+def personalized_pagerank_sql(
+    pairs_sql: str,
+    seeds_sql: str,
+    iterations: int = ITERATIONS,
+    damping: float = DAMPING,
+) -> str:
+    """DuckDB twin of :func:`personalized_pagerank` — unrolled CTE
+    chain; ``seeds_sql`` must yield a doc_id column (intersected with
+    the vertex set, as the operator does)."""
+    s = _SCALE
+    ctes = [
+        f"pairs AS ({pairs_sql})",
+        "bi AS (SELECT doc_a AS src, doc_b AS dst FROM pairs"
+        " UNION SELECT doc_b, doc_a FROM pairs)",
+        "deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS degree"
+        " FROM bi GROUP BY src)",
+        f"seedset AS (SELECT doc_id AS src FROM ({seeds_sql})"
+        " INTERSECT SELECT src FROM deg)",
+        "ns AS (SELECT COUNT(*) AS k FROM seedset)",
+        f"base AS (SELECT deg.src, deg.degree,"
+        " seedset.src IS NOT NULL AS is_seed,"
+        f" CASE WHEN seedset.src IS NOT NULL"
+        f" THEN ROUND((1.0 - {damping}) / ns.k, {s}) ELSE 0.0 END AS b"
+        " FROM deg LEFT JOIN seedset ON deg.src = seedset.src, ns)",
+        "r0 AS (SELECT src, b AS rank FROM base)",
+    ]
+    prev = "r0"
+    for i in range(1, iterations + 1):
+        ctes.extend(
+            [
+                f"c{i} AS (SELECT bi.dst AS src, "
+                f"CAST(SUM(CAST(ROUND({prev}.rank / deg.degree, {s}) "
+                f"AS DECIMAL(20,{s}))) AS DOUBLE) AS in_mass "
+                f"FROM bi JOIN {prev} ON bi.src = {prev}.src "
+                f"JOIN deg ON bi.src = deg.src GROUP BY bi.dst)",
+                f"r{i} AS (SELECT base.src, "
+                f"ROUND(base.b + {damping} * COALESCE(c{i}.in_mass, 0.0), {s})"
+                f" AS rank FROM base LEFT JOIN c{i} ON base.src = c{i}.src)",
+            ]
+        )
+        prev = f"r{i}"
+    return (
+        "WITH " + ",\n".join(ctes) + f"\nSELECT base.src AS doc_id,"
+        f" base.degree, base.is_seed, {prev}.rank"
+        f" FROM base JOIN {prev} ON base.src = {prev}.src"
+    )

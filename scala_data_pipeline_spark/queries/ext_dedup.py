@@ -694,3 +694,37 @@ def _bfs_oracle() -> str:
 
 EXTRA_QUERIES["graph_bfs_hops"] = graph_bfs_hops
 EXTRA_ORACLES["graph_bfs_hops"] = _bfs_oracle()
+
+
+def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from the 10 smallest vertex ids of the
+    LSH pair graph (ext/graph.py::personalized_pagerank) — proximity-
+    weighted influence of the seed documents, the stationary cousin of
+    graph_bfs_hops on the same deterministic seed set."""
+    from ..ext.graph import personalized_pagerank
+
+    pairs = _lsh_pairs(spark, sf_dir)
+    vertices = (
+        pairs.selectExpr("doc_a AS doc_id")
+        .union(pairs.selectExpr("doc_b AS doc_id"))
+        .distinct()
+    )
+    seeds = vertices.orderBy("doc_id").limit(10)
+    return personalized_pagerank(pairs, seeds)
+
+
+def _ppr_oracle() -> str:
+    from ..ext.graph import personalized_pagerank_sql
+
+    seeds = """
+  SELECT doc_id FROM (
+    SELECT doc_a AS doc_id FROM pairs
+    UNION
+    SELECT doc_b FROM pairs
+  ) ORDER BY doc_id LIMIT 10
+"""
+    return personalized_pagerank_sql(minhash_lsh_sql(), seeds)
+
+
+EXTRA_QUERIES["graph_personalized_pagerank"] = graph_personalized_pagerank
+EXTRA_ORACLES["graph_personalized_pagerank"] = _ppr_oracle()
