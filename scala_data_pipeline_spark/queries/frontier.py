@@ -585,3 +585,139 @@ EXTRA_QUERIES["layout_skipping_effectiveness"] = (
     layout_skipping_effectiveness
 )
 EXTRA_ORACLES["layout_skipping_effectiveness"] = LAYOUT_SKIPPING_ORACLE
+
+
+# --- cross-table data-quality audits (round 11): the two checks
+# quality_constraints' single-table scan cannot express.
+
+_RI_EDGES = [
+    # (edge name, child table, child key, parent table, parent key)
+    ("lineitem.orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders.custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer.nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+]
+
+
+def ri_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit of every foreign-key edge in the
+    star schema: child row count, orphan rows (child key with no
+    parent), and the 6dp orphan ratio. Each edge is ONE aggregate over
+    a left-anti join whose parent side is dimension-sized (broadcast);
+    the child fact table is scanned once per edge with only the key
+    column read (column pruning) — at 100 TB this is the cheap nightly
+    FK health check, not a join of the full rows."""
+    frames = []
+    for name, child_t, child_k, parent_t, parent_k in _RI_EDGES:
+        child = load_table(spark, sf_dir, child_t).select(
+            F.col(child_k).alias("k")
+        )
+        parent = load_table(spark, sf_dir, parent_t).select(
+            F.col(parent_k).alias("k")
+        ).distinct()
+        orphans = child.join(F.broadcast(parent), on="k", how="left_anti")
+        frames.append(
+            child.agg(F.count(F.lit(1)).cast("long").alias("n_child"))
+            .crossJoin(
+                orphans.agg(
+                    F.count(F.lit(1)).cast("long").alias("n_orphan")
+                )
+            )
+            .select(
+                F.lit(name).alias("fk_edge"),
+                "n_child",
+                "n_orphan",
+                F.round(F.col("n_orphan") / F.col("n_child"), 6).alias(
+                    "orphan_ratio"
+                ),
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+def _ri_oracle() -> str:
+    parts = []
+    for name, child_t, child_k, parent_t, parent_k in _RI_EDGES:
+        parts.append(f"""
+SELECT '{name}' AS fk_edge,
+       CAST(COUNT(*) AS BIGINT) AS n_child,
+       CAST(COUNT(*) FILTER (WHERE NOT EXISTS (
+         SELECT 1 FROM {parent_t} p WHERE p.{parent_k} = c.{child_k}
+       )) AS BIGINT) AS n_orphan,
+       ROUND(COUNT(*) FILTER (WHERE NOT EXISTS (
+         SELECT 1 FROM {parent_t} p WHERE p.{parent_k} = c.{child_k}
+       ))::DOUBLE / COUNT(*), 6) AS orphan_ratio
+FROM {child_t} c""")
+    return "\nUNION ALL\n".join(parts)
+
+
+EXTRA_QUERIES["ri_audit"] = ri_audit
+EXTRA_ORACLES["ri_audit"] = _ri_oracle()
+
+
+_FD_CANDIDATES = [
+    # (fd name, table, determinant col, dependent col)
+    ("part: name->type", "part", "p_name", "p_type"),
+    ("part: name->brand", "part", "p_name", "p_brand"),
+    ("customer: cust->nation", "customer", "c_custkey", "c_nationkey"),
+    ("orders: cust->priority", "orders", "o_custkey", "o_orderpriority"),
+]
+
+
+def fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit: for each candidate A->B, count the
+    determinant values that map to MORE than one dependent value
+    (violations) — the schema-inference / denormalization-safety
+    primitive ('can I key a dimension on A?'). One groupBy per
+    candidate at the determinant grain; violation_ratio is 6dp."""
+    frames = []
+    for name, table, det, dep in _FD_CANDIDATES:
+        grain = (
+            load_table(spark, sf_dir, table)
+            .groupBy(F.col(det).alias("a"))
+            .agg(F.count_distinct(F.col(dep)).alias("n_dep"))
+        )
+        frames.append(
+            grain.agg(
+                F.lit(name).alias("fd"),
+                F.count(F.lit(1)).cast("long").alias("n_determinants"),
+                F.sum(F.when(F.col("n_dep") > 1, 1).otherwise(0))
+                .cast("long")
+                .alias("n_violating"),
+            ).select(
+                "fd",
+                "n_determinants",
+                "n_violating",
+                F.round(
+                    F.col("n_violating") / F.col("n_determinants"), 6
+                ).alias("violation_ratio"),
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+def _fd_oracle() -> str:
+    parts = []
+    for name, table, det, dep in _FD_CANDIDATES:
+        parts.append(f"""
+SELECT '{name}' AS fd,
+       CAST(COUNT(*) AS BIGINT) AS n_determinants,
+       CAST(COUNT(*) FILTER (WHERE n_dep > 1) AS BIGINT) AS n_violating,
+       ROUND(COUNT(*) FILTER (WHERE n_dep > 1)::DOUBLE / COUNT(*), 6)
+         AS violation_ratio
+FROM (
+  SELECT {det} AS a, COUNT(DISTINCT {dep}) AS n_dep
+  FROM {table} GROUP BY 1
+)""")
+    return "\nUNION ALL\n".join(parts)
+
+
+EXTRA_QUERIES["fd_audit"] = fd_audit
+EXTRA_ORACLES["fd_audit"] = _fd_oracle()
