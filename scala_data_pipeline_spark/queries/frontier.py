@@ -604,28 +604,31 @@ def ri_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Referential-integrity audit of every foreign-key edge in the
     star schema: child row count, orphan rows (child key with no
     parent), and the 6dp orphan ratio. Each edge is ONE aggregate over
-    a left-anti join whose parent side is dimension-sized (broadcast);
-    the child fact table is scanned once per edge with only the key
-    column read (column pruning) — at 100 TB this is the cheap nightly
-    FK health check, not a join of the full rows."""
+    a broadcast LEFT join whose parent side is dimension-sized — the
+    child fact table is scanned ONCE per edge with only the key column
+    read (column pruning); at 100 TB this is the cheap nightly FK
+    health check, not a join of the full rows."""
     frames = []
     for name, child_t, child_k, parent_t, parent_k in _RI_EDGES:
         child = load_table(spark, sf_dir, child_t).select(
             F.col(child_k).alias("k")
         )
-        parent = load_table(spark, sf_dir, parent_t).select(
-            F.col(parent_k).alias("k")
-        ).distinct()
-        orphans = child.join(F.broadcast(parent), on="k", how="left_anti")
+        parent = (
+            load_table(spark, sf_dir, parent_t)
+            .select(F.col(parent_k).alias("k"))
+            .distinct()
+            .withColumn("_hit", F.lit(1))
+        )
+        joined = child.join(F.broadcast(parent), on="k", how="left")
         frames.append(
-            child.agg(F.count(F.lit(1)).cast("long").alias("n_child"))
-            .crossJoin(
-                orphans.agg(
-                    F.count(F.lit(1)).cast("long").alias("n_orphan")
-                )
-            )
-            .select(
+            joined.agg(
                 F.lit(name).alias("fk_edge"),
+                F.count(F.lit(1)).cast("long").alias("n_child"),
+                F.sum(F.when(F.col("_hit").isNull(), 1).otherwise(0))
+                .cast("long")
+                .alias("n_orphan"),
+            ).select(
+                "fk_edge",
                 "n_child",
                 "n_orphan",
                 F.round(F.col("n_orphan") / F.col("n_child"), 6).alias(
