@@ -42,6 +42,25 @@ from .textstats import tokens_col
 
 N_MERGES = 10
 
+# Driver-side working-vocabulary bound.  On web-scale corpora the
+# distinct-token count is corpus-proportional (URLs, IDs, typos —
+# Heaps' law never saturates), so an uncapped collect of the word
+# frequency table is a driver OOM at 100 TB.  Standard BPE trainers
+# (HF tokenizers' ``min_frequency`` / bounded ``vocab_size``) train on
+# a frequency-bounded working vocabulary; we take the top
+# ``VOCAB_CAP`` words by (count desc, word) — a distributed top-K
+# (TakeOrderedAndProject: per-partition heaps, only K rows reach the
+# driver).  Effect on merge selection: pair counts are computed over
+# the retained vocabulary only, so merges can differ from the uncapped
+# run ONLY when the excluded tail's aggregate pair mass rivals the
+# head's — impossible when the cap doesn't bind (every test/sf fixture
+# here: distinct words << 1M, merges provably unchanged; see
+# tests/test_bpe.py) and negligible at the default settings since a
+# rank->1M word has count ~ n_tokens/1e7 (Zipf) while the first
+# N_MERGES=10 merges have counts within a small factor of the top
+# word's.
+VOCAB_CAP = 1_000_000
+
 
 def word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Distributed word-frequency aggregate — the only corpus-sized
@@ -99,12 +118,31 @@ def train_merges(
 
 
 def bpe_train(
-    docs: DataFrame, n_merges: int = N_MERGES, text_col: str = "text"
+    docs: DataFrame,
+    n_merges: int = N_MERGES,
+    text_col: str = "text",
+    min_count: int = 1,
+    vocab_cap: int = VOCAB_CAP,
 ) -> DataFrame:
     """Corpus → learned merge table as a DataFrame
-    (merge_rank, left, right, pair_count)."""
+    (merge_rank, left, right, pair_count).
+
+    The driver never sees the full word-frequency table: words below
+    ``min_count`` are filtered distributed-side, and at most
+    ``vocab_cap`` words (top-K by count, ties on word — deterministic)
+    are collected via a distributed top-K.  See the ``VOCAB_CAP`` note
+    for the (bounded, documented) effect on merge selection.
+    """
+    wc = word_counts(docs, text_col)
+    if min_count > 1:
+        wc = wc.where(F.col("n") >= F.lit(int(min_count)))
     vocab = [
-        (r.word, r.n) for r in word_counts(docs, text_col).collect()
+        (r.word, r.n)
+        for r in (
+            wc.orderBy(F.col("n").desc(), F.col("word"))
+            .limit(int(vocab_cap))
+            .collect()
+        )
     ]
     merges = train_merges(vocab, n_merges)
     spark = docs.sparkSession

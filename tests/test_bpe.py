@@ -69,3 +69,53 @@ def test_no_merges_yields_char_tokens(spark, sf_dir):
         sorted(docs.collect(), key=lambda r: r.doc_id),
     ):
         assert r.n_bpe_tokens == sum(len(w) for w in d.text.split(" ") if w)
+
+
+def test_capped_vocab_unchanged_merges(spark, sf_dir):
+    """A non-binding cap (fixture vocab << cap) must leave the learned
+    merge table bit-identical to the uncapped run, and a min_count
+    filter that keeps every fixture word likewise."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = [tuple(r) for r in bpe_train(docs, n_merges=6).collect()]
+    capped = [
+        tuple(r)
+        for r in bpe_train(
+            docs, n_merges=6, min_count=1, vocab_cap=10**6
+        ).collect()
+    ]
+    assert capped == base
+
+
+def test_binding_cap_is_deterministic_and_bounded(spark, sf_dir):
+    """When the cap DOES bind, the collect is bounded at vocab_cap rows
+    and the result is still deterministic (top-K ties break on word)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_words = word_counts(docs).count()
+    cap = max(2, n_words // 4)
+    a = [
+        tuple(r)
+        for r in bpe_train(docs, n_merges=3, vocab_cap=cap).collect()
+    ]
+    b = [
+        tuple(r)
+        for r in bpe_train(docs, n_merges=3, vocab_cap=cap).collect()
+    ]
+    assert a == b
+    assert all(r[3] > 0 for r in a)
+
+
+def test_min_count_filters_tail(spark, sf_dir):
+    """min_count must drop sub-threshold words before the collect —
+    train on the filtered vocab and verify it matches a driver-side
+    filter of the full vocab."""
+    docs = load_table(spark, sf_dir, "documents")
+    full = [(r.word, r.n) for r in word_counts(docs).collect()]
+    threshold = 3
+    expected = train_merges(
+        [(w, n) for w, n in full if n >= threshold], 4
+    )
+    got = [
+        (r.left, r.right, r.pair_count)
+        for r in bpe_train(docs, n_merges=4, min_count=threshold).collect()
+    ]
+    assert got == [(l, r, c) for l, r, c in expected]
