@@ -106,6 +106,15 @@ def with_global_rank(
     The driver-side ``.collect()`` here is a DOCUMENTED BOUNDED SET:
     one row per range partition (``num_partitions``, default the
     session's shuffle partitioning), independent of corpus size.
+
+    When ``num_partitions`` is not given, the range shuffle omits an
+    explicit partition count so AQE may COALESCE it: a bounded grain
+    (an ECDF score axis, a day axis) collapses to a handful of tasks
+    instead of paying shuffle-partitions-many, while a
+    corpus-proportional frame keeps them all. Coalescing merges
+    ADJACENT range partitions only, so the scheme's invariants —
+    contiguous non-overlapping key ranges, equal keys co-located,
+    global order == (partition id, local order) — are preserved.
     """
     cum_cols = list(cum_cols or [])
     min_cols = list(min_cols or [])
@@ -113,10 +122,12 @@ def with_global_rank(
         c for c in (total_cols or []) if c not in cum_cols
     ]
     spark = df.sparkSession
-    n_part = num_partitions or int(
-        spark.conf.get("spark.sql.shuffle.partitions", "32")
-    )
-    ranged = df.repartitionByRange(n_part, *[F.asc(c) for c in order_cols])
+    if num_partitions:
+        ranged = df.repartitionByRange(
+            num_partitions, *[F.asc(c) for c in order_cols]
+        )
+    else:
+        ranged = df.repartitionByRange(*[F.asc(c) for c in order_cols])
     ranged = ranged.withColumn("_pid", F.spark_partition_id())
     # Two actions consume `ranged` (offset scan + final plan); pin it so
     # the range shuffle runs once and both see identical partitioning
@@ -280,12 +291,16 @@ def with_grouped_rank(
     same bounded offset scan.
     """
     spark = df.sparkSession
-    n_part = num_partitions or int(
-        spark.conf.get("spark.sql.shuffle.partitions", "32")
-    )
     sort_cols = [F.asc(c) for c in [*group_cols, *order_cols]]
+    # No explicit partition count unless pinned: AQE coalesces the
+    # range shuffle on bounded grains (adjacent-merge preserves the
+    # scheme's contiguity invariants — see with_global_rank).
     ranged = (
-        df.repartitionByRange(n_part, *sort_cols)
+        (
+            df.repartitionByRange(num_partitions, *sort_cols)
+            if num_partitions
+            else df.repartitionByRange(*sort_cols)
+        )
         .withColumn("_pid", F.spark_partition_id())
         .localCheckpoint(eager=True)
     )
