@@ -159,8 +159,9 @@ WHERE CAST(d.freq AS DOUBLE) / fa.freq >= {MIN_CONFIDENCE}
 # driver-checked; the FPGrowth family's richer output — confidence/
 # lift/support ratios — over the same itemset machinery, so one slot
 # covers both shapes; itemsets stay oracle-checked locally).
-QUERIES["basket_assoc_rules"] = basket_assoc_rules
-ORACLES["basket_assoc_rules"] = BASKET_RULES_ORACLE
+# Round-12 rotation: demoted after 5 green driver rounds (r7-r11).
+EXTRA_QUERIES["basket_assoc_rules"] = basket_assoc_rules
+EXTRA_ORACLES["basket_assoc_rules"] = BASKET_RULES_ORACLE
 
 EXTRA_QUERIES["basket_freq_itemsets"] = basket_freq_itemsets
 EXTRA_ORACLES["basket_freq_itemsets"] = BASKET_ITEMSETS_ORACLE

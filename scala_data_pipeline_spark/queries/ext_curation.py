@@ -340,8 +340,10 @@ SELECT CASE WHEN day >= test_start THEN 'test'
 FROM tagged GROUP BY 1
 """
 
-EXTRA_QUERIES["curation_time_split"] = curation_time_split
-EXTRA_ORACLES["curation_time_split"] = TIME_SPLIT_ORACLE
+# Round-12 rotation: promoted to a driver slot (never driver-checked;
+# temporal-embargo train/test split — day-grain windows).
+QUERIES["curation_time_split"] = curation_time_split
+ORACLES["curation_time_split"] = TIME_SPLIT_ORACLE
 
 
 def curation_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -659,8 +659,11 @@ def _prefix_jaccard_oracle() -> str:
     return prefix_jaccard_sql(t_num=95, t_den=100)
 
 
-EXTRA_QUERIES["dedup_prefix_jaccard"] = dedup_prefix_jaccard
-EXTRA_ORACLES["dedup_prefix_jaccard"] = _prefix_jaccard_oracle()
+# Round-12 rotation: promoted to a driver slot (never driver-checked;
+# PPJoin-style prefix set-similarity join — structurally bounded pair
+# space, a plan family distinct from the LSH hub).
+QUERIES["dedup_prefix_jaccard"] = dedup_prefix_jaccard
+ORACLES["dedup_prefix_jaccard"] = _prefix_jaccard_oracle()
 
 
 def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -692,8 +695,11 @@ def _bfs_oracle() -> str:
     return bfs_hops_sql(minhash_lsh_sql(), seeds, max_hops=4)
 
 
-EXTRA_QUERIES["graph_bfs_hops"] = graph_bfs_hops
-EXTRA_ORACLES["graph_bfs_hops"] = _bfs_oracle()
+# Round-12 rotation: promoted to a driver slot (round-11 addition,
+# never driver-checked; iterative frontier expansion vs unrolled-CTE
+# oracle).
+QUERIES["graph_bfs_hops"] = graph_bfs_hops
+ORACLES["graph_bfs_hops"] = _bfs_oracle()
 
 
 def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -726,5 +732,8 @@ def _ppr_oracle() -> str:
     return personalized_pagerank_sql(minhash_lsh_sql(), seeds)
 
 
-EXTRA_QUERIES["graph_personalized_pagerank"] = graph_personalized_pagerank
-EXTRA_ORACLES["graph_personalized_pagerank"] = _ppr_oracle()
+# Round-12 rotation: promoted to a driver slot (round-11 addition,
+# never driver-checked; power-iteration PageRank vs unrolled-CTE
+# oracle).
+QUERIES["graph_personalized_pagerank"] = graph_personalized_pagerank
+ORACLES["graph_personalized_pagerank"] = _ppr_oracle()

@@ -306,12 +306,14 @@ UNION ALL SELECT 'orderdate_in_range', ROUND(date_in_range, 6), date_in_range >=
 # Round-7 rotation: all three take driver slots (never driver-checked,
 # each a distinct plan family: sweep-vs-NOT-EXISTS skyline, bit-
 # interleave layout envelope, one-scan DQ suite).
-QUERIES["skyline_parts"] = skyline_parts
-ORACLES["skyline_parts"] = SKYLINE_ORACLE
-QUERIES["layout_zorder"] = layout_zorder
-ORACLES["layout_zorder"] = LAYOUT_ZORDER_ORACLE
-QUERIES["quality_constraints"] = quality_constraints
-ORACLES["quality_constraints"] = QUALITY_CONSTRAINTS_ORACLE
+# Round-12 rotation: all three demoted after 5 green driver rounds
+# (r7-r11); their slots fund the round-11 DQ audits below.
+EXTRA_QUERIES["skyline_parts"] = skyline_parts
+EXTRA_ORACLES["skyline_parts"] = SKYLINE_ORACLE
+EXTRA_QUERIES["layout_zorder"] = layout_zorder
+EXTRA_ORACLES["layout_zorder"] = LAYOUT_ZORDER_ORACLE
+EXTRA_QUERIES["quality_constraints"] = quality_constraints
+EXTRA_ORACLES["quality_constraints"] = QUALITY_CONSTRAINTS_ORACLE
 
 
 # --------------------------------------------------------------------
@@ -658,8 +660,10 @@ FROM {child_t} c""")
     return "\nUNION ALL\n".join(parts)
 
 
-EXTRA_QUERIES["ri_audit"] = ri_audit
-EXTRA_ORACLES["ri_audit"] = _ri_oracle()
+# Round-12 rotation: promoted to a driver slot (round-11 addition,
+# never driver-checked; the only FK-orphan audit plan shape).
+QUERIES["ri_audit"] = ri_audit
+ORACLES["ri_audit"] = _ri_oracle()
 
 
 _FD_CANDIDATES = [
@@ -722,5 +726,7 @@ FROM (
     return "\nUNION ALL\n".join(parts)
 
 
-EXTRA_QUERIES["fd_audit"] = fd_audit
-EXTRA_ORACLES["fd_audit"] = _fd_oracle()
+# Round-12 rotation: promoted to a driver slot (round-11 addition,
+# never driver-checked; functional-dependency violation audit).
+QUERIES["fd_audit"] = fd_audit
+ORACLES["fd_audit"] = _fd_oracle()

@@ -100,11 +100,13 @@ SCD2_ORACLE = scd2_apply_sql(
 
 # scd2_customer promoted to a driver slot round 4 (type-2 slowly-
 # changing-dimension apply — a merge shape nothing else in the
-# registry exercises).
-QUERIES = {"scd2_customer": scd2_customer}
-ORACLES = {"scd2_customer": SCD2_ORACLE}
-EXTRA_QUERIES: dict = {}
-EXTRA_ORACLES: dict[str, str] = {}
+# registry exercises). Round-12 rotation: demoted after 7 green driver
+# rounds (r4-r11) — the longest tenure in the registry; stays
+# oracle-checked locally.
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+EXTRA_QUERIES: dict = {"scd2_customer": scd2_customer}
+EXTRA_ORACLES: dict[str, str] = {"scd2_customer": SCD2_ORACLE}
 
 
 # Snapshot diff fixture: "yesterday" = the customer table; "today" =

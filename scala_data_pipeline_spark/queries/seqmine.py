@@ -208,6 +208,7 @@ def ml_als_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Round-7 rotation: PrefixSpan takes a driver slot (never checked; the
 # registry's only sequential-pattern shape). ALS stays a rows-only
 # extra by nature.
-QUERIES["seq_prefixspan"] = seq_prefixspan
-ORACLES["seq_prefixspan"] = SEQ_PREFIXSPAN_ORACLE
+# Round-12 rotation: demoted after 5 green driver rounds (r7-r11).
+EXTRA_QUERIES["seq_prefixspan"] = seq_prefixspan
+EXTRA_ORACLES["seq_prefixspan"] = SEQ_PREFIXSPAN_ORACLE
 EXTRA_QUERIES["ml_als_recommend"] = ml_als_recommend

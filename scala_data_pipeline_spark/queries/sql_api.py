@@ -375,8 +375,9 @@ def sql_orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 # Round-6 rotation: promoted — the only correlated-scalar-subquery shape.
-QUERIES["sql_orders_above_customer_avg"] = sql_orders_above_customer_avg
-ORACLES["sql_orders_above_customer_avg"] = SQL_ORDERS_ABOVE_CUSTOMER_AVG
+# Round-12 rotation: demoted after 6 green driver rounds (r6-r11).
+EXTRA_QUERIES["sql_orders_above_customer_avg"] = sql_orders_above_customer_avg
+EXTRA_ORACLES["sql_orders_above_customer_avg"] = SQL_ORDERS_ABOVE_CUSTOMER_AVG
 
 
 # Set operations beyond UNION (the reference stops at unionAll,

@@ -83,8 +83,9 @@ def _rollup_oracle() -> str:
 
 # Round-6 rotation: promoted to a driver slot (new continuous-aggregate
 # flagship, never driver-checked).
-QUERIES["rollup_daily_revenue"] = rollup_daily_revenue
-ORACLES["rollup_daily_revenue"] = _rollup_oracle()
+# Round-12 rotation: demoted after 6 green driver rounds (r6-r11).
+EXTRA_QUERIES["rollup_daily_revenue"] = rollup_daily_revenue
+EXTRA_ORACLES["rollup_daily_revenue"] = _rollup_oracle()
 
 
 def rollup_daily_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -336,8 +336,11 @@ EXTRA_ORACLES["anomaly_daily_revenue"] = ANOMALY_ORACLE
 # from the round-5 advisor finding, mirrored in the oracle).
 QUERIES["survival_km_users"] = survival_km_users
 ORACLES["survival_km_users"] = KM_ORACLE
-EXTRA_QUERIES["benford_prices"] = benford_prices
-EXTRA_ORACLES["benford_prices"] = BENFORD_ORACLE
+# Round-12 rotation: promoted to a driver slot (never driver-checked;
+# leading-digit distribution vs Benford expectation — a log10/floor
+# digit-extraction plan shape nothing else exercises).
+QUERIES["benford_prices"] = benford_prices
+ORACLES["benford_prices"] = BENFORD_ORACLE
 
 
 # --------------------------------------------------------------------
@@ -1717,8 +1720,10 @@ FROM sums WHERE lag >= 1
 """
 
 
-EXTRA_QUERIES["acf_daily_revenue"] = acf_daily_revenue
-EXTRA_ORACLES["acf_daily_revenue"] = _acf_oracle()
+# Round-12 rotation: promoted to a driver slot (never driver-checked;
+# the registry's only autocorrelation / lagged-self-join shape).
+QUERIES["acf_daily_revenue"] = acf_daily_revenue
+ORACLES["acf_daily_revenue"] = _acf_oracle()
 
 
 # ---------------------------------------------------------------------------
