@@ -18,7 +18,8 @@ from scala_data_pipeline_spark.queries import all_queries  # noqa: E402
 from scala_data_pipeline_spark.session import get_session  # noqa: E402
 
 # Headline set: one per operator family; bench runs each to completion
-# (count triggers the full plan; results are not collected to the driver).
+# (a noop-sink write materializes the full plan including the final
+# projection; results are not collected to the driver).
 HEADLINE = [
     "flagship_datamart",
     "pricing_summary",
@@ -76,7 +77,10 @@ def main() -> None:
         for _ in range(3):
             start = time.perf_counter()
             df = queries[name](spark, sf_dir)
-            df.count()
+            # noop sink materializes EVERY output column — df.count()
+            # let Catalyst prune the final projection, flattering
+            # wide-output queries (round-11 verdict measurement nit).
+            df.write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - start)
             # Release checkpointed index storage (SRP/graph queries
             # localCheckpoint their index frames; the RDD storage is
@@ -91,7 +95,10 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "headline_queries_total",
+                # "noop_sink" records the round-12 action change: the
+                # timed action is a full-projection noop write, not
+                # count() — a one-off level shift vs rounds <= 11.
+                "metric": "headline_queries_total_noop_sink",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
