@@ -624,11 +624,16 @@ def personalized_pagerank_sql(
         f"seedset AS (SELECT doc_id AS src FROM ({seeds_sql})"
         " INTERSECT SELECT src FROM deg)",
         "ns AS (SELECT COUNT(*) AS k FROM seedset)",
+        # ns.k > 0 matches the operator's empty-seed contract: an empty
+        # effective seed set yields ZERO rows, not every vertex at rank
+        # 0 (advisor round-11 operator/oracle divergence; also keeps
+        # the 1/ns.k teleport term division-safe).
         f"base AS (SELECT deg.src, deg.degree,"
         " seedset.src IS NOT NULL AS is_seed,"
         f" CASE WHEN seedset.src IS NOT NULL"
         f" THEN ROUND((1.0 - {damping}) / ns.k, {s}) ELSE 0.0 END AS b"
-        " FROM deg LEFT JOIN seedset ON deg.src = seedset.src, ns)",
+        " FROM deg LEFT JOIN seedset ON deg.src = seedset.src, ns"
+        " WHERE ns.k > 0)",
         "r0 AS (SELECT src, b AS rank FROM base)",
     ]
     prev = "r0"

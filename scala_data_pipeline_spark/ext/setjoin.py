@@ -82,10 +82,16 @@ def token_sets(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def _prefix_len(sz, t_num: int, t_den: int):
-    # |d| - ceil(t*|d|) + 1, all-integer: ceil(a/b) = (a + b - 1) div b
-    return sz - ((F.lit(t_num) * sz + F.lit(t_den - 1)) / t_den).cast(
-        "long"
-    ) + 1
+    # |d| - ceil(t*|d|) + 1, all-integer: ceil(a/b) = (a + b - 1) // b
+    # via operators.ranking._floordiv — (x - x mod b) / b, whose
+    # numerator is an exact multiple of b, so the division is exact
+    # integer arithmetic end to end, matching the DuckDB twin's `//`
+    # (advisor round-11: the previous double-divide-then-cast was
+    # exact below 2^53 but weakened the no-float-drift guarantee).
+    from ..operators.ranking import _floordiv
+
+    num = F.lit(t_num) * sz.cast("long") + F.lit(t_den - 1)
+    return sz - _floordiv(num, F.lit(t_den)) + 1
 
 
 def prefix_jaccard_join(

@@ -30,16 +30,29 @@ from ..operators.rollup import hourly_rollup, hourly_user_sketches
 from ..streaming.rollup_sink import read_daily_rollup, rollup_append_sink
 
 
-def run_batch(spark: SparkSession, events: DataFrame, target_dir: str) -> None:
+def run_batch(
+    spark: SparkSession,
+    events: DataFrame,
+    target_dir: str,
+    backfill_id: str = "default",
+) -> None:
     """Backfill the partial store from a batch of raw events. Writes
-    into a ``batch-backfill/`` subdir with overwrite so a re-run
-    backfill replaces itself instead of double-counting (the same
-    retry-idempotence rule the streaming path keys by batch id,
-    see streaming/partial_store.py)."""
+    into a ``batch-backfill-{backfill_id}/`` subdir with overwrite, so
+    a RE-RUN of the same backfill replaces itself instead of
+    double-counting (the same retry-idempotence rule the streaming
+    path keys by batch id, see streaming/partial_store.py), while
+    DISTINCT backfills — different event slices under different ids —
+    coexist as separate segments (advisor round-11: a single fixed
+    subdir silently discarded the first of two incremental backfills).
+    """
+    if not backfill_id or "/" in backfill_id:
+        raise ValueError(f"invalid backfill_id: {backfill_id!r}")
     partials = hourly_rollup(events).join(
         hourly_user_sketches(events), on="bucket_hour"
     )
-    partials.write.mode("overwrite").parquet(f"{target_dir}/batch-backfill")
+    partials.write.mode("overwrite").parquet(
+        f"{target_dir}/batch-backfill-{backfill_id}"
+    )
 
 
 def run_stream(

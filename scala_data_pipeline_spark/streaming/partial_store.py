@@ -36,6 +36,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
@@ -71,6 +72,12 @@ def read_partials(
         reader = reader.schema(schema)
         try:
             return reader.parquet(target_dir)
-        except Exception:  # path does not exist / no parquet files yet
-            return spark.createDataFrame([], schema)
+        except AnalysisException as exc:
+            # ONLY a not-yet-written store reads as empty. IO errors,
+            # permission failures, and corrupt footers must propagate —
+            # a bare catch here made a broken store indistinguishable
+            # from an empty one (advisor round-11).
+            if (exc.getCondition() or "") == "PATH_NOT_FOUND":
+                return spark.createDataFrame([], schema)
+            raise
     return reader.parquet(target_dir)

@@ -159,6 +159,41 @@ def test_rollup_job_backfill_plus_stream_unified(spark, sf_dir, tmp_path):
         )
 
 
+def test_rollup_job_distinct_backfills_coexist(spark, sf_dir, tmp_path):
+    """Two incremental backfills of DIFFERENT event slices under
+    different backfill ids must both survive in the store (advisor
+    round-11: a single fixed subdir silently discarded the first),
+    while re-running the SAME id stays idempotent."""
+    import pytest
+
+    from scala_data_pipeline_spark.jobs import rollup_job
+    from scala_data_pipeline_spark.operators.rollup import daily_rollup
+
+    events = load_table(spark, sf_dir, "events")
+    first = events.filter(F.col("event_id") % 2 == 0)
+    second = events.filter(F.col("event_id") % 2 == 1)
+    target = str(tmp_path / "store")
+
+    rollup_job.run_batch(spark, first, target, backfill_id="slice-even")
+    rollup_job.run_batch(spark, second, target, backfill_id="slice-odd")
+    # Re-run of an id overwrites itself — no double counting.
+    rollup_job.run_batch(spark, second, target, backfill_id="slice-odd")
+
+    got = {
+        r.bucket_day: r for r in rollup_job.read_daily(spark, target).collect()
+    }
+    want = {r.bucket_day: r for r in daily_rollup(events).collect()}
+    assert set(got) == set(want)
+    for day, w in want.items():
+        g = got[day]
+        assert (g.revenue, g.n_events, g.n_purchases) == (
+            w.revenue, w.n_events, w.n_purchases
+        )
+
+    with pytest.raises(ValueError):
+        rollup_job.run_batch(spark, first, target, backfill_id="a/b")
+
+
 def test_mau_sliding_hll_exact_in_sparse_regime(spark, sf_dir):
     """28-day sliding HLL MAU == exact sliding distinct at test-SF
     cardinalities (sketch is exact in the sparse regime), checked
