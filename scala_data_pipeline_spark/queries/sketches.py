@@ -137,7 +137,9 @@ def sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     single pass; see ext/heavyhitters.py for the algorithm and its
     merged-summary guarantees). Rows-only: counts carry partition-
     layout-dependent overestimates; the published error bounds are
-    asserted against exact counts in tests/test_heavyhitters.py."""
+    asserted against exact counts in tests/test_heavyhitters.py and
+    against the exact DuckDB token aggregate in
+    tests/test_oracle_parity.py (bounded-error oracle, round 12)."""
     from ..ext.heavyhitters import heavy_hitters
 
     return heavy_hitters(spark, sf_dir)

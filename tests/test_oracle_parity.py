@@ -205,6 +205,50 @@ def test_approx_percentile_rank_error(spark, sf_dir):
         _assert_rank("approx_p90", sf_dir, flt, r.approx_p90, 0.9, 1 / 1000)
 
 
+def test_heavy_hitters_bounds_vs_exact_oracle(spark, sf_dir):
+    """SpaceSaving merged summaries vs the EXACT DuckDB token counts
+    (round 12 — the last estimate-valued extra without a DuckDB-
+    anchored bound). Two published contracts survive the sum-merge
+    (ext/heavyhitters.py docstring): est <= true + err per retained
+    token, and the Σ n_p/m detection guarantee — every token with true
+    corpus frequency above it is present in the merged summary."""
+    from scala_data_pipeline_spark.ext.heavyhitters import (
+        detection_guarantee,
+        heavy_hitters,
+    )
+
+    exact_pdf = duckdb_run(
+        """
+SELECT token, CAST(COUNT(*) AS BIGINT) AS v
+FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+WHERE token != '' GROUP BY 1
+""",
+        sf_dir,
+    )
+    exact = dict(zip(exact_pdf["token"], exact_pdf["v"]))
+
+    # Full merged summary (k = every merged row) for the detection
+    # guarantee; the registry query is the same plan with k=20.
+    merged = {
+        r.token: (r.est, r.err)
+        for r in heavy_hitters(spark, sf_dir, k=2**31 - 1).collect()
+    }
+    for tok, (est, err) in merged.items():
+        assert est <= exact.get(tok, 0) + err, (tok, est, err)
+    g = detection_guarantee(spark, sf_dir)
+    for tok, true in exact.items():
+        if true > g:
+            assert tok in merged, (tok, true, g)
+
+    # The registry's top-k rows obey the same upper bound.
+    rows = QUERIES["sketch_heavy_hitters"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.est <= exact.get(r.token, 0) + r.err, (
+            r.token, r.est, r.err,
+        )
+
+
 def test_kll_quantiles_rank_error(spark, sf_dir):
     rows = QUERIES["sketch_kll_prices"](spark, sf_dir).collect()
     assert rows
