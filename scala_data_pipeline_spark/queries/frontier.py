@@ -605,35 +605,59 @@ _RI_EDGES = [
 def ri_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Referential-integrity audit of every foreign-key edge in the
     star schema: child row count, orphan rows (child key with no
-    parent), and the 6dp orphan ratio. Each edge is ONE aggregate over
-    a broadcast LEFT join whose parent side is dimension-sized — the
-    child fact table is scanned ONCE per edge with only the key column
-    read (column pruning); at 100 TB this is the cheap nightly FK
-    health check, not a join of the full rows."""
+    parent), and the 6dp orphan ratio. Edges sharing a child table are
+    FUSED into one scan (round 12 — lineitem carries three FK edges;
+    one pass probes all three broadcast parent-key tables and one
+    aggregate emits every edge's orphan count, then an inline unpivot
+    yields per-edge rows): the child fact table is scanned ONCE per
+    TABLE with only the key columns read (column pruning); at 100 TB
+    this is the cheap nightly FK health check, not a join of the full
+    rows."""
+    by_child: dict[str, list] = {}
+    for edge in _RI_EDGES:
+        by_child.setdefault(edge[1], []).append(edge)
     frames = []
-    for name, child_t, child_k, parent_t, parent_k in _RI_EDGES:
+    for child_t, edges in by_child.items():
         child = load_table(spark, sf_dir, child_t).select(
-            F.col(child_k).alias("k")
+            *[F.col(e[2]).alias(f"_k{i}") for i, e in enumerate(edges)]
         )
-        parent = (
-            load_table(spark, sf_dir, parent_t)
-            .select(F.col(parent_k).alias("k"))
-            .distinct()
-            .withColumn("_hit", F.lit(1))
-        )
-        joined = child.join(F.broadcast(parent), on="k", how="left")
-        frames.append(
-            joined.agg(
-                F.lit(name).alias("fk_edge"),
-                F.count(F.lit(1)).cast("long").alias("n_child"),
-                F.sum(F.when(F.col("_hit").isNull(), 1).otherwise(0))
+        joined = child
+        for i, (_, _, _, parent_t, parent_k) in enumerate(edges):
+            parent = (
+                load_table(spark, sf_dir, parent_t)
+                .select(F.col(parent_k).alias(f"_k{i}"))
+                .distinct()
+                .withColumn(f"_hit{i}", F.lit(1))
+            )
+            joined = joined.join(F.broadcast(parent), on=f"_k{i}", how="left")
+        agg = joined.agg(
+            F.count(F.lit(1)).cast("long").alias("n_child"),
+            *[
+                F.sum(F.when(F.col(f"_hit{i}").isNull(), 1).otherwise(0))
                 .cast("long")
-                .alias("n_orphan"),
+                .alias(f"_orph{i}")
+                for i in range(len(edges))
+            ],
+        )
+        frames.append(
+            agg.select(
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(e[0]).alias("fk_edge"),
+                                F.col("n_child").alias("n_child"),
+                                F.col(f"_orph{i}").alias("n_orphan"),
+                            )
+                            for i, e in enumerate(edges)
+                        ]
+                    )
+                ).alias("r")
             ).select(
-                "fk_edge",
-                "n_child",
-                "n_orphan",
-                F.round(F.col("n_orphan") / F.col("n_child"), 6).alias(
+                "r.fk_edge",
+                "r.n_child",
+                "r.n_orphan",
+                F.round(F.col("r.n_orphan") / F.col("r.n_child"), 6).alias(
                     "orphan_ratio"
                 ),
             )
