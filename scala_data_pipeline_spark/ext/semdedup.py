@@ -1,0 +1,182 @@
+"""SemDeDup: semantic deduplication via embedding-cluster pruning.
+
+Implements the SemDeDup recipe (Abbas, Tirumala, Simig, Ganguli,
+Morcos — "SemDeDup: Data-efficient learning at web-scale through
+semantic deduplication", 2023): K-means cluster the embedding space,
+then WITHIN each cluster greedily drop every example whose cosine
+similarity to an already-kept example is >= 1 - eps. Near-duplicate
+pairs in different clusters are invisible by design — that is the
+published trade (the coarse quantizer bounds the pair space exactly
+like the LSH bands bound the MinHash family's).
+
+Keeper policy: the paper found keeping the examples with the LOWEST
+cosine similarity to the cluster centroid performs best (they sit
+away from the cluster's dense core); rank = (centroid_sim asc,
+vec_id asc) — a total order, so the greedy result is a pure function
+of (embeddings, k, seed, eps).
+
+Spark shape, built for 100 TB:
+
+1. coarse quantizer: ``ext/ivf.fit_ivf`` (pyspark.ml KMeans, seeded,
+   fits on the corpus / a sample) + ``assign_buckets`` — one scan;
+2. centroid similarity: map-side expression against the broadcast
+   literal centroid array (k x dim doubles — KBs), no shuffle;
+3. the greedy pass runs per cluster via ``applyInPandas`` (one Arrow
+   batch per cluster, numpy chunked matmul) — EXACTLY how the
+   reference implementation shards the problem (one GPU per cluster);
+   choose ``k ~ corpus_size / target_cluster_size`` so a cluster fits
+   an executor. Clusters above ``cluster_cap`` RAISE (never silently
+   keep duplicates): the fix is a larger k, same as the paper.
+
+The greedy set is genuinely iterative (kept-set membership depends on
+earlier decisions), so the registry entry is rows-only; the invariant
+suite (tests/test_semdedup.py) checks determinism, the pairwise
+contract (every drop is >= 1-eps cosine to its kept ``dup_of``, every
+kept pair within a cluster is < 1-eps), a planted-duplicate recall
+anchor, and bit-parity with a pure-python greedy reference at k=1.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .ivf import assign_buckets, fit_ivf
+from .similarity import prep_vectors
+
+DEFAULT_EPS = 0.05
+DEFAULT_CLUSTER_CAP = 65536
+
+OUT_SCHEMA = (
+    "vec_id long, cluster int, centroid_sim double, keep boolean, "
+    "dup_of long"
+)
+
+
+def _greedy_cluster(pdf: pd.DataFrame, eps: float) -> pd.DataFrame:
+    """Exact SemDeDup greedy over ONE cluster: iterate in rank order
+    (centroid_sim asc, vec_id asc); keep a row iff its max cosine to
+    the already-kept set is < 1 - eps. numpy matmul against the kept
+    block — O(s * kept) flops, s = cluster size."""
+    import numpy as np
+
+    pdf = pdf.sort_values(["centroid_sim", "vec_id"]).reset_index(drop=True)
+    mat = np.stack(pdf["emb_r"].to_numpy()).astype("float64")
+    norms = pdf["emb_norm"].to_numpy().astype("float64")
+    norms = np.where(norms == 0.0, 1.0, norms)  # zero vectors: sim 0
+    unit = mat / norms[:, None]
+    kept_idx: list[int] = []
+    keep = [False] * len(pdf)
+    dup_of = [None] * len(pdf)
+    thresh = 1.0 - eps
+    for i in range(len(pdf)):
+        if kept_idx:
+            sims = unit[kept_idx] @ unit[i]
+            j = int(np.argmax(sims))
+            # round like cosine_prepped (6dp) so the Spark-side
+            # verification joins reproduce the same comparison
+            if round(float(sims[j]), 6) >= thresh:
+                dup_of[i] = int(pdf["vec_id"].iloc[kept_idx[j]])
+                continue
+        kept_idx.append(i)
+        keep[i] = True
+    return pd.DataFrame(
+        {
+            "vec_id": pdf["vec_id"],
+            "cluster": pdf["cluster"],
+            "centroid_sim": pdf["centroid_sim"],
+            "keep": keep,
+            "dup_of": pd.array(dup_of, dtype="Int64"),
+        }
+    )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    k: int = 16,
+    eps: float = DEFAULT_EPS,
+    seed: int = 42,
+    cluster_cap: int = DEFAULT_CLUSTER_CAP,
+) -> DataFrame:
+    """(vec_id, cluster, centroid_sim, keep, dup_of) for every corpus
+    vector. ``keep=False`` rows carry the kept ``dup_of`` vector that
+    shadowed them (cosine >= 1 - eps, same cluster, earlier in rank
+    order)."""
+    if k == 1:
+        # No quantizer (MLlib KMeans needs k >= 2): one global cluster,
+        # centroid = the corpus mean — the pure-greedy mode the k=1
+        # parity test pins against a reference implementation.
+        dim = len(
+            corpus.select(F.size("embedding").alias("d")).first()["d"]
+            * [0]
+        )
+        mean_row = corpus.select(
+            *[
+                F.avg(F.element_at("embedding", i + 1).cast("double")).alias(
+                    f"m{i}"
+                )
+                for i in range(dim)
+            ]
+        ).first()
+        centers = [[float(mean_row[f"m{i}"]) for i in range(dim)]]
+        assigned = corpus.withColumn("cluster", F.lit(0))
+    else:
+        model = fit_ivf(corpus, k=k, seed=seed)
+        assigned = assign_buckets(corpus, model).withColumnRenamed(
+            "ivf_bucket", "cluster"
+        )
+        centers = [[float(v) for v in c] for c in model.clusterCenters()]
+    prepped = prep_vectors(assigned)
+
+    # Map-side cosine to the own-cluster centroid (broadcast literal).
+    ctr_arr = F.array(
+        *[F.array(*[F.lit(v) for v in c]) for c in centers]
+    )
+    ctr = F.element_at(ctr_arr, F.col("cluster") + 1)
+    dot = F.aggregate(
+        F.zip_with(F.col("emb_r"), ctr, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    ctr_norm = F.sqrt(
+        F.aggregate(
+            F.transform(ctr, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+        )
+    )
+    scored = prepped.withColumn(
+        "centroid_sim",
+        F.round(F.try_divide(dot, F.col("emb_norm") * ctr_norm), 6),
+    ).select("vec_id", "cluster", "emb_r", "emb_norm", "centroid_sim")
+
+    def per_cluster(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) > cluster_cap:
+            raise ValueError(
+                f"semantic_dedup cluster {key[0]} has {len(pdf)} vectors"
+                f" > cluster_cap={cluster_cap}; increase k so clusters"
+                " fit an executor (never silently keeps duplicates)"
+            )
+        return _greedy_cluster(pdf, eps)
+
+    return scored.groupBy("cluster").applyInPandas(
+        per_cluster, schema=OUT_SCHEMA
+    )
+
+
+def semantic_dedup_stats(dedup: DataFrame) -> DataFrame:
+    """Per-cluster summary of a :func:`semantic_dedup` result:
+    cluster size, kept count, drop ratio."""
+    return (
+        dedup.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vectors"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+        )
+        .withColumn(
+            "drop_ratio",
+            F.round(1 - F.col("n_kept") / F.col("n_vectors"), 6),
+        )
+        .orderBy("cluster")
+    )

@@ -461,3 +461,34 @@ FROM cohesion c JOIN inter i ON i.label = c.label
 # Round-10 rotation: promoted to a driver slot (never driver-checked).
 QUERIES["embedding_silhouette"] = embedding_silhouette
 ORACLES["embedding_silhouette"] = SILHOUETTE_ORACLE
+
+
+def sim_semdedup_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paper-faithful SemDeDup (Abbas et al. 2023): K-means clusters +
+    within-cluster greedy prune in (centroid_sim asc, vec_id) rank
+    order — the cluster-sharded form that scales to web corpora.
+    Complements `sim_semantic_keepers` (the LSH-pairs → components →
+    keeper formulation): same goal, the two published mechanisms.
+    Rows-only: K-means + the greedy kept-set are iterative (no SQL
+    twin); invariants + a k=1 pure-greedy parity anchor live in
+    tests/test_semdedup.py."""
+    from ..ext.semdedup import semantic_dedup
+
+    return semantic_dedup(load_table(spark, sf_dir, "embeddings"), k=8)
+
+
+EXTRA_QUERIES["sim_semdedup_greedy"] = sim_semdedup_greedy
+
+
+def sim_semdedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster SemDeDup summary (size, kept, drop ratio) — the
+    dataset-curation report a 100 TB dedup run is judged by.
+    Rows-only (derives from the iterative greedy result)."""
+    from ..ext.semdedup import semantic_dedup, semantic_dedup_stats
+
+    return semantic_dedup_stats(
+        semantic_dedup(load_table(spark, sf_dir, "embeddings"), k=8)
+    )
+
+
+EXTRA_QUERIES["sim_semdedup_stats"] = sim_semdedup_stats

@@ -1,0 +1,199 @@
+"""SemDeDup invariants (ext/semdedup.py): determinism, pairwise
+contracts, planted-duplicate recall, k=1 greedy bit-parity."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from scala_data_pipeline_spark.ext.semdedup import (
+    _greedy_cluster,
+    semantic_dedup,
+    semantic_dedup_stats,
+)
+from scala_data_pipeline_spark.ext.similarity import (
+    cosine_prepped,
+    prep_vectors,
+)
+from scala_data_pipeline_spark.sources import load_table
+
+EPS = 0.05
+
+
+def _corpus(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def test_partition_and_determinism(spark, sf_dir):
+    corpus = _corpus(spark, sf_dir)
+    a = semantic_dedup(corpus, k=8, eps=EPS)
+    rows = {r.vec_id: r for r in a.collect()}
+    assert len(rows) == corpus.count()  # every vector classified
+    for r in rows.values():
+        # kept rows have no shadow; dropped rows name a KEPT shadow in
+        # the same cluster, earlier in rank order
+        if r.keep:
+            assert r.dup_of is None
+        else:
+            shadow = rows[r.dup_of]
+            assert shadow.keep
+            assert shadow.cluster == r.cluster
+            assert (shadow.centroid_sim, shadow.vec_id) < (
+                r.centroid_sim,
+                r.vec_id,
+            )
+    b = {r.vec_id: r for r in semantic_dedup(corpus, k=8, eps=EPS).collect()}
+    assert {k: tuple(v) for k, v in rows.items()} == {
+        k: tuple(v) for k, v in b.items()
+    }
+
+
+def test_pairwise_contract_verified_sparkside(spark, sf_dir):
+    """Recompute the cosines in Spark (cosine_prepped — the engine's
+    oracle-checked kernel): every drop is >= 1-eps similar to its
+    shadow; every KEPT pair within a cluster is < 1-eps."""
+    corpus = prep_vectors(_corpus(spark, sf_dir))
+    dd = semantic_dedup(_corpus(spark, sf_dir), k=8, eps=EPS)
+    emb = corpus.select("vec_id", "emb_r", "emb_norm")
+
+    dropped = (
+        dd.filter(~F.col("keep"))
+        .join(emb.withColumnRenamed("vec_id", "v"), F.col("vec_id") == F.col("v"))
+        .drop("v")
+        .join(
+            emb.select(
+                F.col("vec_id").alias("dup_of"),
+                F.col("emb_r").alias("emb_b"),
+                F.col("emb_norm").alias("norm_b"),
+            ),
+            on="dup_of",
+        )
+        .withColumn(
+            "cos",
+            cosine_prepped(
+                F.col("emb_r"), F.col("emb_norm"), F.col("emb_b"), F.col("norm_b")
+            ),
+        )
+    )
+    bad = dropped.filter(F.col("cos") < 1 - EPS).count()
+    assert bad == 0
+
+    kept = dd.filter(F.col("keep")).join(emb, on="vec_id")
+    pairs = (
+        kept.alias("a")
+        .join(kept.alias("b"), on="cluster")
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .withColumn(
+            "cos",
+            cosine_prepped(
+                F.col("a.emb_r"),
+                F.col("a.emb_norm"),
+                F.col("b.emb_r"),
+                F.col("b.emb_norm"),
+            ),
+        )
+    )
+    assert pairs.filter(F.col("cos") >= 1 - EPS).count() == 0
+
+
+def test_planted_duplicates_dropped(spark, sf_dir):
+    """Exact copies of existing vectors (new ids) must be dropped —
+    cos(copy, original) = 1 regardless of clustering."""
+    corpus = _corpus(spark, sf_dir)
+    base = corpus.count()
+    copies = corpus.limit(20).select(
+        (F.col("vec_id") + F.lit(10**9)).alias("vec_id"),
+        "embedding",
+        "label",
+    )
+    dd = semantic_dedup(corpus.unionByName(copies), k=8, eps=EPS)
+    n_kept = dd.filter(F.col("keep")).count()
+    # each planted pair keeps at most one member
+    assert n_kept <= base
+    planted = dd.filter(F.col("vec_id") >= 10**9)
+    originals = dd.filter(F.col("vec_id") < 10**9)
+    # a copy and its original can't BOTH be kept
+    both = (
+        planted.filter(F.col("keep"))
+        .select((F.col("vec_id") - 10**9).alias("vec_id"))
+        .join(originals.filter(F.col("keep")), on="vec_id")
+        .count()
+    )
+    assert both == 0
+
+
+def test_k1_matches_pure_python_greedy(spark, sf_dir):
+    """k=1 -> one cluster -> the operator IS the reference greedy;
+    check bit-parity against a driver-side pure-python run."""
+    corpus = _corpus(spark, sf_dir).limit(60)
+    dd = {
+        r.vec_id: (r.keep, r.dup_of)
+        for r in semantic_dedup(corpus, k=1, eps=EPS).collect()
+    }
+    # reference: same rank order, same rounding, plain loops
+    rows = (
+        prep_vectors(corpus)
+        .select("vec_id", "emb_r", "emb_norm")
+        .collect()
+    )
+    import numpy as np
+
+    mat = {r.vec_id: np.array(r.emb_r) / (r.emb_norm or 1.0) for r in rows}
+    # centroid_sim rank must match the operator's: recompute it the
+    # same way (cosine to the single KMeans centroid) is k-means-
+    # dependent, so rank by the OPERATOR's own centroid_sim output
+    order = [
+        r.vec_id
+        for r in sorted(
+            semantic_dedup(corpus, k=1, eps=EPS).collect(),
+            key=lambda r: (r.centroid_sim, r.vec_id),
+        )
+    ]
+    kept: list = []
+    expect: dict = {}
+    for vid in order:
+        shadow = None
+        best = -2.0
+        for kv in kept:
+            s = round(float(mat[kv] @ mat[vid]), 6)
+            if s > best:
+                best, shadow = s, kv
+        if kept and best >= 1 - EPS:
+            expect[vid] = (False, shadow)
+        else:
+            kept.append(vid)
+            expect[vid] = (True, None)
+    assert dd == expect
+
+
+def test_cluster_cap_raises(spark, sf_dir):
+    with pytest.raises(Exception, match="cluster_cap"):
+        semantic_dedup(_corpus(spark, sf_dir), k=1, cluster_cap=10).collect()
+
+
+def test_stats_partition(spark, sf_dir):
+    corpus = _corpus(spark, sf_dir)
+    dd = semantic_dedup(corpus, k=8, eps=EPS)
+    stats = semantic_dedup_stats(dd).collect()
+    assert sum(r.n_vectors for r in stats) == corpus.count()
+    for r in stats:
+        assert 0 < r.n_kept <= r.n_vectors
+        assert 0 <= r.drop_ratio < 1
+
+
+def test_greedy_cluster_unit():
+    """_greedy_cluster on a hand-built frame: v2 duplicates v1, v3 is
+    orthogonal — keep v1 (best rank) and v3, drop v2 onto v1."""
+    pdf = pd.DataFrame(
+        {
+            "vec_id": [1, 2, 3],
+            "cluster": [0, 0, 0],
+            "centroid_sim": [0.1, 0.2, 0.3],
+            "emb_r": [[1.0, 0.0], [1.0, 0.0], [0.0, 1.0]],
+            "emb_norm": [1.0, 1.0, 1.0],
+        }
+    )
+    out = _greedy_cluster(pdf, eps=0.05).set_index("vec_id")
+    assert bool(out.loc[1, "keep"]) and bool(out.loc[3, "keep"])
+    assert not bool(out.loc[2, "keep"]) and out.loc[2, "dup_of"] == 1
