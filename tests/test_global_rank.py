@@ -503,3 +503,49 @@ def test_global_rank_cummin_nan_partials(spark):
             assert a[k] != a[k], (k, a[k])
         else:
             assert a[k] == b[k], (k, a[k], b[k])
+
+
+def test_aqe_coalesced_matches_pinned_partitions(spark):
+    """Round-12 change: without a pinned num_partitions the range
+    shuffle is AQE-coalescible. Adjacent-merge must preserve the
+    scheme's invariants — identical ranks/cums whether the shuffle is
+    pinned wide, pinned narrow, or left to AQE, on a frame small
+    enough that AQE collapses it hard."""
+    df = _per_cust(spark)
+    base = {
+        r["o_custkey"]: (r["i"], Decimal(r["cum_v"]))
+        for r in with_global_rank(
+            df, ["v", "o_custkey"], rank_col="i", cum_cols=["v"],
+            num_partitions=64,
+        )[0].collect()
+    }
+    for n_part in (None, 2):
+        got = {
+            r["o_custkey"]: (r["i"], Decimal(r["cum_v"]))
+            for r in with_global_rank(
+                df, ["v", "o_custkey"], rank_col="i", cum_cols=["v"],
+                num_partitions=n_part,
+            )[0].collect()
+        }
+        assert got == base, f"num_partitions={n_part}"
+
+
+def test_aqe_coalesced_grouped_matches_pinned(spark):
+    from scala_data_pipeline_spark.operators.ranking import (
+        with_grouped_rank,
+    )
+
+    df = _per_cust(spark).withColumn(
+        "g", (F.col("o_custkey") % 3).cast("int")
+    )
+    def run(n_part):
+        return {
+            r["o_custkey"]: (r["i"], r["n_in_group"], Decimal(r["cum_v"]))
+            for r in with_grouped_rank(
+                df, ["g"], ["v", "o_custkey"], rank_col="i",
+                cum_cols=["v"], num_partitions=n_part,
+            ).collect()
+        }
+    base = run(64)
+    assert run(None) == base
+    assert run(2) == base
