@@ -1,0 +1,137 @@
+"""Scale smoke for SemDeDup (round 12, new family).
+
+Replicates the sf0.1 embeddings n_copies times — copy 0 verbatim,
+others with deterministic hash noise (distinct vectors) PLUS every
+100th vector duplicated exactly (planted semantic dups across copies)
+— then runs the cluster-greedy prune with k scaled to hold cluster
+size roughly constant (k ~ N / target_cluster_size, the paper's
+recipe). Records:
+
+  * wall time at 1x and n_copies-x (expect ~linear: assignment is one
+    scan; the greedy is O(s * kept) per cluster with s held constant);
+  * max cluster size vs cluster_cap (the raise-not-silence guard);
+  * planted-duplicate recall (every exact copy must be dropped).
+
+Run:  python scripts/scale_smoke_semdedup.py [n_copies] [sf_dir]
+Defaults: 20 copies of /root/testdata/sf0.1/embeddings.parquet
+(2000 -> 40k vectors; the greedy math is dim x cluster-size bound,
+not corpus bound, so 20x exercises the same per-cluster regime 100x
+would).
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, "/root/repo")
+# Python workers unpickle module-level functions BY REFERENCE
+# (applyInPandas ships _greedy_cluster), so the package must be
+# importable executor-side too — sys.path edits don't propagate.
+os.environ["PYTHONPATH"] = (
+    "/root/repo" + os.pathsep + os.environ.get("PYTHONPATH", "")
+)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from scala_data_pipeline_spark.ext.semdedup import semantic_dedup  # noqa: E402
+from scala_data_pipeline_spark.session import get_session  # noqa: E402
+
+TARGET_CLUSTER = 256
+
+
+def scaled_corpus(spark, sf_dir: str, n_copies: int, out_dir: str):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    copies = spark.range(n_copies).withColumnRenamed("id", "copy")
+    corpus = (
+        emb.crossJoin(F.broadcast(copies))
+        .select(
+            (F.col("vec_id") * n_copies + F.col("copy")).alias("vec_id"),
+            F.when(
+                (F.col("copy") == 0) | (F.col("vec_id") % 100 == 0),
+                F.col("embedding"),  # copy 0 + planted exact dups
+            )
+            .otherwise(
+                # per-DIMENSION hash noise: a constant per-vector offset
+                # would make all copies near-parallel to the ones
+                # direction (cosine ~= 1), fabricating near-dups
+                F.transform(
+                    F.col("embedding"),
+                    lambda x, i: x
+                    + (
+                        F.pmod(
+                            F.xxhash64(F.col("vec_id"), F.col("copy"), i),
+                            F.lit(1000),
+                        ).cast("float")
+                        / 2500.0
+                        - 0.2
+                    ),
+                )
+            )
+            .alias("embedding"),
+            "label",
+        )
+        .repartition(32)
+    )
+    corpus.write.mode("overwrite").parquet(out_dir)
+    return spark.read.parquet(out_dir)
+
+
+def main() -> None:
+    n_copies = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    spark = get_session(app_name=f"scale-smoke-semdedup-{n_copies}x")
+    spark.sparkContext.setLogLevel("ERROR")
+    report: dict = {"n_copies": n_copies, "sf_dir": sf_dir}
+
+    base = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n_base = base.count()
+    k1 = max(2, n_base // TARGET_CLUSTER)
+    t0 = time.monotonic()
+    semantic_dedup(base, k=k1).write.format("noop").mode("overwrite").save()
+    report["t_1x"] = round(time.monotonic() - t0, 1)
+    report["k_1x"] = k1
+
+    with tempfile.TemporaryDirectory() as tmp:
+        corpus = scaled_corpus(spark, sf_dir, n_copies, f"{tmp}/emb")
+        n = corpus.count()
+        report["n_vectors"] = n
+        k = max(2, n // TARGET_CLUSTER)
+        report["k_nx"] = k
+        t0 = time.monotonic()
+        dd = semantic_dedup(corpus, k=k)
+        dd.write.mode("overwrite").parquet(f"{tmp}/dd")
+        report["t_nx"] = round(time.monotonic() - t0, 1)
+        report["time_ratio"] = round(
+            report["t_nx"] / max(report["t_1x"], 0.1), 1
+        )
+
+        out = spark.read.parquet(f"{tmp}/dd")
+        report["n_kept"] = out.filter(F.col("keep")).count()
+        sizes = out.groupBy("cluster").count()
+        report["max_cluster"] = sizes.agg(F.max("count")).collect()[0][0]
+
+        # planted recall: original ids % 100 == 0 became n_copies EXACT
+        # copies (identical vectors land in one K-means cluster, so the
+        # greedy must keep at most ONE member per group).
+        planted = out.withColumn(
+            "src", (F.col("vec_id") / n_copies).cast("long")
+        ).filter(F.col("src") % 100 == 0)
+        report["planted_groups"] = planted.select("src").distinct().count()
+        max_kept = (
+            planted.filter(F.col("keep"))
+            .groupBy("src")
+            .count()
+            .agg(F.max("count"))
+            .collect()[0][0]
+        )
+        report["max_kept_per_planted_group"] = max_kept
+        assert max_kept == 1, max_kept
+
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()
