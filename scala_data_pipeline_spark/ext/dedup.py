@@ -667,11 +667,12 @@ def duplicated_spans(
 
     Scale shape: the corpus explodes once to (doc, pos, md5(span)) —
     corpus × avg_tokens rows, the bigram-LM order of magnitude; the
-    duplicated-span set is ONE count-distinct agg on the span digest
-    (md5 → uniform keys, skew-free); membership is an equi-JOIN on the
-    digest (never a broadcast — at 100 TB the duplicated-span set
-    scales with the corpus); interval merging is one doc-keyed window.
-    Three bounded shuffles, no pair joins. md5 rather than xxhash64 so
+    cross-document test rides ONE window shuffle on the span digest
+    (md5 → uniform keys, skew-free; min != max over the span's
+    occurrences for the default min_docs=2 — constant memory), so the
+    corpus is hashed exactly once (the previous agg-then-join form
+    re-scanned it per branch); interval merging is one doc-keyed
+    window. Two shuffles, no pair joins. md5 rather than xxhash64 so
     the DuckDB oracle computes byte-identical keys; production would
     swap in xxhash64 (same plan, half the shuffle bytes).
     """
@@ -698,13 +699,27 @@ def duplicated_spans(
         )
         .select("doc_id", "n_tokens", "s.pos", "s.g")
     )
-    dup = (
-        grams.groupBy("g")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= min_docs)
-        .select("g")
+    # Duplication test via ONE window pass over g instead of a
+    # groupBy-then-join (round 12: the join form computed the corpus
+    # k-gram md5 twice — each branch re-scanned the corpus). For the
+    # default min_docs=2 the cross-document test is min(doc_id) !=
+    # max(doc_id) over the span's occurrences (constant memory);
+    # higher thresholds pay a bounded collect_set — distinct docs per
+    # span — on the non-default path.
+    w_gall = (
+        Window.partitionBy("g")
+        .orderBy("doc_id", "pos")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     )
-    hits = grams.join(dup, on="g")
+    if min_docs == 2:
+        cross_doc = F.min("doc_id").over(w_gall) != F.max("doc_id").over(
+            w_gall
+        )
+    else:
+        cross_doc = F.size(F.collect_set("doc_id").over(w_gall)) >= min_docs
+    hits = (
+        grams.withColumn("_x", cross_doc).filter(F.col("_x")).drop("_x")
+    )
     w = Window.partitionBy("doc_id").orderBy("pos")
     # Two length-k spans at p1 < p2 cover a contiguous token range iff
     # p2 <= p1 + k; a larger gap starts a new island.
@@ -772,18 +787,32 @@ def excise_duplicated_spans(
     grams = base.select("doc_id", F.explode("spans").alias("s")).select(
         "doc_id", "s.pos", "s.g"
     )
-    dup = (
-        grams.groupBy("g")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= min_docs)
-        .select("g")
+    # Duplication test + keeper election in ONE window pass over g
+    # (round 12: the groupBy-then-join form computed the corpus k-gram
+    # md5 TWICE — the aggregate branch and the join branch each
+    # re-scanned the corpus; plan showed 3 scans / 6 md5 sites). The
+    # cross-document test for the default min_docs=2 is min(doc_id) !=
+    # max(doc_id) over the span's occurrences — constant memory per
+    # partition; higher thresholds pay a bounded collect_set (distinct
+    # docs per span), the non-default path.
+    w_g = Window.partitionBy("g").orderBy("doc_id", "pos")
+    w_g_all = w_g.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
-    hits = grams.join(dup, on="g")
+    if min_docs == 2:
+        cross_doc = F.min("doc_id").over(w_g_all) != F.max("doc_id").over(
+            w_g_all
+        )
+    else:
+        cross_doc = (
+            F.size(F.collect_set("doc_id").over(w_g_all)) >= min_docs
+        )
     # Keeper election: the corpus-wide first occurrence of each span
     # survives; only NON-keeper occurrences generate cut intervals.
-    w_g = Window.partitionBy("g").orderBy("doc_id", "pos")
-    losers = hits.withColumn("rn", F.row_number().over(w_g)).filter(
-        F.col("rn") > 1
+    losers = (
+        grams.withColumn("rn", F.row_number().over(w_g))
+        .withColumn("_x", cross_doc)
+        .filter((F.col("rn") > 1) & F.col("_x"))
     )
     w_d = Window.partitionBy("doc_id").orderBy("pos")
     prev = F.lag("pos").over(w_d)
