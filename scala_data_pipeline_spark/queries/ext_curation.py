@@ -422,3 +422,49 @@ FROM ranked, m WHERE rn <= min_size
 
 EXTRA_QUERIES["curation_class_balance"] = curation_class_balance
 EXTRA_ORACLES["curation_class_balance"] = CLASS_BALANCE_ORACLE
+
+
+def curation_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023) against an
+    English-language target distribution: every doc scored by how much
+    more likely its hashed unigrams are under the en-docs model than
+    the whole-corpus model. Full DuckDB twin — hashing, smoothing, and
+    decimal summation are engine-portable (see ext/dsir.py)."""
+    from ..ext.dsir import dsir_weights
+
+    return dsir_weights(
+        load_table(spark, sf_dir, "documents"), target=F.col("lang") == "en"
+    )
+
+
+def _dsir_weights_oracle() -> str:
+    from ..ext.dsir import dsir_weights_sql
+
+    return dsir_weights_sql("lang = 'en'")
+
+
+EXTRA_QUERIES["curation_dsir_weights"] = curation_dsir_weights
+EXTRA_ORACLES["curation_dsir_weights"] = _dsir_weights_oracle()
+
+
+def curation_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gumbel-top-k DSIR resample (prob ∝ exp(weight), without
+    replacement, hash-deterministic noise) — the actual selection step
+    a target-matched pretraining mix runs."""
+    from ..ext.dsir import dsir_sample
+
+    return dsir_sample(
+        load_table(spark, sf_dir, "documents"),
+        target=F.col("lang") == "en",
+        k=50,
+    )
+
+
+def _dsir_sample_oracle() -> str:
+    from ..ext.dsir import dsir_sample_sql
+
+    return dsir_sample_sql("lang = 'en'", k=50)
+
+
+EXTRA_QUERIES["curation_dsir_sample"] = curation_dsir_sample
+EXTRA_ORACLES["curation_dsir_sample"] = _dsir_sample_oracle()

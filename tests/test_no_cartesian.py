@@ -37,6 +37,12 @@ BNLJ_ALLOWED = {
     # and the six tercile cuts) onto per-user stats — the documented
     # tiny-broadcast pattern (see the query's comment in sql_api.py).
     "sql_rfm_segments",
+    # DSIR broadcasts the ONE-ROW corpus totals onto the bounded
+    # hashed-vocabulary model (n_buckets rows) to smooth the log
+    # ratios — the canonical tiny-broadcast cross join
+    # (ext/dsir.py dsir_weights).
+    "curation_dsir_weights",
+    "curation_dsir_sample",
     # sketch_theta_audiences pairs per-event-type sketch rows with a
     # `type_a < type_b` inequality join — one broadcast row per event
     # TYPE (a handful of KB-sized sketches), never the events table
