@@ -816,7 +816,16 @@ def score_calibration(docs: DataFrame, score_frame: DataFrame) -> DataFrame:
                 "cnt",
             )
         )
-        .withColumn("_grp", F.coalesce(F.col("source"), F.lit("\x00global")))
+        .withColumn(
+            "_grp",
+            # Key the sentinel on ``kind``, not on source alone: a B row
+            # with a NULL source must rank as its own "\x00null" group
+            # (matching the oracle's PARTITION BY source, where NULL is a
+            # distinct partition), never merge into the global A group.
+            F.when(F.col("kind") == "A", F.lit("\x00global")).otherwise(
+                F.coalesce(F.col("source"), F.lit("\x00null"))
+            ),
+        )
     )
     ranked = with_grouped_rank(
         union0, ["_grp"], ["score"], rank_col="_i", cum_cols=["cnt"]

@@ -715,11 +715,24 @@ def duplicated_spans(
         cross_doc = F.min("doc_id").over(w_gall) != F.max("doc_id").over(
             w_gall
         )
+        hits = (
+            grams.withColumn("_x", cross_doc).filter(F.col("_x")).drop("_x")
+        )
     else:
-        cross_doc = F.size(F.collect_set("doc_id").over(w_gall)) >= min_docs
-    hits = (
-        grams.withColumn("_x", cross_doc).filter(F.col("_x")).drop("_x")
-    )
+        # Distinct-doc count WITHOUT collect_set (round 13, advisor):
+        # a corpus-wide boilerplate span would make the per-span
+        # distinct-doc set corpus-scale, and window aggregation buffers
+        # do not spill. dense_rank over (g ORDER BY doc_id) numbers the
+        # distinct doc_ids 1..D with a constant-size buffer; max of
+        # that rank over the full frame is D. Rows still ride the same
+        # single shuffle on g (doc_id is a prefix of w_gall's order).
+        w_docs = Window.partitionBy("g").orderBy("doc_id")
+        hits = (
+            grams.withColumn("_dr", F.dense_rank().over(w_docs))
+            .withColumn("_nd", F.max("_dr").over(w_gall))
+            .filter(F.col("_nd") >= min_docs)
+            .drop("_dr", "_nd")
+        )
     w = Window.partitionBy("doc_id").orderBy("pos")
     # Two length-k spans at p1 < p2 cover a contiguous token range iff
     # p2 <= p1 + k; a larger gap starts a new island.
@@ -799,21 +812,29 @@ def excise_duplicated_spans(
     w_g_all = w_g.rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
+    # Keeper election: the corpus-wide first occurrence of each span
+    # survives; only NON-keeper occurrences generate cut intervals.
     if min_docs == 2:
         cross_doc = F.min("doc_id").over(w_g_all) != F.max("doc_id").over(
             w_g_all
         )
-    else:
-        cross_doc = (
-            F.size(F.collect_set("doc_id").over(w_g_all)) >= min_docs
+        losers = (
+            grams.withColumn("rn", F.row_number().over(w_g))
+            .withColumn("_x", cross_doc)
+            .filter((F.col("rn") > 1) & F.col("_x"))
         )
-    # Keeper election: the corpus-wide first occurrence of each span
-    # survives; only NON-keeper occurrences generate cut intervals.
-    losers = (
-        grams.withColumn("rn", F.row_number().over(w_g))
-        .withColumn("_x", cross_doc)
-        .filter((F.col("rn") > 1) & F.col("_x"))
-    )
+    else:
+        # Same spill-safe distinct-doc count as duplicated_spans
+        # (dense_rank + frame-max, never collect_set over the window):
+        # constant aggregation buffers even for a corpus-wide hot span.
+        w_docs = Window.partitionBy("g").orderBy("doc_id")
+        losers = (
+            grams.withColumn("rn", F.row_number().over(w_g))
+            .withColumn("_dr", F.dense_rank().over(w_docs))
+            .withColumn("_nd", F.max("_dr").over(w_g_all))
+            .filter((F.col("rn") > 1) & (F.col("_nd") >= min_docs))
+            .drop("_dr", "_nd")
+        )
     w_d = Window.partitionBy("doc_id").orderBy("pos")
     prev = F.lag("pos").over(w_d)
     island = F.sum(

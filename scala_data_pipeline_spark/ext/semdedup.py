@@ -107,10 +107,12 @@ def semantic_dedup(
         # No quantizer (MLlib KMeans needs k >= 2): one global cluster,
         # centroid = the corpus mean — the pure-greedy mode the k=1
         # parity test pins against a reference implementation.
-        dim = len(
-            corpus.select(F.size("embedding").alias("d")).first()["d"]
-            * [0]
-        )
+        row = corpus.select(F.size("embedding").alias("d")).first()
+        if row is None:
+            raise ValueError(
+                "semantic_dedup: empty corpus — nothing to deduplicate"
+            )
+        dim = row["d"]
         mean_row = corpus.select(
             *[
                 F.avg(F.element_at("embedding", i + 1).cast("double")).alias(

@@ -155,6 +155,46 @@ def test_dedup_reweight_conserves_mass(spark, sf_dir):
     assert out.filter(F.col("weight") < 1).count() == 0
 
 
+def test_score_calibration_null_source_group(spark):
+    """NULL source must rank as its OWN group (matching the oracle's
+    PARTITION BY source, where NULL is a distinct partition) — never
+    merge into the sentinel global group (round-13 advisor fix:
+    the _grp sentinel is keyed on kind, not on coalesce(source))."""
+    from scala_data_pipeline_spark.ext.curation import score_calibration
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a"),
+            (2, "a"),
+            (3, "a"),
+            (4, None),
+            (5, None),
+            (6, "b"),
+        ],
+        ["doc_id", "source"],
+    )
+    scores = spark.createDataFrame(
+        [(1, 1.0), (2, 2.0), (3, 3.0), (4, 2.0), (5, 4.0), (6, 1.0)],
+        ["doc_id", "score"],
+    )
+    got = {
+        (r.source, r.score): r.calibrated_score
+        for r in score_calibration(docs, scores).collect()
+    }
+    # Global grain: {1.0: 2, 2.0: 2, 3.0: 1, 4.0: 1}, N=6 → intervals
+    # 1.0 (0, 2/6], 2.0 (2/6, 4/6], 3.0 (4/6, 5/6], 4.0 (5/6, 1].
+    # NULL source has 2 rows (2.0, 4.0): positions 1/2 and 1.
+    assert got[(None, 2.0)] == 2.0  # p=0.5 lands in (1/3, 2/3]
+    assert got[(None, 4.0)] == 4.0  # p=1 -> global max
+    # 'a' positions 1/3, 2/3, 1 against UNCORRUPTED global intervals —
+    # under the old bug the NULL rows inflated the global cum counts.
+    assert got[("a", 1.0)] == 1.0
+    assert got[("a", 2.0)] == 2.0
+    assert got[("a", 3.0)] == 4.0
+    assert got[("b", 1.0)] == 4.0
+    assert len(got) == 6
+
+
 def test_score_calibration_properties(spark, sf_dir):
     """Quantile-mapping invariants: per source, calibration is
     monotone in the raw score; calibrated values come from the global

@@ -172,6 +172,44 @@ def test_excise_duplicated_spans_semantics(spark):
     assert all(r["n_removed"] == 0 for r in again)
 
 
+def test_duplicated_spans_min_docs_threshold(spark):
+    """min_docs>2 path (round-13 rewrite: dense_rank + frame-max
+    distinct-doc count instead of collect_set over the window): a span
+    shared by 3 docs passes min_docs=3, one shared by only 2 does not —
+    in BOTH the report and the excise action."""
+    from scala_data_pipeline_spark.ext.dedup import (
+        duplicated_spans,
+        excise_duplicated_spans,
+    )
+
+    tri = "t1 t2 t3 t4 t5"  # in docs 0, 1, 2
+    duo = "u1 u2 u3 u4 u5"  # in docs 3, 4 only
+    rows = [
+        (0, tri + " a1 a2"),
+        (1, "b1 " + tri),
+        (2, tri + " c1"),
+        (3, duo + " d1"),
+        (4, "e1 " + duo),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    rep = {r["doc_id"]: r for r in duplicated_spans(docs, k=4, min_docs=3).collect()}
+    assert set(rep) == {0, 1, 2}  # the duo pair is below threshold
+    for doc_id in (0, 1, 2):
+        assert rep[doc_id]["dup_tokens"] == 5
+
+    cut = {
+        r["doc_id"]: r
+        for r in excise_duplicated_spans(docs, k=4, min_docs=3).collect()
+    }
+    assert set(cut) == {0, 1, 2, 3, 4}
+    assert cut[0]["n_removed"] == 0  # corpus-wide first occurrence keeps
+    assert cut[1]["dedup_text"] == "b1"
+    assert cut[2]["dedup_text"] == "c1"
+    # the 2-doc span is untouched at min_docs=3
+    assert cut[3]["n_removed"] == 0 and cut[4]["n_removed"] == 0
+
+
 def test_containment_catches_subset_jaccard_misses(spark):
     """A short document quoted wholesale inside a much longer one:
     symmetric Jaccard ~= |A|/|B| stays tiny, but containment_a ~= 1 -

@@ -50,10 +50,11 @@ def test_gumbel_topk_deterministic_and_ordered(spark, sf_dir):
     c = dsir_sample(
         docs, target=F.col("lang") == "en", k=20, salt="other"
     ).collect()
-    assert {r.doc_id: r.weight for r in c}.keys() != set() and any(
-        [r.doc_id for r in c] != [r.doc_id for r in a]
-        for _ in [0]
-    )
+    assert [r.doc_id for r in c] != [r.doc_id for r in a]
+    wa = {r.doc_id: r.weight for r in a}
+    wc = {r.doc_id: r.weight for r in c}
+    for doc_id in wa.keys() & wc.keys():
+        assert wa[doc_id] == wc[doc_id]
 
 
 def test_temperature_flattens_selection(spark, sf_dir):
