@@ -377,12 +377,14 @@ ORACLES: dict = {}
 # driver rows r1-r5 (five consecutive rounds); demoted to free slots for
 # never-driver-checked extras. Each stays green locally in
 # tests/test_oracle_parity.py.
+# Round-13 rotation: grouping_sets_orders / lateral_topn_nations /
+# window_rank_family promoted to driver slots (per round-12 verdict:
+# never driver-checked; grouping-sets, lateral top-N, and the
+# rank/dense_rank/percent_rank/ntile family are plan shapes nothing in
+# the driver set exercises).
 EXTRA_QUERIES = {
     "rollup_orders": rollup_orders,
     "approx_count_distinct": approx_count_distinct_q,
-    "grouping_sets_orders": grouping_sets_orders,
-    "lateral_topn_nations": lateral_topn_nations,
-    "window_rank_family": window_rank_family,
     "asof_last_purchase": asof_last_purchase,
     "session_windows": session_windows,
     "sliding_windows": sliding_windows,
@@ -395,15 +397,19 @@ EXTRA_QUERIES = {
 EXTRA_ORACLES = {
     "range_join_price_bands": RANGE_JOIN_ORACLE,
     "rollup_orders": ROLLUP_ORACLE,
-    "grouping_sets_orders": GROUPING_SETS_ORACLE,
-    "lateral_topn_nations": LATERAL_ORACLE,
-    "window_rank_family": WINDOW_FAMILY_ORACLE,
     "asof_last_purchase": ASOF_ORACLE,
     "session_windows": SESSION_ORACLE,
     "sliding_windows": SLIDING_ORACLE,
     "cube_orders": CUBE_ORACLE,
     "count_distinct_family": COUNT_DISTINCT_ORACLE,
 }
+
+QUERIES["grouping_sets_orders"] = grouping_sets_orders
+ORACLES["grouping_sets_orders"] = GROUPING_SETS_ORACLE
+QUERIES["lateral_topn_nations"] = lateral_topn_nations
+ORACLES["lateral_topn_nations"] = LATERAL_ORACLE
+QUERIES["window_rank_family"] = window_rank_family
+ORACLES["window_rank_family"] = WINDOW_FAMILY_ORACLE
 
 
 def rolling_revenue_7d(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -443,8 +443,10 @@ def _dsir_weights_oracle() -> str:
     return dsir_weights_sql("lang = 'en'")
 
 
-EXTRA_QUERIES["curation_dsir_weights"] = curation_dsir_weights
-EXTRA_ORACLES["curation_dsir_weights"] = _dsir_weights_oracle()
+# Round-13 rotation: promoted to a driver slot (round-12 verdict lead
+# item — brand-new DSIR family, never driver-checked, full oracle).
+QUERIES["curation_dsir_weights"] = curation_dsir_weights
+ORACLES["curation_dsir_weights"] = _dsir_weights_oracle()
 
 
 def curation_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -466,5 +468,7 @@ def _dsir_sample_oracle() -> str:
     return dsir_sample_sql("lang = 'en'", k=50)
 
 
-EXTRA_QUERIES["curation_dsir_sample"] = curation_dsir_sample
-EXTRA_ORACLES["curation_dsir_sample"] = _dsir_sample_oracle()
+# Round-13 rotation: promoted to a driver slot (round-12 verdict lead
+# item — Gumbel-top-k selection, never driver-checked, full oracle).
+QUERIES["curation_dsir_sample"] = curation_dsir_sample
+ORACLES["curation_dsir_sample"] = _dsir_sample_oracle()

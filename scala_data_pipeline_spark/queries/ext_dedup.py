@@ -202,12 +202,14 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ExactSubstr family, added round 5, never driver-checked) promoted to
 # driver slots; dedup_exact (green r1-r5, the simplest query in the
 # dedup family) demoted to fund one of them. Still green locally.
-QUERIES["dedup_common_spans"] = dedup_common_spans
-ORACLES["dedup_common_spans"] = duplicated_spans_sql()
+# Round-13 rotation: dedup_common_spans demoted after 6 green driver
+# rounds (its sibling dedup_span_excise stays — it is the bench watch
+# item); slot funds the never-driver-checked DSIR family.
 QUERIES["dedup_span_excise"] = dedup_span_excise
 ORACLES["dedup_span_excise"] = excise_duplicated_spans_sql()
 
 EXTRA_QUERIES = {
+    "dedup_common_spans": dedup_common_spans,
     "dedup_simhash_pairs": dedup_simhash_pairs,
     "dedup_hot_ngrams": dedup_hot_ngrams,
     "dedup_components_star": dedup_components_star,
@@ -222,6 +224,7 @@ EXTRA_QUERIES = {
     "dedup_segments": dedup_segments,
 }
 EXTRA_ORACLES = {
+    "dedup_common_spans": duplicated_spans_sql(),
     "dedup_simhash_pairs": simhash_neardup_sql(),
     "dedup_hot_ngrams": hot_ngram_flags_sql(),
     "dedup_components_star": _components_oracle(),
@@ -338,10 +341,11 @@ def _pagerank_oracle() -> str:
 # the new iterative-graph flagship; dedup_containment (asymmetric
 # Jaccard, round 5) was never driver-checked.
 # Round-10 rotation: demoted after 4 green driver rounds (r6-r9).
+# Round-13 rotation: dedup_containment demoted after 7 green driver
+# rounds (it stays in EXTRA_QUERIES above, still oracle-checked
+# locally); its slot funds a never-driver-checked promotion.
 EXTRA_QUERIES["graph_pagerank"] = graph_pagerank
 EXTRA_ORACLES["graph_pagerank"] = _pagerank_oracle()
-QUERIES["dedup_containment"] = EXTRA_QUERIES.pop("dedup_containment")
-ORACLES["dedup_containment"] = EXTRA_ORACLES.pop("dedup_containment")
 
 
 def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -362,8 +366,10 @@ def _edit_distance_oracle() -> str:
     return edit_distance_sql()
 
 
-QUERIES["dedup_edit_distance"] = dedup_edit_distance
-ORACLES["dedup_edit_distance"] = _edit_distance_oracle()
+# Round-13 rotation: dedup_edit_distance demoted after 7 green driver
+# rounds; still oracle-checked locally and watched in the 10x artifact.
+EXTRA_QUERIES["dedup_edit_distance"] = dedup_edit_distance
+EXTRA_ORACLES["dedup_edit_distance"] = _edit_distance_oracle()
 EXTRA_QUERIES["dedup_simhash"] = dedup_simhash
 EXTRA_ORACLES["dedup_simhash"] = simhash16_sql()
 
@@ -385,8 +391,10 @@ def _triangles_oracle() -> str:
 # Round-7 rotation: triangle counting takes a driver slot (never
 # driver-checked; the registry's only wedge-fan-out graph shape —
 # pagerank and components cover the iterative families).
-QUERIES["graph_triangles"] = graph_triangles
-ORACLES["graph_triangles"] = _triangles_oracle()
+# Round-13 rotation: demoted after 7 green driver rounds (r7-r12 +
+# local); slot funds a never-driver-checked promotion.
+EXTRA_QUERIES["graph_triangles"] = graph_triangles
+EXTRA_ORACLES["graph_triangles"] = _triangles_oracle()
 
 
 def dedup_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:

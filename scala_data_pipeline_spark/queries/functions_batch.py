@@ -220,19 +220,22 @@ ORACLES: dict = {}
 # user_time_matrix and collect_user_events) freed driver slots for
 # never-checked flagship extras. Still green via test_oracle_parity.
 EXTRA_QUERIES = {
-    "variant_extract_props": variant_extract_props,
     "user_time_fractions": user_time_fractions,
     "date_roundtrip": date_roundtrip,
     "explode_tokens": explode_tokens,
     "url_pipeline": url_pipeline,
 }
 EXTRA_ORACLES = {
-    "variant_extract_props": JSON_PROPS_ORACLE,
     "user_time_fractions": TIME_FRACTIONS_ORACLE,
     "date_roundtrip": DATE_ROUNDTRIP_ORACLE,
     "explode_tokens": EXPLODE_ORACLE,
     "url_pipeline": URL_PIPELINE_ORACLE,
 }
+# Round-13 rotation: promoted to a driver slot (per round-12 verdict:
+# never driver-checked; the VARIANT-style semi-structured extraction —
+# parse_json/variant_get — is a plan shape no driver query exercises).
+QUERIES["variant_extract_props"] = variant_extract_props
+ORACLES["variant_extract_props"] = JSON_PROPS_ORACLE
 
 # Round-6 rotation: json_extract_props (F14, green rounds 1-4; the
 # from_json machinery also backs variant_extract_props' shared oracle)

@@ -186,8 +186,10 @@ WHERE CAST(effective_from AS DATE) <= DATE '{LOAD_DATE}'
   AND (effective_to IS NULL OR CAST(effective_to AS DATE) > DATE '{LOAD_DATE}')
 """
 
-EXTRA_QUERIES["scd2_customer_asof"] = scd2_customer_asof
-EXTRA_ORACLES["scd2_customer_asof"] = SCD2_ASOF_ORACLE
+# Round-13 rotation: promoted to a driver slot (per round-12 verdict:
+# never driver-checked; the as-of slice over the SCD2 interval build).
+QUERIES["scd2_customer_asof"] = scd2_customer_asof
+ORACLES["scd2_customer_asof"] = SCD2_ASOF_ORACLE
 
 
 def feature_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -465,8 +465,10 @@ def sql_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Round-6 rotation: promoted to a driver slot (per-verdict: never
 # driver-checked; the interpolated-tercile RFM mart is the strongest
 # percentile-parity check in the SQL surface).
-QUERIES["sql_rfm_segments"] = sql_rfm_segments
-ORACLES["sql_rfm_segments"] = SQL_RFM_SEGMENTS_DUCKDB
+# Round-13 rotation: demoted after 6 green driver rounds; still
+# oracle-checked locally via tests/test_oracle_parity.py.
+EXTRA_QUERIES["sql_rfm_segments"] = sql_rfm_segments
+EXTRA_ORACLES["sql_rfm_segments"] = SQL_RFM_SEGMENTS_DUCKDB
 
 
 # TPC-H Q8-shaped market share: the registry's only TWO-ROLE dimension
@@ -509,8 +511,10 @@ def sql_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Round-6 rotation: promoted to a driver slot (per-verdict: never
 # driver-checked; TPC-H Q8 shape, the registry's only two-role
 # dimension join).
-QUERIES["sql_market_share"] = sql_market_share
-ORACLES["sql_market_share"] = SQL_MARKET_SHARE
+# Round-13 rotation: demoted after 6 green driver rounds; still
+# oracle-checked locally via tests/test_oracle_parity.py.
+EXTRA_QUERIES["sql_market_share"] = sql_market_share
+EXTRA_ORACLES["sql_market_share"] = SQL_MARKET_SHARE
 
 
 # TPC-H Q13 shape (customer order-count distribution): the registry's

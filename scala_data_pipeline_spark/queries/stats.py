@@ -721,5 +721,8 @@ SELECT mi_nats, h_lang, h_source,
 FROM mi CROSS JOIN hl CROSS JOIN hs
 """
 
-EXTRA_QUERIES["mutual_info_lang_source"] = mutual_info_lang_source
-EXTRA_ORACLES["mutual_info_lang_source"] = MUTUAL_INFO_ORACLE
+# Round-13 rotation: promoted to a driver slot (per round-12 verdict:
+# never driver-checked; normalized mutual information over the
+# lang x source contingency grid).
+QUERIES["mutual_info_lang_source"] = mutual_info_lang_source
+ORACLES["mutual_info_lang_source"] = MUTUAL_INFO_ORACLE

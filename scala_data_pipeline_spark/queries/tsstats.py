@@ -334,8 +334,10 @@ EXTRA_ORACLES["anomaly_daily_revenue"] = ANOMALY_ORACLE
 # Round-6 rotation: promoted to a driver slot (per-verdict: never
 # driver-checked; now carries the deaths==at_risk terminal-step guard
 # from the round-5 advisor finding, mirrored in the oracle).
-QUERIES["survival_km_users"] = survival_km_users
-ORACLES["survival_km_users"] = KM_ORACLE
+# Round-13 rotation: demoted after 6 green driver rounds; still
+# oracle-checked locally.
+EXTRA_QUERIES["survival_km_users"] = survival_km_users
+EXTRA_ORACLES["survival_km_users"] = KM_ORACLE
 # Round-12 rotation: promoted to a driver slot (never driver-checked;
 # leading-digit distribution vs Benford expectation — a log10/floor
 # digit-extraction plan shape nothing else exercises).
@@ -1139,8 +1141,10 @@ FROM deltas WHERE delta IS NOT NULL
 # Round-6 rotation: promoted to a driver slot (per-verdict: never
 # driver-checked; the densified-grid MoM decomposition is the
 # registry's only waterfall query).
-QUERIES["waterfall_nation_mom"] = waterfall_nation_mom
-ORACLES["waterfall_nation_mom"] = WATERFALL_ORACLE
+# Round-13 rotation: demoted after 6 green driver rounds; still
+# oracle-checked locally.
+EXTRA_QUERIES["waterfall_nation_mom"] = waterfall_nation_mom
+EXTRA_ORACLES["waterfall_nation_mom"] = WATERFALL_ORACLE
 
 
 # --------------------------------------------------------------------
