@@ -33,6 +33,22 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     queries = all_queries()
+    # Named EXTRA_QUERIES can be benched alongside the driver set
+    # ($SPARK_GRAFT_BENCH_EXTRAS="a,b"): the 10x scaling artifact keeps
+    # its watch items (e.g. dedup_edit_distance after its round-13
+    # demotion, dedup_span_excise_intervals) without burning driver
+    # correctness slots on them.
+    extra_names = [
+        n
+        for n in os.environ.get("SPARK_GRAFT_BENCH_EXTRAS", "").split(",")
+        if n
+    ]
+    if extra_names:
+        from scala_data_pipeline_spark.queries import extra_queries
+
+        eq = extra_queries()
+        for n in extra_names:
+            queries[n] = eq[n]
     names = [n for n in HEADLINE if n in queries]
     names += [n for n in sorted(queries) if n not in names]
 

@@ -875,6 +875,156 @@ def excise_duplicated_spans(
     )
 
 
+def excise_duplicated_spans_intervals(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = SPAN_TOKENS,
+    min_docs: int = 2,
+) -> DataFrame:
+    """The SCALE-PATH form of :func:`excise_duplicated_spans` (round-13
+    verdict item 4): same keeper election and island arithmetic, but
+    the output is the per-document CUT PLAN — (doc_id, n_tokens,
+    n_removed, n_intervals, cuts) where ``cuts`` is the sorted
+    ``lo:hi,...`` interval list — never the reassembled text. Only
+    documents with at least one cut are emitted.
+
+    Why it exists: the full-text form's dominant cost at 10× data
+    (ratio 8.45, the registry's worst) is materializing the token-grain
+    ``dedup_text`` reconstruction — pure output width, not plan shape.
+    A 100 TB excision pipeline wants exactly this intervals table: it
+    is tiny (cut docs only, a few ints + a short string per doc), joins
+    back to the corpus by doc_id, and the actual text surgery runs
+    inside the final rewrite scan. Islands are separated by a gap > k,
+    so the token intervals [lo, lo+k-1]..[hi] are provably disjoint and
+    ``n_removed = Σ (hi - lo + 1)`` without touching the tokens.
+
+    Plan: the grams/losers window pass of the full-text form (one
+    shuffle on the uniform md5 span digest), one doc-keyed window for
+    islands, one groupBy — and NO corpus-wide base join, NO token
+    arrays carried past the explode.
+    """
+    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    n_toks = F.size(toks)
+    positions = F.when(
+        n_toks >= k, F.sequence(F.lit(1), n_toks - F.lit(k - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    spans = F.transform(
+        positions,
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.md5(F.array_join(F.slice(toks, i, k), " ")).alias("g"),
+        ),
+    )
+    grams = (
+        fan_out(docs)
+        .select(
+            "doc_id",
+            n_toks.cast("long").alias("n_tokens"),
+            F.explode(spans).alias("s"),
+        )
+        .select("doc_id", "n_tokens", "s.pos", "s.g")
+    )
+    w_g = Window.partitionBy("g").orderBy("doc_id", "pos")
+    w_g_all = w_g.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    if min_docs == 2:
+        cross_doc = F.min("doc_id").over(w_g_all) != F.max("doc_id").over(
+            w_g_all
+        )
+        losers = (
+            grams.withColumn("rn", F.row_number().over(w_g))
+            .withColumn("_x", cross_doc)
+            .filter((F.col("rn") > 1) & F.col("_x"))
+        )
+    else:
+        w_docs = Window.partitionBy("g").orderBy("doc_id")
+        losers = (
+            grams.withColumn("rn", F.row_number().over(w_g))
+            .withColumn("_dr", F.dense_rank().over(w_docs))
+            .withColumn("_nd", F.max("_dr").over(w_g_all))
+            .filter((F.col("rn") > 1) & (F.col("_nd") >= min_docs))
+            .drop("_dr", "_nd")
+        )
+    w_d = Window.partitionBy("doc_id").orderBy("pos")
+    prev = F.lag("pos").over(w_d)
+    island = F.sum(
+        F.when(prev.isNull() | (F.col("pos") - prev > k), 1).otherwise(0)
+    ).over(w_d.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    ivs = (
+        losers.withColumn("island", island)
+        .groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").alias("lo"),
+            (F.max("pos") + F.lit(k - 1)).alias("hi"),
+            F.max("n_tokens").alias("n_tokens"),
+        )
+    )
+    return ivs.groupBy("doc_id").agg(
+        F.max("n_tokens").cast("long").alias("n_tokens"),
+        F.sum(F.col("hi") - F.col("lo") + 1).cast("long").alias("n_removed"),
+        F.count(F.lit(1)).cast("long").alias("n_intervals"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("lo", "hi"))),
+                lambda iv: F.concat_ws(
+                    ":",
+                    iv["lo"].cast("string"),
+                    iv["hi"].cast("string"),
+                ),
+            ),
+            ",",
+        ).alias("cuts"),
+    )
+
+
+def excise_duplicated_spans_intervals_sql(
+    text_col: str = "text",
+    table: str = "documents",
+    k: int = SPAN_TOKENS,
+    min_docs: int = 2,
+) -> str:
+    """DuckDB twin of :func:`excise_duplicated_spans_intervals` — same
+    keeper election, same island arithmetic, arithmetic n_removed."""
+    t = f"list_filter(string_split({text_col}, ' '), x -> x <> '')"
+    return f"""
+WITH t AS (
+  SELECT doc_id, {t} AS toks FROM {table}
+), grams AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, i AS pos,
+         md5(array_to_string(list_slice(toks, i, i + {k} - 1), ' ')) AS g
+  FROM t, unnest(range(1, greatest(len(toks) - {k} + 2, 1))) AS u(i)
+), dup AS (
+  SELECT g FROM grams GROUP BY g HAVING COUNT(DISTINCT doc_id) >= {min_docs}
+), losers AS (
+  SELECT doc_id, n_tokens, pos FROM (
+    SELECT doc_id, n_tokens, pos,
+           ROW_NUMBER() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
+    FROM grams WHERE g IN (SELECT g FROM dup)
+  ) WHERE rn > 1
+), isl AS (
+  SELECT doc_id, n_tokens, pos,
+         SUM(CASE WHEN prev IS NULL OR pos - prev > {k} THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM (SELECT doc_id, n_tokens, pos,
+               LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        FROM losers)
+), ivs AS (
+  SELECT doc_id, island, MIN(pos) AS lo, MAX(pos) + {k - 1} AS hi,
+         MAX(n_tokens) AS n_tokens
+  FROM isl GROUP BY doc_id, island
+)
+SELECT doc_id,
+       CAST(MAX(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(SUM(hi - lo + 1) AS BIGINT) AS n_removed,
+       CAST(COUNT(*) AS BIGINT) AS n_intervals,
+       string_agg(CAST(lo AS VARCHAR) || ':' || CAST(hi AS VARCHAR),
+                  ',' ORDER BY lo) AS cuts
+FROM ivs GROUP BY doc_id
+"""
+
+
 def excise_duplicated_spans_sql(
     text_col: str = "text",
     table: str = "documents",

@@ -172,6 +172,35 @@ def test_excise_duplicated_spans_semantics(spark):
     assert all(r["n_removed"] == 0 for r in again)
 
 
+def test_excise_intervals_consistent_with_full_text(spark, sf_dir):
+    """The scale-path intervals form must agree with the full-text
+    form on WHICH docs are cut and by HOW MUCH (n_tokens, n_removed) —
+    its n_removed is interval arithmetic (disjoint islands), the
+    full-text form's is an actual token filter."""
+    from scala_data_pipeline_spark.ext.dedup import (
+        excise_duplicated_spans,
+        excise_duplicated_spans_intervals,
+    )
+    from scala_data_pipeline_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    full = {
+        r.doc_id: (r.n_tokens, r.n_removed)
+        for r in excise_duplicated_spans(docs).filter("n_removed > 0").collect()
+    }
+    ivs = excise_duplicated_spans_intervals(docs).collect()
+    got = {r.doc_id: (r.n_tokens, r.n_removed) for r in ivs}
+    assert got == full
+    for r in ivs:
+        # cuts is a sorted, disjoint lo:hi list whose widths sum to
+        # n_removed
+        parts = [tuple(map(int, p.split(":"))) for p in r.cuts.split(",")]
+        assert parts == sorted(parts)
+        assert all(b[0] > a[1] for a, b in zip(parts, parts[1:]))
+        assert sum(hi - lo + 1 for lo, hi in parts) == r.n_removed
+        assert r.n_intervals == len(parts)
+
+
 def test_duplicated_spans_min_docs_threshold(spark):
     """min_docs>2 path (round-13 rewrite: dense_rank + frame-max
     distinct-doc count instead of collect_set over the window): a span
