@@ -165,6 +165,204 @@ def semantic_dedup(
     )
 
 
+def semantic_dedup_k1_exact(
+    corpus: DataFrame, eps: float = DEFAULT_EPS
+) -> DataFrame:
+    """Oracle-replicable k=1 SemDeDup (round-13 verdict item 6): the
+    same greedy keeper policy as :func:`semantic_dedup` but with every
+    float op pinned to an engine-independent form so a DuckDB twin
+    (:func:`semantic_dedup_k1_sql` — a recursive CTE) reproduces the
+    decisions BIT-EXACTLY and the family gets a hash-checked oracle
+    row, not just invariant pytest:
+
+    - centroid = per-dimension DECIMAL(18,8)-exact mean of the 8dp-
+      rounded embeddings (order-independent integer sums, then one
+      double division) — ``semantic_dedup``'s double ``avg`` is
+      partitioning-order-dependent at the ulp level, which a 6dp
+      rounding boundary could expose;
+    - every dot product accumulates in DIMENSION order (the strict
+      left fold of ``F.aggregate`` / DuckDB ``list_sum``), never a
+      BLAS matmul (numpy's pairwise/SIMD summation can differ by an
+      ulp — the mmr_rerank precedent);
+    - pair similarities round to 6dp BEFORE the threshold compare and
+      the dup_of argmax; ties pick the EARLIEST kept vector.
+
+    Output adds ``dup_sim`` (the rounded similarity to ``dup_of``,
+    NULL for kept rows) so drop decisions are auditable downstream.
+
+    Scale note: k=1 funnels the corpus through ONE Arrow batch — this
+    is the parity/report mode; the scale path is
+    :func:`semantic_dedup` with k ~ corpus/target_cluster_size.
+    """
+    import numpy as np
+
+    row = corpus.select(F.size("embedding").alias("d")).first()
+    if row is None:
+        raise ValueError(
+            "semantic_dedup_k1_exact: empty corpus — nothing to deduplicate"
+        )
+    dim = row["d"]
+    prepped = prep_vectors(corpus)
+    sums = prepped.select(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(
+                F.element_at("emb_r", i + 1).cast("decimal(18,8)")
+            ).alias(f"s{i}")
+            for i in range(dim)
+        ],
+    ).first()
+    n = sums["n"]
+    ctr = [float(sums[f"s{i}"]) / n for i in range(dim)]
+    ctr_norm_acc = 0.0
+    for v in ctr:
+        ctr_norm_acc += v * v
+    ctr_norm = ctr_norm_acc**0.5
+    ctr_lit = F.array(*[F.lit(v) for v in ctr])
+    dot = F.aggregate(
+        F.zip_with(F.col("emb_r"), ctr_lit, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    scored = prepped.select(
+        "vec_id",
+        "emb_r",
+        "emb_norm",
+        F.round(
+            F.try_divide(dot, F.col("emb_norm") * F.lit(ctr_norm)), 6
+        ).alias("centroid_sim"),
+        F.lit(0).alias("_g"),
+    )
+    thresh = 1.0 - eps
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["centroid_sim", "vec_id"]).reset_index(
+            drop=True
+        )
+        mat = np.stack(pdf["emb_r"].to_numpy()).astype("float64")
+        norms = pdf["emb_norm"].to_numpy().astype("float64")
+        kept_idx: list[int] = []
+        keep = [False] * len(pdf)
+        dup_of = [None] * len(pdf)
+        dup_sim = [None] * len(pdf)
+        for i in range(len(pdf)):
+            if kept_idx:
+                # dimension-ordered accumulation == the engines' left
+                # fold, elementwise across the kept block
+                acc = np.zeros(len(kept_idx))
+                kb = mat[kept_idx]
+                for d in range(mat.shape[1]):
+                    acc += kb[:, d] * mat[i, d]
+                sims = [
+                    round(float(a / (norms[j] * norms[i])), 6)
+                    for a, j in zip(acc, kept_idx)
+                ]
+                best = max(sims)
+                if best >= thresh:
+                    j = sims.index(best)  # earliest kept on ties
+                    dup_of[i] = int(pdf["vec_id"].iloc[kept_idx[j]])
+                    dup_sim[i] = best
+                    continue
+            kept_idx.append(i)
+            keep[i] = True
+        return pd.DataFrame(
+            {
+                "vec_id": pdf["vec_id"],
+                "centroid_sim": pdf["centroid_sim"],
+                "keep": keep,
+                "dup_of": pd.array(dup_of, dtype="Int64"),
+                "dup_sim": pd.array(dup_sim, dtype="float64"),
+            }
+        )
+
+    return scored.groupBy("_g").applyInPandas(
+        greedy,
+        schema=(
+            "vec_id long, centroid_sim double, keep boolean,"
+            " dup_of long, dup_sim double"
+        ),
+    )
+
+
+def semantic_dedup_k1_sql(
+    eps: float = DEFAULT_EPS, table: str = "embeddings"
+) -> str:
+    """DuckDB twin of :func:`semantic_dedup_k1_exact`: the greedy pass
+    as a RECURSIVE CTE over rank order — one row considered per
+    recursion step against the accumulated kept list, identical
+    decimal-exact centroid, fold-order dots, 6dp rounding, and
+    earliest-kept tie-break (``list_position`` returns the FIRST
+    index of the max)."""
+    return f"""
+WITH RECURSIVE
+t AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> ROUND(CAST(x AS DOUBLE), 8)) AS e
+  FROM {table}
+),
+nrm AS (
+  SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nv
+  FROM t
+),
+ctr AS (
+  SELECT list(val ORDER BY d) AS c FROM (
+    SELECT d, CAST(SUM(CAST(x AS DECIMAL(18,8))) AS DOUBLE)
+              / (SELECT COUNT(*) FROM t) AS val
+    FROM (SELECT unnest(e) AS x, unnest(range(1, len(e) + 1)) AS d FROM t)
+    GROUP BY d
+  )
+),
+scored AS (
+  SELECT vec_id, e, nv,
+         ROUND(list_sum(list_transform(list_zip(e, (SELECT c FROM ctr)),
+                                       z -> z[1] * z[2]))
+               / (nv * sqrt(list_sum(list_transform((SELECT c FROM ctr),
+                                                    x -> x * x)))),
+               6) AS centroid_sim
+  FROM nrm
+),
+ranked AS (
+  SELECT vec_id, e, nv, centroid_sim,
+         ROW_NUMBER() OVER (ORDER BY centroid_sim, vec_id) AS rn
+  FROM scored
+),
+greedy AS (
+  SELECT 1 AS rn,
+         [struct_pack(vec_id := vec_id, e := e, nv := nv)] AS kept,
+         [struct_pack(vec_id := vec_id, centroid_sim := centroid_sim,
+                      keep := TRUE, dup_of := CAST(NULL AS BIGINT),
+                      dup_sim := CAST(NULL AS DOUBLE))] AS outp
+  FROM ranked WHERE rn = 1
+  UNION ALL
+  SELECT r.rn,
+         CASE WHEN list_max(s.sims) >= (1.0 - {eps}) THEN g.kept
+              ELSE list_append(g.kept, struct_pack(
+                     vec_id := r.vec_id, e := r.e, nv := r.nv)) END,
+         list_append(g.outp, struct_pack(
+           vec_id := r.vec_id, centroid_sim := r.centroid_sim,
+           keep := list_max(s.sims) < (1.0 - {eps}),
+           dup_of := CASE WHEN list_max(s.sims) >= (1.0 - {eps})
+                          THEN g.kept[list_position(s.sims,
+                                                    list_max(s.sims))].vec_id
+                     END,
+           dup_sim := CASE WHEN list_max(s.sims) >= (1.0 - {eps})
+                           THEN list_max(s.sims) END))
+  FROM greedy g
+  JOIN ranked r ON r.rn = g.rn + 1
+  CROSS JOIN LATERAL (
+    SELECT list_transform(g.kept, kk ->
+      ROUND(list_sum(list_transform(list_zip(kk.e, r.e),
+                                    z -> z[1] * z[2]))
+            / (kk.nv * r.nv), 6)) AS sims
+  ) s
+)
+SELECT u.vec_id AS vec_id, u.centroid_sim AS centroid_sim,
+       u.keep AS keep, u.dup_of AS dup_of, u.dup_sim AS dup_sim
+FROM (SELECT unnest(outp) AS u FROM greedy
+      WHERE rn = (SELECT COUNT(*) FROM t))
+"""
+
+
 def semantic_dedup_stats(dedup: DataFrame) -> DataFrame:
     """Per-cluster summary of a :func:`semantic_dedup` result:
     cluster size, kept count, drop ratio."""

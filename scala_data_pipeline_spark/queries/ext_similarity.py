@@ -492,3 +492,69 @@ def sim_semdedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EXTRA_QUERIES["sim_semdedup_stats"] = sim_semdedup_stats
+
+
+_SEMDEDUP_EPS = 0.62  # fixture-calibrated: max pairwise cosine in the
+# synthetic embeddings is ~0.51, so the published 1-eps=0.95 would be a
+# trivially keep-everything run; 1-eps=0.38 makes the greedy actually
+# elect keepers and record dup_of/dup_sim (85 drops at sf0.01).
+
+
+def sim_semdedup_k1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checked SemDeDup (round-13 verdict item 6): the k=1
+    oracle-exact greedy — decimal-exact centroid, fold-order dots, 6dp
+    rounding, earliest-kept ties — against a DuckDB RECURSIVE-CTE twin
+    that replays the same greedy bit-exactly. Per-vector decisions
+    (vec_id, centroid_sim, keep, dup_of, dup_sim)."""
+    from ..ext.semdedup import semantic_dedup_k1_exact
+
+    return semantic_dedup_k1_exact(
+        load_table(spark, sf_dir, "embeddings"), eps=_SEMDEDUP_EPS
+    )
+
+
+def _semdedup_k1_oracle() -> str:
+    from ..ext.semdedup import semantic_dedup_k1_sql
+
+    return semantic_dedup_k1_sql(eps=_SEMDEDUP_EPS)
+
+
+def sim_semdedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level SemDeDup report over the oracle-exact k=1 run:
+    totals, drop ratio, and the similarity band of the drops — the
+    one-row summary a curation run is signed off on."""
+    from ..ext.semdedup import semantic_dedup_k1_exact
+
+    d = semantic_dedup_k1_exact(
+        load_table(spark, sf_dir, "embeddings"), eps=_SEMDEDUP_EPS
+    )
+    return d.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_kept"),
+        F.sum(F.when(~F.col("keep"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_dropped"),
+        F.max("dup_sim").alias("max_dup_sim"),
+        F.min("dup_sim").alias("min_dup_sim"),
+    )
+
+
+def _semdedup_report_oracle() -> str:
+    from ..ext.semdedup import semantic_dedup_k1_sql
+
+    return f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+       MAX(dup_sim) AS max_dup_sim,
+       MIN(dup_sim) AS min_dup_sim
+FROM ({semantic_dedup_k1_sql(eps=_SEMDEDUP_EPS)})
+"""
+
+
+EXTRA_QUERIES["sim_semdedup_k1"] = sim_semdedup_k1
+EXTRA_ORACLES["sim_semdedup_k1"] = _semdedup_k1_oracle()
+EXTRA_QUERIES["sim_semdedup_report"] = sim_semdedup_report
+EXTRA_ORACLES["sim_semdedup_report"] = _semdedup_report_oracle()

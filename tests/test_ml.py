@@ -181,6 +181,34 @@ def test_pareto_filter_matches_python_reference(spark):
     assert len(kept & set(hi)) / len(hi) > len(kept & set(lo)) / len(lo)
 
 
+def test_pareto_sample_coverage_band(spark, sf_dir):
+    """End-to-end coverage check for ml_quality_pareto_sample (round-13
+    verdict item 5): under the published GPT-3 rule the per-doc keep
+    probability over a true U(0,1) draw is P(x > 1-s) = (2-s)^(-alpha)
+    for s in [0,1], so the kept COUNT is a sum of independent
+    Bernoullis with computable mean/variance. The md5-uniform draw must
+    land inside a 4-sigma band of that expectation — this bounds the
+    previously unbounded rows-only query with a quantitative contract
+    (and would catch a broken u-derivation or filter inequality)."""
+    from scala_data_pipeline_spark.queries.ml_queries import (
+        ml_quality_pareto_sample,
+        ml_quality_score,
+    )
+
+    alpha = 9.0
+    scores = [
+        r["p_quality"] for r in ml_quality_score(spark, sf_dir).collect()
+    ]
+    kept = ml_quality_pareto_sample(spark, sf_dir).count()
+    probs = [min(1.0, (2.0 - s) ** (-alpha)) for s in scores]
+    mean = sum(probs)
+    var = sum(p * (1 - p) for p in probs)
+    band = 4.0 * var**0.5
+    assert abs(kept - mean) <= max(band, 1.0), (
+        f"kept {kept} outside {mean:.1f} +/- {band:.1f}"
+    )
+
+
 def test_crossvalidator_tunes_regularization(model_and_frame, spark):
     """MLlib tuning surface: CrossValidator grid-searches the LR
     regularization over k folds and its best model must score at least

@@ -46,3 +46,50 @@ def test_als_topk_shape_and_reproducibility(spark):
         for r in ml_als_recommend(spark, SF).collect()
     }
     assert first == again, "ALS output not reproducible under fixed seed"
+
+
+def test_als_recommendations_beat_random_baseline(spark):
+    """Quantitative quality bound for the rows-only ALS query (round-13
+    verdict item 5): the fraction of users whose top-3 recommendations
+    intersect their top-3 ACTUAL purchase-strength brands must clear
+    the random-selection baseline by a wide margin. Random picks 3 of
+    25 brands: P(hit) = 1 - C(22,3)/C(25,3) = 0.330; measured 0.473 at
+    sf0.001 under the fixed seed (deterministic), asserted > 0.40
+    (+3.7 sigma over random at n=150)."""
+    from pyspark.sql import functions as F
+
+    from scala_data_pipeline_spark.sources import load_table
+
+    top: dict = {}
+    for r in ml_als_recommend(spark, SF).collect():
+        top.setdefault(r.custkey, set()).add(r.brand_id)
+    orders = load_table(spark, SF, "orders")
+    li = load_table(spark, SF, "lineitem")
+    part = load_table(spark, SF, "part")
+    strengths = (
+        li.join(
+            orders.select("o_orderkey", "o_custkey"),
+            li.l_orderkey == orders.o_orderkey,
+        )
+        .join(part, li.l_partkey == part.p_partkey)
+        .groupBy(
+            F.col("o_custkey").alias("user"),
+            F.regexp_extract("p_brand", r"(\d+)$", 1)
+            .cast("int")
+            .alias("item"),
+        )
+        .agg(F.sum("l_quantity").alias("st"))
+        .collect()
+    )
+    actual: dict = {}
+    for r in strengths:
+        actual.setdefault(r.user, []).append((r.st, r.item))
+    hits = tot = 0
+    for user, rset in top.items():
+        if user not in actual:
+            continue
+        best = {i for _, i in sorted(actual[user], reverse=True)[:3]}
+        hits += bool(rset & best)
+        tot += 1
+    assert tot > 100
+    assert hits / tot > 0.40, f"ALS hit-rate {hits / tot:.3f} vs random 0.33"
