@@ -1,0 +1,60 @@
+"""Print the query-registry counts from the live import (round-13
+verdict item 7: README counts must be GENERATED, not hand-maintained —
+they drifted twice). Run after any registry change and paste the line
+into README.md / use --check to fail when README disagrees.
+
+Usage:
+  python scripts/registry_counts.py           # print counts
+  python scripts/registry_counts.py --check   # exit 1 if README drifts
+"""
+from __future__ import annotations
+
+import re
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from scala_data_pipeline_spark.queries import (  # noqa: E402
+    all_oracles,
+    all_queries,
+    extra_oracles,
+    extra_queries,
+)
+
+
+def counts() -> dict:
+    q, o = all_queries(), all_oracles()
+    eq, eo = extra_queries(), extra_oracles()
+    return {
+        "driver": len(q),
+        "driver_oracled": len(set(q) & set(o)),
+        "extras": len(eq),
+        "extras_oracled": len(set(eq) & set(eo)),
+        "total": len(q) + len(eq),
+        "rows_only": len(set(q) | set(eq)) - len(set(o) | set(eo)),
+    }
+
+
+def main() -> None:
+    c = counts()
+    line = (
+        f"{c['driver']} driver queries ({c['driver_oracled']} oracled) + "
+        f"{c['extras']} extras ({c['extras_oracled']} oracled) = "
+        f"{c['total']} total, {c['rows_only']} rows-only"
+    )
+    print(line)
+    if "--check" in sys.argv:
+        readme = open("/root/repo/README.md").read()
+        pats = [
+            rf"\b{c['extras']} extras\b",
+            rf"\b{c['extras_oracled']} with oracle",
+        ]
+        missing = [p for p in pats if not re.search(p, readme)]
+        if missing:
+            print(f"README drift: expected {missing} per the live registry")
+            sys.exit(1)
+        print("README counts match the registry")
+
+
+if __name__ == "__main__":
+    main()

@@ -15,6 +15,10 @@ cd "$(dirname "$0")/.."
 # gap), breaking round-over-round regression attribution.
 : "${ROUND:?set ROUND=<n> (e.g. ROUND=12) so bench output is recorded as BENCH_r<n>.json}"
 
+# README registry counts must match the live import (they drifted
+# twice when hand-maintained — round-12 verdict item 7).
+python scripts/registry_counts.py --check
+
 python -m pytest tests/ -q
 python bench.py | tee /tmp/bench_gate.out
 # Record the bench line as this round's committed artifact. Written

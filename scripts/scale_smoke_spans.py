@@ -28,6 +28,7 @@ from pyspark.sql import functions as F  # noqa: E402
 from scala_data_pipeline_spark.ext.dedup import (  # noqa: E402
     duplicated_spans,
     excise_duplicated_spans,
+    excise_duplicated_spans_intervals,
 )
 from scala_data_pipeline_spark.session import get_session  # noqa: E402
 from scripts.scale_smoke_pairs import dense_corpus, timed  # noqa: E402
@@ -77,6 +78,19 @@ def main() -> None:
                     .agg(F.sum("n_removed"))
                     .first()[0],
                 ),
+            )[1],
+        )
+
+        # Round-13: the intervals-only cut plan (no reassembled text) —
+        # the scale-path output; its time vs the full-text form isolates
+        # how much of excise's cost is pure output width.
+        report["t_excise_intervals"], report["n_docs_cut_iv"] = timed(
+            "excise_duplicated_spans_intervals",
+            lambda: (
+                excise_duplicated_spans_intervals(corpus)
+                .write.mode("overwrite")
+                .parquet(f"{tmp}/excised_iv"),
+                spark.read.parquet(f"{tmp}/excised_iv").count(),
             )[1],
         )
 
