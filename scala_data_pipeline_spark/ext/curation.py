@@ -921,3 +921,147 @@ SELECT source, score,
        ROUND(calibrated, 6) AS calibrated_score
 FROM filled WHERE kind = 'B'
 """
+
+
+# ---------------------------------------------------------------------------
+# UniMax language-balanced budget allocation
+# ---------------------------------------------------------------------------
+
+
+def unimax_allocation(
+    docs: DataFrame,
+    budget_factor: float = 1.5,
+    max_epochs: float = 2.0,
+    lang_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """UniMax budget allocation (Chung et al., "UniMax: Fairer and More
+    Effective Language Sampling for Large-Scale Multilingual
+    Pretraining", ICLR 2023): split a total token budget across
+    languages as UNIFORMLY as possible subject to a per-language cap of
+    ``max_epochs`` repetitions of its corpus — the published fix for
+    temperature sampling's head-language bias and tail-language
+    over-epoching.
+
+    Closed form instead of the paper's iterative loop: water-filling
+    over capacities is prefix-monotone once languages are sorted by
+    capacity ascending (if a language's capacity exceeds the uniform
+    share of the remaining budget, so does every larger one), so the
+    capped set is the longest prefix with
+    ``c_i * (L - i + 1) <= B - cumsum_{j<i}(c_j)`` and every uncapped
+    language gets ``(B - cumsum_capped) / n_uncapped`` — two window
+    passes over the LANGUAGE grain (~10 rows regardless of corpus
+    size; the only corpus work is one token-count scan).
+
+    The budget is RELATIONAL — ``budget_factor`` x the corpus's total
+    token count, computed in the same window pass — so one static
+    DuckDB twin holds at every scale factor (an absolute budget would
+    bake a fixture size into the oracle string).
+
+    Returns (lang, n_tokens, capacity, alloc_tokens, epochs, capped),
+    alloc summing to min(budget, total capacity).
+    """
+    n_tok = F.size(F.filter(F.split(F.col(text_col), " "), lambda x: x != ""))
+    grain = (
+        fan_out(docs)
+        .groupBy(lang_col)
+        .agg(F.sum(n_tok.cast("long")).cast("long").alias("n_tokens"))
+        .withColumn(
+            "capacity", F.col("n_tokens").cast("double") * F.lit(max_epochs)
+        )
+    )
+    w_ord = Window.orderBy("capacity", lang_col)
+    w_all = w_ord.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = grain.select(
+        F.col(lang_col).alias("lang"),
+        "n_tokens",
+        "capacity",
+        F.row_number().over(w_ord).alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("L"),
+        F.sum("capacity").over(w_cum).alias("cum"),
+        (
+            F.sum("n_tokens").over(w_all).cast("double")
+            * F.lit(float(budget_factor))
+        ).alias("_b"),
+    )
+    b = F.col("_b")
+    fits = (
+        F.col("capacity") * (F.col("L") - F.col("rn") + 1)
+        <= b - (F.col("cum") - F.col("capacity"))
+    )
+    flagged = ranked.withColumn("_fits", fits)
+    # longest capped prefix: k = min(rn where NOT fits) - 1, else L
+    k = F.coalesce(
+        F.min(F.when(~F.col("_fits"), F.col("rn"))).over(w_all) - 1,
+        F.col("L"),
+    )
+    cum_k = F.coalesce(
+        F.max(F.when(F.col("rn") <= k, F.col("cum"))).over(w_all), F.lit(0.0)
+    )
+    alloc = F.when(F.col("rn") <= k, F.col("capacity")).otherwise(
+        (b - cum_k) / (F.col("L") - k)
+    )
+    return flagged.select(
+        "lang",
+        "n_tokens",
+        "capacity",
+        F.round(alloc, 4).alias("alloc_tokens"),
+        F.round(alloc / F.col("n_tokens"), 6).alias("epochs"),
+        (F.col("rn") <= k).alias("capped"),
+    )
+
+
+def unimax_allocation_sql(
+    budget_factor: float = 1.5,
+    max_epochs: float = 2.0,
+    lang_col: str = "lang",
+    text_col: str = "text",
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`unimax_allocation` — identical capacity
+    arithmetic, prefix test, and uniform-share division."""
+    n_tok = (
+        f"len(list_filter(string_split({text_col}, ' '), x -> x <> ''))"
+    )
+    return f"""
+WITH grain AS (
+  SELECT {lang_col} AS lang,
+         CAST(SUM(CAST({n_tok} AS BIGINT)) AS BIGINT) AS n_tokens
+  FROM {table} GROUP BY 1
+), ranked AS (
+  SELECT lang, n_tokens,
+         CAST(n_tokens AS DOUBLE) * {max_epochs} AS capacity,
+         ROW_NUMBER() OVER (ORDER BY CAST(n_tokens AS DOUBLE) * {max_epochs}, lang) AS rn,
+         COUNT(*) OVER () AS L,
+         SUM(CAST(n_tokens AS DOUBLE) * {max_epochs}) OVER (
+           ORDER BY CAST(n_tokens AS DOUBLE) * {max_epochs}, lang
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         CAST(SUM(n_tokens) OVER () AS DOUBLE) * {float(budget_factor)} AS _b
+  FROM grain
+), flagged AS (
+  SELECT *,
+         capacity * (L - rn + 1) <= _b - (cum - capacity)
+           AS _fits
+  FROM ranked
+), kk AS (
+  SELECT *,
+         COALESCE(MIN(CASE WHEN NOT _fits THEN rn END) OVER () - 1, L) AS k
+  FROM flagged
+), ck AS (
+  SELECT *,
+         COALESCE(MAX(CASE WHEN rn <= k THEN cum END) OVER (), 0.0) AS cum_k
+  FROM kk
+)
+SELECT lang, n_tokens, capacity,
+       ROUND(CASE WHEN rn <= k THEN capacity
+                  ELSE (_b - cum_k) / (L - k) END,
+             4) AS alloc_tokens,
+       ROUND(CASE WHEN rn <= k THEN capacity
+                  ELSE (_b - cum_k) / (L - k) END
+             / n_tokens, 6) AS epochs,
+       rn <= k AS capped
+FROM ck
+"""

@@ -472,3 +472,29 @@ def _dsir_sample_oracle() -> str:
 # item — Gumbel-top-k selection, never driver-checked, full oracle).
 QUERIES["curation_dsir_sample"] = curation_dsir_sample
 ORACLES["curation_dsir_sample"] = _dsir_sample_oracle()
+
+
+def curation_unimax_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax (Chung et al. 2023) language-balanced budget allocation:
+    water-filling a 1.5x-corpus token budget across languages with a
+    2-epoch per-language cap — closed form over the ~5-language grain
+    (two window passes on a bounded frame; one corpus token-count
+    scan). At the fixture's distribution the four tail languages cap
+    at 2 epochs and en absorbs the remainder."""
+    from ..ext.curation import unimax_allocation
+
+    return unimax_allocation(
+        load_table(spark, sf_dir, "documents"),
+        budget_factor=1.5,
+        max_epochs=2.0,
+    )
+
+
+def _unimax_oracle() -> str:
+    from ..ext.curation import unimax_allocation_sql
+
+    return unimax_allocation_sql(budget_factor=1.5, max_epochs=2.0)
+
+
+EXTRA_QUERIES["curation_unimax_alloc"] = curation_unimax_alloc
+EXTRA_ORACLES["curation_unimax_alloc"] = _unimax_oracle()

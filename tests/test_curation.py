@@ -224,3 +224,32 @@ def test_score_calibration_properties(spark, sf_dir):
         calibs = [r.calibrated_score for r in rs]
         assert calibs == sorted(calibs), src  # monotone mapping
         assert rs[-1].src_ecdf == 1.0  # top score maps the full mass
+
+
+def test_unimax_allocation_invariants(spark, sf_dir):
+    """UniMax water-filling contracts (Chung et al. 2023): no language
+    exceeds its epoch cap; the allocation exhausts min(budget, total
+    capacity); every uncapped language receives the SAME uniform share,
+    and that share is >= every capped language's capacity (otherwise
+    the cap should not have bound)."""
+    from scala_data_pipeline_spark.ext.curation import unimax_allocation
+    from scala_data_pipeline_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = unimax_allocation(docs, budget_factor=1.5, max_epochs=2.0).collect()
+    assert rows
+    total_tokens = sum(r.n_tokens for r in rows)
+    budget = 1.5 * total_tokens
+    total_cap = sum(r.capacity for r in rows)
+    for r in rows:
+        assert r.alloc_tokens <= r.capacity + 1e-6, r
+        assert r.epochs <= 2.0 + 1e-9, r
+        assert (r.alloc_tokens == r.capacity) == bool(r.capped) or not r.capped
+    assert abs(sum(r.alloc_tokens for r in rows) - min(budget, total_cap)) < 1.0
+    uncapped = [r.alloc_tokens for r in rows if not r.capped]
+    if uncapped:
+        assert max(uncapped) - min(uncapped) < 1e-4
+        share = uncapped[0]
+        for r in rows:
+            if r.capped:
+                assert r.capacity <= share + 1e-4, r

@@ -39,6 +39,8 @@ GLOBAL_WINDOW_ALLOWED: dict[str, str] = {
     "backlog_open_lineitems": "cumulative window over the DAY grain",
     "benford_prices": "rank over the 9-digit leading-digit axis",
     "curation_mixture_sample": "cumulative quota over the ~20-source axis",
+    "curation_unimax_alloc": "water-filling windows over the ~5-language "
+    "axis (the corpus only contributes one token-count scan)",
     "curation_time_split": "split boundary over the DAY grain",
     "cusum_revenue_shift": "cumulative CUSUM over the DAY grain",
     "dow_seasonality": "window over the 7-row day-of-week axis",
