@@ -220,3 +220,65 @@ EXTRA_QUERIES["drop_duplicates_subset"] = drop_duplicates_subset
 EXTRA_ORACLES["drop_duplicates_subset"] = DROP_DUP_ORACLE
 EXTRA_QUERIES["global_sort"] = global_sort
 EXTRA_ORACLES["global_sort"] = GLOBAL_SORT_ORACLE
+
+
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (``eqNullSafe`` / SQL ``<=>``): events carry
+    NULL user_ids (anonymous traffic), and a plain equi-join silently
+    drops them when enriching events with per-user aggregates — the
+    null-safe key matches the NULL group to the NULL bucket instead,
+    conserving every row. No other registry query plans a null-safe
+    join key. Output: per user-bucket event count with its enrichment
+    count cross-checked (equal iff no row was dropped), NULL bucket
+    included.
+
+    Plan: one shuffle to the per-user grain, then the null-safe join is
+    a plain hash join on a coalesced key internally — same cost class
+    as the equi-join that would have been wrong.
+    """
+    # The fixture's user_id is never NULL, so anonymous traffic is
+    # PLANTED deterministically (user_id % 7 = 0 -> NULL; same
+    # expression in the oracle) — otherwise a plain equi-join would
+    # pass this query and the null-safe semantics would be untested.
+    events = load_table(spark, sf_dir, "events").select(
+        F.when(F.col("user_id") % 7 != 0, F.col("user_id")).alias(
+            "user_id"
+        ),
+        "event_id",
+    )
+    stats = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events")
+    )
+    joined = events.select("user_id", "event_id").join(
+        stats.withColumnRenamed("user_id", "uid"),
+        on=F.col("user_id").eqNullSafe(F.col("uid")),
+    )
+    return (
+        joined.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_joined"),
+            F.max("n_events").alias("n_events"),
+        )
+        .filter(F.col("user_id").isNull() | (F.col("user_id") < 20))
+        .select("user_id", "n_events", "n_joined")
+    )
+
+
+JOIN_NULL_SAFE_ORACLE = """
+WITH ev AS (
+  SELECT CASE WHEN user_id % 7 <> 0 THEN user_id END AS user_id, event_id
+  FROM events
+), stats AS (
+  SELECT user_id AS uid, CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM ev GROUP BY user_id
+)
+SELECT e.user_id,
+       MAX(s.n_events) AS n_events,
+       CAST(COUNT(*) AS BIGINT) AS n_joined
+FROM ev e JOIN stats s ON e.user_id IS NOT DISTINCT FROM s.uid
+WHERE e.user_id IS NULL OR e.user_id < 20
+GROUP BY e.user_id
+"""
+
+EXTRA_QUERIES["join_null_safe"] = join_null_safe
+EXTRA_ORACLES["join_null_safe"] = JOIN_NULL_SAFE_ORACLE

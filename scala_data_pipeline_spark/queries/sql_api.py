@@ -1035,3 +1035,50 @@ def sql_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EXTRA_QUERIES["sql_small_qty_revenue"] = sql_small_qty_revenue
 EXTRA_ORACLES["sql_small_qty_revenue"] = SQL_SMALL_QTY_REVENUE
+
+
+# TPC-DS Q36-shaped rollup ranking (round 13): ROLLUP over
+# (nation, order_year) with GROUPING()-derived level, then RANK and a
+# share-of-parent ratio WINDOWED WITHIN EACH ROLLUP LEVEL — the "rank
+# categories inside their hierarchy level" report every BI cube emits.
+# No other registry query composes grouping-set flags with windows over
+# the rollup output. Window partitions are bounded (level x nation:
+# <= 25 x years rows regardless of corpus). NULLS FIRST is explicit:
+# Spark defaults ASC to NULLS FIRST, DuckDB to NULLS LAST — the rollup
+# NULLs make the tiebreak engine-divergent without it.
+SQL_ROLLUP_RANK_SHARE = """
+WITH base AS (
+  SELECT n.n_name AS nation,
+         CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INTEGER) AS order_year,
+         o.o_totalprice AS price
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+), agg AS (
+  SELECT nation, order_year,
+         CAST(GROUPING(nation) * 2 + GROUPING(order_year) AS INTEGER)
+           AS lvl,
+         CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS rev
+  FROM base
+  GROUP BY ROLLUP(nation, order_year)
+)
+SELECT nation, order_year, lvl,
+       ROUND(rev, 2) AS rev,
+       CAST(RANK() OVER (
+         PARTITION BY lvl
+         ORDER BY rev DESC,
+                  nation ASC NULLS FIRST,
+                  order_year ASC NULLS FIRST) AS BIGINT) AS lvl_rank,
+       ROUND(rev / SUM(rev) OVER (PARTITION BY lvl, nation), 6)
+         AS share_of_parent
+FROM agg
+"""
+
+
+def sql_rollup_rank_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(SQL_ROLLUP_RANK_SHARE)
+
+
+EXTRA_QUERIES["sql_rollup_rank_share"] = sql_rollup_rank_share
+EXTRA_ORACLES["sql_rollup_rank_share"] = SQL_ROLLUP_RANK_SHARE

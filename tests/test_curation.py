@@ -253,3 +253,55 @@ def test_unimax_allocation_invariants(spark, sf_dir):
         for r in rows:
             if r.capped:
                 assert r.capacity <= share + 1e-4, r
+
+
+def test_unimax_closed_form_matches_iterative_reference(spark):
+    """The closed form's prefix-monotonicity claim, checked against the
+    paper's ITERATIVE water-filling on constructed corpora: all-capped
+    (budget >= total capacity), none-capped (uniform fits under every
+    cap), capacity ties, and a single language."""
+    from scala_data_pipeline_spark.ext.curation import unimax_allocation
+
+    def reference(n_tokens: dict, budget: float, max_epochs: float):
+        caps = {l: n * max_epochs for l, n in n_tokens.items()}
+        alloc = {}
+        remaining, langs = budget, sorted(caps)
+        while langs:
+            share = remaining / len(langs)
+            bound = [l for l in langs if caps[l] <= share]
+            if not bound:
+                for l in langs:
+                    alloc[l] = share
+                return alloc
+            for l in bound:
+                alloc[l] = caps[l]
+                remaining -= caps[l]
+            langs = [l for l in langs if l not in bound]
+        return alloc
+
+    cases = [
+        # (tokens per lang, budget_factor)
+        ({"a": 100, "b": 100, "c": 100}, 5.0),   # all capped
+        ({"a": 100, "b": 100, "c": 100}, 0.5),   # none capped (ties)
+        ({"a": 10, "b": 1000, "c": 100, "d": 10}, 1.5),
+        ({"only": 77}, 1.0),
+        ({"a": 1, "b": 2, "c": 4, "d": 8, "e": 16, "f": 10000}, 1.2),
+    ]
+    for tokens, factor in cases:
+        rows = [
+            (lang, " ".join(["w"] * n)) for lang, n in tokens.items()
+        ]
+        docs = spark.createDataFrame(rows, ["lang", "text"])
+        got = {
+            r.lang: r.alloc_tokens
+            for r in unimax_allocation(
+                docs, budget_factor=factor, max_epochs=2.0
+            ).collect()
+        }
+        budget = factor * sum(tokens.values())
+        want = reference(tokens, budget, 2.0)
+        assert set(got) == set(want), (tokens, factor)
+        for lang in want:
+            assert abs(got[lang] - want[lang]) < 1e-3, (
+                lang, got[lang], want[lang], tokens, factor,
+            )
