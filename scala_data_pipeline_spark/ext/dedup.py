@@ -778,6 +778,14 @@ def excise_duplicated_spans(
     document (no silent drops — untouched docs come back verbatim with
     n_removed = 0, house rule shared with segment_dedup).
 
+    NOT idempotent by design (round-13 fuzz finding, pinned in
+    tests/test_dedup_edges.py::test_excise_seam_duplicates_need_iteration):
+    cutting a span can make the residual document equal another
+    document ("seam" duplicates), which only a SECOND pass sees. This
+    matches the published ExactSubstr behavior — production runs
+    iterate to convergence, which is guaranteed (total tokens strictly
+    decrease while anything is removed).
+
     Scale shape: duplicated_spans' plan plus ONE row_number window on
     the span digest (uniform md5 key, skew-free) for keeper election
     and ONE left join of the corpus against its per-doc interval lists

@@ -394,3 +394,82 @@ def test_contrastive_triplets_parity_on_edge_docs(spark):
     # candidates (including the empty-doc pair) rank as hard negatives.
     anchors = {t[0] for t in got}
     assert anchors == {2, 3}
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_WORDS = st.lists(
+    st.sampled_from(["a", "b", "c"]), min_size=0, max_size=12
+).map(" ".join)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(_WORDS, min_size=1, max_size=8))
+def test_span_family_fuzz(spark, texts):
+    """Random tiny-alphabet corpora at k=3: (1) the intervals form and
+    the full-text form agree on which docs are cut and by how much;
+    (2) every document comes back from excise exactly once; (3) token
+    conservation: n_tokens - n_removed == len(dedup_text tokens); (4)
+    excise is a fixed point (a second pass removes nothing)."""
+    from scala_data_pipeline_spark.ext.dedup import (
+        excise_duplicated_spans,
+        excise_duplicated_spans_intervals,
+    )
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), ["doc_id", "text"]
+    )
+    out = excise_duplicated_spans(docs, k=3).collect()
+    assert sorted(r.doc_id for r in out) == list(range(len(texts)))
+    for r in out:
+        kept = [t for t in r.dedup_text.split(" ") if t]
+        assert r.n_tokens - r.n_removed == len(kept), r
+    full = {r.doc_id: (r.n_tokens, r.n_removed) for r in out if r.n_removed > 0}
+    ivs = {
+        r.doc_id: (r.n_tokens, r.n_removed)
+        for r in excise_duplicated_spans_intervals(docs, k=3).collect()
+    }
+    assert ivs == full
+    # NOT a fixed point in general — excision can create NEW seam
+    # duplicates (see test_excise_seam_duplicates_need_iteration) — but
+    # it must CONVERGE: total tokens strictly decrease while anything
+    # is removed, so iterating terminates.
+    cur = [(r.doc_id, r.dedup_text) for r in out]
+    for _ in range(12):
+        again = excise_duplicated_spans(
+            spark.createDataFrame(cur, ["doc_id", "text"]), k=3
+        ).collect()
+        if all(r.n_removed == 0 for r in again):
+            break
+        cur = [(r.doc_id, r.dedup_text) for r in again]
+    else:
+        raise AssertionError("excise did not converge in 12 passes")
+
+
+def test_excise_seam_duplicates_need_iteration(spark):
+    """Excision is deliberately NOT idempotent (round-13 fuzz finding,
+    pinned): cutting a span can make the cut doc's residual equal
+    another document ("seam" duplicates), which only the NEXT pass
+    sees — matching Lee et al. 2021, where dedup is run to
+    convergence. Here doc1 loses 'X Y Z' (kept by doc0), its residual
+    becomes doc2's exact text, and pass 2 excises doc2."""
+    from scala_data_pipeline_spark.ext.dedup import excise_duplicated_spans
+
+    rows = [(0, "X Y Z"), (1, "a b X Y Z c d"), (2, "a b c d")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    p1 = {r.doc_id: r for r in excise_duplicated_spans(docs, k=3).collect()}
+    assert p1[1].dedup_text == "a b c d" and p1[1].n_removed == 3
+    assert p1[2].n_removed == 0
+    second = spark.createDataFrame(
+        [(d, r.dedup_text) for d, r in p1.items()], ["doc_id", "text"]
+    )
+    p2 = {r.doc_id: r for r in excise_duplicated_spans(second, k=3).collect()}
+    assert p2[2].n_removed == 4 and p2[2].dedup_text == ""  # seam caught
+    third = spark.createDataFrame(
+        [(d, r.dedup_text) for d, r in p2.items()], ["doc_id", "text"]
+    )
+    assert all(
+        r.n_removed == 0
+        for r in excise_duplicated_spans(third, k=3).collect()
+    )  # converged
