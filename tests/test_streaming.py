@@ -290,6 +290,45 @@ def test_streaming_dedup_with_watermark(spark, sf_dir, events_stream_dir):
     assert got <= want
 
 
+def test_streaming_drop_duplicates_within_watermark(
+    spark, sf_dir, ordered_events_dir
+):
+    """dropDuplicatesWithinWatermark (Spark 3.5+): unlike plain
+    dropDuplicates — which keys state forever within the job — this
+    dedups only occurrences whose event times land within the watermark
+    delay of each other, and may legitimately re-emit a key later.
+    Ordered arrival (the append-mode fixture) matters: under
+    out-of-order input the operator DROPS late events outright (first
+    sightings included), which the unordered twin of this test
+    confirmed. Contract checked here: with in-order arrival and unique
+    fixture ids, every id is emitted exactly once."""
+    batch_events = load_table(spark, sf_dir, "events")
+
+    def dedup(sdf):
+        return (
+            sdf.withWatermark("ts", "2 hours")
+            .dropDuplicatesWithinWatermark(["event_id"])
+            .select("event_id")
+        )
+
+    got_df = _run_stream(
+        spark,
+        ordered_events_dir,
+        batch_events.schema,
+        dedup,
+        mode="append",
+        name="dedup_within_wm_stream",
+    )
+    arrived = {
+        r.event_id
+        for r in batch_events.select("event_id").distinct().collect()
+    }
+    emitted = got_df.groupBy("event_id").count().collect()
+    assert {r.event_id for r in emitted} == arrived  # none vanish
+    # fixture event_ids are unique, so nothing may be emitted twice
+    assert all(r["count"] == 1 for r in emitted)
+
+
 def test_rate_source_windowed_agg(spark, tmp_path):
     """Built-in rate source (timestamp, value) — the jar-free streaming
     source for load/throughput tests; drives the same windowed-agg
