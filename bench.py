@@ -47,6 +47,12 @@ def main() -> None:
         from scala_data_pipeline_spark.queries import extra_queries
 
         eq = extra_queries()
+        unknown = [n for n in extra_names if n not in eq]
+        if unknown:
+            raise SystemExit(
+                f"SPARK_GRAFT_BENCH_EXTRAS names not in extra_queries():"
+                f" {unknown} (did a rotation rename them?)"
+            )
         for n in extra_names:
             queries[n] = eq[n]
     names = [n for n in HEADLINE if n in queries]
@@ -109,7 +115,13 @@ def main() -> None:
         timings[name] = min(reps)
         runs[name] = reps
 
-    total = round(sum(timings.values()), 3)
+    # Extras stay OUT of the headline total (round-13 review finding:
+    # an artifact recorded with extras would otherwise read as a
+    # regression against a no-extras round); their per-query rows stay
+    # in "queries"/"runs" for the scaling report.
+    total = round(
+        sum(t for n, t in timings.items() if n not in extra_names), 3
+    )
     # Spread diagnostic (round-12 verdict item 2): how noisy was this
     # reading? max over queries of (max-min)/min, plus the total of the
     # worst rep — gate readings should agree on "queries" (min-of-3)
@@ -137,6 +149,9 @@ def main() -> None:
                 # artifact itself instead of a re-measurement round.
                 "runs": runs,
                 "max_spread_pct": spread_pct,
+                # which queries rode along via SPARK_GRAFT_BENCH_EXTRAS
+                # (excluded from "value"); [] on a plain driver run
+                "extras": extra_names,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

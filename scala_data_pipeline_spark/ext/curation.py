@@ -964,19 +964,23 @@ def unimax_allocation(
     n_tok = F.size(F.filter(F.split(F.col(text_col), " "), lambda x: x != ""))
     grain = (
         fan_out(docs)
-        .groupBy(lang_col)
+        .groupBy(F.col(lang_col).alias("lang"))
         .agg(F.sum(n_tok.cast("long")).cast("long").alias("n_tokens"))
         .withColumn(
             "capacity", F.col("n_tokens").cast("double") * F.lit(max_epochs)
         )
     )
-    w_ord = Window.orderBy("capacity", lang_col)
+    # Alias to "lang" BEFORE any window: the later k/cum_k windows
+    # reuse this ordering, and the source column name no longer exists
+    # after the select (a non-default lang_col crashed them, round-13
+    # review finding).
+    w_ord = Window.orderBy("capacity", "lang")
     w_all = w_ord.rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
     w_cum = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     ranked = grain.select(
-        F.col(lang_col).alias("lang"),
+        "lang",
         "n_tokens",
         "capacity",
         F.row_number().over(w_ord).alias("rn"),

@@ -644,6 +644,73 @@ FROM ranked GROUP BY doc_id
 SPAN_TOKENS = 10
 
 
+def _span_exprs(text_col: str, k: int):
+    """Shared column expressions for the span family: the filtered
+    token array, its size, and the (pos, md5(k-gram)) struct array.
+    sequence(1, n) with n < 1 would generate a DESCENDING range, so
+    short documents yield an empty position array explicitly."""
+    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    n_toks = F.size(toks)
+    positions = F.when(
+        n_toks >= k, F.sequence(F.lit(1), n_toks - F.lit(k - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    spans = F.transform(
+        positions,
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.md5(F.array_join(F.slice(toks, i, k), " ")).alias("g"),
+        ),
+    )
+    return toks, n_toks, spans
+
+
+def _cross_doc_hits(
+    grams: DataFrame, min_docs: int, losers_only: bool
+) -> DataFrame:
+    """The span family's ONE window pass over the span digest, shared
+    by duplicated_spans / excise_duplicated_spans /
+    excise_duplicated_spans_intervals so the three forms cannot
+    diverge (round-13 review finding — the spill fix below had been
+    hand-copied to three sites).
+
+    Cross-document test: min(doc_id) != max(doc_id) over the span's
+    occurrences for the default min_docs=2 (constant memory); for
+    min_docs > 2 a dense_rank over (g, doc_id) + frame-max counts
+    distinct docs with constant-size aggregation buffers — NEVER
+    collect_set over the window, whose buffer would be corpus-scale
+    for a corpus-wide boilerplate span and cannot spill.
+
+    ``losers_only``: additionally elect the corpus-wide FIRST
+    occurrence (row_number over (g ORDER BY doc_id, pos)) as keeper
+    and return only the non-keeper hit positions.
+    """
+    w_g = Window.partitionBy("g").orderBy("doc_id", "pos")
+    w_all = w_g.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    if min_docs == 2:
+        out = grams.withColumn(
+            "_x",
+            F.min("doc_id").over(w_all) != F.max("doc_id").over(w_all),
+        )
+    else:
+        w_docs = Window.partitionBy("g").orderBy("doc_id")
+        out = (
+            grams.withColumn("_dr", F.dense_rank().over(w_docs))
+            .withColumn("_x", F.max("_dr").over(w_all) >= min_docs)
+            .drop("_dr")
+        )
+    if losers_only:
+        out = (
+            out.withColumn("rn", F.row_number().over(w_g))
+            .filter((F.col("rn") > 1) & F.col("_x"))
+            .drop("rn")
+        )
+    else:
+        out = out.filter(F.col("_x"))
+    return out.drop("_x")
+
+
 def duplicated_spans(
     docs: DataFrame,
     text_col: str = "text",
@@ -676,20 +743,7 @@ def duplicated_spans(
     the DuckDB oracle computes byte-identical keys; production would
     swap in xxhash64 (same plan, half the shuffle bytes).
     """
-    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
-    n_toks = F.size(toks)
-    # sequence(1, n) with n < 1 would generate a DESCENDING range, so
-    # short documents must yield an empty position array explicitly.
-    positions = F.when(
-        n_toks >= k, F.sequence(F.lit(1), n_toks - F.lit(k - 1))
-    ).otherwise(F.array().cast("array<int>"))
-    spans = F.transform(
-        positions,
-        lambda i: F.struct(
-            i.alias("pos"),
-            F.md5(F.array_join(F.slice(toks, i, k), " ")).alias("g"),
-        ),
-    )
+    _, n_toks, spans = _span_exprs(text_col, k)
     grams = (
         fan_out(docs)
         .select(
@@ -701,38 +755,9 @@ def duplicated_spans(
     )
     # Duplication test via ONE window pass over g instead of a
     # groupBy-then-join (round 12: the join form computed the corpus
-    # k-gram md5 twice — each branch re-scanned the corpus). For the
-    # default min_docs=2 the cross-document test is min(doc_id) !=
-    # max(doc_id) over the span's occurrences (constant memory);
-    # higher thresholds pay a bounded collect_set — distinct docs per
-    # span — on the non-default path.
-    w_gall = (
-        Window.partitionBy("g")
-        .orderBy("doc_id", "pos")
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    )
-    if min_docs == 2:
-        cross_doc = F.min("doc_id").over(w_gall) != F.max("doc_id").over(
-            w_gall
-        )
-        hits = (
-            grams.withColumn("_x", cross_doc).filter(F.col("_x")).drop("_x")
-        )
-    else:
-        # Distinct-doc count WITHOUT collect_set (round 13, advisor):
-        # a corpus-wide boilerplate span would make the per-span
-        # distinct-doc set corpus-scale, and window aggregation buffers
-        # do not spill. dense_rank over (g ORDER BY doc_id) numbers the
-        # distinct doc_ids 1..D with a constant-size buffer; max of
-        # that rank over the full frame is D. Rows still ride the same
-        # single shuffle on g (doc_id is a prefix of w_gall's order).
-        w_docs = Window.partitionBy("g").orderBy("doc_id")
-        hits = (
-            grams.withColumn("_dr", F.dense_rank().over(w_docs))
-            .withColumn("_nd", F.max("_dr").over(w_gall))
-            .filter(F.col("_nd") >= min_docs)
-            .drop("_dr", "_nd")
-        )
+    # k-gram md5 twice — each branch re-scanned the corpus); shared
+    # core in _cross_doc_hits.
+    hits = _cross_doc_hits(grams, min_docs, losers_only=False)
     w = Window.partitionBy("doc_id").orderBy("pos")
     # Two length-k spans at p1 < p2 cover a contiguous token range iff
     # p2 <= p1 + k; a larger gap starts a new island.
@@ -792,57 +817,17 @@ def excise_duplicated_spans(
     (equi-join on doc_id). The token-level cut is a per-row lambda over
     (token, interval-list) — no shuffle of its own.
     """
-    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
-    n_toks = F.size(toks)
-    positions = F.when(
-        n_toks >= k, F.sequence(F.lit(1), n_toks - F.lit(k - 1))
-    ).otherwise(F.array().cast("array<int>"))
-    spans = F.transform(
-        positions,
-        lambda i: F.struct(
-            i.alias("pos"),
-            F.md5(F.array_join(F.slice(toks, i, k), " ")).alias("g"),
-        ),
-    )
+    toks, _, spans = _span_exprs(text_col, k)
     base = fan_out(docs).select("doc_id", toks.alias("toks"), spans.alias("spans"))
     grams = base.select("doc_id", F.explode("spans").alias("s")).select(
         "doc_id", "s.pos", "s.g"
     )
     # Duplication test + keeper election in ONE window pass over g
     # (round 12: the groupBy-then-join form computed the corpus k-gram
-    # md5 TWICE — the aggregate branch and the join branch each
-    # re-scanned the corpus; plan showed 3 scans / 6 md5 sites). The
-    # cross-document test for the default min_docs=2 is min(doc_id) !=
-    # max(doc_id) over the span's occurrences — constant memory per
-    # partition; higher thresholds pay a bounded collect_set (distinct
-    # docs per span), the non-default path.
-    w_g = Window.partitionBy("g").orderBy("doc_id", "pos")
-    w_g_all = w_g.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    # Keeper election: the corpus-wide first occurrence of each span
-    # survives; only NON-keeper occurrences generate cut intervals.
-    if min_docs == 2:
-        cross_doc = F.min("doc_id").over(w_g_all) != F.max("doc_id").over(
-            w_g_all
-        )
-        losers = (
-            grams.withColumn("rn", F.row_number().over(w_g))
-            .withColumn("_x", cross_doc)
-            .filter((F.col("rn") > 1) & F.col("_x"))
-        )
-    else:
-        # Same spill-safe distinct-doc count as duplicated_spans
-        # (dense_rank + frame-max, never collect_set over the window):
-        # constant aggregation buffers even for a corpus-wide hot span.
-        w_docs = Window.partitionBy("g").orderBy("doc_id")
-        losers = (
-            grams.withColumn("rn", F.row_number().over(w_g))
-            .withColumn("_dr", F.dense_rank().over(w_docs))
-            .withColumn("_nd", F.max("_dr").over(w_g_all))
-            .filter((F.col("rn") > 1) & (F.col("_nd") >= min_docs))
-            .drop("_dr", "_nd")
-        )
+    # md5 TWICE); shared core in _cross_doc_hits — the corpus-wide
+    # first occurrence of each span survives, only NON-keeper
+    # occurrences generate cut intervals.
+    losers = _cross_doc_hits(grams, min_docs, losers_only=True)
     w_d = Window.partitionBy("doc_id").orderBy("pos")
     prev = F.lag("pos").over(w_d)
     island = F.sum(
@@ -911,18 +896,7 @@ def excise_duplicated_spans_intervals(
     islands, one groupBy — and NO corpus-wide base join, NO token
     arrays carried past the explode.
     """
-    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
-    n_toks = F.size(toks)
-    positions = F.when(
-        n_toks >= k, F.sequence(F.lit(1), n_toks - F.lit(k - 1))
-    ).otherwise(F.array().cast("array<int>"))
-    spans = F.transform(
-        positions,
-        lambda i: F.struct(
-            i.alias("pos"),
-            F.md5(F.array_join(F.slice(toks, i, k), " ")).alias("g"),
-        ),
-    )
+    _, n_toks, spans = _span_exprs(text_col, k)
     grams = (
         fan_out(docs)
         .select(
@@ -932,28 +906,7 @@ def excise_duplicated_spans_intervals(
         )
         .select("doc_id", "n_tokens", "s.pos", "s.g")
     )
-    w_g = Window.partitionBy("g").orderBy("doc_id", "pos")
-    w_g_all = w_g.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    if min_docs == 2:
-        cross_doc = F.min("doc_id").over(w_g_all) != F.max("doc_id").over(
-            w_g_all
-        )
-        losers = (
-            grams.withColumn("rn", F.row_number().over(w_g))
-            .withColumn("_x", cross_doc)
-            .filter((F.col("rn") > 1) & F.col("_x"))
-        )
-    else:
-        w_docs = Window.partitionBy("g").orderBy("doc_id")
-        losers = (
-            grams.withColumn("rn", F.row_number().over(w_g))
-            .withColumn("_dr", F.dense_rank().over(w_docs))
-            .withColumn("_nd", F.max("_dr").over(w_g_all))
-            .filter((F.col("rn") > 1) & (F.col("_nd") >= min_docs))
-            .drop("_dr", "_nd")
-        )
+    losers = _cross_doc_hits(grams, min_docs, losers_only=True)
     w_d = Window.partitionBy("doc_id").orderBy("pos")
     prev = F.lag("pos").over(w_d)
     island = F.sum(

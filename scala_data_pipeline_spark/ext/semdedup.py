@@ -235,6 +235,17 @@ def semantic_dedup_k1_exact(
     )
     thresh = 1.0 - eps
 
+    def round6(x: float) -> float:
+        # HALF-AWAY-FROM-ZERO at 6dp, mirroring DuckDB's ROUND on
+        # DOUBLE (std::round(x*1e6)/1e6). Python's round() is
+        # banker's (half-to-even) and disagrees on representable
+        # midpoints: round(0.0078125, 6) == 0.007812 but DuckDB gives
+        # 0.007813 (round-13 review finding) — a midpoint straddling
+        # 1-eps would silently flip a keep decision vs the oracle.
+        import math
+
+        return math.copysign(math.floor(abs(x) * 1e6 + 0.5) / 1e6, x)
+
     def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["centroid_sim", "vec_id"]).reset_index(
             drop=True
@@ -254,7 +265,7 @@ def semantic_dedup_k1_exact(
                 for d in range(mat.shape[1]):
                     acc += kb[:, d] * mat[i, d]
                 sims = [
-                    round(float(a / (norms[j] * norms[i])), 6)
+                    round6(float(a / (norms[j] * norms[i])))
                     for a, j in zip(acc, kept_idx)
                 ]
                 best = max(sims)

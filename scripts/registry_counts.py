@@ -46,8 +46,10 @@ def main() -> None:
     if "--check" in sys.argv:
         readme = open("/root/repo/README.md").read()
         pats = [
+            rf"\b{c['driver']} driver-checked queries\b",
             rf"\b{c['extras']} extras\b",
             rf"\b{c['extras_oracled']} with oracle",
+            rf"\b{c['rows_only']} rows-only extras\b",
         ]
         missing = [p for p in pats if not re.search(p, readme)]
         if missing:

@@ -244,7 +244,8 @@ def test_unimax_allocation_invariants(spark, sf_dir):
     for r in rows:
         assert r.alloc_tokens <= r.capacity + 1e-6, r
         assert r.epochs <= 2.0 + 1e-9, r
-        assert (r.alloc_tokens == r.capacity) == bool(r.capped) or not r.capped
+        if r.capped:
+            assert r.alloc_tokens == round(r.capacity, 4), r
     assert abs(sum(r.alloc_tokens for r in rows) - min(budget, total_cap)) < 1.0
     uncapped = [r.alloc_tokens for r in rows if not r.capped]
     if uncapped:
