@@ -1065,3 +1065,82 @@ contribs AS (
 )
 SELECT query_id, rank, vec_id, rrf_score FROM ranked WHERE rank <= {topk}
 """
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    bench: DataFrame,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """SEMANTIC decontamination: flag every corpus vector whose cosine
+    to ANY benchmark/eval vector is >= ``threshold`` — the
+    embedding-space complement of ``curation.decontaminate`` (n-gram
+    overlap), catching paraphrased or re-worded eval leakage that
+    shares no verbatim n-gram (the published failure mode n-gram
+    decontamination misses; cf. the contamination analyses in GPT-3
+    Appendix C and subsequent replication studies).
+
+    Returns (vec_id, nearest_bench, max_cos, contaminated) for every
+    corpus vector — callers drop ``contaminated`` rows or route them
+    to review.
+
+    Scale shape: eval sets are small by definition, so ``bench`` is
+    BROADCAST (k rows x dim doubles) and the corpus scan is
+    shuffle-free — one map-side max over the k benchmark cosines per
+    corpus row, exactly the decontaminate-by-broadcast shape of the
+    n-gram form. No pair materialization survives the scan (the
+    aggregate folds it).
+    """
+    c = prep_vectors(fan_out(corpus))
+    b = prep_vectors(bench).select(
+        F.col("vec_id").alias("bench_id"),
+        F.col("emb_r").alias("b_emb"),
+        F.col("emb_norm").alias("b_norm"),
+    )
+    scored = c.crossJoin(F.broadcast(b)).select(
+        "vec_id",
+        "bench_id",
+        cosine_prepped(
+            F.col("emb_r"), F.col("emb_norm"), F.col("b_emb"), F.col("b_norm")
+        ).alias("cos"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos").desc(), F.col("bench_id").asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "vec_id",
+            F.col("bench_id").alias("nearest_bench"),
+            F.col("cos").alias("max_cos"),
+            (F.col("cos") >= F.lit(threshold)).alias("contaminated"),
+        )
+    )
+
+
+def semantic_decontaminate_sql(
+    threshold: float = 0.4,
+    bench_pred: str = "vec_id < 25",
+    corpus_pred: str = "vec_id >= 25",
+) -> str:
+    """DuckDB twin of :func:`semantic_decontaminate` over an id-split
+    of the embeddings table."""
+    dot = DOT_PREPPED_SQL.format(a="c.emb_r", b="b.emb_r")
+    return f"""
+WITH prepped AS ({_prepped_cte()}),
+c AS (SELECT * FROM prepped WHERE {corpus_pred}),
+b AS (SELECT * FROM prepped WHERE {bench_pred}),
+scored AS (
+  SELECT c.vec_id, b.vec_id AS bench_id,
+         ROUND({dot} / (c.emb_norm * b.emb_norm), 6) AS cos
+  FROM c CROSS JOIN b
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY vec_id ORDER BY cos DESC, bench_id ASC) AS rn
+  FROM scored
+)
+SELECT vec_id, bench_id AS nearest_bench, cos AS max_cos,
+       cos >= {float(threshold)} AS contaminated
+FROM ranked WHERE rn = 1
+"""

@@ -498,3 +498,34 @@ def _unimax_oracle() -> str:
 
 EXTRA_QUERIES["curation_unimax_alloc"] = curation_unimax_alloc
 EXTRA_ORACLES["curation_unimax_alloc"] = _unimax_oracle()
+
+
+def curation_semantic_decon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space eval-leakage flags: corpus vectors (vec_id >=
+    25) vs the benchmark split (vec_id < 25, the BENCH_CUTOFF
+    precedent), broadcast-scored, max-cosine flagged at 0.4 (the
+    fixture's pairwise-cosine ceiling is ~0.51, so the threshold
+    actually bites). The semantic complement of
+    curation_decontaminate's n-gram overlap."""
+    from ..ext.similarity import semantic_decontaminate
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_decontaminate(
+        emb.filter(F.col("vec_id") >= BENCH_CUTOFF),
+        emb.filter(F.col("vec_id") < BENCH_CUTOFF),
+        threshold=0.4,
+    )
+
+
+def _semantic_decon_oracle() -> str:
+    from ..ext.similarity import semantic_decontaminate_sql
+
+    return semantic_decontaminate_sql(
+        threshold=0.4,
+        bench_pred=f"vec_id < {BENCH_CUTOFF}",
+        corpus_pred=f"vec_id >= {BENCH_CUTOFF}",
+    )
+
+
+EXTRA_QUERIES["curation_semantic_decon"] = curation_semantic_decon
+EXTRA_ORACLES["curation_semantic_decon"] = _semantic_decon_oracle()

@@ -33,6 +33,11 @@ BNLJ_ALLOWED = {
     "sim_rrf_fusion",
     "sim_topk_bruteforce",
     "sim_topk_quantized",
+    # curation_semantic_decon broadcasts the BENCHMARK split (25 rows
+    # at the fixture; eval sets are small by definition) onto the
+    # corpus scan — the decontaminate-by-broadcast shape
+    # (ext/similarity.py semantic_decontaminate docstring).
+    "curation_semantic_decon",
     # sql_rfm_segments broadcasts two one-row frames (the anchor date
     # and the six tercile cuts) onto per-user stats — the documented
     # tiny-broadcast pattern (see the query's comment in sql_api.py).
