@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..ext.dedup import content_digest, exact_dedup_groups
+from .partial_store import per_batch_writer, read_partials
 
 _INDEX_SCHEMA = T.StructType(
     [
@@ -50,37 +51,29 @@ def dedup_append_sink(target_dir: str, text_col: str = "text"):
     count within the batch) — one code path, so the store can never
     drift from the batch semantics."""
 
-    def write_partials(batch_df: DataFrame, batch_id: int) -> None:
-        partials = exact_dedup_groups(batch_df, text_col=text_col).select(
+    def partials(batch_df: DataFrame) -> DataFrame:
+        return exact_dedup_groups(batch_df, text_col=text_col).select(
             "digest",
             F.col("keeper_id").cast("long").alias("keeper_id"),
             F.col("n_copies").cast("long").alias("n_copies"),
         )
-        partials.write.mode("overwrite").parquet(
-            f"{target_dir}/batch-{batch_id}"
-        )
 
-    return write_partials
-
-
-def _read_partials(spark: SparkSession, target_dir: str) -> DataFrame:
-    """All batch subdirs' partials; an absent or not-yet-written store
-    reads as EMPTY (the realistic startup state: the serving query can
-    run before the stream's first commit) rather than raising."""
-    try:
-        return (
-            spark.read.schema(_INDEX_SCHEMA)
-            .option("recursiveFileLookup", "true")
-            .parquet(target_dir)
-        )
-    except Exception:  # Path does not exist / no parquet files yet
-        return spark.createDataFrame([], _INDEX_SCHEMA)
+    return per_batch_writer(target_dir, partials)
 
 
 def merged_groups(spark: SparkSession, target_dir: str) -> DataFrame:
     """Merge-on-read: collapse per-batch digest fragments to the exact
-    full-history dedup groups (min keeper wins, copy counts add)."""
-    return _read_partials(spark, target_dir).groupBy("digest").agg(
+    full-history dedup groups (min keeper wins, copy counts add).
+
+    Reads via the shared ``partial_store.read_partials`` (round-13
+    review finding: the sink's private reader caught bare ``Exception``,
+    so a corrupt or unreadable store was indistinguishable from an
+    empty one and every historical duplicate flagged as novel — the
+    exact failure the round-11 shared helper exists to prevent; only a
+    not-yet-written store reads as empty now)."""
+    return read_partials(spark, target_dir, schema=_INDEX_SCHEMA).groupBy(
+        "digest"
+    ).agg(
         F.min("keeper_id").alias("keeper_id"),
         F.sum("n_copies").cast("long").alias("n_copies"),
     )

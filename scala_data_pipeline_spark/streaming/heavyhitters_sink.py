@@ -27,25 +27,23 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..ext.heavyhitters import M_COUNTERS, spacesaving_summaries
-from .partial_store import read_partials
+from .partial_store import per_batch_writer, read_partials
 
 
 def heavyhitters_append_sink(target_dir: str, m: int = M_COUNTERS):
     """``foreachBatch`` function: write this micro-batch's
     per-partition SpaceSaving summaries (tagged with the batch id)
-    into ``batch-{batch_id}/`` (overwrite → retry-idempotent; a
-    replayed append would double-count est/err AND inflate the
-    detection guarantee Σ n/m, see streaming/partial_store.py)."""
+    into ``batch-{batch_id}/`` via the shared per-batch writer
+    (retry-idempotent atomic install; a replayed append would
+    double-count est/err AND inflate the detection guarantee Σ n/m,
+    see streaming/partial_store.py)."""
 
-    def write_partials(batch_df: DataFrame, batch_id: int) -> None:
-        partials = spacesaving_summaries(batch_df, m).withColumn(
+    def summaries(batch_df: DataFrame, batch_id: int) -> DataFrame:
+        return spacesaving_summaries(batch_df, m).withColumn(
             "batch_id", F.lit(batch_id)
         )
-        partials.write.mode("overwrite").parquet(
-            f"{target_dir}/batch-{batch_id}"
-        )
 
-    return write_partials
+    return per_batch_writer(target_dir, summaries)
 
 
 def merged_heavy_hitters(

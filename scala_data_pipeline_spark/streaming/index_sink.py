@@ -93,15 +93,26 @@ def _recover_store(spark: SparkSession, target_dir: str) -> None:
         return
     old_p = hpath(target_dir.rstrip("/") + ".old")
     tmp_p = hpath(target_dir.rstrip("/") + ".compact-tmp")
+    # Two readers can race THIS recovery itself (round-13 review
+    # finding): the loser's rename returns False (source already moved)
+    # — benign iff the store now exists — and the tmp-install branch
+    # must re-check the target, because Hadoop rename moves a source
+    # INTO an existing destination directory, nesting a second copy of
+    # the segment that recursiveFileLookup would then double-count.
     if fs.exists(old_p):
-        if not fs.rename(old_p, tgt):
+        if not fs.rename(old_p, tgt) and not fs.exists(tgt):
             raise IOError(
                 f"index store recovery: could not restore {old_p} -> "
                 f"{target_dir}"
             )
         fs.delete(tmp_p, True)
     elif fs.exists(tmp_p):
-        if not fs.rename(tmp_p, tgt):
+        if fs.exists(tgt):
+            # a concurrent recoverer already restored the store; the
+            # .old winner path deletes the tmp, mirror that here
+            fs.delete(tmp_p, True)
+            return
+        if not fs.rename(tmp_p, tgt) and not fs.exists(tgt):
             raise IOError(
                 f"index store recovery: could not install {tmp_p} -> "
                 f"{target_dir}"

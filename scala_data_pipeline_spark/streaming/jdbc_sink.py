@@ -25,8 +25,6 @@ form.
 
 from __future__ import annotations
 
-import uuid
-
 from pyspark.sql import DataFrame, SparkSession
 
 from ..sources.connectors import jdbc_writer
@@ -54,12 +52,16 @@ def jdbc_upsert_sink(
     """Returns a ``foreachBatch`` function upserting each micro-batch
     into ``target`` keyed on ``key_cols``.
 
-    The default staging table name carries a per-sink random suffix so
-    two queries upserting into the SAME target cannot clobber each
-    other's staging rows mid-batch; pass ``staging`` explicitly to pin
-    a stable name (single-writer deployments that want restart reuse).
+    The default staging table is the STABLE ``{target}_staging`` —
+    restarts reuse (overwrite) it instead of minting a fresh
+    uuid-suffixed table per sink construction, which orphaned one
+    abandoned staging table per stream restart forever (round-13
+    review finding). The single-writer-per-target rule this implies is
+    the same one the delete+insert transaction already requires; TWO
+    queries upserting into the same target must pass distinct
+    ``staging`` names explicitly.
     """
-    staging = staging or f"{target}_staging_{uuid.uuid4().hex[:8]}"
+    staging = staging or f"{target}_staging"
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.columns:
@@ -77,17 +79,36 @@ def jdbc_upsert_sink(
                     f"CREATE TABLE {target} AS SELECT * FROM {staging}"
                     " WITH NO DATA"
                 )
-            except Exception:
-                conn.rollback()  # table exists — clear the failed DDL
+            except Exception as exc:
+                conn.rollback()  # clear the failed DDL
+                # ONLY "already exists" may continue (Derby SQLState
+                # X0Y32); lock timeouts, dropped connections, and auth
+                # failures must propagate — swallowing them proceeded
+                # into DELETE on a poisoned connection and surfaced an
+                # unrelated error (round-13 review finding).
+                je = getattr(exc, "java_exception", None)
+                sqlstate = (
+                    je.getSQLState()
+                    if je is not None and hasattr(je, "getSQLState")
+                    else None
+                )
+                if sqlstate != "X0Y32":
+                    raise
             # Spark's JDBC writer quotes column identifiers (they stay
             # lowercase in Derby — unquoted names would be uppercased
             # and miss) and maps StringType to CLOB, which Derby cannot
             # compare directly — cast key columns to VARCHAR at Derby's
             # maximum length so long keys compare instead of raising a
             # 22001 truncation error.
+            # Null-safe key compare: plain equality is UNKNOWN for
+            # NULL = NULL, so a NULL-key group row (nullable aggregate
+            # key) would never match — every update-mode re-emission
+            # then INSERTs another copy and the per-key idempotency
+            # claim breaks (round-13 review finding).
             pred = " AND ".join(
-                f'CAST(t."{k}" AS VARCHAR({_KEY_VARCHAR_MAX})) ='
+                f'(CAST(t."{k}" AS VARCHAR({_KEY_VARCHAR_MAX})) ='
                 f' CAST(s."{k}" AS VARCHAR({_KEY_VARCHAR_MAX}))'
+                f' OR (t."{k}" IS NULL AND s."{k}" IS NULL))'
                 for k in key_cols
             )
             st.executeUpdate(

@@ -42,16 +42,47 @@ from pyspark.sql import types as T
 
 
 def per_batch_writer(
-    target_dir: str, partials_fn: Callable[[DataFrame], DataFrame]
+    target_dir: str, partials_fn: Callable[..., DataFrame]
 ) -> Callable[[DataFrame, int], None]:
     """Build a ``foreachBatch`` function that writes
-    ``partials_fn(batch_df)`` into ``{target_dir}/batch-{batch_id}``
-    with overwrite semantics (retry-idempotent, see module docstring)."""
+    ``partials_fn(batch_df)`` — or ``partials_fn(batch_df, batch_id)``
+    when the callable takes two parameters (sinks that stamp the batch
+    id into their grain, e.g. heavy hitters) — into
+    ``{target_dir}/batch-{batch_id}`` (retry-idempotent, see module
+    docstring).
+
+    The install is write-to-hidden-tmp THEN rename (round-13 review
+    finding): a plain ``mode("overwrite")`` of ``batch-{id}/`` is
+    delete-then-write, so a reader racing a crash-replay rewrite saw
+    the store go BACKWARDS for the whole write duration. The
+    dot-prefixed tmp directory is invisible to Spark's file listing
+    (hidden-path filter), so readers see the old subdir until the
+    metadata-speed delete+rename swap; a tmp orphaned by a crash is
+    overwritten by the replay and never read.
+    """
+    import inspect
+
+    wants_id = len(inspect.signature(partials_fn).parameters) >= 2
 
     def write_partials(batch_df: DataFrame, batch_id: int) -> None:
-        partials_fn(batch_df).write.mode("overwrite").parquet(
-            f"{target_dir}/batch-{batch_id}"
+        out = (
+            partials_fn(batch_df, batch_id)
+            if wants_id
+            else partials_fn(batch_df)
         )
+        tmp = f"{target_dir}/.batch-{batch_id}.tmp"
+        tgt = f"{target_dir}/batch-{batch_id}"
+        out.write.mode("overwrite").parquet(tmp)
+        spark = batch_df.sparkSession
+        hpath = spark._jvm.org.apache.hadoop.fs.Path
+        fs = hpath(target_dir).getFileSystem(
+            spark._jsc.hadoopConfiguration()
+        )
+        fs.delete(hpath(tgt), True)
+        if not fs.rename(hpath(tmp), hpath(tgt)):
+            raise IOError(
+                f"partial store: could not install {tmp} -> {tgt}"
+            )
 
     return write_partials
 

@@ -80,7 +80,10 @@ class UserProfileProcessor(StatefulProcessor):
             revenue += float(buys["value"].sum())
             for v in buys["value"]:
                 self._recent.appendValue((float(v),))
-        self._totals.update((n_events, round(revenue, 2)))
+        # Unrounded running sum in state; round only in the output row
+        # (same round-13 fix as stateful.py — per-batch rounding
+        # accumulates error across micro-batches).
+        self._totals.update((n_events, revenue))
         # keep only the newest RECENT_CAP purchase values
         recent = [r[0] for r in self._recent.get()][-RECENT_CAP:]
         self._recent.put([(v,) for v in recent])
