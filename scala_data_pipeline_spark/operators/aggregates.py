@@ -34,6 +34,24 @@ def sanitize_label(value: str) -> str:
     return "".join(ch if ch.isalnum() else "_" for ch in value.lower())
 
 
+def _checked_labels(values: Sequence[str], prefix: str) -> dict[str, str]:
+    """value → sanitized column name, FAILING LOUDLY on collisions
+    (round-13 review: 'a-b' and 'a_b' both sanitize to 'a_b', which
+    silently produced two identically-named output columns that broke
+    downstream select-by-name in both the Spark frame and its twin)."""
+    labels = {v: f"{prefix}{sanitize_label(v)}" for v in values}
+    seen: dict[str, str] = {}
+    for v, lbl in labels.items():
+        if lbl in seen.values():
+            dup = next(k for k, s in seen.items() if s == lbl)
+            raise ValueError(
+                f"pivot values {dup!r} and {v!r} both sanitize to column"
+                f" {lbl!r}; disambiguate the values or the prefix"
+            )
+        seen[v] = lbl
+    return labels
+
+
 def pivot_counts(
     df: DataFrame,
     key: str,
@@ -56,6 +74,7 @@ def pivot_counts(
     ``agg_col``: when given, cells are ``sum(agg_col)`` over matching
     rows instead of row counts (the merge path of matrix.merge_matrix).
     """
+    labels = _checked_labels(values, prefix)
     exprs = []
     for v in values:
         cond = F.col(pivot_col) == v
@@ -65,7 +84,7 @@ def pivot_counts(
             cell = F.coalesce(
                 F.sum(F.when(cond, F.col(agg_col))), F.lit(0).cast("long")
             )
-        exprs.append(cell.alias(f"{prefix}{sanitize_label(v)}"))
+        exprs.append(cell.alias(labels[v]))
     return df.groupBy(key).agg(*exprs)
 
 
@@ -77,10 +96,15 @@ def pivot_counts_sql(
     prefix: str = "",
     value_expr: str = "1",
 ) -> str:
-    """DuckDB oracle twin of :func:`pivot_counts` via CASE-sums."""
+    """DuckDB oracle twin of :func:`pivot_counts` via CASE-sums.
+    Values are SQL-escaped (quote doubling — a value like "O'Brien"
+    previously broke the oracle text while the Spark side compared the
+    raw value fine, round-13 review)."""
+    labels = _checked_labels(values, prefix)
     cols = ",\n    ".join(
-        f"CAST(COALESCE(SUM(CASE WHEN {pivot_col} = '{v}' THEN {value_expr} END), 0) AS BIGINT)"
-        f" AS {prefix}{sanitize_label(v)}"
+        f"CAST(COALESCE(SUM(CASE WHEN {pivot_col} = "
+        f"'{v.replace(chr(39), chr(39) * 2)}' THEN {value_expr} END), 0)"
+        f" AS BIGINT) AS {labels[v]}"
         for v in values
     )
     return f"SELECT {key},\n    {cols}\nFROM {table_expr}\nGROUP BY {key}"

@@ -1,15 +1,22 @@
-"""Single-pass table profiler: per-column null counts, exact distinct
-counts, and numeric min/max — the DESCRIBE/summary() utility shape,
-built so the whole profile is ONE scan + one aggregation however many
-columns are profiled (at 100 TB, per-column profiling passes are the
-difference between one job and N jobs).
+"""Single-SCAN table profiler: per-column null counts, distinct
+counts, and numeric min/max — the DESCRIBE/summary() utility shape (at
+100 TB, per-column profiling passes are the difference between one job
+and N jobs).
+
+COST HONESTY (round-13 review): one scan is NOT one cheap aggregation
+in exact mode. N different COUNT(DISTINCT c_i) in one agg plan through
+an Expand node that replicates every input row once per distinct
+column — the shuffle carries ~(N+1)x the input rows. That still beats
+N separate jobs (N scans AND N Expand-free shuffles), but for
+trillion-row profiling pass ``approx=True``: approx_count_distinct is
+a plain (mergeable-sketch) aggregate, no Expand, a true single
+aggregation at ±2% error. The registry query pins ``approx=False``
+because exact distincts are what the DuckDB oracle can check
+bit-for-bit.
 
 Output is long-form (column, n_nulls, n_distinct, min_num, max_num):
 numeric and timestamp columns report min/max as doubles (timestamps as
 epoch seconds — engine-identical); string columns report NULL there.
-Exact distincts are used (not HLL) so the DuckDB oracle can check the
-numbers bit-for-bit; swap in approx_count_distinct for trillion-row
-profiling where ±2% is acceptable.
 """
 
 from __future__ import annotations
@@ -23,7 +30,11 @@ from pyspark.sql.types import (
 )
 
 
-def profile_table(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+def profile_table(
+    df: DataFrame,
+    cols: list[str] | None = None,
+    approx: bool = False,
+) -> DataFrame:
     cols = cols or df.columns
     aggs = []
     for c in cols:
@@ -43,7 +54,11 @@ def profile_table(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
             F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(
                 f"__nn_{c}"
             ),
-            F.count_distinct(F.col(c)).alias(f"__nd_{c}"),
+            (
+                F.approx_count_distinct(F.col(c))
+                if approx
+                else F.count_distinct(F.col(c))
+            ).alias(f"__nd_{c}"),
             mn.alias(f"__mn_{c}"),
             mx.alias(f"__mx_{c}"),
         ]

@@ -38,7 +38,22 @@ def scd2_apply(
 ) -> DataFrame:
     """dim columns: key, *attrs, effective_from, effective_to,
     is_current; updates columns: key, *attrs. Only current dim rows are
-    eligible for close-out (history rows pass through untouched)."""
+    eligible for close-out (history rows pass through untouched).
+
+    PRECONDITION (round-13 review): ``updates`` must hold AT MOST ONE
+    row per key — it is a per-key state snapshot, not a change log. A
+    key appearing twice would match the single current dim row twice
+    and emit duplicate closed+opened rows, breaking the
+    one-current-row-per-key invariant for every later batch. Compact a
+    change log first (:func:`cdc_latest_wins` is the house form).
+
+    NULL business keys are handled, not corrupted (round-13 review):
+    presence on each side is tracked with marker columns and the join
+    key compares null-safely, so a NULL-keyed dim row meets a
+    NULL-keyed update row as one group (the oracle's IS NOT DISTINCT
+    FROM semantics) instead of falling through every branch into a
+    spurious close + an all-NULL opened row.
+    """
 
     def row_struct(
         src: str, eff_from: Column, eff_to: Column, current: Column
@@ -51,10 +66,10 @@ def scd2_apply(
             current.alias("is_current"),
         )
 
-    d = dim.alias("d")
-    u = updates.alias("u")
-    in_dim = F.col(f"d.{key}").isNotNull()
-    in_upd = F.col(f"u.{key}").isNotNull()
+    d = dim.withColumn("_in_d", F.lit(1)).alias("d")
+    u = updates.withColumn("_in_u", F.lit(1)).alias("u")
+    in_dim = F.col("d._in_d").isNotNull()
+    in_upd = F.col("u._in_u").isNotNull()
     changed = ~F.reduce(
         F.array(
             *[F.col(f"d.{a}").eqNullSafe(F.col(f"u.{a}")) for a in attrs]
@@ -86,7 +101,11 @@ def scd2_apply(
     current = d.filter(F.col("d.is_current"))
     history = dim.filter(~F.col("is_current"))
     merged = (
-        current.join(u, on=F.col(f"d.{key}") == F.col(f"u.{key}"), how="full_outer")
+        current.join(
+            u,
+            on=F.col(f"d.{key}").eqNullSafe(F.col(f"u.{key}")),
+            how="full_outer",
+        )
         .select(F.explode(emitted).alias("r"))
         .select("r.*")
     )
@@ -103,27 +122,38 @@ def scd2_apply_sql(
     )
     d_cols = ", ".join([f"d.{key}"] + [f"d.{a}" for a in attrs])
     u_cols = ", ".join([f"u.{key}"] + [f"u.{a}" for a in attrs])
+    # NOT EXISTS + IS NOT DISTINCT FROM throughout (round-13 review):
+    # NOT IN against a subquery that can contain a NULL key evaluates
+    # UNKNOWN for every row (three-valued logic), silently dropping all
+    # inserts and all NULL-keyed passthrough rows — the oracle would
+    # diverge from the Spark side exactly when NULL keys appear.
     return f"""
 WITH dim AS ({dim_sql}), upd AS ({updates_sql}),
 cur AS (SELECT * FROM dim WHERE is_current),
 hist AS (SELECT * FROM dim WHERE NOT is_current),
 changed_keys AS (
-  SELECT d.{key} FROM cur d JOIN upd u USING ({key}) WHERE NOT ({eq})
+  SELECT d.{key} FROM cur d
+  JOIN upd u ON d.{key} IS NOT DISTINCT FROM u.{key}
+  WHERE NOT ({eq})
 )
 SELECT {cols}, effective_from, effective_to, is_current FROM hist
 UNION ALL
-SELECT {cols}, effective_from, effective_to, is_current FROM cur
-WHERE {key} NOT IN (SELECT {key} FROM changed_keys)
+SELECT {cols}, effective_from, effective_to, is_current FROM cur c
+WHERE NOT EXISTS (SELECT 1 FROM changed_keys k
+                  WHERE k.{key} IS NOT DISTINCT FROM c.{key})
 UNION ALL
 SELECT {d_cols}, d.effective_from, '{load_date}' AS effective_to,
        FALSE AS is_current
-FROM cur d WHERE d.{key} IN (SELECT {key} FROM changed_keys)
+FROM cur d WHERE EXISTS (SELECT 1 FROM changed_keys k
+                         WHERE k.{key} IS NOT DISTINCT FROM d.{key})
 UNION ALL
 SELECT {u_cols}, '{load_date}' AS effective_from,
        '{OPEN_END}' AS effective_to, TRUE AS is_current
 FROM upd u
-WHERE u.{key} IN (SELECT {key} FROM changed_keys)
-   OR u.{key} NOT IN (SELECT {key} FROM cur)
+WHERE EXISTS (SELECT 1 FROM changed_keys k
+              WHERE k.{key} IS NOT DISTINCT FROM u.{key})
+   OR NOT EXISTS (SELECT 1 FROM cur c
+                  WHERE c.{key} IS NOT DISTINCT FROM u.{key})
 """
 
 

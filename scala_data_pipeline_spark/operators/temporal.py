@@ -90,7 +90,14 @@ def asof_join(
         ],
         *[F.col(c) for c in left.columns if c != key and c != left_ts],
     )
-    return carried.filter(F.col("_side") == 1).drop("_side")
+    # Restore the caller's timestamp column name (round-13 review
+    # finding: emitting it only as the internal _left_ts broke any
+    # downstream select/window on the original name).
+    return (
+        carried.filter(F.col("_side") == 1)
+        .drop("_side")
+        .withColumnRenamed("_left_ts", left_ts)
+    )
 
 
 def range_band_join(

@@ -23,11 +23,16 @@ from pyspark.sql import DataFrame, SparkSession
 def cassandra_reader(
     spark: SparkSession, keyspace: str, table: str, consistency: str = "ONE"
 ):
-    """S1 (data_mart.scala:46-55). Requires spark-cassandra-connector."""
-    spark.conf.set("spark.cassandra.input.consistency.level", consistency)
+    """S1 (data_mart.scala:46-55). Requires spark-cassandra-connector.
+
+    Consistency rides as a PER-READ option, not a session conf
+    (round-13 review: a session-global set meant the last-built
+    reader's consistency silently applied to every other lazy reader
+    in the session — the connector accepts it per-DataFrame)."""
     return (
         spark.read.format("org.apache.spark.sql.cassandra")
         .options(keyspace=keyspace, table=table)
+        .option("spark.cassandra.input.consistency.level", consistency)
     )
 
 

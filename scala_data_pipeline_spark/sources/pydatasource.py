@@ -84,18 +84,37 @@ class _BatchReader(DataSourceReader):
 
 
 class _StreamReader(DataSourceStreamReader):
-    """Offset = next unread row id; each micro-batch serves
-    ``rowsPerBatch`` ids, capped at ``totalRows``."""
+    """Offset = next unread row id. ``rowsPerBatch`` sizes the INPUT
+    PARTITIONS inside a planned batch; ``maxRowsPerTrigger`` (optional)
+    is ADMISSION CONTROL — it bounds how far latestOffset advances per
+    trigger, the Kafka ``maxOffsetsPerTrigger`` analogue (round-13
+    review finding: without it, the whole source landed in micro-batch
+    0, and a large totalRows built one InputPartition object per
+    rowsPerBatch chunk on the driver and committed everything
+    atomically). Unset, latestOffset exposes everything — which is
+    what availableNow needs: it snapshots latestOffset ONCE at query
+    start, so an unconditionally rate-limited offset would strand all
+    but the first window."""
 
     def __init__(self, options):
         self.rows_per_batch = int(options.get("rowsperbatch", "100"))
         self.total_rows = int(options.get("totalrows", "1000"))
+        mrt = options.get("maxrowspertrigger")
+        self.max_rows_per_trigger = int(mrt) if mrt is not None else None
 
     def initialOffset(self):
+        self._planned = 0
         return {"next": 0}
 
     def latestOffset(self):
-        return {"next": self.total_rows}
+        if self.max_rows_per_trigger is None:
+            return {"next": self.total_rows}
+        nxt = min(
+            getattr(self, "_planned", 0) + self.max_rows_per_trigger,
+            self.total_rows,
+        )
+        self._planned = nxt
+        return {"next": nxt}
 
     def partitions(self, start, end):
         lo, hi = start["next"], min(end["next"], self.total_rows)
@@ -111,7 +130,10 @@ class _StreamReader(DataSourceStreamReader):
         yield from _arrow_batches(lo, hi)
 
     def commit(self, end):
-        pass
+        # Re-seed the admission control after a checkpoint restore: the
+        # first rate-limited latestOffset on a restarted stream must
+        # continue from the committed offset, not from 0.
+        self._planned = max(getattr(self, "_planned", 0), end["next"])
 
 
 class SyntheticEventsDataSource(DataSource):
@@ -165,8 +187,9 @@ class _JsonlWriter(DataSourceWriter):
     makes speculative retries and task failures safe.
     """
 
-    def __init__(self, options):
+    def __init__(self, options, overwrite: bool = False):
         self.path = options.get("path")
+        self.overwrite = overwrite
         if not self.path:
             raise ValueError("jsonl_sink requires option 'path'")
 
@@ -195,17 +218,37 @@ class _JsonlWriter(DataSourceWriter):
         )
 
     def commit(self, messages):
+        # Honor the save mode (round-13 review finding: append
+        # clobbered the manifest — prior files became "garbage" per the
+        # manifest contract — and overwrite never removed old files, so
+        # glob readers double-counted).
+        manifest_path = os.path.join(self.path, "_SUCCESS")
+        prior: list[dict] = []
+        if not self.overwrite and os.path.exists(manifest_path):
+            with open(manifest_path) as fh:
+                prior = json.load(fh).get("files", [])
         finals = []
         for m in sorted(messages, key=lambda m: m.path):
             final = self._final_name(m.path)
             os.replace(m.path, final)
             finals.append({"path": final, "n_rows": m.n_rows})
+        all_files = prior + finals
         manifest = {
-            "files": finals,
-            "total_rows": sum(m.n_rows for m in messages),
+            "files": all_files,
+            "total_rows": sum(f["n_rows"] for f in all_files),
         }
-        with open(os.path.join(self.path, "_SUCCESS"), "w") as fh:
+        with open(manifest_path, "w") as fh:
             json.dump(manifest, fh)
+        if self.overwrite:
+            # Stale-file sweep AFTER the new manifest is durable: a
+            # crash mid-sweep leaves extra files on disk but a correct
+            # manifest, so manifest readers never see a half-state.
+            keep = {f["path"] for f in finals}
+            import glob as _glob
+
+            for p in _glob.glob(os.path.join(self.path, "part-*.jsonl")):
+                if p not in keep:
+                    os.remove(p)
 
     def abort(self, messages):
         for m in messages:
@@ -219,7 +262,7 @@ class JsonlSinkDataSource(DataSource):
         return "jsonl_sink"
 
     def writer(self, schema, overwrite):
-        return _JsonlWriter(self.options)
+        return _JsonlWriter(self.options, overwrite=overwrite)
 
 
 def register_sink(spark) -> None:

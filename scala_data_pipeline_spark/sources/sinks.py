@@ -17,6 +17,7 @@ parameters, plus the two layouts the reference never had that matter at
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def write_parquet(
@@ -39,9 +40,25 @@ def write_partitioned(
     files_per_partition: int | None = None,
 ) -> None:
     """S10/X3: hive-layout output; downstream filters on the partition
-    columns prune whole directories."""
+    columns prune whole directories.
+
+    ``files_per_partition`` splits each partition VALUE across that
+    many tasks via a deterministic row-hash salt (round-13 review: a
+    plain ``repartition(n, *partition_cols)`` hashed every row of a
+    value into ONE task — one giant file per hot directory and the
+    whole write capped at n tasks regardless of cluster size)."""
     if files_per_partition:
-        df = df.repartition(files_per_partition, *partition_cols)
+        salt = F.pmod(
+            F.xxhash64(*[F.col(c) for c in df.columns]),
+            F.lit(files_per_partition),
+        )
+        df = (
+            df.withColumn("_fpp_salt", salt)
+            .repartition(
+                *[F.col(c) for c in partition_cols], F.col("_fpp_salt")
+            )
+            .drop("_fpp_salt")
+        )
     df.write.mode(mode).partitionBy(*partition_cols).format(fmt).save(path)
 
 

@@ -162,3 +162,20 @@ def test_rotated_subquery_plan_shapes(spark, sf_dir):
     assert trans["n_python_udfs"] == 0
     # lead window + pair agg + per-cur_type probability window.
     assert trans["n_shuffle_exchanges"] <= 3
+
+
+def test_pivot_label_collision_raises():
+    """Colliding sanitized pivot labels fail loudly instead of emitting
+    two identically-named columns (round-13 review)."""
+    import pytest
+
+    from scala_data_pipeline_spark.operators.aggregates import (
+        _checked_labels,
+        pivot_counts_sql,
+    )
+
+    with pytest.raises(ValueError, match="sanitize to column"):
+        _checked_labels(["a-b", "a_b"], prefix="")
+    # quote-bearing values are escaped in the SQL twin
+    sql = pivot_counts_sql("t", "k", "p", ["O'Brien"])
+    assert "'O''Brien'" in sql

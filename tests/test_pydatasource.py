@@ -106,3 +106,86 @@ def test_jsonl_sink_publishes_only_on_commit(spark, tmp_path):
     back = spark.read.json(os.path.join(target, "part-*.jsonl"))
     assert back.where("id = 999999").count() == 0
     assert back.count() == 50
+
+
+def test_jsonl_sink_append_merges_manifest_overwrite_sweeps(spark, tmp_path):
+    """Save modes are honored (round-13 review): a second APPEND merges
+    the manifest (prior files stay visible, totals add); an OVERWRITE
+    replaces both manifest and files, sweeping stale part files so a
+    glob reader agrees with the manifest."""
+    import glob
+    import json
+    import os
+
+    from scala_data_pipeline_spark.sources.pydatasource import register_sink
+
+    register_sink(spark)
+    target = str(tmp_path / "out")
+
+    spark.range(100).write.format("jsonl_sink").option("path", target).mode(
+        "append"
+    ).save()
+    spark.range(100, 150).write.format("jsonl_sink").option(
+        "path", target
+    ).mode("append").save()
+    manifest = json.load(open(os.path.join(target, "_SUCCESS")))
+    assert manifest["total_rows"] == 150
+    back = spark.read.json(os.path.join(target, "part-*.jsonl"))
+    assert back.count() == 150
+
+    spark.range(200, 230).write.format("jsonl_sink").option(
+        "path", target
+    ).mode("overwrite").save()
+    manifest = json.load(open(os.path.join(target, "_SUCCESS")))
+    assert manifest["total_rows"] == 30
+    files_on_disk = set(glob.glob(os.path.join(target, "part-*.jsonl")))
+    assert files_on_disk == {f["path"] for f in manifest["files"]}
+    back = spark.read.json(os.path.join(target, "part-*.jsonl"))
+    assert back.count() == 30
+    assert back.agg({"id": "min"}).first()[0] == 200
+
+
+def test_stream_max_rows_per_trigger_rate_limits(spark):
+    """maxRowsPerTrigger is real admission control (round-13 review:
+    the whole source previously landed in micro-batch 0): with a
+    processing-time trigger each micro-batch plans at most that many
+    rows, and the stream still drains the source exactly once."""
+    import time
+
+    from scala_data_pipeline_spark.sources import pydatasource
+
+    pydatasource.register(spark)
+    sdf = (
+        spark.readStream.format("synthetic_events")
+        .option("rowsPerBatch", "50")
+        .option("totalRows", "300")
+        .option("maxRowsPerTrigger", "100")
+        .load()
+    )
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("pyds_ratelimited")
+        .outputMode("append")
+        .trigger(processingTime="250 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            got = spark.sql(
+                "SELECT COUNT(*) c FROM pyds_ratelimited"
+            ).first()["c"]
+            if got >= 300:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    got = spark.sql(
+        "SELECT COUNT(*) c, COUNT(DISTINCT event_id) d FROM pyds_ratelimited"
+    ).first()
+    assert got["c"] == 300 and got["d"] == 300
+    batches = [
+        p["numInputRows"] for p in q.recentProgress if p["numInputRows"] > 0
+    ]
+    assert batches and max(batches) <= 100
+    assert len(batches) >= 3  # genuinely incremental

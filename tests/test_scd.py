@@ -141,3 +141,42 @@ def test_cdc_apply_all_merge_branches(spark):
     assert out[2].last_op == "U" and out[2].acctbal == 99.0
     assert out[4].last_op == "U" and out[4].name == "NEW#4"
     assert out[4].acctbal == 5.0
+
+
+def test_scd2_null_business_key(spark):
+    """NULL-keyed rows must not corrupt the merge (round-13 review):
+    a NULL-keyed current row with an unchanged NULL-keyed update passes
+    through; changing it closes + reopens it exactly once — never the
+    old behavior (spurious close + fabricated all-NULL current row)."""
+    dim = spark.createDataFrame(
+        [
+            (None, "anon", 7.0, "2024-01-01", OPEN_END, True),
+            (1, "alice", 10.0, "2024-01-01", OPEN_END, True),
+        ],
+        ["cust_key", "name", "acctbal", "effective_from", "effective_to", "is_current"],
+    )
+    upd_schema = "cust_key bigint, name string, acctbal double"
+    # unchanged NULL-key update: pure passthrough
+    upd_same = spark.createDataFrame([(None, "anon", 7.0)], upd_schema)
+    out = {
+        (r.cust_key, r.is_current): r
+        for r in scd2_apply(
+            dim, upd_same, "cust_key", ["name", "acctbal"], "2024-06-01"
+        ).collect()
+    }
+    assert len(out) == 2
+    assert out[(None, True)].acctbal == 7.0
+    assert out[(None, True)].effective_from == "2024-01-01"
+    # changed NULL-key update: one close + one reopen
+    upd_diff = spark.createDataFrame([(None, "anon", 8.5)], upd_schema)
+    rows = scd2_apply(
+        dim, upd_diff, "cust_key", ["name", "acctbal"], "2024-06-01"
+    ).collect()
+    nulls = [r for r in rows if r.cust_key is None]
+    assert len(nulls) == 2
+    closed = [r for r in nulls if not r.is_current]
+    opened = [r for r in nulls if r.is_current]
+    assert len(closed) == 1 and closed[0].effective_to == "2024-06-01"
+    assert len(opened) == 1 and opened[0].acctbal == 8.5
+    # alice untouched either way
+    assert sum(1 for r in rows if r.cust_key == 1) == 1

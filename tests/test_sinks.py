@@ -112,3 +112,28 @@ def test_union_by_name_schema_drift(spark):
     rows = {r["doc_id"]: r for r in merged.collect()}
     assert rows[1]["lang"] is None and rows[1]["text"] == "a"
     assert rows[2]["lang"] == "en" and rows[2]["text"] == "b"
+
+
+def test_files_per_partition_splits_hot_value(spark, tmp_path):
+    """files_per_partition must yield MULTIPLE files for a hot
+    partition value (round-13 review: the old repartition(n, cols)
+    put a value's every row in one task — one giant file)."""
+    import glob
+
+    from scala_data_pipeline_spark.sources.sinks import write_partitioned
+
+    df = spark.range(10000).selectExpr("id", "'hot' AS day")
+    out = str(tmp_path / "p")
+    # Disable AQE small-partition coalescing for the assertion: at toy
+    # size AQE (correctly) merges the salted splits back below the
+    # advisory size — a genuinely hot multi-GB value would not coalesce.
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        write_partitioned(df, out, ["day"], files_per_partition=4)
+    finally:
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.enabled", "true"
+        )
+    files = glob.glob(f"{out}/day=hot/part-*")
+    assert 2 <= len(files) <= 4, files
+    assert spark.read.parquet(out).count() == 10000

@@ -28,6 +28,8 @@ def test_asof_join_edges(spark):
     out = asof_join(
         left, right, key="k", left_ts="ts", right_ts="rts", value_cols=["v"]
     )
+    # output keeps the caller's timestamp name (round-13 review fix)
+    assert "ts" in out.columns and "_left_ts" not in out.columns
     got = {(r["k"], r["tag"]): r["v"] for r in out.collect()}
     assert got[(1, "a")] == 100.0  # exact tie included
     assert got[(1, "b")] == 150.0  # latest at-or-before
