@@ -38,17 +38,26 @@ def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
     toks = tokens_col(text)
     n_tokens = F.size(toks)
     n_stop = F.size(F.filter(toks, lambda t: t.isin(*ENGLISH_STOPWORDS)))
-    stop_ratio = F.round(n_stop / n_tokens, 6)
+    # try_divide throughout (round-13 review): a zero-token document
+    # threw DIVIDE_BY_ZERO under Spark 4 ANSI here while every other
+    # ratio in this file was already guarded; NULL ratios match the
+    # DuckDB twin, whose /0 is NULL natively.
+    stop_ratio = F.round(F.try_divide(n_stop, n_tokens), 6)
     avg_tok = F.round(
-        (F.length(text) - (n_tokens - 1)) / n_tokens, 6
+        F.try_divide(F.length(text) - (n_tokens - 1), n_tokens), 6
     )  # total non-space chars / tokens (single-spaced corpus)
-    # quality: in-range token count + stopword presence, clamped to [0,1]
-    score = F.round(
-        F.least(
-            F.lit(1.0),
-            (n_tokens / F.lit(50.0)) * 0.5 + stop_ratio * 2.0,
-        ),
-        6,
+    # quality: in-range token count + stopword presence, clamped to
+    # [0,1]; an EMPTY document scores 0.0 explicitly (LEAST ignores the
+    # NULL stop_ratio on both engines, which would otherwise score an
+    # empty doc a perfect 1.0).
+    score = F.when(n_tokens == 0, F.lit(0.0)).otherwise(
+        F.round(
+            F.least(
+                F.lit(1.0),
+                (n_tokens / F.lit(50.0)) * 0.5 + stop_ratio * 2.0,
+            ),
+            6,
+        )
     )
     return docs.select(
         "doc_id",
@@ -69,7 +78,8 @@ def quality_score_sql(text_col: str = "text") -> str:
     n_stop = f"len(list_filter({toks}, t -> t IN ({stop_list})))"
     stop_ratio = f"ROUND(CAST({n_stop} AS DOUBLE) / {n_tokens}, 6)"
     return (
-        f"ROUND(LEAST(1.0, (CAST({n_tokens} AS DOUBLE) / 50.0) * 0.5 + {stop_ratio} * 2.0), 6)"
+        f"CASE WHEN {n_tokens} = 0 THEN 0.0 ELSE "
+        f"ROUND(LEAST(1.0, (CAST({n_tokens} AS DOUBLE) / 50.0) * 0.5 + {stop_ratio} * 2.0), 6) END"
     )
 
 
@@ -149,7 +159,6 @@ def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     scores = {lang: marker_score(words) for lang, words in LANG_MARKERS.items()}
     pred = F.lit(LANG_ORDER[-1])
     for lang in reversed(LANG_ORDER[:-1]):
-        others = [scores[o] for o in LANG_ORDER if o != lang]
         cond = scores[lang] > 0
         for o in LANG_ORDER:
             if LANG_ORDER.index(o) < LANG_ORDER.index(lang):
@@ -785,7 +794,11 @@ GOPHER_MAX_BULLET_LINE_FRAC = 0.9
 GOPHER_MAX_ELLIPSIS_LINE_FRAC = 0.3
 
 
-def gopher_quality_rules(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def gopher_quality_rules(
+    docs: DataFrame,
+    text_col: str = "text",
+    keep: tuple[str, ...] = (),
+) -> DataFrame:
     """Gopher-style + C4-style document quality rules as one codegen scan.
 
     Every rule is a deterministic expression over the raw text (word
@@ -895,6 +908,10 @@ def gopher_quality_rules(docs: DataFrame, text_col: str = "text") -> DataFrame:
         flag_stopwords.alias("flag_stopwords"),
         passes_gopher.alias("passes_gopher"),
         passes_c4.alias("passes_c4"),
+        # extra source columns carried through the SAME projection so
+        # callers composing on the rules (e.g. ml/quality.py's tokens)
+        # never need a corpus self-join (round-13 review)
+        *keep,
     )
 
 
@@ -1008,10 +1025,15 @@ def zipf_spectrum(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.sum("xy").cast("double").alias("sxy"),
         F.sum("xx").cast("double").alias("sxx"),
     )
-    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
-        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    # try_divide: a single-distinct-token corpus has n=1 and sx=sxx=0,
+    # so the OLS denominator is exactly 0 — NULL slope (matching the
+    # DuckDB twin, whose /0 is NULL) instead of an ANSI throw
+    # (round-13 review).
+    slope = F.try_divide(
+        F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"),
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"),
     )
-    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("n")
+    intercept = F.try_divide(F.col("sy") - slope * F.col("sx"), F.col("n"))
     return agg.select(
         F.col("n").cast("long").alias("n_ranks"),
         F.round(slope, 6).alias("zipf_slope"),

@@ -19,7 +19,8 @@ Reference parity:
 
 from __future__ import annotations
 
-from urllib.parse import unquote
+import re
+from urllib.parse import unquote_plus
 
 import pandas as pd
 from pyspark.sql import Column
@@ -28,16 +29,27 @@ from pyspark.sql.functions import pandas_udf, udf
 from pyspark.sql.types import StringType
 
 
+# URLDecoder.decode throws IllegalArgumentException on a '%' not
+# followed by two hex digits (including a truncated escape at
+# end-of-string); the reference's catch turns that into "".
+_MALFORMED_PCT = re.compile(r"%(?![0-9a-fA-F]{2})")
+
+
 def _url_decode(url):
     # No type hints: under `from __future__ import annotations` they are
     # strings, and Spark 4's udf() tries (and fails) to infer the eval
     # type from them, warning on every import.
+    #
+    # Faithful java.net.URLDecoder.decode(s, "UTF-8") semantics
+    # (round-13 review — plain unquote diverged on all three fronts):
+    # '+' decodes to space, a malformed %-escape returns "" (URLDecoder
+    # throws; the reference catches to ""), and valid-%-but-invalid-
+    # UTF-8 bytes decode to U+FFFD (CharsetDecoder REPLACE).
     if url is None:
         return ""
-    try:
-        return unquote(url, errors="strict")
-    except Exception:
+    if _MALFORMED_PCT.search(url):
         return ""
+    return unquote_plus(url, errors="replace")
 
 
 url_decode = udf(_url_decode, returnType=StringType())
@@ -45,15 +57,7 @@ url_decode = udf(_url_decode, returnType=StringType())
 
 @pandas_udf(StringType())
 def url_decode_pandas(urls: pd.Series) -> pd.Series:
-    def dec(u):
-        if u is None:
-            return ""
-        try:
-            return unquote(u, errors="strict")
-        except Exception:
-            return ""
-
-    return urls.map(dec)
+    return urls.map(_url_decode)
 
 
 SCHEME_RE = r"^https?://(www\.)?"

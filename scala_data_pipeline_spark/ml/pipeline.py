@@ -30,6 +30,20 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def uni_bigram_tokens(text_col: str = "text"):
+    """Shared uni+bigram token-array expression (round-13 review: three
+    byte-identical copies lived in pipeline.py x2 and ml/quality.py —
+    the bigram construction carries subtle invariants (0-based
+    transform index vs 1-based element_at, the slice-length guard) that
+    must stay consistent with every model's feature space)."""
+    toks = F.split(F.col(text_col), " ")
+    bigrams = F.transform(
+        F.slice(toks, 1, F.size(toks) - 1),
+        lambda x, i: F.concat_ws("_", x, F.element_at(toks, i + F.lit(2))),
+    )
+    return F.concat(toks, bigrams)
+
+
 def prepare_training_frame(
     docs: DataFrame,
     text_col: str = "text",
@@ -50,14 +64,9 @@ def prepare_training_frame(
     CountVectorizer vocabulary order) is preserved without destroying
     adjacency information.
     """
-    toks = F.split(F.col(text_col), " ")
-    bigrams = F.transform(
-        F.slice(toks, 1, F.size(toks) - 1),
-        lambda x, i: F.concat_ws("_", x, F.element_at(toks, i + F.lit(2))),
-    )
     return docs.select(
         id_col,
-        F.array_sort(F.concat(toks, bigrams)).alias("tokens"),
+        F.array_sort(uni_bigram_tokens(text_col)).alias("tokens"),
         F.col(label_col).alias("label_str"),
     ).orderBy(id_col)
 
@@ -77,14 +86,9 @@ def prepare_inference_frame(
     does not, and at 100 TB the corpus being scored is the big side, so
     this drops a full-corpus global sort (one shuffle + sort of every
     token array) from the hot path."""
-    toks = F.split(F.col(text_col), " ")
-    bigrams = F.transform(
-        F.slice(toks, 1, F.size(toks) - 1),
-        lambda x, i: F.concat_ws("_", x, F.element_at(toks, i + F.lit(2))),
-    )
     return docs.select(
         id_col,
-        F.concat(toks, bigrams).alias("tokens"),
+        uni_bigram_tokens(text_col).alias("tokens"),
         F.col(label_col).alias("label_str"),
     )
 

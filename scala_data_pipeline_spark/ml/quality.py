@@ -33,15 +33,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..ext.textstats import gopher_quality_rules
-
-
-def _tokens(text_col: str):
-    toks = F.split(F.col(text_col), " ")
-    bigrams = F.transform(
-        F.slice(toks, 1, F.size(toks) - 1),
-        lambda x, i: F.concat_ws("_", x, F.element_at(toks, i + F.lit(2))),
-    )
-    return F.concat(toks, bigrams)
+from .pipeline import _strip_lr_summary, uni_bigram_tokens
 
 
 def train_quality_classifier(
@@ -53,31 +45,34 @@ def train_quality_classifier(
     conjunction. The labeled frame is the (small) training side — at
     100 TB you train on a labeled sample, not the corpus; the full
     corpus only ever sees the stateless scoring pass."""
-    labels = gopher_quality_rules(docs, text_col).select(
-        "doc_id", F.col("passes_gopher").cast("double").alias("label")
-    )
+    # Labels and token features come out of ONE projection over the
+    # corpus scan (gopher_quality_rules carries the text through via
+    # ``keep``) — the previous label-frame join was a full corpus
+    # self-join shuffle contradicting the module's "nothing here
+    # shuffles the corpus" contract (round-13 review). Determinism:
+    # a global orderBy does NOT pin LBFGS gradient float-sum order
+    # (treeAggregate combines partials in task-completion order), so
+    # the training frame funnels to ONE sorted partition — the
+    # ml_confusion_matrix precedent — which is fine because the
+    # LABELED frame is the small side at scale (train on a sample).
     train = (
-        docs.select("doc_id", _tokens(text_col).alias("tokens"))
-        .join(labels, on="doc_id")
-        .orderBy("doc_id")  # pins training-row order (determinism)
+        gopher_quality_rules(docs, text_col, keep=(text_col,))
+        .select(
+            "doc_id",
+            uni_bigram_tokens(text_col).alias("tokens"),
+            F.col("passes_gopher").cast("double").alias("label"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("doc_id")
     )
     tf = HashingTF(
         inputCol="tokens", outputCol="features", numFeatures=num_features
     )
     lr = LogisticRegression(maxIter=10, regParam=0.01)
-    model = Pipeline(stages=[tf, lr]).fit(train)
-    # Drop the training summary before the model enters any transform:
-    # the summary pins the SparkSession, and LR's prediction UDF closes
-    # over the model object — a session whose state is no longer
-    # serializable (e.g. after ANY df.observe() created an
-    # ObservationManager) then fails task serialization. Scoring never
-    # needs the summary; save/load would drop it too, this is the
-    # in-place form.
-    lrm = model.stages[-1]
-    if lrm.hasSummary:
-        jvm = docs.sparkSession.sparkContext._jvm
-        lrm._java_obj.setSummary(jvm.scala.Option.empty())
-    return model
+    # _strip_lr_summary: the summary pins the SparkSession and LR's
+    # prediction UDF closes over the model — shared helper, see
+    # ml/pipeline.py.
+    return _strip_lr_summary(Pipeline(stages=[tf, lr]).fit(train))
 
 
 def score_quality(
@@ -87,18 +82,20 @@ def score_quality(
     quality) per document, alongside the rule label it was distilled
     from — downstream curation thresholds or importance-samples on
     ``p_quality`` (e.g. the GPT-3 Pareto rule)."""
-    labels = gopher_quality_rules(docs, text_col).select(
-        "doc_id", "passes_gopher"
-    )
-    feats = docs.select("doc_id", _tokens(text_col).alias("tokens"))
-    scored = model.transform(feats).select(
+    # One projection, zero joins (round-13 review): the rule label and
+    # the token features ride the same scan; HashingTF + LR transform
+    # row-wise, so the whole scoring pass is shuffle-free.
+    feats = gopher_quality_rules(docs, text_col, keep=(text_col,)).select(
         "doc_id",
+        "passes_gopher",
+        uni_bigram_tokens(text_col).alias("tokens"),
+    )
+    return model.transform(feats).select(
+        "doc_id",
+        "passes_gopher",
         F.round(vector_to_array(F.col("probability"))[1], 6).alias(
             "p_quality"
         ),
-    )
-    return labels.join(scored, on="doc_id").select(
-        "doc_id", "passes_gopher", "p_quality"
     )
 
 

@@ -7,7 +7,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.text import extract_domain, parse_host, strip_www, url_decode_pandas
-from ..functions.timefn import in_hour_range, weekday_name, yyyymmdd
+from ..functions.timefn import (
+    EVENING_HOURS,
+    WORK_HOURS,
+    in_hour_range,
+    weekday_name,
+    yyyymmdd,
+)
 from ..sources import load_table
 
 
@@ -65,10 +71,12 @@ def user_time_fractions(spark: SparkSession, sf_dir: str) -> DataFrame:
         visits.groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("visits"),
-            F.count(F.when(in_hour_range(F.col("ts"), 9, 18), 1)).alias("work_cnt"),
-            F.count(F.when(in_hour_range(F.col("ts"), 18, 24), 1)).alias(
-                "evening_cnt"
+            F.count(F.when(in_hour_range(F.col("ts"), *WORK_HOURS), 1)).alias(
+                "work_cnt"
             ),
+            F.count(
+                F.when(in_hour_range(F.col("ts"), *EVENING_HOURS), 1)
+            ).alias("evening_cnt"),
         )
         .withColumn(
             "web_fraction_work_hours", F.col("work_cnt") / F.col("visits")
@@ -79,13 +87,20 @@ def user_time_fractions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-TIME_FRACTIONS_ORACLE = """
+def _hours_case(lo: int, hi: int) -> str:
+    return (
+        f"CASE WHEN EXTRACT(hour FROM ts) >= {lo}"
+        f" AND EXTRACT(hour FROM ts) < {hi} THEN 1 END"
+    )
+
+
+TIME_FRACTIONS_ORACLE = f"""
 SELECT user_id,
        COUNT(*) AS visits,
-       COUNT(CASE WHEN EXTRACT(hour FROM ts) >= 9 AND EXTRACT(hour FROM ts) < 18 THEN 1 END) AS work_cnt,
-       COUNT(CASE WHEN EXTRACT(hour FROM ts) >= 18 AND EXTRACT(hour FROM ts) < 24 THEN 1 END) AS evening_cnt,
-       CAST(COUNT(CASE WHEN EXTRACT(hour FROM ts) >= 9 AND EXTRACT(hour FROM ts) < 18 THEN 1 END) AS DOUBLE) / COUNT(*) AS web_fraction_work_hours,
-       CAST(COUNT(CASE WHEN EXTRACT(hour FROM ts) >= 18 AND EXTRACT(hour FROM ts) < 24 THEN 1 END) AS DOUBLE) / COUNT(*) AS web_fraction_evening_hours
+       COUNT({_hours_case(*WORK_HOURS)}) AS work_cnt,
+       COUNT({_hours_case(*EVENING_HOURS)}) AS evening_cnt,
+       CAST(COUNT({_hours_case(*WORK_HOURS)}) AS DOUBLE) / COUNT(*) AS web_fraction_work_hours,
+       CAST(COUNT({_hours_case(*EVENING_HOURS)}) AS DOUBLE) / COUNT(*) AS web_fraction_evening_hours
 FROM events
 WHERE user_id IS NOT NULL
 GROUP BY user_id

@@ -83,3 +83,52 @@ def test_bigram_lm_perplexity_semantics(spark):
     assert got[0]["perplexity"] == round(
         2.0 ** got[0]["avg_bigram_surprisal"], 4
     )
+
+
+def test_quality_features_empty_doc_ansi_safe(spark):
+    """Zero-token documents must not throw DIVIDE_BY_ZERO under ANSI
+    (round-13 review) — ratios are NULL, score is an explicit 0.0, and
+    downstream consumers keep working."""
+    from scala_data_pipeline_spark.ext.textstats import quality_features
+
+    docs = spark.createDataFrame(
+        [(0, ""), (1, "   "), (2, "the quick fox")], ["doc_id", "text"]
+    )
+    rows = {r.doc_id: r for r in quality_features(docs).collect()}
+    for d in (0, 1):
+        assert rows[d].n_tokens == 0
+        assert rows[d].stopword_ratio is None
+        assert rows[d].avg_token_len is None
+        assert rows[d].quality_score == 0.0
+    assert rows[2].quality_score > 0.0
+
+
+def test_zipf_spectrum_degenerate_corpus(spark):
+    """A single-distinct-token corpus yields a NULL slope instead of an
+    ANSI DIVIDE_BY_ZERO (round-13 review)."""
+    from scala_data_pipeline_spark.ext.textstats import zipf_spectrum
+
+    docs = spark.createDataFrame(
+        [(0, "spam spam spam"), (1, "spam")], ["doc_id", "text"]
+    )
+    row = zipf_spectrum(docs).collect()[0]
+    assert row.n_ranks == 1
+    assert row.zipf_slope is None
+
+
+def test_url_decode_urldecoder_parity(spark):
+    """Faithful java.net.URLDecoder semantics (round-13 review): '+'
+    decodes to space, malformed %-escapes return '' (the reference
+    catches the throw), invalid UTF-8 decodes to U+FFFD."""
+    from scala_data_pipeline_spark.functions.text import url_decode_pandas
+
+    df = spark.createDataFrame(
+        [(0, "hello+world"), (1, "a%20b"), (2, "abc%zz"), (3, "tail%2"),
+         (4, "%ff"), (5, None)],
+        ["i", "u"],
+    )
+    got = {
+        r.i: r.d
+        for r in df.select("i", url_decode_pandas("u").alias("d")).collect()
+    }
+    assert got == {0: "hello world", 1: "a b", 2: "", 3: "", 4: "�", 5: ""}
