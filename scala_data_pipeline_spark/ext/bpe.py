@@ -189,7 +189,10 @@ def bpe_apply(
         for pdf in batches:
             rows = []
             for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
-                words = [w for w in text.split(" ") if w]
+                # NULL text tokenizes to zero words (round-13 review:
+                # .split on None crashed the task; the JVM token paths
+                # treat NULL as empty).
+                words = [w for w in text.split(" ") if w] if text else []
                 toks: list[str] = []
                 for w in words:
                     toks.extend(encode(w))

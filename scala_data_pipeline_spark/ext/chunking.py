@@ -146,6 +146,13 @@ class ChunkDocumentsUDTF:
     """
 
     def eval(self, row):
+        if row.text is None:
+            # Parity with the native twin (round-13 review): split(NULL)
+            # propagates NULL through greatest/sequence into ONE
+            # (chunk_idx=0, NULL, NULL) row; the UDTF previously crashed
+            # the task on .split of None.
+            yield row.doc_id, 0, None, None
+            return
         toks = [t for t in row.text.split(" ") if t]
         n = len(toks)
         last_start = max(n - WINDOW, 0)

@@ -75,12 +75,11 @@ def _solve_small_graph(edges: DataFrame) -> DataFrame:
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
     vertices = {v for r in rows for v in (r["src"], r["dst"])}
-    comp_min: dict = {}
-    for v in vertices:
-        root = find(v)
-        if root not in comp_min or v < comp_min[root]:
-            comp_min[root] = v
-    labels = sorted((v, comp_min[find(v)]) for v in vertices)
+    # Union-by-min makes find(v) ITSELF the component minimum: every
+    # vertex starts as its own root and unions always attach the larger
+    # root under the smaller, so no separate min pass is needed
+    # (round-13 review removed the redundant comp_min dict).
+    labels = sorted((v, find(v)) for v in vertices)
     id_type = edges.schema["src"].dataType
     from pyspark.sql.types import StructField, StructType
 

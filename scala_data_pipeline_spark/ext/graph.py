@@ -468,8 +468,13 @@ def bfs_hops(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # No cast on the seed ids (round-13 review): connected_components
+    # supports string-id graphs, and a hard cast('long') threw
+    # CAST_INVALID_INPUT under ANSI (or silently emptied every join) —
+    # while the SQL twin applied no cast. Seeds join edges at whatever
+    # id type the caller's graph uses.
     visited = (
-        seeds.select(F.col("doc_id").cast("long").alias("doc_id"))
+        seeds.select("doc_id")
         .distinct()
         .withColumn("hops", F.lit(0).cast("int"))
         .localCheckpoint(eager=True)
@@ -550,8 +555,9 @@ def personalized_pagerank(
     deg = bi.groupBy("src").agg(
         F.count("*").cast("long").alias("degree")
     ).localCheckpoint(eager=True)
+    # untyped seed ids, same rationale as bfs_hops (round-13 review)
     seed_set = (
-        seeds.select(F.col("doc_id").cast("long").alias("src"))
+        seeds.select(F.col("doc_id").alias("src"))
         .distinct()
         .join(deg.select("src"), on="src")
         .localCheckpoint(eager=True)

@@ -135,16 +135,20 @@ def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
 
     ``fake=True`` computes deterministic byte-level features (length,
     head bytes hex, first byte) standing in for width/height/duration;
-    ``fake=False`` routes through :func:`decode_stub` and raises until a
-    decoder is installed.
+    ``fake=False`` additionally DECODES every payload with its own
+    ``media_type`` via :func:`decode_stub` before emitting — a
+    validation pass that raises on any undecodable row (round-13
+    review: the old code passed a hardcoded 'fake/utf8' and dropped
+    the results, so fake=False silently behaved like fake=True). For
+    decoded metadata columns use :func:`image_features` — this
+    function's schema is byte-grained by design.
     """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             if not fake:
-                pdf["payload"].map(
-                    lambda b: decode_stub(bytes(b), "fake/utf8")
-                )
+                for p, mt in zip(pdf["payload"], pdf["media_type"]):
+                    decode_stub(bytes(p), str(mt))  # raises if undecodable
             payloads = pdf["payload"].map(bytes)
             yield pd.DataFrame(
                 {

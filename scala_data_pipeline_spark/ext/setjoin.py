@@ -106,6 +106,13 @@ def prefix_jaccard_join(
     bucket within ``bucket_cap``; above the cap a bucket degrades to
     keeper-star pairs (the family-standard degenerate-corpus bound).
     Returns (doc_a, doc_b, inter, sz_a, sz_b, jaccard), doc_a < doc_b.
+
+    Deliberately NO localCheckpoint pin on the token-set frame despite
+    its three textual references: AQE exchange reuse reclaims the
+    duplicate subtrees in the final adaptive plan, and an explicit pin
+    was MEASURED 0.2 s slower at sf0.1 (round-12 plan audit) — the
+    opposite of the graph/srp cases where the re-derived subtree has no
+    common exchange. Re-measure before "fixing" this.
     """
     sets = token_sets(docs, text_col)
     prefix = sets.select(

@@ -126,7 +126,7 @@ q AS (
   FROM prepped WHERE vec_id < {n_queries}
 ), scored AS (
   SELECT q.query_id, e.vec_id,
-         ROUND({dot} / (q.q_norm * e.emb_norm), 6) AS cos
+         ROUND({dot} / NULLIF(q.q_norm * e.emb_norm, 0), 6) AS cos
   FROM prepped e CROSS JOIN q
   WHERE e.vec_id <> q.query_id
 ), ranked AS (
@@ -185,7 +185,7 @@ q AS (
   FROM prepped WHERE vec_id < {n_queries}
 ), scored AS (
   SELECT q.query_id, e.vec_id,
-         ROUND({dot} / (q.q_norm * e.emb_norm), 6) AS cos
+         ROUND({dot} / NULLIF(q.q_norm * e.emb_norm, 0), 6) AS cos
   FROM prepped e JOIN q ON e.{bucket_col} = q.bucket
   WHERE e.vec_id <> q.query_id
 ), ranked AS (
@@ -394,7 +394,7 @@ WITH prepped AS (
   FROM (SELECT vec_id, {bucket_col}, {prep} AS emb_r FROM embeddings)
 ), pairs AS (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-         ROUND({dot} / (a.emb_norm * b.emb_norm), 6) AS cos
+         ROUND({dot} / NULLIF(a.emb_norm * b.emb_norm, 0), 6) AS cos
   FROM prepped a JOIN prepped b
     ON a.{bucket_col} = b.{bucket_col} AND a.vec_id < b.vec_id
 )
@@ -812,7 +812,7 @@ WITH prepped AS (
   WHERE a.bsz <= {bucket_cap} OR a.vec_id = a.keeper
 ), scored AS (
   SELECT c.vec_a, c.vec_b,
-         ROUND({dot} / (va.emb_norm * vb.emb_norm), 6) AS cos
+         ROUND({dot} / NULLIF(va.emb_norm * vb.emb_norm, 0), 6) AS cos
   FROM cands c
   JOIN keyed va ON va.vec_id = c.vec_a
   JOIN keyed vb ON vb.vec_id = c.vec_b
@@ -1133,7 +1133,7 @@ c AS (SELECT * FROM prepped WHERE {corpus_pred}),
 b AS (SELECT * FROM prepped WHERE {bench_pred}),
 scored AS (
   SELECT c.vec_id, b.vec_id AS bench_id,
-         ROUND({dot} / (c.emb_norm * b.emb_norm), 6) AS cos
+         ROUND({dot} / NULLIF(c.emb_norm * b.emb_norm, 0), 6) AS cos
   FROM c CROSS JOIN b
 ), ranked AS (
   SELECT *, ROW_NUMBER() OVER (
