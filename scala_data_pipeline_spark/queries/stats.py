@@ -566,14 +566,18 @@ def chi2_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("chi2"),
             ((F.col("r") - 1) * (F.col("c") - 1)).cast("long").alias("dof"),
+            # try_divide: a single-lang or single-source corpus makes
+            # least(r-1, c-1) zero — NULL V (matching DuckDB's /0)
+            # instead of an ANSI throw on a legal degenerate input
+            # (round-13 review).
             F.round(
                 F.sqrt(
-                    F.col("chi2")
-                    / (
+                    F.try_divide(
+                        F.col("chi2"),
                         F.col("n").cast("double")
                         * F.least(F.col("r") - 1, F.col("c") - 1).cast(
                             "double"
-                        )
+                        ),
                     )
                 ),
                 6,
@@ -679,9 +683,15 @@ def mutual_info_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mi_nats",
             "h_lang",
             "h_source",
+            # try_divide: a single-category axis has entropy exactly 0,
+            # so sqrt(h_lang*h_source) is 0 — NULL NMI (the
+            # conventional "undefined") matching DuckDB (round-13
+            # review).
             F.round(
-                F.col("mi_nats")
-                / F.sqrt(F.col("h_lang") * F.col("h_source")),
+                F.try_divide(
+                    F.col("mi_nats"),
+                    F.sqrt(F.col("h_lang") * F.col("h_source")),
+                ),
                 6,
             ).alias("nmi"),
         )

@@ -295,10 +295,18 @@ def benford_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n")
     )
     total = Window.partitionBy()
-    observed = F.col("n") / F.sum("n").over(total)
+    n_total = F.sum("n").over(total)
+    observed = F.col("n") / n_total
     expected = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    # Pearson per-digit contribution is N*(f-e)^2/e — WITH the total
+    # count factor (round-13 review: omitting N made every term ~N
+    # times too small, so a chi2(8df) cutoff test would declare grossly
+    # fabricated data clean).
     chi2 = (
-        (observed - expected) * (observed - expected) / expected
+        n_total
+        * (observed - expected)
+        * (observed - expected)
+        / expected
     )
     return counts.select(
         "digit",
@@ -321,7 +329,8 @@ WITH counts AS (
 SELECT digit, n,
        ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (), 6) AS observed_freq,
        ROUND(log10(1.0 + 1.0 / digit), 6) AS benford_freq,
-       ROUND((CAST(n AS DOUBLE) / SUM(n) OVER ()
+       ROUND(SUM(n) OVER ()
+             * (CAST(n AS DOUBLE) / SUM(n) OVER ()
                  - log10(1.0 + 1.0 / digit))
              * (CAST(n AS DOUBLE) / SUM(n) OVER ()
                  - log10(1.0 + 1.0 / digit))
@@ -507,9 +516,13 @@ def skew_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(cnt, 0.5)").alias("median_mult"),
         F.sum(F.col("i").cast("decimal(38,0)") * F.col("cnt")).alias("iw"),
     )
+    # n_keys * n_rows as DOUBLES (round-13 review): the long*long
+    # product overflows int64 at ~1e10 keys x 1.5e11 rows — exactly the
+    # 100 TB scale this diagnostic targets — raising ARITHMETIC_OVERFLOW
+    # under ANSI. Double arithmetic is what the ratio needs anyway.
     gini = (
         F.lit(2.0) * F.col("iw").cast("double")
-        / (F.col("n_keys") * F.col("n_rows"))
+        / (F.col("n_keys").cast("double") * F.col("n_rows").cast("double"))
         - (F.col("n_keys") + F.lit(1.0)) / F.col("n_keys")
     )
     return stats.select(
@@ -589,9 +602,12 @@ def regress_brand_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     den_x = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
     den_y = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
     cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
-    slope = cov / den_x
-    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("n")
-    r2 = (cov * cov) / (den_x * den_y)
+    # try_divide: a single-part or constant-size brand makes den_x
+    # exactly 0.0 — NULL slope/r2 (matching DuckDB's /0) instead of an
+    # ANSI DIVIDE_BY_ZERO that killed all 25 brands (round-13 review).
+    slope = F.try_divide(cov, den_x)
+    intercept = F.try_divide(F.col("sy") - slope * F.col("sx"), F.col("n"))
+    r2 = F.try_divide(cov * cov, den_x * den_y)
     return sums.select(
         "p_brand",
         F.col("n").cast("long").alias("n"),
@@ -666,17 +682,24 @@ def ab_welch_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = a.join(F.broadcast(b), F.col("type_a") < F.col("type_b"))
     ma = F.col("sa") / F.col("na")
     mb = F.col("sb") / F.col("nb")
-    va = (F.col("ssa") - F.col("sa") * F.col("sa") / F.col("na")) / (
-        F.col("na") - 1
+    # try_divide on the n-1 terms (round-13 review): an event type with
+    # a SINGLE non-null value has undefined sample variance — NULL t/df
+    # (matching DuckDB's /0) instead of an ANSI throw killing all 10
+    # pairs.
+    va = F.try_divide(
+        F.col("ssa") - F.col("sa") * F.col("sa") / F.col("na"),
+        F.col("na") - 1,
     )
-    vb = (F.col("ssb") - F.col("sb") * F.col("sb") / F.col("nb")) / (
-        F.col("nb") - 1
+    vb = F.try_divide(
+        F.col("ssb") - F.col("sb") * F.col("sb") / F.col("nb"),
+        F.col("nb") - 1,
     )
     se2 = va / F.col("na") + vb / F.col("nb")
-    t = (ma - mb) / F.sqrt(se2)
-    df = (se2 * se2) / (
+    t = F.try_divide(ma - mb, F.sqrt(se2))
+    df = F.try_divide(
+        se2 * se2,
         (va / F.col("na")) * (va / F.col("na")) / (F.col("na") - 1)
-        + (vb / F.col("nb")) * (vb / F.col("nb")) / (F.col("nb") - 1)
+        + (vb / F.col("nb")) * (vb / F.col("nb")) / (F.col("nb") - 1),
     )
     return pairs.select(
         "type_a",
@@ -932,8 +955,8 @@ EXTRA_ORACLES["ewma_daily_revenue"] = EWMA_ORACLE
 
 
 def yoy_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Month-grain revenue with MoM and YoY growth (lag-1 / lag-12
-    windows over the month series) — the BI staple. The corpus reduces
+    """Month-grain revenue with MoM and YoY growth (calendar-exact
+    RANGE frames over the month index) — the BI staple. The corpus reduces
     to (month, decimal revenue) in one shuffle; growth ratios are
     window lags over months (hundreds of rows at any corpus size).
     Months with no same-month-last-year comparison emit NULL YoY, not
@@ -945,9 +968,17 @@ def yoy_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     monthly = orders.groupBy(month.alias("m")).agg(
         F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("rev")
     )
-    w = Window.orderBy("m")
-    prev = F.lag("rev", 1).over(w)
-    prev12 = F.lag("rev", 12).over(w)
+    # RANGE frames keyed on the month INDEX, not row lags (round-13
+    # review: lag(rev, 12) is 12 ROWS back, so one zero-order month
+    # silently shifted every later comparison to the wrong base month;
+    # a range frame of exactly [m-k, m-k] is calendar-true with gaps
+    # and emits NULL when the base month is absent).
+    prev = F.max("rev").over(
+        Window.orderBy("m").rangeBetween(-1, -1)
+    )
+    prev12 = F.max("rev").over(
+        Window.orderBy("m").rangeBetween(-12, -12)
+    )
     growth = lambda cur, base: F.when(  # noqa: E731
         base.isNotNull(),
         F.round(
@@ -973,8 +1004,10 @@ WITH monthly AS (
   FROM orders GROUP BY 1
 ), lagged AS (
   SELECT m, rev,
-         LAG(rev, 1) OVER (ORDER BY m) AS prev,
-         LAG(rev, 12) OVER (ORDER BY m) AS prev12
+         MAX(rev) OVER (ORDER BY m
+           RANGE BETWEEN 1 PRECEDING AND 1 PRECEDING) AS prev,
+         MAX(rev) OVER (ORDER BY m
+           RANGE BETWEEN 12 PRECEDING AND 12 PRECEDING) AS prev12
   FROM monthly
 )
 SELECT CAST(m // 12 AS INTEGER) AS year,  -- // : DuckDB / is float div and CAST rounds
@@ -992,10 +1025,11 @@ FROM lagged
 
 def dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Day-of-week seasonal index of order revenue: each weekday's mean
-    daily revenue vs the all-days mean (index > 1 = heavy day), plus
-    the deseasonalized coefficient of variation — the pre-step before
-    anomaly thresholds so Mondays aren't flagged for being Mondays.
-    ISO weekday numbering (1=Mon) on both engines."""
+    daily revenue vs the all-days mean (index > 1 = heavy day) — the
+    pre-step before anomaly thresholds so Mondays aren't flagged for
+    being Mondays (deseasonalize by dividing daily revenue by its
+    weekday's index, then threshold). ISO weekday numbering (1=Mon) on
+    both engines."""
     orders = load_table(spark, sf_dir, "orders")
     daily = orders.groupBy(
         F.col("o_orderdate").cast("date").alias("d")
@@ -1185,7 +1219,18 @@ def hhi_supplier_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         shared.groupBy("nation")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_suppliers"),
-            F.sum(F.col("share") * F.col("share")).alias("hhi_raw"),
+            # order-independent sum (round-13 review): raw double
+            # accumulation varies with task order at the last ulp and
+            # can flip the 6dp rounding vs the sequential oracle —
+            # per-term 8dp rounding + decimal sum is the house rule
+            # (functions/numeric.py)
+            F.sum(
+                F.round(F.col("share") * F.col("share"), 8).cast(
+                    "decimal(18,8)"
+                )
+            )
+            .cast("double")
+            .alias("hhi_raw"),
         )
         .select(
             "nation",
@@ -1215,8 +1260,10 @@ WITH per AS (
 )
 SELECT nation,
        CAST(COUNT(*) AS BIGINT) AS n_suppliers,
-       ROUND(SUM(share * share), 6) AS hhi,
-       ROUND(1.0 / SUM(share * share), 4) AS effective_suppliers
+       ROUND(CAST(SUM(CAST(ROUND(share * share, 8) AS DECIMAL(18,8)))
+                  AS DOUBLE), 6) AS hhi,
+       ROUND(1.0 / CAST(SUM(CAST(ROUND(share * share, 8)
+                  AS DECIMAL(18,8))) AS DOUBLE), 4) AS effective_suppliers
 FROM shares GROUP BY nation
 """
 
@@ -1267,7 +1314,14 @@ def drift_priority_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.groupBy("yr")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_categories"),
-            F.round(F.sum(chi_term), 6).alias("chi2"),
+            # 8dp-rounded decimal terms: order-independent sum (house
+            # rule, round-13 review)
+            F.round(
+                F.sum(F.round(chi_term, 8).cast("decimal(18,8)")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("chi2"),
         )
         .select(F.col("yr").cast("int").alias("year"), "n_categories", "chi2")
     )
@@ -1287,11 +1341,11 @@ WITH per AS (
 )
 SELECT CAST(yr AS INTEGER) AS year,
        CAST(COUNT(*) AS BIGINT) AS n_categories,
-       ROUND(SUM(
+       ROUND(CAST(SUM(CAST(ROUND(
          (CAST(n AS DOUBLE) - CAST(n_prev AS DOUBLE) / tot_prev * tot)
          * (CAST(n AS DOUBLE) - CAST(n_prev AS DOUBLE) / tot_prev * tot)
          / (CAST(n_prev AS DOUBLE) / tot_prev * tot)
-       ), 6) AS chi2
+       , 8) AS DECIMAL(18,8))) AS DOUBLE), 6) AS chi2
 FROM joined GROUP BY yr
 """
 
@@ -1528,8 +1582,16 @@ def ks_value_counts(events: DataFrame) -> DataFrame:
     batch partial frames merged by summation are BIT-IDENTICAL to one
     batch pass — the continuous drift-monitor shape
     (streaming/drift_sink.py maintains this frame incrementally)."""
+    # NULL observations are EXCLUDED (round-13 review): they are not
+    # values of the distribution, and Spark's cumulative window would
+    # order them FIRST while DuckDB orders them LAST — an engine
+    # divergence in every intermediate ECDF gap. Same convention as
+    # ab_welch_value.
     return (
-        events.filter(F.col("event_type").isin("click", "view"))
+        events.filter(
+            F.col("event_type").isin("click", "view")
+            & F.col("value").isNotNull()
+        )
         .groupBy(F.col("value").cast("decimal(18,2)").alias("v"))
         .agg(
             F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
@@ -1584,7 +1646,9 @@ WITH per_val AS (
            AS c_click,
          CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT)
            AS c_view
-  FROM events WHERE event_type IN ('click', 'view') GROUP BY 1
+  FROM events
+  WHERE event_type IN ('click', 'view') AND value IS NOT NULL
+  GROUP BY 1
 ), stepped AS (
   SELECT ABS(
            CAST(SUM(c_click) OVER (ORDER BY v
@@ -1766,11 +1830,18 @@ def twap_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("v") * F.col("dur_us")).alias("num"),
         F.sum("dur_us").cast("long").alias("den_us"),
     )
+    # try_divide: a user whose kept intervals are all zero-length
+    # (same-timestamp events — the event_id tiebreak exists because
+    # ties are in the data contract) has den_us = 0; NULL twap matches
+    # the DuckDB twin instead of an ANSI throw (round-13 review).
     return agg.select(
         "user_id",
         "n_intervals",
         F.round(
-            F.col("num").cast("double") / F.col("den_us").cast("double"), 6
+            F.try_divide(
+                F.col("num").cast("double"), F.col("den_us").cast("double")
+            ),
+            6,
         ).alias("twap_value"),
     )
 
@@ -2054,7 +2125,7 @@ def ks_pairwise_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus is never re-scanned per pair.
     """
     ev = load_table(spark, sf_dir, "events").filter(
-        F.col("event_type").isin(*_KS_TYPES)
+        F.col("event_type").isin(*_KS_TYPES) & F.col("value").isNotNull()
     )
     counts = [
         F.sum(F.when(F.col("event_type") == t, 1).otherwise(0))
@@ -2121,7 +2192,8 @@ def _ks_pairwise_oracle() -> str:
 WITH grain AS (
   SELECT CAST(value AS DECIMAL(18,2)) AS v,
          {count_cols}
-  FROM events WHERE event_type IN ({types}) GROUP BY 1
+  FROM events WHERE event_type IN ({types}) AND value IS NOT NULL
+  GROUP BY 1
 ), stepped AS (
   {pair_rows}
 )
@@ -2183,7 +2255,10 @@ def spearman_brand_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sums.select(
         "p_brand",
         F.col("n").cast("long").alias("n"),
-        F.round(cov / den, 6).alias("spearman_rho"),
+        # try_divide: a constant-size brand has zero rank variance —
+        # NULL rho (undefined correlation; matches DuckDB) instead of
+        # an ANSI throw (round-13 review).
+        F.round(F.try_divide(cov, den), 6).alias("spearman_rho"),
     )
 
 

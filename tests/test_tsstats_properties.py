@@ -145,3 +145,50 @@ def test_km_terminal_step_is_exactly_zero(spark, tmp_path):
     finally:
         con.close()
     compare(got, want, "survival_km_users/terminal")
+
+
+def test_benford_chi2_terms_are_pearson_contributions(spark, sf_dir):
+    """chi2_term must be the PEARSON contribution N*(f-e)^2/e — with
+    the total-count factor (round-13 review: omitting N made the terms
+    ~N times too small, so a chi-square cutoff test would pass grossly
+    fabricated data)."""
+    from scala_data_pipeline_spark.queries.tsstats import benford_prices
+
+    rows = benford_prices(spark, sf_dir).collect()
+    n_total = sum(r.n for r in rows)
+    for r in rows:
+        f, e = r.n / n_total, r.benford_freq
+        want = n_total * (f - e) ** 2 / e
+        assert abs(r.chi2_term - want) < max(1e-4, 0.01 * want), r
+
+
+def test_yoy_growth_skips_missing_base_month(spark, tmp_path):
+    """A month GAP must yield NULL MoM/YoY for rows whose calendar base
+    month is absent — not a silently shifted comparison (round-13
+    review: lag(12) was 12 ROWS back)."""
+    import datetime
+
+    from scala_data_pipeline_spark.queries.tsstats import yoy_revenue_growth
+
+    rows = []
+    k = 0
+    for y, m in [(2023, 1), (2023, 2), (2023, 4),  # March missing
+                 (2024, 1), (2024, 2), (2024, 3), (2024, 4)]:
+        for _ in range(3):
+            k += 1
+            rows.append((k, datetime.date(y, m, 15), 100.0 * m))
+    spark.createDataFrame(
+        rows, "o_orderkey bigint, o_orderdate date, o_totalprice double"
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    got = {
+        (r.year, r.month): (r.mom_growth, r.yoy_growth)
+        for r in yoy_revenue_growth(spark, str(tmp_path)).collect()
+    }
+    # April 2023 follows a missing March: MoM must be NULL
+    assert got[(2023, 4)][0] is None
+    # March 2024 has no March 2023: YoY must be NULL (the row-lag bug
+    # would have compared against a shifted month instead)
+    assert got[(2024, 3)][1] is None
+    # April 2024 vs April 2023 both exist: YoY = 0 (same revenue)
+    assert got[(2024, 4)][1] == 0.0
+    assert got[(2024, 2)][1] == 0.0
