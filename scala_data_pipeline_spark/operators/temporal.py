@@ -63,9 +63,19 @@ def asof_join(
         ],
     ).withColumn("_lts", F.lit(None).cast(left.schema[left_ts].dataType))
     unioned = l_tagged.unionByName(r_tagged)
+    # Deterministic tiebreak among right rows sharing (key, ts): order
+    # additionally by the carried value columns, so the row sorted LAST
+    # (the greatest value tuple) wins — without it the carried value
+    # was partition-order-dependent and could flake the oracle hash on
+    # tied timestamps (round-13 review; left rows are unaffected: _side
+    # already orders them after every tied right row).
     w = (
         Window.partitionBy(key)
-        .orderBy(F.col("_ts").asc(), F.col("_side").asc())
+        .orderBy(
+            F.col("_ts").asc(),
+            F.col("_side").asc(),
+            *[F.col(c).asc_nulls_first() for c in value_cols],
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.select(

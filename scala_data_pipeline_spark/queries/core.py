@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.numeric import davg_sql, dsum, dsum_sql
+from ..functions.numeric import davg, davg_sql, dsum, dsum_sql
 from ..operators.aggregates import pivot_counts, pivot_counts_sql, topk
 from ..operators.relational import (
     ACCTBAL_BOUNDS,
@@ -124,10 +124,8 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
                 * (1 + F.col("l_tax")),
                 scale=6,
             ).alias("sum_charge"),
-            (dsum(F.col("l_quantity")) / F.count(F.col("l_quantity"))).alias("avg_qty"),
-            (
-                dsum(F.col("l_extendedprice")) / F.count(F.col("l_extendedprice"))
-            ).alias("avg_price"),
+            davg(F.col("l_quantity")).alias("avg_qty"),
+            davg(F.col("l_extendedprice")).alias("avg_price"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )

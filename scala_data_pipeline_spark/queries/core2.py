@@ -59,10 +59,9 @@ GROUP BY 1, 2
 
 def global_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
-    sorted_df = orders.orderBy(
-        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
-    )
-    return sorted_df.select(
+    # The row_number window imposes the global (date, key) sort itself;
+    # an explicit pre-orderBy was dead code (round-13 review).
+    return orders.select(
         F.row_number()
         .over(Window.orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc()))
         .alias("pos"),

@@ -295,8 +295,14 @@ def lateral_topn_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer count (deterministic tiebreak on name). Catalyst rewrites
     the correlated limit into a ranked window join — no per-row
     re-execution, one shuffle on the join key."""
-    for t in ("region", "nation", "customer"):
-        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    # Through register_views, never hand-registered views (round-13
+    # review: createOrReplaceTempView here silently re-pointed the
+    # memoized SQL-surface views at a different sf_dir without updating
+    # the memo, so a later sql_api query for the ORIGINAL dir read the
+    # wrong dataset).
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir)
     return spark.sql(
         """
         SELECT r.r_name, t.n_name, t.n_cust

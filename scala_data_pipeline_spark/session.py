@@ -70,7 +70,12 @@ def get_session(
     )
     if master is not None:
         builder = builder.master(master)
-    elif "SPARK_MASTER" not in os.environ:
+    elif "SPARK_MASTER" in os.environ:
+        # Use the variable's VALUE (round-13 review: it was consulted
+        # only as a presence flag, so `SPARK_MASTER=spark://... python
+        # job.py` crashed with "A master URL must be set").
+        builder = builder.master(os.environ["SPARK_MASTER"])
+    else:
         builder = builder.master(f"local[{cores}]")
         # Single-JVM local mode: driver memory is the only knob.
         builder = builder.config(
