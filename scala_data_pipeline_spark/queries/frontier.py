@@ -75,6 +75,12 @@ def pareto_frontier(part: DataFrame) -> DataFrame:
     the (tiny) stored frontier plus the new batch — never the history.
     Asserted on real data in tests/test_frontier.py.
     """
+    # NULL-price rows are excluded up front (round-13 review: they
+    # never equi-join back AND sort NULLS FIRST into the running max,
+    # polluting run_lt, while the NOT EXISTS oracle kept them — a
+    # membership disagreement). Dominance over a NULL dimension is
+    # undefined; the oracle mirrors the filter.
+    part = part.filter(F.col("p_retailprice").isNotNull())
     per_price = part.groupBy("p_brand", "p_retailprice").agg(
         F.max("p_size").alias("gmax")
     )
@@ -109,7 +115,8 @@ SELECT p.p_brand,
        ROUND(p.p_retailprice, 2) AS price,
        CAST(p.p_size AS INTEGER) AS size
 FROM part p
-WHERE NOT EXISTS (
+WHERE p.p_retailprice IS NOT NULL
+  AND NOT EXISTS (
   SELECT 1 FROM part q
   WHERE q.p_brand = p.p_brand
     AND q.p_retailprice <= p.p_retailprice

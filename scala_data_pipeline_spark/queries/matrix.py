@@ -6,7 +6,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pyspark import StorageLevel
 
 from ..functions.timefn import WEEKDAYS
 from ..operators.aggregates import pivot_counts
@@ -19,11 +18,6 @@ from ..operators.matrix import (
 )
 from ..sources import load_table
 
-# Oracle twin of the users×items pivot: one CASE-count column per item.
-_ITEM_COLS = ",\n    ".join(
-    f"CAST(COALESCE(SUM(CASE WHEN item = '{v}' THEN 1 END), 0) AS BIGINT) AS {v}"
-    for v in item_values()
-)
 _ITEMS_LONG_SQL = """
 SELECT user_id,
        (CASE WHEN event_type = 'view' THEN 'view_item' ELSE 'buy_item' END)
@@ -31,7 +25,16 @@ SELECT user_id,
 FROM events
 WHERE user_id IS NOT NULL AND event_type IN ('view', 'purchase')
 """
-USERS_ITEMS_ORACLE = f"SELECT user_id,\n    {_ITEM_COLS}\nFROM ({_ITEMS_LONG_SQL})\nGROUP BY user_id"
+# Oracle twin of the users×items pivot, built with the SHARED
+# pivot_counts_sql generator (round-13 review: a hand-rolled copy here
+# lacked the quote-escaping and label-collision hardening the shared
+# helper carries).
+from ..operators.aggregates import pivot_counts_sql
+
+USERS_ITEMS_ORACLE = pivot_counts_sql(
+    f"({_ITEMS_LONG_SQL})", key="user_id", pivot_col="item",
+    values=item_values(),
+)
 
 
 def q_users_items(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -49,8 +52,13 @@ def q_users_items_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     persisting the shared projection is the equivalent one-scan shape
     when both sides derive from the same batch."""
     events = load_table(spark, sf_dir, "events")
-    long = event_items_long(events, extra_cols=("ts",)).persist(
-        StorageLevel.MEMORY_AND_DISK
+    # localCheckpoint, not a never-unpersisted persist (round-13
+    # review: each invocation pinned another copy of the long frame in
+    # the block manager for the session lifetime; checkpointed RDDs are
+    # released when the Python frame is GC'd — the bench loop relies on
+    # that).
+    long = event_items_long(events, extra_cols=("ts",)).localCheckpoint(
+        eager=True
     )
     cutoff = F.lit("2024-01-20")
     vals = item_values()

@@ -636,15 +636,20 @@ EXTRA_ORACLES["sql_waiting_suppliers"] = SQL_WAITING_SUPPLIERS
 # has some order, so Q22's literal "never ordered" would be vacuous;
 # "idle since 1999" keeps the identical plan shape non-empty), grouped
 # by segment (the fixture has no phone country codes). Balance sums
-# ride the dsum decimal pattern so the aggregate hashes identically in
-# both engines.
+# ride the dsum decimal pattern, and the above-average threshold is the
+# multiply-based EXACT form (bal x count > sum — the
+# SQL_ORDERS_ABOVE_CUSTOMER_AVG pattern): Spark evaluates the decimal
+# AVG exactly while DuckDB averages in floating point, so the divided
+# form applied two different cutoffs across engines (round-13 review).
 SQL_IDLE_RICH_CUSTOMERS = f"""
 SELECT c_mktsegment,
        COUNT(*) AS numcust,
        {dsum_sql('c_acctbal', 2)} AS totacctbal
 FROM customer
-WHERE c_acctbal > (
-    SELECT AVG(CAST(c_acctbal AS DECIMAL(18,2)))
+WHERE CAST(c_acctbal AS DECIMAL(18,2)) * (
+    SELECT COUNT(*) FROM customer WHERE c_acctbal > 0.0
+  ) > (
+    SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2)))
     FROM customer WHERE c_acctbal > 0.0
   )
   AND NOT EXISTS (
@@ -1039,8 +1044,11 @@ EXTRA_ORACLES["sql_small_qty_revenue"] = SQL_SMALL_QTY_REVENUE
 
 # TPC-DS Q36-shaped rollup ranking (round 13): ROLLUP over
 # (nation, order_year) with GROUPING()-derived level, then RANK and a
-# share-of-parent ratio WINDOWED WITHIN EACH ROLLUP LEVEL — the "rank
-# categories inside their hierarchy level" report every BI cube emits.
+# share-of-parent ratio against each row's TRUE parent in the rollup
+# hierarchy (detail -> nation subtotal -> grand total; round-13 review
+# fixed the original lvl,nation partition, which made every subtotal's
+# share a degenerate 1.0) — the "rank categories inside their hierarchy
+# level" report every BI cube emits.
 # No other registry query composes grouping-set flags with windows over
 # the rollup output. Window partitions are bounded (level x nation:
 # <= 25 x years rows regardless of corpus). NULLS FIRST is explicit:
@@ -1058,20 +1066,31 @@ WITH base AS (
   SELECT nation, order_year,
          CAST(GROUPING(nation) * 2 + GROUPING(order_year) AS INTEGER)
            AS lvl,
-         CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS rev
+         SUM(CAST(price AS DECIMAL(18,2))) AS rev_dec
   FROM base
   GROUP BY ROLLUP(nation, order_year)
+), shared AS (
+  -- parent partition: a detail row's parent is its nation subtotal;
+  -- a nation subtotal's parent is the grand total (PARTITION BY lvl
+  -- alone); the grand total is its own parent (ratio 1). Window-sum
+  -- the DECIMAL and cast AFTER (order-independent; the house rule).
+  SELECT nation, order_year, lvl,
+         CAST(rev_dec AS DOUBLE) AS rev_d,
+         CAST(SUM(rev_dec) OVER (
+           PARTITION BY lvl,
+                        CASE WHEN lvl = 0 THEN nation END
+         ) AS DOUBLE) AS parent_rev
+  FROM agg
 )
 SELECT nation, order_year, lvl,
-       ROUND(rev, 2) AS rev,
+       ROUND(rev_d, 2) AS rev,
        CAST(RANK() OVER (
          PARTITION BY lvl
-         ORDER BY rev DESC,
+         ORDER BY rev_d DESC,
                   nation ASC NULLS FIRST,
                   order_year ASC NULLS FIRST) AS BIGINT) AS lvl_rank,
-       ROUND(rev / SUM(rev) OVER (PARTITION BY lvl, nation), 6)
-         AS share_of_parent
-FROM agg
+       ROUND(rev_d / parent_rev, 6) AS share_of_parent
+FROM shared
 """
 
 
