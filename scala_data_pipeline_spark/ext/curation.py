@@ -1013,7 +1013,11 @@ def unimax_allocation(
         "n_tokens",
         "capacity",
         F.round(alloc, 4).alias("alloc_tokens"),
-        F.round(alloc / F.col("n_tokens"), 6).alias("epochs"),
+        # try_divide: a language whose documents are all empty has
+        # n_tokens = 0 (capacity 0, capped first) — plain division
+        # throws DIVIDE_BY_ZERO under ANSI while the DuckDB twin's /0
+        # is NULL natively (round-13 advisor).
+        F.round(F.try_divide(alloc, F.col("n_tokens")), 6).alias("epochs"),
         (F.col("rn") <= k).alias("capped"),
     )
 

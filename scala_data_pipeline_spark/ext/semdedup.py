@@ -264,12 +264,18 @@ def semantic_dedup_k1_exact(
                 kb = mat[kept_idx]
                 for d in range(mat.shape[1]):
                     acc += kb[:, d] * mat[i, d]
+                # Zero-norm pairs divide by 0 → sim undefined: drop
+                # them (the SQL twin's NULLIF → NULL, skipped by
+                # list_max) instead of letting round6 overflow on inf.
                 sims = [
                     round6(float(a / (norms[j] * norms[i])))
+                    if norms[j] * norms[i] != 0.0
+                    else None
                     for a, j in zip(acc, kept_idx)
                 ]
-                best = max(sims)
-                if best >= thresh:
+                defined = [s for s in sims if s is not None]
+                best = max(defined) if defined else None
+                if best is not None and best >= thresh:
                     j = sims.index(best)  # earliest kept on ties
                     dup_of[i] = int(pdf["vec_id"].iloc[kept_idx[j]])
                     dup_sim[i] = best
@@ -327,8 +333,8 @@ scored AS (
   SELECT vec_id, e, nv,
          ROUND(list_sum(list_transform(list_zip(e, (SELECT c FROM ctr)),
                                        z -> z[1] * z[2]))
-               / (nv * sqrt(list_sum(list_transform((SELECT c FROM ctr),
-                                                    x -> x * x)))),
+               / NULLIF(nv * sqrt(list_sum(list_transform((SELECT c FROM ctr),
+                                                          x -> x * x))), 0),
                6) AS centroid_sim
   FROM nrm
 ),
@@ -351,7 +357,7 @@ greedy AS (
                      vec_id := r.vec_id, e := r.e, nv := r.nv)) END,
          list_append(g.outp, struct_pack(
            vec_id := r.vec_id, centroid_sim := r.centroid_sim,
-           keep := list_max(s.sims) < (1.0 - {eps}),
+           keep := COALESCE(list_max(s.sims) < (1.0 - {eps}), TRUE),
            dup_of := CASE WHEN list_max(s.sims) >= (1.0 - {eps})
                           THEN g.kept[list_position(s.sims,
                                                     list_max(s.sims))].vec_id
@@ -361,10 +367,14 @@ greedy AS (
   FROM greedy g
   JOIN ranked r ON r.rn = g.rn + 1
   CROSS JOIN LATERAL (
+    -- NULLIF zero-norm guard (round-13 advisor): a zero-norm vector's
+    -- pair similarity is NULL, skipped by list_max; an all-NULL sims
+    -- list keeps the row via the COALESCE above — mirroring the
+    -- pandas greedy, which drops zero-denominator pairs before max().
     SELECT list_transform(g.kept, kk ->
       ROUND(list_sum(list_transform(list_zip(kk.e, r.e),
                                     z -> z[1] * z[2]))
-            / (kk.nv * r.nv), 6)) AS sims
+            / NULLIF(kk.nv * r.nv, 0), 6)) AS sims
   ) s
 )
 SELECT u.vec_id AS vec_id, u.centroid_sim AS centroid_sim,

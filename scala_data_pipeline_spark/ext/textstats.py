@@ -47,10 +47,11 @@ def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.try_divide(F.length(text) - (n_tokens - 1), n_tokens), 6
     )  # total non-space chars / tokens (single-spaced corpus)
     # quality: in-range token count + stopword presence, clamped to
-    # [0,1]; an EMPTY document scores 0.0 explicitly (LEAST ignores the
-    # NULL stop_ratio on both engines, which would otherwise score an
-    # empty doc a perfect 1.0).
-    score = F.when(n_tokens == 0, F.lit(0.0)).otherwise(
+    # [0,1]; an EMPTY OR NULL document scores 0.0 explicitly (LEAST
+    # ignores the NULL stop_ratio on both engines, which would
+    # otherwise score it a perfect 1.0 — and for NULL text n_tokens is
+    # itself NULL, so the ==0 test alone falls through to otherwise).
+    score = F.when((n_tokens == 0) | n_tokens.isNull(), F.lit(0.0)).otherwise(
         F.round(
             F.least(
                 F.lit(1.0),
@@ -78,7 +79,7 @@ def quality_score_sql(text_col: str = "text") -> str:
     n_stop = f"len(list_filter({toks}, t -> t IN ({stop_list})))"
     stop_ratio = f"ROUND(CAST({n_stop} AS DOUBLE) / {n_tokens}, 6)"
     return (
-        f"CASE WHEN {n_tokens} = 0 THEN 0.0 ELSE "
+        f"CASE WHEN COALESCE({n_tokens}, 0) = 0 THEN 0.0 ELSE "
         f"ROUND(LEAST(1.0, (CAST({n_tokens} AS DOUBLE) / 50.0) * 0.5 + {stop_ratio} * 2.0), 6) END"
     )
 

@@ -109,15 +109,25 @@ class _StreamReader(DataSourceStreamReader):
     def latestOffset(self):
         if self.max_rows_per_trigger is None:
             return {"next": self.total_rows}
-        nxt = min(
-            getattr(self, "_planned", 0) + self.max_rows_per_trigger,
-            self.total_rows,
+        # Admission control is clamped to the highest batch-start ever
+        # planned (_high_water, fed by partitions()): after a
+        # checkpoint restore whose last batch was already committed,
+        # Spark calls latestOffset() FIRST — before any commit() — so
+        # relying on commit() alone would regress below the
+        # checkpointed start offset and emit empty sentinel batches
+        # until _planned crawled past the committed position.
+        base = max(
+            getattr(self, "_planned", 0), getattr(self, "_high_water", 0)
         )
+        nxt = min(base + self.max_rows_per_trigger, self.total_rows)
         self._planned = nxt
         return {"next": nxt}
 
     def partitions(self, start, end):
         lo, hi = start["next"], min(end["next"], self.total_rows)
+        # High-water mark of planned batch starts — the restore-time
+        # floor for latestOffset (see above).
+        self._high_water = max(getattr(self, "_high_water", 0), lo)
         out, cur = [], lo
         while cur < hi:
             step = min(self.rows_per_batch, hi - cur)

@@ -80,23 +80,22 @@ def test_topk_no_global_sort(audits):
 def test_incremental_merge_stays_wide(spark, sf_dir):
     """merge_matrix merges wide (union + column sums): no Expand node
     (the old long-form path unpivoted 200 columns into per-cell rows)
-    and 3 shuffles — the ext.util.fan_out round-robin of the fixture's
-    single-row-group events scan (a no-op on a real multi-split corpus,
-    where this count drops to 2) plus one per side's pivot; the merge
-    agg runs bucket-aligned on the union of the two co-partitioned
-    shuffles without an exchange of its own. When an earlier test has
-    already materialized the shared persisted projection, the
-    InMemoryRelation's STORED child plan re-prints the fan_out exchange
-    (4 in the plan text, same physical work) — accept both states."""
+    and exactly 2 shuffles — one per side's pivot; the merge agg runs
+    bucket-aligned on the union of the two co-partitioned shuffles
+    without an exchange of its own. The shared (user_id, item, ts)
+    projection is localCheckpoint'd before the split (dea0e7e: the old
+    never-unpersisted persist pinned a copy of the long frame per
+    invocation), so the audited plan reads a checkpointed RDD — the
+    events parquet scan and its fan_out exchange happen exactly once,
+    at checkpoint materialization, BEFORE this plan."""
     a = plan_audit(QUERIES["users_items_incremental"](spark, sf_dir))
     assert "Expand" not in a["plan"]
-    assert a["n_shuffle_exchanges"] in (3, 4)
+    assert a["n_shuffle_exchanges"] == 2
     assert a["has_partial_agg"]
-    # The shared (user_id, item, ts) projection is persisted and split:
-    # events' parquet must be scanned exactly once, both pivot branches
-    # reading the cache.
-    assert len(a["scan_schemas"]) == 1, a["scan_schemas"]
-    assert "InMemoryTableScan" in a["plan"]
+    # Both pivot branches read the checkpointed RDD: zero parquet scans
+    # in the audited plan (the single events scan pre-materialized).
+    assert a["scan_schemas"] == [], a["scan_schemas"]
+    assert "ExistingRDD" in a["plan"]
 
 
 def test_lsh_signature_pipeline_runs_once(spark, sf_dir):
