@@ -36,7 +36,7 @@ def main() -> None:
     # Named EXTRA_QUERIES can be benched alongside the driver set
     # ($SPARK_GRAFT_BENCH_EXTRAS="a,b"): the 10x scaling artifact keeps
     # its watch items (e.g. dedup_edit_distance after its round-13
-    # demotion, dedup_span_excise_intervals) without burning driver
+    # demotion, dedup_span_excise after its round-14 one) without burning driver
     # correctness slots on them.
     extra_names = [
         n

@@ -496,8 +496,11 @@ def _unimax_oracle() -> str:
     return unimax_allocation_sql(budget_factor=1.5, max_epochs=2.0)
 
 
-EXTRA_QUERIES["curation_unimax_alloc"] = curation_unimax_alloc
-EXTRA_ORACLES["curation_unimax_alloc"] = _unimax_oracle()
+# Round-14 rotation: promoted (never driver-checked; the epochs
+# column switched to try_divide this round — the hard hash signal
+# belongs on the changed code) in place of the demoted table_fingerprint.
+QUERIES["curation_unimax_alloc"] = curation_unimax_alloc
+ORACLES["curation_unimax_alloc"] = _unimax_oracle()
 
 
 def curation_semantic_decon(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -527,5 +530,8 @@ def _semantic_decon_oracle() -> str:
     )
 
 
-EXTRA_QUERIES["curation_semantic_decon"] = curation_semantic_decon
-EXTRA_ORACLES["curation_semantic_decon"] = _semantic_decon_oracle()
+# Round-14 rotation: promoted (round-13 feature, landed after that
+# round's sweep — never driver-checked) in place of the demoted
+# running_distinct_users.
+QUERIES["curation_semantic_decon"] = curation_semantic_decon
+ORACLES["curation_semantic_decon"] = _semantic_decon_oracle()

@@ -222,12 +222,17 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Round-13 rotation: dedup_common_spans demoted after 6 green driver
 # rounds (its sibling dedup_span_excise stays — it is the bench watch
 # item); slot funds the never-driver-checked DSIR family.
-QUERIES["dedup_span_excise"] = dedup_span_excise
-ORACLES["dedup_span_excise"] = excise_duplicated_spans_sql()
+# Round-14 rotation: dedup_span_excise demoted after 7 green rounds;
+# its slot goes to dedup_span_excise_intervals — the SCALE-path
+# variant of the same ExactSubstr family (6.3x cheaper at 10x), never
+# driver-checked. Both stay bench watch items via
+# SPARK_GRAFT_BENCH_EXTRAS.
+QUERIES["dedup_span_excise_intervals"] = dedup_span_excise_intervals
+ORACLES["dedup_span_excise_intervals"] = _span_excise_intervals_oracle()
 
 EXTRA_QUERIES = {
     "dedup_common_spans": dedup_common_spans,
-    "dedup_span_excise_intervals": dedup_span_excise_intervals,
+    "dedup_span_excise": dedup_span_excise,
     "dedup_simhash_pairs": dedup_simhash_pairs,
     "dedup_hot_ngrams": dedup_hot_ngrams,
     "dedup_components_star": dedup_components_star,
@@ -243,7 +248,7 @@ EXTRA_QUERIES = {
 }
 EXTRA_ORACLES = {
     "dedup_common_spans": duplicated_spans_sql(),
-    "dedup_span_excise_intervals": _span_excise_intervals_oracle(),
+    "dedup_span_excise": excise_duplicated_spans_sql(),
     "dedup_simhash_pairs": simhash_neardup_sql(),
     "dedup_hot_ngrams": hot_ngram_flags_sql(),
     "dedup_components_star": _components_oracle(),
@@ -487,8 +492,9 @@ def _kcore_oracle() -> str:
 # Round-7 rotation: graph_kcore promoted to a driver slot (never
 # driver-checked; the iterative-peel + unrolled-oracle parity is the
 # strongest new graph check) in place of the demoted dedup_components.
-QUERIES["graph_kcore"] = graph_kcore
-ORACLES["graph_kcore"] = _kcore_oracle()
+# Round-14: demoted after 6 green rounds; slot funds sim_semdedup_k1.
+EXTRA_QUERIES["graph_kcore"] = graph_kcore
+EXTRA_ORACLES["graph_kcore"] = _kcore_oracle()
 
 
 def dedup_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -554,7 +554,11 @@ FROM ({semantic_dedup_k1_sql(eps=_SEMDEDUP_EPS)})
 """
 
 
-EXTRA_QUERIES["sim_semdedup_k1"] = sim_semdedup_k1
-EXTRA_ORACLES["sim_semdedup_k1"] = _semdedup_k1_oracle()
-EXTRA_QUERIES["sim_semdedup_report"] = sim_semdedup_report
-EXTRA_ORACLES["sim_semdedup_report"] = _semdedup_report_oracle()
+# Round-14 rotation: both promoted to driver slots (never
+# driver-checked; the recursive-CTE greedy twin is the hardest oracle
+# in the similarity family and its zero-norm guard changed this
+# round) in place of the demoted graph_kcore / feature_point_in_time.
+QUERIES["sim_semdedup_k1"] = sim_semdedup_k1
+ORACLES["sim_semdedup_k1"] = _semdedup_k1_oracle()
+QUERIES["sim_semdedup_report"] = sim_semdedup_report
+ORACLES["sim_semdedup_report"] = _semdedup_report_oracle()

@@ -170,9 +170,14 @@ def _retrieval_eval_oracle() -> str:
 
     return retrieval_eval_sql()
 
+# Round-14 rotation: text_token_count promoted (never driver-checked;
+# the BPE-pretokenizer count was touched by the round-13 NULL-text fix
+# wave) in place of the demoted lorenz_customer_spend.
+QUERIES["text_token_count"] = text_token_count
+ORACLES["text_token_count"] = token_count_sql()
+
 EXTRA_QUERIES.update({
     "text_fingerprint": text_fingerprint,
-    "text_token_count": text_token_count,
     "text_chunks": text_chunks,
     "text_pack_bins": text_pack_bins,
     "text_surprisal": text_surprisal,
@@ -187,7 +192,6 @@ EXTRA_ORACLES.update({
     "text_tfidf": tf_idf_sql(),
     "multimodal_features": MULTIMODAL_ORACLE,
     "text_fingerprint": fingerprint_sql(),
-    "text_token_count": token_count_sql(),
     "text_chunks": _chunks_oracle(),
     "text_pack_bins": _pack_oracle(),
     "text_surprisal": unigram_surprisal_sql(),

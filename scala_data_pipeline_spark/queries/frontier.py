@@ -400,8 +400,9 @@ FROM (
 # Round-7 driver rotation: promoted (never driver-checked; the
 # order-independent md5-fold checksum is exactly the kind of value the
 # driver hash is built to catch drifting) in place of pydatasource_agg.
-QUERIES["table_fingerprint"] = table_fingerprint
-ORACLES["table_fingerprint"] = TABLE_FINGERPRINT_ORACLE
+# Round-14: demoted after 6 green rounds; slot funds curation_unimax_alloc.
+EXTRA_QUERIES["table_fingerprint"] = table_fingerprint
+EXTRA_ORACLES["table_fingerprint"] = TABLE_FINGERPRINT_ORACLE
 
 
 # --------------------------------------------------------------------

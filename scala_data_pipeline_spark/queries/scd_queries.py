@@ -245,8 +245,9 @@ GROUP BY effective_from
 # Round-7 driver rotation: promoted (never driver-checked; the
 # training-serving-skew-correct PIT join is a flagship feature-store
 # shape) in place of the demoted user_time_matrix.
-QUERIES["feature_point_in_time"] = feature_point_in_time
-ORACLES["feature_point_in_time"] = FEATURE_PIT_ORACLE
+# Round-14: demoted after 6 green rounds; slot funds sim_semdedup_report.
+EXTRA_QUERIES["feature_point_in_time"] = feature_point_in_time
+EXTRA_ORACLES["feature_point_in_time"] = FEATURE_PIT_ORACLE
 
 
 # ---------------------------------------------------------------------------

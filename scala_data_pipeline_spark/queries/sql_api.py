@@ -666,8 +666,11 @@ def sql_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(SQL_IDLE_RICH_CUSTOMERS)
 
 
-EXTRA_QUERIES["sql_idle_rich_customers"] = sql_idle_rich_customers
-EXTRA_ORACLES["sql_idle_rich_customers"] = SQL_IDLE_RICH_CUSTOMERS
+# Round-14 rotation: promoted (never driver-checked; the anti-join +
+# HAVING shape was touched by the dea0e7e fix wave) in place of the
+# demoted backlog_open_lineitems.
+QUERIES["sql_idle_rich_customers"] = sql_idle_rich_customers
+ORACLES["sql_idle_rich_customers"] = SQL_IDLE_RICH_CUSTOMERS
 
 
 # TPC-H Q7 shape (volume shipping / cross-nation trade flows): the
@@ -1099,5 +1102,8 @@ def sql_rollup_rank_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(SQL_ROLLUP_RANK_SHARE)
 
 
-EXTRA_QUERIES["sql_rollup_rank_share"] = sql_rollup_rank_share
-EXTRA_ORACLES["sql_rollup_rank_share"] = SQL_ROLLUP_RANK_SHARE
+# Round-14 rotation: promoted (never driver-checked; its true-rollup
+# parents were rewritten in dea0e7e — the post-fix semantics deserve
+# the hard signal) in place of the demoted event_trigrams.
+QUERIES["sql_rollup_rank_share"] = sql_rollup_rank_share
+ORACLES["sql_rollup_rank_share"] = SQL_ROLLUP_RANK_SHARE

@@ -878,8 +878,9 @@ FROM (SELECT DISTINCT CAST(ts AS DATE) AS day
 # Round-7 driver rotation: promoted (never driver-checked; the
 # first-appearance-arithmetic vs correlated-DISTINCT cross-algorithm
 # parity is a strong external check) in place of sim_topk_ivf.
-QUERIES["running_distinct_users"] = running_distinct_users
-ORACLES["running_distinct_users"] = RUNNING_DISTINCT_ORACLE
+# Round-14: demoted after 6 green rounds; slot funds curation_semantic_decon.
+EXTRA_QUERIES["running_distinct_users"] = running_distinct_users
+EXTRA_ORACLES["running_distinct_users"] = RUNNING_DISTINCT_ORACLE
 
 
 # --------------------------------------------------------------------
@@ -1461,10 +1462,12 @@ GROUP BY e1, e2, e3
 # backlog_open_lineitems replaces the demoted range_join_price_bands
 # (same band-join family, checked via the delta-sweep cross-algorithm
 # oracle), event_trigrams replaces the demoted text_lang_id.
-QUERIES["backlog_open_lineitems"] = backlog_open_lineitems
-ORACLES["backlog_open_lineitems"] = BACKLOG_ORACLE
-QUERIES["event_trigrams"] = event_trigrams
-ORACLES["event_trigrams"] = TRIGRAM_ORACLE
+# Round-14: both demoted after 6 green rounds; slots fund
+# sql_idle_rich_customers and sql_rollup_rank_share.
+EXTRA_QUERIES["backlog_open_lineitems"] = backlog_open_lineitems
+EXTRA_ORACLES["backlog_open_lineitems"] = BACKLOG_ORACLE
+EXTRA_QUERIES["event_trigrams"] = event_trigrams
+EXTRA_ORACLES["event_trigrams"] = TRIGRAM_ORACLE
 
 
 # --------------------------------------------------------------------
@@ -1545,8 +1548,9 @@ FROM per_dec
 
 # Round-7 driver rotation: promoted (never driver-checked) in place
 # of the demoted dedup_ngram_jaccard.
-QUERIES["lorenz_customer_spend"] = lorenz_customer_spend
-ORACLES["lorenz_customer_spend"] = LORENZ_ORACLE
+# Round-14: demoted after 6 green rounds; slot funds text_token_count.
+EXTRA_QUERIES["lorenz_customer_spend"] = lorenz_customer_spend
+EXTRA_ORACLES["lorenz_customer_spend"] = LORENZ_ORACLE
 
 
 # ---------------------------------------------------------------------------
