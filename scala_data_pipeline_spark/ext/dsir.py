@@ -64,21 +64,43 @@ def dsir_weights(
     target: Column,
     n_buckets: int = N_BUCKETS,
     text_col: str = "text",
+    materialize: bool = True,
 ) -> DataFrame:
     """(doc_id, n_tokens, weight) for every document with ≥1 token:
     weight = Σ_tokens round(log(p̂_target(b)) − log(p̂_raw(b)), 8),
     summed exactly in decimal, reported at 6dp. ``target`` is a boolean
-    Column over ``docs``' columns selecting the target subset."""
+    Column over ``docs``' columns selecting the target subset.
+
+    Both passes run over a SHARED (doc_id, bucket, count) frame —
+    aggregated from one tokenize+hash sweep and (with ``materialize``)
+    localCheckpoint'd, so the corpus is scanned, split, and md5-hashed
+    ONCE instead of once per pass (round-13 10x artifact: the two-pass
+    form's 6.5x decade ratio was dominated by the repeated token
+    sweep; the bucket frame is ≤ min(tokens, 4096/doc) rows per doc —
+    far smaller than the token grain it replaces). Per-token Σlr over
+    a doc equals Σ_b cnt·lr with lr pre-rounded at 8dp, so the
+    weights are bit-identical to the per-token form and the DuckDB
+    twin."""
     toks = docs.select(
         "doc_id",
         target.alias("_tgt"),
         F.explode(tokens_col(F.col(text_col))).alias("token"),
     ).withColumn("b", _bucket(F.col("token"), n_buckets))
 
+    # Shared bucket-grain frame: partial-aggregates map-side, then one
+    # shuffle on (doc_id, b); _tgt is constant per doc_id.
+    bt = toks.groupBy("doc_id", "_tgt", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    if materialize:
+        # localCheckpoint, not persist: released when the Python frame
+        # is GC'd (the queries/matrix.py precedent).
+        bt = bt.localCheckpoint(eager=False)
+
     # Pass 1 — fit both hashed unigram models in ONE aggregate.
-    model = toks.groupBy("b").agg(
-        F.count(F.lit(1)).cast("long").alias("r_cnt"),
-        F.sum(F.when(F.col("_tgt"), 1).otherwise(0))
+    model = bt.groupBy("b").agg(
+        F.sum("cnt").cast("long").alias("r_cnt"),
+        F.sum(F.when(F.col("_tgt"), F.col("cnt")).otherwise(0))
         .cast("long")
         .alias("t_cnt"),
     )
@@ -104,13 +126,24 @@ def dsir_weights(
         .alias("lr"),
     )
 
-    # Pass 2 — score each document against the broadcast model.
+    # Pass 2 — score each document against the broadcast model, from
+    # the same bucket frame (cnt-weighted decimal sum == per-token sum).
     return (
-        toks.join(F.broadcast(lr), on="b")
+        bt.join(F.broadcast(lr), on="b")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_tokens"),
-            F.round(F.sum("lr").cast("double"), 6).alias("weight"),
+            F.sum("cnt").cast("long").alias("n_tokens"),
+            # cnt cast to a NARROW decimal: lr decimal(18,8) * a bare
+            # LONG promotes to decimal(20,0) and overflows precision 38,
+            # where Spark silently drops the product to scale 7 —
+            # off-by-1e-6 vs the per-token oracle. (18,8)x(10,0) stays
+            # exact at scale 8.
+            F.round(
+                F.sum(
+                    F.col("lr") * F.col("cnt").cast("decimal(10,0)")
+                ).cast("double"),
+                6,
+            ).alias("weight"),
         )
     )
 
