@@ -136,7 +136,9 @@ EXTRA_ORACLES["sim_semantic_keepers"] = semantic_dedup_keepers_sql()
 def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ADC top-k (rows-only: k-means training is
     iterative driver-side math with no SQL twin; recall-vs-bruteforce
-    correctness lives in tests/test_pq.py)."""
+    correctness lives in tests/test_pq.py, and this registry entry's
+    recall over the real testdata embeddings is bounded vs exact
+    cosine in tests/test_rows_only_bounds.py)."""
     from ..ext.pq import pq_topk
 
     return pq_topk(load_table(spark, sf_dir, "embeddings"))
@@ -147,7 +149,8 @@ EXTRA_QUERIES["sim_topk_pq"] = sim_topk_pq
 
 def sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FAISS-style IVF-PQ: coarse KMeans pruning + PQ ADC rescoring
-    (rows-only; recall tested vs brute force in tests/test_pq.py)."""
+    (rows-only; recall tested vs brute force in tests/test_pq.py and
+    bounded on the registry entry in tests/test_rows_only_bounds.py)."""
     from ..ext.pq import ivfpq_topk
 
     return ivfpq_topk(load_table(spark, sf_dir, "embeddings"))

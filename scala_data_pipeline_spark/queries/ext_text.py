@@ -284,7 +284,9 @@ EXTRA_ORACLES["multimodal_thumbnail"] = _thumb_oracle()
 def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learned BPE merge table (rows-only: the merge loop is iterative
     driver-side math over the aggregated vocabulary; merge #1 is
-    anchored to the oracle-checked bpe_pair_counts in tests/test_bpe.py)."""
+    anchored to the oracle-checked bpe_pair_counts in tests/test_bpe.py,
+    and the FULL table is replayed against an independent single-node
+    reference fed by DuckDB word counts in tests/test_rows_only_bounds.py)."""
     from ..ext.bpe import bpe_train
 
     return bpe_train(load_table(spark, sf_dir, "documents"))
