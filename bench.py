@@ -113,6 +113,17 @@ def main() -> None:
     timings: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
     for name in names:
+        # One UNTIMED warm rep per query before the three timed ones
+        # (round-13 verdict item 5): rep 1 of a wide plan pays one-off
+        # whole-stage-codegen JIT compile (sim_semdedup_k1's 64-column
+        # decimal centroid aggregate measured 13.0 s cold vs 3.3 s
+        # steady — 4x, purely compile). min-of-3 already recovered the
+        # steady-state number; the warm rep makes the published
+        # per-query spread diagnose CONTAINER noise instead of JIT,
+        # with min-of-3 semantics on the timed reps unchanged.
+        queries[name](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
         reps: list[float] = []
         for _ in range(3):
             start = time.perf_counter()

@@ -235,52 +235,67 @@ def semantic_dedup_k1_exact(
     )
     thresh = 1.0 - eps
 
-    def round6(x: float) -> float:
-        # HALF-AWAY-FROM-ZERO at 6dp, mirroring DuckDB's ROUND on
-        # DOUBLE (std::round(x*1e6)/1e6). Python's round() is
-        # banker's (half-to-even) and disagrees on representable
-        # midpoints: round(0.0078125, 6) == 0.007812 but DuckDB gives
-        # 0.007813 (round-13 review finding) — a midpoint straddling
-        # 1-eps would silently flip a keep decision vs the oracle.
-        import math
-
-        return math.copysign(math.floor(abs(x) * 1e6 + 0.5) / 1e6, x)
-
+    # Pair sims round HALF-AWAY-FROM-ZERO at 6dp, mirroring DuckDB's
+    # ROUND on DOUBLE (std::round(x*1e6)/1e6): floor(|x|*1e6 + 0.5),
+    # copysign — vectorized inside `greedy`. Python's round() is
+    # banker's (half-to-even) and disagrees on representable
+    # midpoints: round(0.0078125, 6) == 0.007812 but DuckDB gives
+    # 0.007813 (round-13 review finding) — a midpoint straddling
+    # 1-eps would silently flip a keep decision vs the oracle.
     def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["centroid_sim", "vec_id"]).reset_index(
             drop=True
         )
+        n = len(pdf)
         mat = np.stack(pdf["emb_r"].to_numpy()).astype("float64")
         norms = pdf["emb_norm"].to_numpy().astype("float64")
-        kept_idx: list[int] = []
-        keep = [False] * len(pdf)
-        dup_of = [None] * len(pdf)
-        dup_sim = [None] * len(pdf)
-        for i in range(len(pdf)):
-            if kept_idx:
+        # preallocated kept block (append = O(1) row write, no per-i
+        # fancy-index copy of the whole kept set)
+        kept_mat = np.empty_like(mat)
+        kept_norms = np.empty(n)
+        kept_rows = np.empty(n, dtype=np.int64)
+        m = 0
+        keep = [False] * n
+        dup_of = [None] * n
+        dup_sim = [None] * n
+        for i in range(n):
+            if m:
                 # dimension-ordered accumulation == the engines' left
                 # fold, elementwise across the kept block
-                acc = np.zeros(len(kept_idx))
-                kb = mat[kept_idx]
+                kb = kept_mat[:m]
+                acc = np.zeros(m)
                 for d in range(mat.shape[1]):
                     acc += kb[:, d] * mat[i, d]
-                # Zero-norm pairs divide by 0 → sim undefined: drop
-                # them (the SQL twin's NULLIF → NULL, skipped by
+                # Vectorized round6 (same float64 ops as the scalar
+                # form: |x|*1e6 + 0.5, floor, /1e6, copysign). Zero-
+                # norm pairs divide by 0 → sim undefined: mask them
+                # out (the SQL twin's NULLIF → NULL, skipped by
                 # list_max) instead of letting round6 overflow on inf.
-                sims = [
-                    round6(float(a / (norms[j] * norms[i])))
-                    if norms[j] * norms[i] != 0.0
-                    else None
-                    for a, j in zip(acc, kept_idx)
-                ]
-                defined = [s for s in sims if s is not None]
-                best = max(defined) if defined else None
-                if best is not None and best >= thresh:
-                    j = sims.index(best)  # earliest kept on ties
-                    dup_of[i] = int(pdf["vec_id"].iloc[kept_idx[j]])
-                    dup_sim[i] = best
-                    continue
-            kept_idx.append(i)
+                den = kept_norms[:m] * norms[i]
+                valid = den != 0.0
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    s = acc / den
+                s6 = np.copysign(
+                    np.floor(np.abs(s) * 1e6 + 0.5) / 1e6, s
+                )
+                if valid.any():
+                    best = float(s6[valid].max())
+                    if best >= thresh:
+                        # earliest kept on ties: first valid index
+                        # achieving the max (== list.index on the
+                        # scalar form's sims)
+                        j = int(
+                            np.flatnonzero(valid & (s6 == best))[0]
+                        )
+                        dup_of[i] = int(
+                            pdf["vec_id"].iloc[kept_rows[j]]
+                        )
+                        dup_sim[i] = best
+                        continue
+            kept_mat[m] = mat[i]
+            kept_norms[m] = norms[i]
+            kept_rows[m] = i
+            m += 1
             keep[i] = True
         return pd.DataFrame(
             {
