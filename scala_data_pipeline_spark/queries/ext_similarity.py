@@ -503,17 +503,34 @@ _SEMDEDUP_EPS = 0.62  # fixture-calibrated: max pairwise cosine in the
 # elect keepers and record dup_of/dup_sim (85 drops at sf0.01).
 
 
+# The k=1 exact-greedy frame is shared by sim_semdedup_k1 (the
+# per-vector decisions) and sim_semdedup_report (their one-row
+# summary): memoize the materialized result per (application, sf_dir)
+# — the _lsh_pairs / _pair_core idiom from queries/ext_dedup.py — so a
+# registry sweep pays the greedy once, not once per consumer.
+_K1_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _k1_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    d = _K1_CACHE.get(key)
+    if d is None:
+        from ..ext.semdedup import semantic_dedup_k1_exact
+
+        d = semantic_dedup_k1_exact(
+            load_table(spark, sf_dir, "embeddings"), eps=_SEMDEDUP_EPS
+        ).localCheckpoint(eager=False)
+        _K1_CACHE[key] = d
+    return d
+
+
 def sim_semdedup_k1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hash-checked SemDeDup (round-13 verdict item 6): the k=1
     oracle-exact greedy — decimal-exact centroid, fold-order dots, 6dp
     rounding, earliest-kept ties — against a DuckDB RECURSIVE-CTE twin
     that replays the same greedy bit-exactly. Per-vector decisions
     (vec_id, centroid_sim, keep, dup_of, dup_sim)."""
-    from ..ext.semdedup import semantic_dedup_k1_exact
-
-    return semantic_dedup_k1_exact(
-        load_table(spark, sf_dir, "embeddings"), eps=_SEMDEDUP_EPS
-    )
+    return _k1_decisions(spark, sf_dir)
 
 
 def _semdedup_k1_oracle() -> str:
@@ -525,12 +542,9 @@ def _semdedup_k1_oracle() -> str:
 def sim_semdedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level SemDeDup report over the oracle-exact k=1 run:
     totals, drop ratio, and the similarity band of the drops — the
-    one-row summary a curation run is signed off on."""
-    from ..ext.semdedup import semantic_dedup_k1_exact
-
-    d = semantic_dedup_k1_exact(
-        load_table(spark, sf_dir, "embeddings"), eps=_SEMDEDUP_EPS
-    )
+    one-row summary a curation run is signed off on. Reads the
+    memoized k=1 decision frame (see _k1_decisions)."""
+    d = _k1_decisions(spark, sf_dir)
     return d.agg(
         F.count(F.lit(1)).cast("long").alias("n_vectors"),
         F.sum(F.when(F.col("keep"), 1).otherwise(0))
