@@ -2,7 +2,34 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def memoized_checkpoint(
+    cache: dict,
+    spark: SparkSession,
+    key: str,
+    build: Callable[[], DataFrame],
+) -> DataFrame:
+    """Materialize ``build()`` once per (application, key) and serve
+    the localCheckpoint'd frame to every later caller — the shared-hub
+    idiom used by the LSH pair list, the shingle pair core, and the
+    SemDeDup k=1 decision frame (a registry sweep pays the expensive
+    frame once, not once per consuming query).
+
+    Always EAGER: a warm call must leave the hub materialized (bench
+    and the scale smokes rely on that). A new session gets a new
+    applicationId, so frames from stopped sessions are never hit;
+    checkpointed RDD storage is released when the Python frame is
+    GC'd."""
+    k = (spark.sparkContext.applicationId, key)
+    df = cache.get(k)
+    if df is None:
+        df = build().localCheckpoint(eager=True)
+        cache[k] = df
+    return df
 
 # Scan parallelism memo: (session id, sorted input files) -> partition
 # count. fan_out is called at ~10 operator entry points, and

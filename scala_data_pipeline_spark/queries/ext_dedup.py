@@ -44,17 +44,19 @@ _PAIR_CORE_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def _pair_core(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir)
-    core = _PAIR_CORE_CACHE.get(key)
-    if core is None:
-        core = block_pair_intersections(
+    from ..ext.util import memoized_checkpoint
+
+    return memoized_checkpoint(
+        _PAIR_CORE_CACHE,
+        spark,
+        sf_dir,
+        lambda: block_pair_intersections(
             load_table(spark, sf_dir, "documents"),
             "text",
             ("lang", "source"),
             64,
-        ).localCheckpoint(eager=True)
-        _PAIR_CORE_CACHE[key] = core
-    return core
+        ),
+    )
 
 
 # The MinHash-LSH candidate-pair frame is the hub of the whole dedup /
@@ -73,14 +75,16 @@ _LSH_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def _lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir)
-    pairs = _LSH_PAIRS_CACHE.get(key)
-    if pairs is None:
-        pairs = lsh_candidate_pairs(
+    from ..ext.util import memoized_checkpoint
+
+    return memoized_checkpoint(
+        _LSH_PAIRS_CACHE,
+        spark,
+        sf_dir,
+        lambda: lsh_candidate_pairs(
             load_table(spark, sf_dir, "documents")
-        ).localCheckpoint(eager=True)
-        _LSH_PAIRS_CACHE[key] = pairs
-    return pairs
+        ),
+    )
 
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:

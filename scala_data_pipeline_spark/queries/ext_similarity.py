@@ -512,16 +512,17 @@ _K1_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def _k1_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir)
-    d = _K1_CACHE.get(key)
-    if d is None:
-        from ..ext.semdedup import semantic_dedup_k1_exact
+    from ..ext.semdedup import semantic_dedup_k1_exact
+    from ..ext.util import memoized_checkpoint
 
-        d = semantic_dedup_k1_exact(
+    return memoized_checkpoint(
+        _K1_CACHE,
+        spark,
+        sf_dir,
+        lambda: semantic_dedup_k1_exact(
             load_table(spark, sf_dir, "embeddings"), eps=_SEMDEDUP_EPS
-        ).localCheckpoint(eager=False)
-        _K1_CACHE[key] = d
-    return d
+        ),
+    )
 
 
 def sim_semdedup_k1(spark: SparkSession, sf_dir: str) -> DataFrame:

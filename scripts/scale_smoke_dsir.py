@@ -30,33 +30,27 @@ from scala_data_pipeline_spark.ext.dsir import (  # noqa: E402
     dsir_weights,
 )
 from scala_data_pipeline_spark.session import get_session  # noqa: E402
-from scripts.scale_smoke_pairs import timed  # noqa: E402
+from scripts.scale_smoke_pairs import dense_corpus, timed  # noqa: E402
 
-# Ratio flag threshold: corpus grows 10x between decades; allow 1.3x
-# slack for fixed costs amortizing differently (the span family's
-# precedent threshold).
-FLAG_RATIO = 13.0
+# Flag slack over linear: allow 1.3x for fixed costs amortizing
+# differently between decades (the span family's precedent). The
+# threshold itself derives from the ACTUAL growth factor at runtime —
+# a hardcoded 13 would under-flag small decades and over-flag big ones.
+FLAG_SLACK = 1.3
 
 
 def synth_corpus(spark, sf_dir: str, n_copies: int, out_dir: str):
-    """n_copies of the sf documents with distinct doc_ids and a copy
-    tag prepended — every copy tokenizes fresh (no dedup shortcut),
-    langs preserved so the target predicate keeps its selectivity."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    copies = spark.range(n_copies).withColumnRenamed("id", "copy")
-    (
-        docs.crossJoin(F.broadcast(copies))
-        .select(
-            (F.col("doc_id") * n_copies + F.col("copy")).alias("doc_id"),
-            "lang",
-            F.concat(F.lit("c"), F.col("copy"), F.lit(" "), F.col("text"))
-            .alias("text"),
-        )
-        .repartition(64)
-        .write.mode("overwrite")
-        .parquet(out_dir)
+    """n_copies of the sf documents, every copy tag-prefixed (no
+    verbatim duplicates — each copy tokenizes fresh, no dedup shortcut)
+    with lang preserved so the target predicate keeps its selectivity."""
+    return dense_corpus(
+        spark,
+        sf_dir,
+        n_copies,
+        out_dir,
+        keep_cols=("lang",),
+        prefix_all=True,
     )
-    return spark.read.parquet(out_dir)
 
 
 def run_decade(spark, sf_dir: str, n_copies: int, tmp: str) -> dict:
@@ -106,10 +100,11 @@ def main() -> None:
         "ratio_weights": round(b["t_weights"] / max(a["t_weights"], 0.1), 2),
         "ratio_sample": round(b["t_sample"] / max(a["t_sample"], 0.1), 2),
     }
+    report["flag_threshold"] = round(growth * FLAG_SLACK, 2)
     report["flagged"] = [
         k
         for k in ("ratio_weights", "ratio_sample")
-        if report[k] > FLAG_RATIO
+        if report[k] > report["flag_threshold"]
     ]
     print(json.dumps(report), flush=True)
 
