@@ -3,10 +3,17 @@
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
+
+The stdout line carries ONLY those five contract keys, compactly
+serialized: the driver records a bounded stdout tail, and the full
+line must fit inside it (the r13/r14 driver records were truncated
+mid-"runs" → "parsed": null). The complete artifact — raw reps,
+spread, extras, semantics flags — goes to $SPARK_GRAFT_BENCH_OUT.
 """
 
 from __future__ import annotations
 
+import inspect
 import json
 import os
 import sys
@@ -16,6 +23,32 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from scala_data_pipeline_spark.queries import all_queries  # noqa: E402
 from scala_data_pipeline_spark.session import get_session  # noqa: E402
+
+# "_warm" suffix records the round-14 semantics change (the r12
+# precedent: rename the metric when what it measures changes): every
+# query now gets one UNTIMED warm rep, and the shared dedup hubs are
+# pre-materialized — timed reps of hub consumers measure the consumer
+# plan over a warm hub, not hub construction. Totals are therefore not
+# 1:1 comparable with pre-r14 "headline_queries_total_noop_sink".
+METRIC = "headline_queries_total_noop_sink_warm"
+
+# Session-memoized hubs (queries/ext_dedup.py, queries/ext_similarity.py)
+# warmed before timing; consumers are detected from query source so the
+# artifact names exactly which timed entries ride on a warm hub.
+MEMO_HUB_NAMES = ("_lsh_pairs", "_pair_core", "_k1_decisions")
+
+
+def memoized_consumers(queries: dict) -> list[str]:
+    """Registry entries whose source references a memoized hub."""
+    out = []
+    for name, fn in queries.items():
+        try:
+            src = inspect.getsource(fn)
+        except (OSError, TypeError):
+            continue
+        if any(h in src for h in MEMO_HUB_NAMES):
+            out.append(name)
+    return sorted(out)
 
 # Headline set: one per operator family; bench runs each to completion
 # (a noop-sink write materializes the full plan including the final
@@ -124,6 +157,11 @@ def main() -> None:
         queries[name](spark, sf_dir).write.format("noop").mode(
             "overwrite"
         ).save()
+        # Collect the warm rep's garbage BEFORE timing (round-14: the
+        # committed artifact's 135.6% max spread was one bursty FIRST
+        # timed rep — GC debt from the warm rep landing in it).
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
         reps: list[float] = []
         for _ in range(3):
             start = time.perf_counter()
@@ -151,30 +189,48 @@ def main() -> None:
         sum(t for n, t in timings.items() if n not in extra_names), 3
     )
     # Spread diagnostic (round-12 verdict item 2): how noisy was this
-    # reading? max over queries of (max-min)/min, plus the total of the
-    # worst rep — gate readings should agree on "queries" (min-of-3)
-    # even when single reps drift 30-48% on this bursty container.
+    # reading? max over queries of (max-min)/min — gate readings
+    # should agree on "queries" (min-of-3) even when single reps
+    # drift 30-48% on this bursty container. Queries whose min rep is
+    # below SPREAD_FLOOR_SEC are excluded from the MAX: at ~20 ms a
+    # single 40 ms timer/GC blip reads as 200%+ relative spread while
+    # moving the headline total by nothing (r14's 135.6% and a 223%
+    # re-run were both sub-floor queries); their raw reps stay in
+    # "runs" for self-adjudication.
+    SPREAD_FLOOR_SEC = 0.2
     spread_pct = round(
         100.0
         * max(
-            (max(r) - min(r)) / min(r) if min(r) > 0 else 0.0
+            (
+                (max(r) - min(r)) / min(r)
+                if min(r) >= SPREAD_FLOOR_SEC
+                else 0.0
+            )
             for r in runs.values()
         ),
         1,
     )
     result = {
-        # "noop_sink" records the round-12 action change: the
-        # timed action is a full-projection noop write, not
-        # count() — a one-off level shift vs rounds <= 11.
-        "metric": "headline_queries_total_noop_sink",
+        # "noop_sink" records the round-12 action change (noop write,
+        # not count()); "_warm" the round-14 one (untimed warm rep +
+        # pre-warmed memoized hubs) — see METRIC above.
+        "metric": METRIC,
         "value": total,
         "unit": "sec",
+        # Timed reps of these entries consume a pre-materialized
+        # session hub (see MEMO_HUB_NAMES): they measure the consumer
+        # plan, not hub construction.
+        "warm_rep": True,
+        "memoized": memoized_consumers(queries),
         "queries": timings,
         # Per-query raw reps + worst per-query rep spread, so a
         # drifted single reading can be adjudicated from the
         # artifact itself instead of a re-measurement round.
         "runs": runs,
         "max_spread_pct": spread_pct,
+        # max_spread_pct considers only queries with min rep >= this
+        # (sub-floor relative spread is timer noise, see above).
+        "spread_floor_sec": SPREAD_FLOOR_SEC,
         # which queries rode along via SPARK_GRAFT_BENCH_EXTRAS
         # (excluded from "value"); [] on a plain driver run
         "extras": extra_names,
@@ -193,7 +249,25 @@ def main() -> None:
         json.dump(result, f, indent=2)
         f.write("\n")
     os.replace(tmp_path, out_path)
-    print(json.dumps(result))
+    # stdout: ONLY the five contract keys, compact separators — the
+    # driver's stdout-tail capture is bounded (~2000 chars) and the
+    # full-artifact line blew past it in r13/r14 ("parsed": null).
+    # 50 query timings serialize to ~1500 chars this way.
+    contract = {
+        "metric": result["metric"],
+        "value": result["value"],
+        "unit": result["unit"],
+        "queries": result["queries"],
+        "sf": result["sf"],
+    }
+    line = json.dumps(contract, separators=(",", ":"))
+    if len(line) > 1900:
+        # Never exceed the tail: shed precision before keys.
+        contract["queries"] = {
+            k: round(v, 2) for k, v in contract["queries"].items()
+        }
+        line = json.dumps(contract, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":

@@ -21,12 +21,18 @@ def memoized_checkpoint(
 
     Always EAGER: a warm call must leave the hub materialized (bench
     and the scale smokes rely on that). A new session gets a new
-    applicationId, so frames from stopped sessions are never hit;
-    checkpointed RDD storage is released when the Python frame is
+    applicationId, so frames from stopped sessions are never hit —
+    and their entries are EVICTED on the next insert (advisor
+    round-14: without eviction, a long-lived driver cycling sessions
+    pins every dead application's DataFrame objects forever), which
+    releases the Python frames so the checkpointed RDD storage can be
     GC'd."""
-    k = (spark.sparkContext.applicationId, key)
+    app_id = spark.sparkContext.applicationId
+    k = (app_id, key)
     df = cache.get(k)
     if df is None:
+        for stale in [kk for kk in cache if kk[0] != app_id]:
+            del cache[stale]
         df = build().localCheckpoint(eager=True)
         cache[k] = df
     return df

@@ -110,12 +110,21 @@ class _StreamReader(DataSourceStreamReader):
         if self.max_rows_per_trigger is None:
             return {"next": self.total_rows}
         # Admission control is clamped to the highest batch-start ever
-        # planned (_high_water, fed by partitions()): after a
-        # checkpoint restore whose last batch was already committed,
-        # Spark calls latestOffset() FIRST — before any commit() — so
-        # relying on commit() alone would regress below the
-        # checkpointed start offset and emit empty sentinel batches
-        # until _planned crawled past the committed position.
+        # planned (_high_water, fed by partitions()): on a checkpoint
+        # restore, Spark 4.1 calls partitions() BEFORE the first
+        # latestOffset() — observed sequence (instrumented run, offset
+        # log ends at 400 with batch (300,400] uncommitted):
+        #   partitions({'next':400}, {'next':400})   # offset-log seed
+        #   partitions({'next':300}, {'next':400})   # replay the batch
+        #   latestOffset -> {'next':500}
+        # The seed call pins _high_water to the offset-log end, so the
+        # first latestOffset resumes from the checkpointed position
+        # instead of regressing to min(mrt, total). NOTE the replayed
+        # batch legitimately starts BELOW the high-water — uncommitted
+        # rows must be re-emitted — which is why partitions() clamps
+        # against the COMMITTED floor, never the high-water (the
+        # round-14-suggested high-water clamp drops the replay: probed
+        # 400/500 rows delivered).
         base = max(
             getattr(self, "_planned", 0), getattr(self, "_high_water", 0)
         )
@@ -128,6 +137,14 @@ class _StreamReader(DataSourceStreamReader):
         # High-water mark of planned batch starts — the restore-time
         # floor for latestOffset (see above).
         self._high_water = max(getattr(self, "_high_water", 0), lo)
+        # Duplicate guard (advisor round-14, amended): if an engine
+        # ever planned a batch overlapping rows this INSTANCE already
+        # saw committed, emit only the uncommitted suffix. The floor
+        # is the committed offset — NOT the high-water, because the
+        # restore replay of an uncommitted batch legitimately starts
+        # below the high-water seed and must re-emit in full (a fresh
+        # restore instance has _committed == 0, so replays pass).
+        lo = max(lo, getattr(self, "_committed", 0))
         out, cur = [], lo
         while cur < hi:
             step = min(self.rows_per_batch, hi - cur)
@@ -142,8 +159,11 @@ class _StreamReader(DataSourceStreamReader):
     def commit(self, end):
         # Re-seed the admission control after a checkpoint restore: the
         # first rate-limited latestOffset on a restarted stream must
-        # continue from the committed offset, not from 0.
+        # continue from the committed offset, not from 0. _committed is
+        # the partitions() duplicate-guard floor: rows below it were
+        # durably handed to the sink by THIS instance.
         self._planned = max(getattr(self, "_planned", 0), end["next"])
+        self._committed = max(getattr(self, "_committed", 0), end["next"])
 
 
 class SyntheticEventsDataSource(DataSource):

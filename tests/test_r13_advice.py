@@ -75,12 +75,19 @@ def test_quality_score_null_text_is_zero(spark):
 
 
 def test_stream_reader_offset_survives_restore():
-    """Simulate Spark's restart call order: a FRESH reader instance
-    (in-memory admission state lost) gets latestOffset() first.  The
-    first post-restore trigger may plan an empty sentinel batch, but
-    partitions() must re-seed the high-water mark so the NEXT
-    latestOffset() admits rows from the checkpointed position — not
-    from 0, crawling up in empty maxRowsPerTrigger increments."""
+    """Model the REAL Spark 4.1 restore sequence (captured from an
+    instrumented run — offset log ends at 400, batch (300,400]
+    uncommitted at the kill):
+
+        partitions({'next':400}, {'next':400})   # offset-log seed
+        partitions({'next':300}, {'next':400})   # replay the batch
+        latestOffset -> {'next':500}
+
+    The seed call must pin the high-water so admission resumes from
+    400 (not min(mrt, total)); the replay must re-emit rows 300-400
+    IN FULL — they were never committed (the round-14-suggested
+    high-water clamp in partitions() dropped exactly this replay;
+    probed 400/500 rows delivered)."""
     from scala_data_pipeline_spark.sources.pydatasource import _StreamReader
 
     opts = {
@@ -88,28 +95,46 @@ def test_stream_reader_offset_survives_restore():
         "totalrows": "1000",
         "maxrowspertrigger": "100",
     }
-    # Run 1: three committed batches → checkpointed offset 300.
-    r1 = _StreamReader(opts)
-    r1.initialOffset()
+    r2 = _StreamReader(opts)
+    seed = r2.partitions({"next": 400}, {"next": 400})
+    assert sum(hi - lo for lo, hi in (p.value for p in seed)) == 0
+    replay = r2.partitions({"next": 300}, {"next": 400})
+    covered = sorted(p.value for p in replay)
+    assert covered[0][0] == 300 and covered[-1][1] == 400
+    assert sum(hi - lo for lo, hi in covered) == 100  # full re-emit
+    first = r2.latestOffset()
+    assert first["next"] == 500  # resumes right after the seed
+
+
+def test_stream_reader_never_reemits_committed_rows():
+    """Defensive path (round-14 advisor, amended): a batch planned
+    below THIS instance's committed floor emits only the uncommitted
+    suffix — committed rows are never handed to the sink twice, even
+    under a hypothetical engine that persisted a regressed offset."""
+    from scala_data_pipeline_spark.sources.pydatasource import _StreamReader
+
+    opts = {
+        "rowsperbatch": "100",
+        "totalrows": "1000",
+        "maxrowspertrigger": "100",
+    }
+    r = _StreamReader(opts)
+    r.initialOffset()
     for _ in range(3):
-        end = r1.latestOffset()
-        r1.commit(end)
+        end = r.latestOffset()
+        r.partitions({"next": end["next"] - 100}, end)
+        r.commit(end)
     assert end == {"next": 300}
 
-    # Restart: new instance, last batch committed → latestOffset first.
-    r2 = _StreamReader(opts)
-    first = r2.latestOffset()
-    # Spark plans (start=300, end=first); partitions() must never yield
-    # rows below the checkpointed start and must re-seed admission.
-    parts = r2.partitions({"next": 300}, first)
-    for p in parts:
-        lo, hi = p.value
-        assert lo >= 300 and hi >= lo
-    second = r2.latestOffset()
-    assert second["next"] == 400  # resumes right after the checkpoint
-    parts2 = r2.partitions({"next": 300}, second)
-    covered = sorted(p.value for p in parts2)
-    assert covered[0][0] == 300 and covered[-1][1] == 400
+    # Regressed batch fully below the committed floor → empty.
+    below = r.partitions({"next": 100}, {"next": 200})
+    assert sum(hi - lo for lo, hi in (p.value for p in below)) == 0
+    # Straddling batch → only the uncommitted suffix.
+    straddle = r.partitions({"next": 200}, {"next": 350})
+    covered = sorted(p.value for p in straddle)
+    assert covered[0][0] == 300 and covered[-1][1] == 350
+    # Admission continues from the high-water, not from the regression.
+    assert r.latestOffset() == {"next": 400}
 
 
 # ------------------------------------------------------------------
