@@ -163,5 +163,6 @@ WHERE CAST(d.freq AS DOUBLE) / fa.freq >= {MIN_CONFIDENCE}
 EXTRA_QUERIES["basket_assoc_rules"] = basket_assoc_rules
 EXTRA_ORACLES["basket_assoc_rules"] = BASKET_RULES_ORACLE
 
-EXTRA_QUERIES["basket_freq_itemsets"] = basket_freq_itemsets
-EXTRA_ORACLES["basket_freq_itemsets"] = BASKET_ITEMSETS_ORACLE
+# Round-15 promotion (never driver-checked):
+QUERIES["basket_freq_itemsets"] = basket_freq_itemsets
+ORACLES["basket_freq_itemsets"] = BASKET_ITEMSETS_ORACLE

@@ -279,5 +279,6 @@ WHERE e.user_id IS NULL OR e.user_id < 20
 GROUP BY e.user_id
 """
 
-EXTRA_QUERIES["join_null_safe"] = join_null_safe
-EXTRA_ORACLES["join_null_safe"] = JOIN_NULL_SAFE_ORACLE
+# Round-15 promotion (never driver-checked):
+QUERIES["join_null_safe"] = join_null_safe
+ORACLES["join_null_safe"] = JOIN_NULL_SAFE_ORACLE

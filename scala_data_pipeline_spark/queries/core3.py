@@ -544,5 +544,6 @@ GROUP BY n.n_name
 # Round-9 driver rotation: mart_incremental_join promoted (never
 # driver-checked; cross-algorithm parity — Spark merges base+Δ while
 # the DuckDB oracle rebuilds from scratch).
-QUERIES["mart_incremental_join"] = mart_incremental_join
-ORACLES["mart_incremental_join"] = MART_INCREMENTAL_ORACLE
+# Round-15 demotion (green driver rows in 5 rounds):
+EXTRA_QUERIES["mart_incremental_join"] = mart_incremental_join
+EXTRA_ORACLES["mart_incremental_join"] = MART_INCREMENTAL_ORACLE

@@ -191,7 +191,6 @@ EXTRA_QUERIES.update({
     "curation_training_shuffle": curation_training_shuffle,
     "curation_sample": curation_sample,
     "curation_source_quota": curation_source_quota,
-    "curation_pii_redact": curation_pii_redact,
     "curation_repetition": curation_repetition,
     # Round-9 demotion (green r4-r8):
     "curation_stratified": curation_stratified,
@@ -202,7 +201,6 @@ EXTRA_ORACLES.update({
     "curation_training_shuffle": training_shuffle_sql(),
     "curation_sample": SAMPLE_ORACLE,
     "curation_source_quota": QUOTA_ORACLE,
-    "curation_pii_redact": PII_ORACLE,
     "curation_repetition": repetition_ratio_sql(),
     "curation_stratified": STRATIFIED_ORACLE,
 })
@@ -369,8 +367,12 @@ def _calibration_oracle() -> str:
 # Round-9 driver rotation: curation_score_calibration promoted (never
 # driver-checked; ECDF backfill-window calibration over the bounded
 # 6-decimal score grain).
-QUERIES["curation_score_calibration"] = curation_score_calibration
-ORACLES["curation_score_calibration"] = _calibration_oracle()
+# Round-15 rotation: score_calibration demoted (green driver rows in 5
+# rounds), pii_redact promoted (never driver-checked).
+EXTRA_QUERIES["curation_score_calibration"] = curation_score_calibration
+EXTRA_ORACLES["curation_score_calibration"] = _calibration_oracle()
+QUERIES["curation_pii_redact"] = curation_pii_redact
+ORACLES["curation_pii_redact"] = PII_ORACLE
 
 
 def curation_class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -237,7 +237,6 @@ ORACLES["dedup_span_excise_intervals"] = _span_excise_intervals_oracle()
 EXTRA_QUERIES = {
     "dedup_common_spans": dedup_common_spans,
     "dedup_span_excise": dedup_span_excise,
-    "dedup_simhash_pairs": dedup_simhash_pairs,
     "dedup_hot_ngrams": dedup_hot_ngrams,
     "dedup_components_star": dedup_components_star,
     "dedup_lsh_quality": dedup_lsh_quality,
@@ -253,7 +252,6 @@ EXTRA_QUERIES = {
 EXTRA_ORACLES = {
     "dedup_common_spans": duplicated_spans_sql(),
     "dedup_span_excise": excise_duplicated_spans_sql(),
-    "dedup_simhash_pairs": simhash_neardup_sql(),
     "dedup_hot_ngrams": hot_ngram_flags_sql(),
     "dedup_components_star": _components_oracle(),
     "dedup_lsh_quality": lsh_quality_metrics_sql(),
@@ -523,8 +521,13 @@ def _contrastive_oracle() -> str:
 # Round-7 rotation: promoted to a driver slot (never driver-checked;
 # hardened this round against the advisor's edge-parity findings) in
 # place of the demoted dedup_minhash_lsh.
-QUERIES["dedup_contrastive_triplets"] = dedup_contrastive_triplets
-ORACLES["dedup_contrastive_triplets"] = _contrastive_oracle()
+# Round-15 rotation: contrastive_triplets demoted (7 green driver
+# rounds, the registry record), simhash_pairs promoted (never
+# driver-checked).
+EXTRA_QUERIES["dedup_contrastive_triplets"] = dedup_contrastive_triplets
+EXTRA_ORACLES["dedup_contrastive_triplets"] = _contrastive_oracle()
+QUERIES["dedup_simhash_pairs"] = dedup_simhash_pairs
+ORACLES["dedup_simhash_pairs"] = simhash_neardup_sql()
 
 
 def graph_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -633,8 +636,9 @@ WHERE c.doc_id IS NULL OR k.doc_id IS NOT NULL
 # Round-9 driver rotation: dedup_reweight promoted (never
 # driver-checked; closes the dedup→sampler loop — keeper carries
 # cluster mass, mass conservation test-asserted).
-QUERIES["dedup_reweight"] = dedup_reweight
-ORACLES["dedup_reweight"] = _reweight_oracle()
+# Round-15 demotion (green driver rows in 5 rounds):
+EXTRA_QUERIES["dedup_reweight"] = dedup_reweight
+EXTRA_ORACLES["dedup_reweight"] = _reweight_oracle()
 
 
 def dedup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -131,8 +131,9 @@ def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Round-9 driver rotation: text_inverted_index promoted (never
 # driver-checked; capped-postings retrieval-index build — the cap is
 # replayed in its oracle).
-QUERIES["text_inverted_index"] = text_inverted_index
-ORACLES["text_inverted_index"] = inverted_index_sql()
+# Round-15 demotion (green driver rows in 5 rounds):
+EXTRA_QUERIES["text_inverted_index"] = text_inverted_index
+EXTRA_ORACLES["text_inverted_index"] = inverted_index_sql()
 
 # text_lm_perplexity promoted to a driver slot in round 5 (never
 # driver-checked before).
@@ -275,8 +276,9 @@ def _thumb_oracle() -> str:
     return resize_thumbnail_sql()
 
 
-EXTRA_QUERIES["multimodal_frame_sample"] = multimodal_frame_sample
-EXTRA_ORACLES["multimodal_frame_sample"] = _frame_oracle()
+# Round-15 promotion (never driver-checked):
+QUERIES["multimodal_frame_sample"] = multimodal_frame_sample
+ORACLES["multimodal_frame_sample"] = _frame_oracle()
 EXTRA_QUERIES["multimodal_thumbnail"] = multimodal_thumbnail
 EXTRA_ORACLES["multimodal_thumbnail"] = _thumb_oracle()
 

@@ -45,6 +45,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.numeric import dsum, dsum_sql
 from ..sources import load_table
 
 QUERIES: dict = {}
@@ -591,10 +592,11 @@ SELECT layout,
 FROM flagged GROUP BY 1
 """
 
-EXTRA_QUERIES["layout_skipping_effectiveness"] = (
+# Round-15 promotion (never driver-checked):
+QUERIES["layout_skipping_effectiveness"] = (
     layout_skipping_effectiveness
 )
-EXTRA_ORACLES["layout_skipping_effectiveness"] = LAYOUT_SKIPPING_ORACLE
+ORACLES["layout_skipping_effectiveness"] = LAYOUT_SKIPPING_ORACLE
 
 
 # --- cross-table data-quality audits (round 11): the two checks
@@ -762,3 +764,109 @@ FROM (
 # never driver-checked; functional-dependency violation audit).
 QUERIES["fd_audit"] = fd_audit
 ORACLES["fd_audit"] = _fd_oracle()
+
+
+# --------------------------------------------------------------------
+# Bloom-prefilter join
+# --------------------------------------------------------------------
+
+# Bloom geometry: m bits, k=2 probes. At sf0.01 the build side is a few
+# hundred urgent high-value orders against a 2^17-bit space — FP rate
+# ~(n*k/m)^k ≈ 1e-4 — but the RESULT is exact regardless: the bloom
+# pass only admits a superset of matching probe rows and the exact join
+# removes false positives, which is why a plain-join DuckDB oracle
+# value-checks the whole pipeline.
+BLOOM_M = 1 << 17
+BLOOM_SEEDS = (0x51ED, 0xC0FE)
+BLOOM_PRICE_MIN = 150000.0
+
+
+def _bloom_bucket(col, seed: int):
+    """One bloom probe: seeded xxhash64 folded into the m-bit space.
+    pmod keeps the signed-long hash non-negative; the seed rides as an
+    extra hashed column, the standard Spark idiom for a hash family."""
+    return F.pmod(F.xxhash64(col, F.lit(seed)), F.lit(BLOOM_M))
+
+
+def bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by return flag for urgent, high-value orders — executed as
+    a bloom-prefiltered join, the shape a selective fact-to-fact join
+    takes at 100 TB.
+
+    The naive plan shuffles EVERY lineitem row on l_orderkey even
+    though <1% of orders qualify. The scale plan broadcasts an m-bit
+    bloom filter of the qualifying order keys (k=2 seeded xxhash64
+    probes, each a broadcast LEFT SEMI against the same ≤m-row distinct
+    bit table) and drops non-matching lineitem rows BEFORE the shuffle
+    — the same plan Spark's own runtime-filter rewrite
+    (spark.sql.optimizer.runtime.bloomFilter.enabled, InjectRuntimeFilter)
+    produces, constructed here explicitly so the mechanics are visible
+    and oracle-checkable. False positives survive the prefilter but
+    never the exact equi-join that follows; the DuckDB twin is the
+    plain join, so parity proves the bloom admitted every true match.
+
+    Scale notes: the bit table is at most m distinct ints (~1 MB
+    broadcast at m=2^17; size m to ~10 bits/key at the real build-side
+    cardinality), the two semi-joins are map-side (no shuffle of the
+    probe), and the only shuffle left is the final small join + agg.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    build = orders.filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_totalprice") > BLOOM_PRICE_MIN)
+    )
+    bits = (
+        build.select(
+            F.explode(
+                F.array(
+                    *[
+                        _bloom_bucket(F.col("o_orderkey"), s)
+                        for s in BLOOM_SEEDS
+                    ]
+                )
+            ).alias("bit")
+        )
+        .distinct()
+    )
+    probe = li
+    for s in BLOOM_SEEDS:
+        probe = probe.join(
+            F.broadcast(bits),
+            _bloom_bucket(F.col("l_orderkey"), s) == F.col("bit"),
+            "left_semi",
+        )
+    joined = probe.join(
+        build.select("o_orderkey"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    return (
+        joined.groupBy("l_returnflag")
+        .agg(
+            F.count("*").cast("long").alias("n_items"),
+            F.countDistinct("o_orderkey").cast("long").alias("n_orders"),
+            dsum(
+                F.col("l_extendedprice") * (1.0 - F.col("l_discount"))
+            ).alias("revenue"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+BLOOM_JOIN_ORACLE = f"""
+SELECT l.l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(COUNT(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders,
+       {dsum_sql('l.l_extendedprice * (1.0 - l.l_discount)')} AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderpriority = '1-URGENT'
+  AND o.o_totalprice > {BLOOM_PRICE_MIN}
+GROUP BY l.l_returnflag
+ORDER BY l.l_returnflag
+"""
+
+# Round-15 addition: enters as an oracled extra (sweep-checked); the
+# exact-join oracle proves the bloom admitted every true match.
+EXTRA_QUERIES["bloom_prefilter_join"] = bloom_prefilter_join
+EXTRA_ORACLES["bloom_prefilter_join"] = BLOOM_JOIN_ORACLE

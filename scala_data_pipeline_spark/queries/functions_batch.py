@@ -309,5 +309,6 @@ SELECT event_id,
 FROM events
 """
 
-EXTRA_QUERIES["map_functions_props"] = map_functions_props
-EXTRA_ORACLES["map_functions_props"] = MAP_FUNCTIONS_ORACLE
+# Round-15 promotion (never driver-checked):
+QUERIES["map_functions_props"] = map_functions_props
+ORACLES["map_functions_props"] = MAP_FUNCTIONS_ORACLE

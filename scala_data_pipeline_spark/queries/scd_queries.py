@@ -317,5 +317,6 @@ WHERE l.op IS NULL OR l.op <> 'D'
 # Round-9 driver rotation: cdc_apply_customer promoted (never
 # driver-checked; latest-wins type-1 MERGE with all 4 branches
 # test-locked).
-QUERIES["cdc_apply_customer"] = cdc_apply_customer
-ORACLES["cdc_apply_customer"] = CDC_APPLY_ORACLE
+# Round-15 demotion (green driver rows in 5 rounds):
+EXTRA_QUERIES["cdc_apply_customer"] = cdc_apply_customer
+EXTRA_ORACLES["cdc_apply_customer"] = CDC_APPLY_ORACLE

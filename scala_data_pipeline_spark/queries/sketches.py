@@ -193,8 +193,9 @@ FROM est LEFT JOIN truth ON truth.k = est.k
 # Round-9 driver rotation: sketch_countmin_custkey promoted (never
 # driver-checked; the only sketch with a full-hash oracle — the
 # deterministic CM sketch is replayed cell-by-cell in DuckDB).
-QUERIES["sketch_countmin_custkey"] = sketch_countmin_custkey
-ORACLES["sketch_countmin_custkey"] = _countmin_oracle()
+# Round-15 demotion (green driver rows in 5 rounds):
+EXTRA_QUERIES["sketch_countmin_custkey"] = sketch_countmin_custkey
+EXTRA_ORACLES["sketch_countmin_custkey"] = _countmin_oracle()
 
 
 def sketch_hdr_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:

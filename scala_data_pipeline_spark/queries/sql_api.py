@@ -870,8 +870,9 @@ def sql_forecast_revenue_change(
 
 
 # Round-10 rotation: promoted to a driver slot (never driver-checked).
-QUERIES["sql_forecast_revenue_change"] = sql_forecast_revenue_change
-ORACLES["sql_forecast_revenue_change"] = SQL_FORECAST_REVENUE_CHANGE
+# Round-15 demotion (green driver rows in 4 rounds):
+EXTRA_QUERIES["sql_forecast_revenue_change"] = sql_forecast_revenue_change
+EXTRA_ORACLES["sql_forecast_revenue_change"] = SQL_FORECAST_REVENUE_CHANGE
 
 
 # TPC-H Q20 shape (dominant supplier): a CORRELATED AGGREGATE in the

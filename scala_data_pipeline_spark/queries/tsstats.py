@@ -338,8 +338,9 @@ SELECT digit, n,
 FROM counts
 """
 
-EXTRA_QUERIES["anomaly_daily_revenue"] = anomaly_daily_revenue
-EXTRA_ORACLES["anomaly_daily_revenue"] = ANOMALY_ORACLE
+# Round-15 promotion (never driver-checked):
+QUERIES["anomaly_daily_revenue"] = anomaly_daily_revenue
+ORACLES["anomaly_daily_revenue"] = ANOMALY_ORACLE
 # Round-6 rotation: promoted to a driver slot (per-verdict: never
 # driver-checked; now carries the deaths==at_risk terminal-step guard
 # from the round-5 advisor finding, mirrored in the oracle).
@@ -563,8 +564,9 @@ SELECT n_keys, n_rows, max_mult,
 FROM s
 """
 
-EXTRA_QUERIES["attribution_last_touch"] = attribution_last_touch
-EXTRA_ORACLES["attribution_last_touch"] = ATTRIBUTION_ORACLE
+# Round-15 promotion (never driver-checked):
+QUERIES["attribution_last_touch"] = attribution_last_touch
+ORACLES["attribution_last_touch"] = ATTRIBUTION_ORACLE
 EXTRA_QUERIES["abc_parts"] = abc_parts
 EXTRA_ORACLES["abc_parts"] = ABC_ORACLE
 EXTRA_QUERIES["skew_profile_orders"] = skew_profile_orders
@@ -1350,8 +1352,9 @@ SELECT CAST(yr AS INTEGER) AS year,
 FROM joined GROUP BY yr
 """
 
-EXTRA_QUERIES["hhi_supplier_concentration"] = hhi_supplier_concentration
-EXTRA_ORACLES["hhi_supplier_concentration"] = HHI_ORACLE
+# Round-15 promotion (never driver-checked):
+QUERIES["hhi_supplier_concentration"] = hhi_supplier_concentration
+ORACLES["hhi_supplier_concentration"] = HHI_ORACLE
 EXTRA_QUERIES["drift_priority_mix"] = drift_priority_mix
 EXTRA_ORACLES["drift_priority_mix"] = DRIFT_ORACLE
 
@@ -1675,8 +1678,9 @@ FROM stepped GROUP BY n_click, n_view
 
 # Round-9 driver rotation: ks_value_drift promoted (never
 # driver-checked; exact 2-sample KS over the bounded cent-value grain).
-QUERIES["ks_value_drift"] = ks_value_drift
-ORACLES["ks_value_drift"] = KS_ORACLE
+# Round-15 demotion (green driver rows in 5 rounds):
+EXTRA_QUERIES["ks_value_drift"] = ks_value_drift
+EXTRA_ORACLES["ks_value_drift"] = KS_ORACLE
 
 
 # ---------------------------------------------------------------------------
@@ -1987,8 +1991,9 @@ FROM crit
 # Round-9 driver rotation: ab_welch_fdr promoted (never driver-checked;
 # Welch t per brand + Benjamini-Hochberg FDR — the BH step rank window
 # runs over the bounded 25-brand grain).
-QUERIES["ab_welch_fdr"] = ab_welch_fdr
-ORACLES["ab_welch_fdr"] = _welch_fdr_oracle()
+# Round-15 demotion (green driver rows in 5 rounds):
+EXTRA_QUERIES["ab_welch_fdr"] = ab_welch_fdr
+EXTRA_ORACLES["ab_welch_fdr"] = _welch_fdr_oracle()
 
 
 # ---------------------------------------------------------------------------

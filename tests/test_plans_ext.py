@@ -217,3 +217,22 @@ def test_runtime_bloom_filter_prunes_shuffle_join(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_bloom_prefilter_join_stays_broadcast(spark, sf_dir):
+    """Round-15 addition: the explicit bloom-prefilter join must keep
+    its scale shape — both k=2 bloom probes are broadcast LEFT SEMI
+    joins against the bit table (the probe side is never shuffled for
+    them) and nothing in the pipeline is a Python UDF. The exact join
+    that removes false positives may be broadcast or shuffle; what is
+    locked is that the PREFILTER itself never shuffles lineitem."""
+    from scala_data_pipeline_spark.plans import plan_audit
+    from scala_data_pipeline_spark.queries.frontier import (
+        bloom_prefilter_join,
+    )
+
+    a = plan_audit(bloom_prefilter_join(spark, sf_dir))
+    plan = a["plan"]
+    assert plan.count("LeftSemi") >= 2
+    assert "SortMergeJoin" not in plan
+    assert a["n_python_udfs"] == 0
