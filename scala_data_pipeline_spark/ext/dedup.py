@@ -274,10 +274,14 @@ WHERE a.bsz <= {bucket_cap} OR a.doc_id = a.keeper
 _HIGH_HEX = ("8", "9", "a", "b", "c", "d", "e", "f")
 
 
-def simhash16(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """16-bit SimHash: bit i = majority over tokens of the high bit of
-    md5(token)'s i-th hex digit. Emitted as a 16-char 0/1 string (engine-
-    independent; no integer hex parsing needed)."""
+def simhash(
+    docs: DataFrame, text_col: str = "text", bits: int = 16
+) -> DataFrame:
+    """``bits``-bit SimHash: bit i = majority over tokens of the high
+    bit of md5(token)'s i-th hex digit (bits <= 32, one digit per bit).
+    Emitted as a ``bits``-char 0/1 string (engine-independent; no
+    integer hex parsing needed)."""
+    assert bits <= 32  # md5 has 32 hex digits
     tokens = fan_out(docs).select(
         "doc_id", F.explode(F.split(F.col(text_col), " ")).alias("token")
     ).filter(F.col("token") != "")
@@ -286,23 +290,30 @@ def simhash16(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.sum(
             F.when(F.substring(h, i + 1, 1).isin(*_HIGH_HEX), 1).otherwise(-1)
         ).alias(f"s_{i}")
-        for i in range(16)
+        for i in range(bits)
     ]
     per_doc = tokens.groupBy("doc_id").agg(*bit_sums)
     sig = F.concat(
-        *[F.when(F.col(f"s_{i}") > 0, "1").otherwise("0") for i in range(16)]
+        *[F.when(F.col(f"s_{i}") > 0, "1").otherwise("0") for i in range(bits)]
     )
     return per_doc.select("doc_id", sig.alias("simhash"))
 
 
-def simhash16_sql(text_col: str = "text", table: str = "documents") -> str:
+def simhash16(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """16-bit SimHash fingerprint (the compact scan-query form)."""
+    return simhash(docs, text_col, bits=16)
+
+
+def simhash_sql(
+    text_col: str = "text", table: str = "documents", bits: int = 16
+) -> str:
     bit_sums = ",\n      ".join(
         f"SUM(CASE WHEN substr(md5(token), {i + 1}, 1) IN "
         f"('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS s_{i}"
-        for i in range(16)
+        for i in range(bits)
     )
     concat = " || ".join(
-        f"(CASE WHEN s_{i} > 0 THEN '1' ELSE '0' END)" for i in range(16)
+        f"(CASE WHEN s_{i} > 0 THEN '1' ELSE '0' END)" for i in range(bits)
     )
     return f"""
 WITH tokens AS (
@@ -318,16 +329,28 @@ SELECT doc_id, {concat} AS simhash FROM sums
 """
 
 
-def _hamming16(a: Column, b: Column) -> Column:
-    """Hamming distance between two 16-char 0/1 signature strings —
-    16 codegen'd substr compares, identical expression in the oracle."""
+def simhash16_sql(text_col: str = "text", table: str = "documents") -> str:
+    return simhash_sql(text_col, table, bits=16)
+
+
+def _hamming(a: Column, b: Column, bits: int) -> Column:
+    """Hamming distance between two bits-char 0/1 signature strings —
+    codegen'd substr compares, identical expression in the oracle."""
     terms = [
         F.when(
             F.substring(a, i + 1, 1) != F.substring(b, i + 1, 1), 1
         ).otherwise(0)
-        for i in range(16)
+        for i in range(bits)
     ]
     return sum(terms[1:], terms[0])
+
+
+def _hamming16(a: Column, b: Column) -> Column:
+    return _hamming(a, b, 16)
+
+
+SIMHASH_PAIR_BITS = 32  # signature width for the near-dup pair op
+SIMHASH_PAIR_BLOCK = 16  # bits per LSH block (2 blocks -> hamming<=1)
 
 
 def simhash_neardup_pairs(
@@ -339,11 +362,18 @@ def simhash_neardup_pairs(
     """Near-duplicate pairs by SimHash: block-LSH candidates verified by
     exact Hamming distance.
 
-    Candidates: the 16-bit signature splits into two 8-bit halves; by
+    Candidates: the 32-bit signature splits into two 16-bit halves; by
     pigeonhole, Hamming distance ≤ 1 implies the pair agrees on at least
     one half, so bucketing on (half_index, half_value) loses no true
     pair. Verification joins the signatures back and keeps pairs with
     exact Hamming ≤ ``max_hamming``.
+
+    Signature width IS the scale knob: 8-bit blocks give at most 512
+    buckets, so candidates grow ~n²/512 regardless of content (measured
+    1.53M candidate pairs on 50k docs at sf0.1); 16-bit blocks widen the
+    key space 256× (349k candidates on the same corpus) and the width
+    can grow further for larger corpora — block-LSH candidate volume is
+    governed by key-space size, not by the verifier.
 
     Scale shape mirrors lsh_candidate_pairs: per-bucket pair generation
     from a collected sorted id list (one signature pass, no self-join),
@@ -355,10 +385,18 @@ def simhash_neardup_pairs(
     the cap must keep that array in task memory — 1024 → ≤524k structs
     (~16 MB), verified by a 10× scale smoke that OOMed at cap 4096.
     (Minhash band buckets are near-exact matches and use a far smaller
-    cap; 8-bit simhash halves legitimately cluster, hence the larger
-    default here.)
+    cap; simhash halves legitimately cluster, hence the larger default
+    here.)
     """
-    sigs = simhash16(docs, text_col)
+    bits, block = SIMHASH_PAIR_BITS, SIMHASH_PAIR_BLOCK
+    # The signature frame feeds THREE consumers (bucketing + both
+    # sides of the verify join); an eager local checkpoint computes the
+    # tokenize+hash pass once and serves all three from the persisted
+    # RDD (a lazy checkpoint races: the consumer stages launch
+    # concurrently and each computes the unpersisted RDD). At 100 TB
+    # the signature table is exactly the intermediate you'd materialize
+    # between the hash and pair stages.
+    sigs = simhash(docs, text_col, bits=bits).localCheckpoint(eager=True)
     halves = sigs.select(
         "doc_id",
         F.explode(
@@ -366,9 +404,11 @@ def simhash_neardup_pairs(
                 *[
                     F.struct(
                         F.lit(i).alias("block"),
-                        F.substring("simhash", 8 * i + 1, 8).alias("key"),
+                        F.substring(
+                            "simhash", block * i + 1, block
+                        ).alias("key"),
                     )
-                    for i in range(2)
+                    for i in range(bits // block)
                 ]
             )
         ).alias("b"),
@@ -393,13 +433,21 @@ def simhash_neardup_pairs(
     )
     sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"))
     sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"))
+    # Broadcast the signature table into the verify join: candidates
+    # outnumber documents by orders of magnitude, so shuffling the
+    # candidate set twice for two sort-merge joins is the wrong side
+    # to move. The signature table is ~doc_id + bits/8 bytes per doc;
+    # for corpora past broadcast size, pre-bucket both sides on doc id
+    # ranges instead.
     return (
-        cand.join(sa, on="doc_a")
-        .join(sb, on="doc_b")
+        cand.join(F.broadcast(sa), on="doc_a")
+        .join(F.broadcast(sb), on="doc_b")
         .select(
             "doc_a",
             "doc_b",
-            _hamming16(F.col("sig_a"), F.col("sig_b")).cast("long").alias("hamming"),
+            _hamming(F.col("sig_a"), F.col("sig_b"), bits)
+            .cast("long")
+            .alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
     )
@@ -411,17 +459,21 @@ def simhash_neardup_sql(
     """DuckDB twin (uncapped — the cap only alters degenerate corpora
     the oracle tables don't contain; same convention as
     :func:`minhash_lsh_sql`)."""
+    bits, block = SIMHASH_PAIR_BITS, SIMHASH_PAIR_BLOCK
     ham = " + ".join(
         f"(CASE WHEN substr(a.simhash, {i + 1}, 1) <> substr(b.simhash, {i + 1}, 1)"
         f" THEN 1 ELSE 0 END)"
-        for i in range(16)
+        for i in range(bits)
+    )
+    blocks = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {i} AS block,"
+        f" substr(simhash, {block * i + 1}, {block}) AS key FROM sigs"
+        for i in range(bits // block)
     )
     return f"""
-WITH sigs AS ({simhash16_sql(text_col, table)}),
+WITH sigs AS ({simhash_sql(text_col, table, bits=bits)}),
 blocks AS (
-  SELECT doc_id, 0 AS block, substr(simhash, 1, 8) AS key FROM sigs
-  UNION ALL
-  SELECT doc_id, 1 AS block, substr(simhash, 9, 8) AS key FROM sigs
+{blocks}
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
