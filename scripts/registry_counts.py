@@ -55,6 +55,24 @@ def main() -> None:
         if missing:
             print(f"README drift: expected {missing} per the live registry")
             sys.exit(1)
+        # Label invariant (round-15: 18 "(extra)" tags survived past
+        # promotions): a backticked name tagged "(extra)" must BE an
+        # extra in the live registry. Bare mentions of extras are fine
+        # — only the tag direction is enforced.
+        drv = set(all_queries())
+        stale = sorted(
+            {
+                m
+                for m in re.findall(r"`([a-z0-9_]+)` \(extra\)", readme)
+                if m in drv
+            }
+        )
+        if stale:
+            print(
+                "README drift: driver queries still tagged (extra): "
+                f"{stale}"
+            )
+            sys.exit(1)
         print("README counts match the registry")
 
 
