@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..ext.multimodal import extract_features, to_media_frame
 from ..ext.textstats import (
@@ -295,6 +296,53 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EXTRA_QUERIES["text_bpe_train"] = text_bpe_train
+
+
+def text_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer fertility (BPE tokens per word) — the
+    train → encode → corpus-metric lifecycle in one query: distributed
+    word counts feed the driver-side merge loop, the learned merges are
+    applied corpus-wide by the Arrow-batched greedy encoder, and the
+    result aggregates to one row per language. Fertility is THE
+    capacity metric a multilingual training pipeline budgets by (how
+    many model tokens a language pays per word). Rows-only: the merge
+    loop is iterative and the greedy application order-dependent —
+    no SQL twin exists; invariants (fertility >= 1, monotone
+    non-increasing in merge count, zero-merge fertility == chars per
+    word) are locked in tests/test_bpe.py."""
+    from ..ext.bpe import (
+        N_MERGES,
+        VOCAB_CAP,
+        bpe_apply,
+        train_merges,
+        word_counts,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    wc = word_counts(docs)
+    vocab = [
+        (r.word, r.n)
+        for r in wc.orderBy(F.col("n").desc(), F.col("word"))
+        .limit(VOCAB_CAP)
+        .collect()
+    ]
+    merges = train_merges(vocab, N_MERGES)
+    enc = bpe_apply(docs, merges)
+    return (
+        enc.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.sum("n_words").cast("long").alias("n_words"),
+            F.sum("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+            F.round(
+                F.sum("n_bpe_tokens") / F.sum("n_words"), 6
+            ).alias("fertility"),
+        )
+        .orderBy("lang")
+    )
+
+
+EXTRA_QUERIES["text_bpe_fertility"] = text_bpe_fertility
 
 
 def text_zipf_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:

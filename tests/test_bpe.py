@@ -119,3 +119,36 @@ def test_min_count_filters_tail(spark, sf_dir):
         for r in bpe_train(docs, n_merges=4, min_count=threshold).collect()
     ]
     assert got == [(l, r, c) for l, r, c in expected]
+
+
+def test_bpe_fertility_invariants(spark, sf_dir):
+    """text_bpe_fertility (round-15): fertility >= 1 for every language
+    (a word is at least one token), monotone non-increasing in merge
+    count, and at zero merges fertility == chars per word exactly."""
+    import pyspark.sql.functions as F
+
+    from scala_data_pipeline_spark.queries.ext_text import (
+        text_bpe_fertility,
+    )
+
+    rows = text_bpe_fertility(spark, sf_dir).collect()
+    assert rows, "at least one language"
+    assert all(r.fertility >= 1.0 for r in rows)
+
+    docs = load_table(spark, sf_dir, "documents")
+    zero = bpe_apply(docs, [])
+    agg = zero.agg(
+        F.sum("n_words").alias("w"), F.sum("n_bpe_tokens").alias("t")
+    ).collect()[0]
+    chars = (
+        docs.select(
+            F.sum(
+                F.length(F.regexp_replace(F.coalesce("text", F.lit("")), " ", ""))
+            ).alias("c")
+        ).collect()[0].c
+    )
+    assert agg.t == chars  # zero merges: one token per character
+    # merges only ever reduce token counts
+    merged_total = sum(r.n_bpe_tokens for r in rows)
+    assert merged_total <= agg.t
+    assert sum(r.n_words for r in rows) == agg.w

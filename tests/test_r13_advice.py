@@ -4,8 +4,10 @@
    (textstats.py — the n_tokens==0 guard missed NULL n_tokens under
    ANSI, and the DuckDB twin had the identical hole).
 2. The Python DataSource's rate-limited stream must not regress its
-   offset after a checkpoint restore whose last batch was committed
-   (pydatasource.py — latestOffset() is called before any commit()).
+   offset after a checkpoint restore (pydatasource.py — the observed
+   Spark 4.1 sequence replays partitions() with the offset-log end
+   BEFORE the first latestOffset(); see the round-15 amendment in the
+   tests below).
 3. semantic_dedup_k1 must survive a zero-norm embedding on BOTH
    engines (semdedup.py — the SQL twin divided by nv with no NULLIF;
    the pandas greedy's round6 raised OverflowError on inf).
