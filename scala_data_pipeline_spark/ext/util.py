@@ -26,13 +26,24 @@ def memoized_checkpoint(
     round-14: without eviction, a long-lived driver cycling sessions
     pins every dead application's DataFrame objects forever), which
     releases the Python frames so the checkpointed RDD storage can be
-    GC'd."""
+    GC'd. Eviction is scoped to entries whose OWN context reports
+    stopped (advisor round-15: evicting every foreign app id would
+    make two concurrently live sessions thrash each other's hubs on
+    every cross-session miss — correctness preserved, hubs silently
+    rebuilt each time)."""
     app_id = spark.sparkContext.applicationId
     k = (app_id, key)
     df = cache.get(k)
     if df is None:
-        for stale in [kk for kk in cache if kk[0] != app_id]:
-            del cache[stale]
+        for stale_k, stale_df in list(cache.items()):
+            if stale_k[0] == app_id:
+                continue
+            try:
+                stopped = stale_df.sparkSession.sparkContext._jsc.sc().isStopped()
+            except Exception:  # JVM handle already torn down
+                stopped = True
+            if stopped:
+                del cache[stale_k]
         df = build().localCheckpoint(eager=True)
         cache[k] = df
     return df

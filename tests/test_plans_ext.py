@@ -233,6 +233,22 @@ def test_bloom_prefilter_join_stays_broadcast(spark, sf_dir):
 
     a = plan_audit(bloom_prefilter_join(spark, sf_dir))
     plan = a["plan"]
-    assert plan.count("LeftSemi") >= 2
-    assert "SortMergeJoin" not in plan
+    # Lock ONLY the prefilter invariant: both bloom probes are
+    # BROADCAST LeftSemi joins (advisor r15: asserting no SMJ anywhere
+    # would fail on a legitimate stats/AQE flip of the downstream
+    # exact join, which the docstring explicitly allows either way).
+    # Formatted mode: "(N) NodeName" headers, "Join type: LeftSemi" in
+    # the detail block — pair them up per node block.
+    import re
+
+    blocks = re.split(r"^(?=\(\d+\) )", plan, flags=re.M)
+    semi_blocks = [b for b in blocks if "Join type: LeftSemi" in b]
+    broadcast_semis = [
+        b for b in semi_blocks if b.splitlines()[0].find("Broadcast") >= 0
+    ]
+    assert len(broadcast_semis) >= 2, (
+        f"expected >=2 broadcast LeftSemi prefilter probes, got "
+        f"{len(broadcast_semis)} of {len(semi_blocks)} semi joins:\n"
+        + "\n".join(b.splitlines()[0] for b in semi_blocks)
+    )
     assert a["n_python_udfs"] == 0

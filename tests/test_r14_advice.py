@@ -15,19 +15,53 @@
 from __future__ import annotations
 
 
+class _FakeJvmSc:
+    def __init__(self, stopped: bool):
+        self._stopped = stopped
+
+    def isStopped(self):
+        return self._stopped
+
+
+class _FakeJsc:
+    def __init__(self, stopped: bool):
+        self._sc = _FakeJvmSc(stopped)
+
+    def sc(self):
+        return self._sc
+
+
 class _FakeCtx:
-    def __init__(self, app_id: str):
+    def __init__(self, app_id: str, stopped: bool = False):
         self.applicationId = app_id
+        self._jsc = _FakeJsc(stopped)
 
 
 class _FakeSession:
-    def __init__(self, app_id: str):
-        self.sparkContext = _FakeCtx(app_id)
+    def __init__(self, app_id: str, stopped: bool = False):
+        self.sparkContext = _FakeCtx(app_id, stopped)
+
+    def stop(self):
+        self.sparkContext._jsc._sc._stopped = True
 
 
 class _FakeFrame:
+    """A frame whose .sparkSession reports live/stopped like the real
+    thing (memoized_checkpoint probes it to scope eviction)."""
+
+    sparkSession: _FakeSession | None = None
+
     def localCheckpoint(self, eager: bool = True):
         return self
+
+
+def _builder(session: _FakeSession):
+    def build():
+        f = _FakeFrame()
+        f.sparkSession = session
+        return f
+
+    return build
 
 
 def test_memoized_checkpoint_evicts_stopped_applications():
@@ -35,18 +69,44 @@ def test_memoized_checkpoint_evicts_stopped_applications():
 
     cache: dict = {}
     s1 = _FakeSession("app-1")
-    a = memoized_checkpoint(cache, s1, "pairs", _FakeFrame)
-    b = memoized_checkpoint(cache, s1, "core", _FakeFrame)
-    assert memoized_checkpoint(cache, s1, "pairs", _FakeFrame) is a
+    a = memoized_checkpoint(cache, s1, "pairs", _builder(s1))
+    b = memoized_checkpoint(cache, s1, "core", _builder(s1))
+    assert memoized_checkpoint(cache, s1, "pairs", _builder(s1)) is a
     assert set(cache) == {("app-1", "pairs"), ("app-1", "core")}
 
-    # New application (old session stopped): the first insert evicts
-    # every dead-application entry — nothing from app-1 stays pinned.
+    # New application after the old session STOPPED: the first insert
+    # evicts every dead-application entry — nothing from app-1 stays
+    # pinned.
+    s1.stop()
     s2 = _FakeSession("app-2")
-    c = memoized_checkpoint(cache, s2, "pairs", _FakeFrame)
+    c = memoized_checkpoint(cache, s2, "pairs", _builder(s2))
     assert c is not a
     assert set(cache) == {("app-2", "pairs")}
     assert b is not None  # caller-held frames unaffected, only cache
+
+
+def test_memoized_checkpoint_keeps_concurrent_live_sessions():
+    """Advisor r15: two concurrently LIVE sessions sharing the
+    module-level cache must not evict each other's hubs on every
+    cross-session miss (that silently rebuilt hubs each time)."""
+    from scala_data_pipeline_spark.ext.util import memoized_checkpoint
+
+    cache: dict = {}
+    s1 = _FakeSession("app-1")
+    s2 = _FakeSession("app-2")
+    a = memoized_checkpoint(cache, s1, "pairs", _builder(s1))
+    c = memoized_checkpoint(cache, s2, "pairs", _builder(s2))
+    # Both live -> both cached; s1's hub survives s2's insert...
+    assert set(cache) == {("app-1", "pairs"), ("app-2", "pairs")}
+    # ...and is served warm on the next s1 call (no rebuild thrash).
+    assert memoized_checkpoint(cache, s1, "pairs", _builder(s1)) is a
+    assert memoized_checkpoint(cache, s2, "pairs", _builder(s2)) is c
+    # A frame whose JVM handle is already torn down counts as stopped.
+    s2.sparkContext._jsc = None
+    s3 = _FakeSession("app-3")
+    memoized_checkpoint(cache, s3, "pairs", _builder(s3))
+    assert ("app-2", "pairs") not in cache
+    assert ("app-1", "pairs") in cache
 
 
 def test_bench_records_warm_semantics():
