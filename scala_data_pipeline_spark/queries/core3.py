@@ -547,3 +547,13 @@ GROUP BY n.n_name
 # Round-15 demotion (green driver rows in 5 rounds):
 EXTRA_QUERIES["mart_incremental_join"] = mart_incremental_join
 EXTRA_ORACLES["mart_incremental_join"] = MART_INCREMENTAL_ORACLE
+
+
+# Rows-only bound metadata (round-16): cited test carries the entry's
+# quantitative correctness; linted by scripts/registry_counts.py.
+BOUNDS = {
+    "approx_count_distinct": (
+        "tests/test_temporal.py::test_approx_count_distinct_error_bound"
+        " — HLL++ estimate within the configured rsd of the exact count"
+    ),
+}

@@ -580,3 +580,27 @@ QUERIES["sim_semdedup_k1"] = sim_semdedup_k1
 ORACLES["sim_semdedup_k1"] = _semdedup_k1_oracle()
 QUERIES["sim_semdedup_report"] = sim_semdedup_report
 ORACLES["sim_semdedup_report"] = _semdedup_report_oracle()
+
+
+BOUNDS = {
+    "sim_semdedup_greedy": (
+        "tests/test_rows_only_bounds.py::test_semdedup_greedy_k1_matches_hash_checked_oracle_path"
+        " — k=1 decisions equal the hash-checked semantic_dedup_k1_exact"
+    ),
+    "sim_semdedup_stats": (
+        "tests/test_rows_only_bounds.py::test_semdedup_stats_consistent_with_greedy"
+        " — per-cluster stats consistent with the greedy keep/dup sets"
+    ),
+    "sim_topk_pq": (
+        "tests/test_rows_only_bounds.py::test_sim_topk_pq_recall_vs_exact"
+        " — recall@5 floor vs exact numpy brute-force cosine"
+    ),
+    "sim_topk_ivfpq": (
+        "tests/test_rows_only_bounds.py::test_sim_topk_ivfpq_recall_vs_exact"
+        " — recall@5 floor vs exact numpy brute-force cosine"
+    ),
+    "sim_mmr_rerank": (
+        "tests/test_skew_ivf.py::test_mmr_relevance_diversity_dominance"
+        " — exact pure-Python replay + diversity dominance vs pure-relevance top-k"
+    ),
+}

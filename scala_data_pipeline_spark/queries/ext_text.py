@@ -657,3 +657,15 @@ def _repetition_oracle() -> str:
 
 EXTRA_QUERIES["text_repetition_signals"] = text_repetition_signals
 EXTRA_ORACLES["text_repetition_signals"] = _repetition_oracle()
+
+
+BOUNDS = {
+    "text_bpe_train": (
+        "tests/test_rows_only_bounds.py::test_text_bpe_train_matches_single_node_reference"
+        " — full merge table equals an independent single-node BPE replay"
+    ),
+    "text_bpe_fertility": (
+        "tests/test_bpe.py::test_bpe_fertility_invariants"
+        " — fertility >= 1, monotone in merges, == chars/word at zero merges"
+    ),
+}

@@ -219,3 +219,15 @@ if __name__ == "__main__":
             ).collect()
         )
         print(f"ML_CONFUSION_{label} =", repr(tuple(got)))
+
+
+BOUNDS = {
+    "ml_quality_score": (
+        "tests/test_rows_only_bounds.py::test_ml_quality_score_auc_floor"
+        " — rank AUC >= 0.98 against the Gopher-rule labels"
+    ),
+    "ml_quality_pareto_sample": (
+        "tests/test_rows_only_bounds.py::test_ml_quality_pareto_sample_coverage_band"
+        " — kept count inside the analytic 4-sigma Pareto(9) acceptance band"
+    ),
+}

@@ -212,3 +212,11 @@ def ml_als_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
 EXTRA_QUERIES["seq_prefixspan"] = seq_prefixspan
 EXTRA_ORACLES["seq_prefixspan"] = SEQ_PREFIXSPAN_ORACLE
 EXTRA_QUERIES["ml_als_recommend"] = ml_als_recommend
+
+
+BOUNDS = {
+    "ml_als_recommend": (
+        "tests/test_rows_only_bounds.py::test_ml_als_recommend_beats_popularity_baseline"
+        " — hit-rate >= 0.95 and precision@3 >= the popularity baseline"
+    ),
+}

@@ -220,3 +220,19 @@ def _hdr_oracle() -> str:
 # Round-10 rotation: promoted to a driver slot (never driver-checked).
 QUERIES["sketch_hdr_quantiles"] = sketch_hdr_quantiles
 ORACLES["sketch_hdr_quantiles"] = _hdr_oracle()
+
+
+BOUNDS = {
+    "sketch_heavy_hitters": (
+        "tests/test_oracle_parity.py::test_heavy_hitters_bounds_vs_exact_oracle"
+        " — SpaceSaving frequency brackets vs exact DuckDB counts"
+    ),
+    "sketch_kll_prices": (
+        "tests/test_sketches.py::test_kll_quantiles_within_rank_bounds"
+        " — KLL quantiles inside the sketch's rank-error bound vs exact"
+    ),
+    "sketch_theta_audiences": (
+        "tests/test_sketches.py::test_theta_set_algebra_exact_below_capacity"
+        " — theta union/intersect/diff exact below sketch capacity"
+    ),
+}

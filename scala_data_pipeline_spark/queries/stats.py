@@ -736,3 +736,11 @@ FROM mi CROSS JOIN hl CROSS JOIN hs
 # lang x source contingency grid).
 QUERIES["mutual_info_lang_source"] = mutual_info_lang_source
 ORACLES["mutual_info_lang_source"] = MUTUAL_INFO_ORACLE
+
+
+BOUNDS = {
+    "approx_percentile_prices": (
+        "tests/test_properties.py::test_approx_percentile_error_bound"
+        " — each approximate percentile within rank-error of exact"
+    ),
+}

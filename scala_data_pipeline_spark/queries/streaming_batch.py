@@ -132,3 +132,15 @@ def mau_28d_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EXTRA_QUERIES["mau_28d_hll"] = mau_28d_hll
+
+
+BOUNDS = {
+    "mau_28d_hll": (
+        "tests/test_rollup.py::test_mau_sliding_hll_exact_in_sparse_regime"
+        " — sliding-window HLL MAU equals exact distinct in the sparse regime"
+    ),
+    "rollup_daily_users_hll": (
+        "tests/test_rollup.py::test_hll_sketch_rollup_accuracy"
+        " — merged-sketch rollup within HLL error of exact distinct"
+    ),
+}

@@ -15,24 +15,56 @@ import sys
 sys.path.insert(0, "/root/repo")
 
 from scala_data_pipeline_spark.queries import (  # noqa: E402
+    all_bounds,
     all_oracles,
     all_queries,
     extra_oracles,
     extra_queries,
+    rows_only_names,
 )
 
 
 def counts() -> dict:
     q, o = all_queries(), all_oracles()
     eq, eo = extra_queries(), extra_oracles()
+    ro = rows_only_names()
+    bounded = set(all_bounds())
     return {
         "driver": len(q),
         "driver_oracled": len(set(q) & set(o)),
         "extras": len(eq),
         "extras_oracled": len(set(eq) & set(eo)),
         "total": len(q) + len(eq),
-        "rows_only": len(set(q) | set(eq)) - len(set(o) | set(eo)),
+        "rows_only": len(ro),
+        "rows_only_bounded": len(ro & bounded),
+        "rows_only_unbounded": len(ro - bounded),
     }
+
+
+def lint_bounds() -> list[str]:
+    """Round-16 (r15 verdict item 2): every BOUNDS key must be a
+    rows-only registry entry (an oracled query doesn't need one and a
+    stale key would misreport coverage), and the cited
+    ``tests/file.py::test`` must exist in the tree."""
+    problems = []
+    ro = rows_only_names()
+    for name, ref in sorted(all_bounds().items()):
+        if name not in ro:
+            problems.append(f"BOUNDS key {name!r} is not a rows-only entry")
+            continue
+        loc = ref.split(" — ")[0].strip()
+        if "::" not in loc:
+            problems.append(f"{name}: bound {loc!r} lacks file::test form")
+            continue
+        path, test = loc.split("::", 1)
+        try:
+            src = open(f"/root/repo/{path}").read()
+        except OSError:
+            problems.append(f"{name}: cited file {path} missing")
+            continue
+        if f"def {test}(" not in src:
+            problems.append(f"{name}: {path} has no test {test}")
+    return problems
 
 
 def main() -> None:
@@ -40,16 +72,30 @@ def main() -> None:
     line = (
         f"{c['driver']} driver queries ({c['driver_oracled']} oracled) + "
         f"{c['extras']} extras ({c['extras_oracled']} oracled) = "
-        f"{c['total']} total, {c['rows_only']} rows-only"
+        f"{c['total']} total, {c['rows_only']} rows-only "
+        f"({c['rows_only_bounded']} bounded / "
+        f"{c['rows_only_unbounded']} unbounded)"
     )
     print(line)
     if "--check" in sys.argv:
+        problems = lint_bounds()
+        if c["rows_only_unbounded"]:
+            unb = sorted(rows_only_names() - set(all_bounds()))
+            problems.append(
+                f"{c['rows_only_unbounded']} rows-only entries have no "
+                f"quantitative bound: {unb}"
+            )
+        if problems:
+            print("BOUNDS lint:", *problems, sep="\n  ")
+            sys.exit(1)
         readme = open("/root/repo/README.md").read()
         pats = [
             rf"\b{c['driver']} driver-checked queries\b",
             rf"\b{c['extras']} extras\b",
             rf"\b{c['extras_oracled']} with oracle",
             rf"\b{c['rows_only']} rows-only extras\b",
+            rf"\b{c['rows_only_bounded']} bounded / "
+            rf"{c['rows_only_unbounded']} unbounded\b",
         ]
         missing = [p for p in pats if not re.search(p, readme)]
         if missing:
