@@ -187,7 +187,6 @@ def _cluster_split_oracle() -> str:
 
 
 EXTRA_QUERIES.update({
-    "curation_mixture_sample": curation_mixture_sample,
     "curation_training_shuffle": curation_training_shuffle,
     "curation_sample": curation_sample,
     "curation_source_quota": curation_source_quota,
@@ -197,13 +196,17 @@ EXTRA_QUERIES.update({
 })
 
 EXTRA_ORACLES.update({
-    "curation_mixture_sample": mixture_sample_sql(MIXTURE_TARGET),
     "curation_training_shuffle": training_shuffle_sql(),
     "curation_sample": SAMPLE_ORACLE,
     "curation_source_quota": QUOTA_ORACLE,
     "curation_repetition": repetition_ratio_sql(),
     "curation_stratified": STRATIFIED_ORACLE,
 })
+
+# Round-16 rotation: promoted to a driver slot (never driver-checked;
+# the language-mixture downsampler over the UniMax-style target).
+QUERIES["curation_mixture_sample"] = curation_mixture_sample
+ORACLES["curation_mixture_sample"] = mixture_sample_sql(MIXTURE_TARGET)
 
 # Round-6 rotation: curation_cluster_split promoted to a driver slot
 # (per-verdict: the leakage-free split keyed on near-dup clusters closes

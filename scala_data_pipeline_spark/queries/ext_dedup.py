@@ -463,8 +463,9 @@ GROUP BY 1, 2
 """
 
 
-EXTRA_QUERIES["dedup_source_overlap"] = dedup_source_overlap
-EXTRA_ORACLES["dedup_source_overlap"] = _source_overlap_oracle()
+# Round-16 rotation: promoted to a driver slot (never driver-checked).
+QUERIES["dedup_source_overlap"] = dedup_source_overlap
+ORACLES["dedup_source_overlap"] = _source_overlap_oracle()
 
 
 # k for the DRIVER-FACING k-core query. The library default (k=3)

@@ -205,8 +205,9 @@ def _rrf_oracle() -> str:
     )
 
 
-EXTRA_QUERIES["sim_rrf_fusion"] = sim_rrf_fusion
-EXTRA_ORACLES["sim_rrf_fusion"] = _rrf_oracle()
+# Round-16 rotation: promoted to a driver slot (never driver-checked).
+QUERIES["sim_rrf_fusion"] = sim_rrf_fusion
+ORACLES["sim_rrf_fusion"] = _rrf_oracle()
 
 
 def embedding_class_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -462,8 +463,10 @@ FROM cohesion c JOIN inter i ON i.label = c.label
 """
 
 # Round-10 rotation: promoted to a driver slot (never driver-checked).
-QUERIES["embedding_silhouette"] = embedding_silhouette
-ORACLES["embedding_silhouette"] = SILHOUETTE_ORACLE
+# Round-16 rotation: demoted after 5 green driver rounds (r11-r15) —
+# still oracle-checked locally by tests/test_oracle_parity.py.
+EXTRA_QUERIES["embedding_silhouette"] = embedding_silhouette
+EXTRA_ORACLES["embedding_silhouette"] = SILHOUETTE_ORACLE
 
 
 def sim_semdedup_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -181,7 +181,6 @@ ORACLES["text_token_count"] = token_count_sql()
 EXTRA_QUERIES.update({
     "text_fingerprint": text_fingerprint,
     "text_chunks": text_chunks,
-    "text_pack_bins": text_pack_bins,
     "text_surprisal": text_surprisal,
     "text_ppl_buckets": text_ppl_buckets,
     "text_retrieval_eval": text_retrieval_eval,
@@ -195,11 +194,14 @@ EXTRA_ORACLES.update({
     "multimodal_features": MULTIMODAL_ORACLE,
     "text_fingerprint": fingerprint_sql(),
     "text_chunks": _chunks_oracle(),
-    "text_pack_bins": _pack_oracle(),
     "text_surprisal": unigram_surprisal_sql(),
     "text_ppl_buckets": perplexity_buckets_sql(),
     "text_retrieval_eval": _retrieval_eval_oracle(),
 })
+# Round-16 rotation: promoted to a driver slot (never driver-checked;
+# the registry's only UDTF bin-packing shape).
+QUERIES["text_pack_bins"] = text_pack_bins
+ORACLES["text_pack_bins"] = _pack_oracle()
 
 
 def text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -280,8 +282,9 @@ def _thumb_oracle() -> str:
 # Round-15 promotion (never driver-checked):
 QUERIES["multimodal_frame_sample"] = multimodal_frame_sample
 ORACLES["multimodal_frame_sample"] = _frame_oracle()
-EXTRA_QUERIES["multimodal_thumbnail"] = multimodal_thumbnail
-EXTRA_ORACLES["multimodal_thumbnail"] = _thumb_oracle()
+# Round-16 rotation: promoted to a driver slot (never driver-checked).
+QUERIES["multimodal_thumbnail"] = multimodal_thumbnail
+ORACLES["multimodal_thumbnail"] = _thumb_oracle()
 
 
 def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -479,8 +482,10 @@ FROM binned GROUP BY score_bin
 """
 
 
-QUERIES["quality_reliability_curve"] = quality_reliability_curve
-ORACLES["quality_reliability_curve"] = _reliability_oracle()
+# Round-16 rotation: demoted after 5 green driver rounds (r11-r15) —
+# still oracle-checked locally by tests/test_oracle_parity.py.
+EXTRA_QUERIES["quality_reliability_curve"] = quality_reliability_curve
+EXTRA_ORACLES["quality_reliability_curve"] = _reliability_oracle()
 
 
 def text_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:

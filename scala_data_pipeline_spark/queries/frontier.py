@@ -868,5 +868,6 @@ ORDER BY l.l_returnflag
 
 # Round-15 addition: enters as an oracled extra (sweep-checked); the
 # exact-join oracle proves the bloom admitted every true match.
-EXTRA_QUERIES["bloom_prefilter_join"] = bloom_prefilter_join
-EXTRA_ORACLES["bloom_prefilter_join"] = BLOOM_JOIN_ORACLE
+# Round-16 rotation: promoted to a driver slot (never driver-checked).
+QUERIES["bloom_prefilter_join"] = bloom_prefilter_join
+ORACLES["bloom_prefilter_join"] = BLOOM_JOIN_ORACLE

@@ -166,8 +166,9 @@ def _table_diff_oracle() -> str:
     )
 
 
-EXTRA_QUERIES["scd_table_diff"] = scd_table_diff
-EXTRA_ORACLES["scd_table_diff"] = _table_diff_oracle()
+# Round-16 rotation: promoted to a driver slot (never driver-checked).
+QUERIES["scd_table_diff"] = scd_table_diff
+ORACLES["scd_table_diff"] = _table_diff_oracle()
 
 
 def scd2_customer_asof(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -218,8 +218,10 @@ def _hdr_oracle() -> str:
 
 
 # Round-10 rotation: promoted to a driver slot (never driver-checked).
-QUERIES["sketch_hdr_quantiles"] = sketch_hdr_quantiles
-ORACLES["sketch_hdr_quantiles"] = _hdr_oracle()
+# Round-16 rotation: demoted after 5 green driver rounds (r11-r15) —
+# still oracle-checked locally by tests/test_oracle_parity.py.
+EXTRA_QUERIES["sketch_hdr_quantiles"] = sketch_hdr_quantiles
+EXTRA_ORACLES["sketch_hdr_quantiles"] = _hdr_oracle()
 
 
 BOUNDS = {

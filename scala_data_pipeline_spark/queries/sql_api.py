@@ -546,8 +546,9 @@ def sql_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(SQL_CUSTDIST)
 
 
-EXTRA_QUERIES["sql_custdist"] = sql_custdist
-EXTRA_ORACLES["sql_custdist"] = SQL_CUSTDIST
+# Round-16 rotation: promoted to a driver slot (never driver-checked).
+QUERIES["sql_custdist"] = sql_custdist
+ORACLES["sql_custdist"] = SQL_CUSTDIST
 
 
 # TPC-H Q11 shape (important stock): per-part revenue from the
@@ -901,8 +902,10 @@ def sql_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(SQL_DOMINANT_SUPPLIERS)
 
 
-QUERIES["sql_dominant_suppliers"] = sql_dominant_suppliers
-ORACLES["sql_dominant_suppliers"] = SQL_DOMINANT_SUPPLIERS
+# Round-16 rotation: demoted after 5 green driver rounds (r11-r15) —
+# still oracle-checked locally by tests/test_oracle_parity.py.
+EXTRA_QUERIES["sql_dominant_suppliers"] = sql_dominant_suppliers
+EXTRA_ORACLES["sql_dominant_suppliers"] = SQL_DOMINANT_SUPPLIERS
 
 
 # TPC-H Q5 shape (local supplier volume): the LOCAL-trade predicate —

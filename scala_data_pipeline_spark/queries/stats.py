@@ -450,8 +450,10 @@ FROM bucketed GROUP BY bucket
 """
 
 # Round-10 rotation: promoted to a driver slot (never driver-checked).
-QUERIES["histogram_equidepth_prices"] = histogram_equidepth_prices
-ORACLES["histogram_equidepth_prices"] = HISTOGRAM_EQUIDEPTH_ORACLE
+# Round-16 rotation: demoted after 5 green driver rounds (r11-r15) —
+# still oracle-checked locally by tests/test_oracle_parity.py.
+EXTRA_QUERIES["histogram_equidepth_prices"] = histogram_equidepth_prices
+EXTRA_ORACLES["histogram_equidepth_prices"] = HISTOGRAM_EQUIDEPTH_ORACLE
 
 
 def skewsafe_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -500,8 +502,10 @@ JOIN nation ON n_nationkey = c_nationkey
 GROUP BY n_name
 """
 
-QUERIES["skewsafe_nation_revenue"] = skewsafe_nation_revenue
-ORACLES["skewsafe_nation_revenue"] = SKEWSAFE_ORACLE
+# Round-16 rotation: demoted after 5 green driver rounds (r11-r15) —
+# still oracle-checked locally by tests/test_oracle_parity.py.
+EXTRA_QUERIES["skewsafe_nation_revenue"] = skewsafe_nation_revenue
+EXTRA_ORACLES["skewsafe_nation_revenue"] = SKEWSAFE_ORACLE
 
 
 def chi2_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -620,8 +624,10 @@ SELECT chi2,
 FROM agg
 """
 
-QUERIES["chi2_lang_source"] = chi2_lang_source
-ORACLES["chi2_lang_source"] = CHI2_ORACLE
+# Round-16 rotation: demoted after 5 green driver rounds (r11-r15) —
+# still oracle-checked locally by tests/test_oracle_parity.py.
+EXTRA_QUERIES["chi2_lang_source"] = chi2_lang_source
+EXTRA_ORACLES["chi2_lang_source"] = CHI2_ORACLE
 
 
 def mutual_info_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:

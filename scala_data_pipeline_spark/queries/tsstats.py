@@ -2429,8 +2429,9 @@ SELECT day,
 FROM with_grand WHERE trend IS NOT NULL
 """
 
-EXTRA_QUERIES["seasonal_decompose_revenue"] = seasonal_decompose_revenue
-EXTRA_ORACLES["seasonal_decompose_revenue"] = SEASONAL_ORACLE
+# Round-16 rotation: promoted to a driver slot (never driver-checked).
+QUERIES["seasonal_decompose_revenue"] = seasonal_decompose_revenue
+ORACLES["seasonal_decompose_revenue"] = SEASONAL_ORACLE
 
 
 # ---------------------------------------------------------------------------
@@ -2883,8 +2884,10 @@ SELECT CAST(cust_key AS BIGINT) AS cust_key,
 FROM per_cust
 """
 
-QUERIES["spend_percentile_customers"] = spend_percentile_customers
-ORACLES["spend_percentile_customers"] = SPEND_PERCENTILE_ORACLE
+# Round-16 rotation: demoted after 5 green driver rounds (r11-r15) —
+# still oracle-checked locally by tests/test_oracle_parity.py.
+EXTRA_QUERIES["spend_percentile_customers"] = spend_percentile_customers
+EXTRA_ORACLES["spend_percentile_customers"] = SPEND_PERCENTILE_ORACLE
 
 
 # ---------------------------------------------------------------------------
@@ -3221,8 +3224,10 @@ FROM best b
 """
 
 # Round-10 rotation: promoted to a driver slot (never driver-checked).
-QUERIES["cusum_revenue_shift"] = cusum_revenue_shift
-ORACLES["cusum_revenue_shift"] = CUSUM_ORACLE
+# Round-16 rotation: demoted after 5 green driver rounds (r11-r15) —
+# still oracle-checked locally by tests/test_oracle_parity.py.
+EXTRA_QUERIES["cusum_revenue_shift"] = cusum_revenue_shift
+EXTRA_ORACLES["cusum_revenue_shift"] = CUSUM_ORACLE
 
 
 def theilsen_event_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3285,8 +3290,10 @@ FROM daily d, sl
 """
 
 # Round-10 rotation: promoted to a driver slot (never driver-checked).
-QUERIES["theilsen_event_trend"] = theilsen_event_trend
-ORACLES["theilsen_event_trend"] = THEILSEN_ORACLE
+# Round-16 rotation: demoted after 5 green driver rounds (r11-r15) —
+# still oracle-checked locally by tests/test_oracle_parity.py.
+EXTRA_QUERIES["theilsen_event_trend"] = theilsen_event_trend
+EXTRA_ORACLES["theilsen_event_trend"] = THEILSEN_ORACLE
 
 
 def weighted_median_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3335,5 +3342,6 @@ FROM c WHERE 2 * cumw >= totw
 GROUP BY l_returnflag
 """
 
-EXTRA_QUERIES["weighted_median_prices"] = weighted_median_prices
-EXTRA_ORACLES["weighted_median_prices"] = WEIGHTED_MEDIAN_ORACLE
+# Round-16 rotation: promoted to a driver slot (never driver-checked).
+QUERIES["weighted_median_prices"] = weighted_median_prices
+ORACLES["weighted_median_prices"] = WEIGHTED_MEDIAN_ORACLE
