@@ -38,6 +38,12 @@ fi
 # twice when hand-maintained — round-12 verdict item 7).
 python scripts/registry_counts.py --check
 
+# Non-UTC parity must not rot (round-16, r15 verdict item 7): drive
+# the timestamp-heavy driver queries against their DuckDB twins under
+# a DST-observing zone (process TZ + JVM default). tz_probe fails on
+# any hash mismatch or if rotation left <3 probe-able names.
+TZ=America/New_York python scripts/tz_probe.py
+
 python -m pytest tests/ -q
 
 BENCH_OUT="${SPARK_GRAFT_BENCH_OUT:-/tmp/bench_last.json}"
@@ -88,6 +94,30 @@ assert not missing, f"{path}: missing query timings: {sorted(missing)}"
 assert not extra, f"{path}: unknown query timings: {sorted(extra)}"
 assert all(isinstance(v, numbers.Number) for v in parsed["queries"].values())
 print(f"{path}: integrity OK ({len(got)} queries, total {parsed['value']}s)")
+PY
+# Every PRIOR round's committed bench artifact must still be complete
+# (round-16, r15 verdict item 3: the driver's round-boundary commit
+# clobbered BENCH_r14.json with a parsed:null stub and it persisted a
+# full round; r13's had been clobbered the same way). A clobber is
+# restorable from history the round it happens — fail loudly here.
+python - <<'PY'
+import glob, json
+bad = []
+for path in sorted(glob.glob("BENCH_r*.json")):
+    try:
+        rec = json.load(open(path))
+    except Exception as ex:  # noqa: BLE001
+        bad.append(f"{path}: unparseable ({ex})")
+        continue
+    if not isinstance(rec.get("parsed"), dict):
+        bad.append(f"{path}: parsed is null — restore the complete "
+                   f"artifact from git history")
+for b in bad:
+    print(b)
+if bad:
+    raise SystemExit(1)
+print(f"bench-artifact series integrity OK "
+      f"({len(glob.glob('BENCH_r*.json'))} artifacts, all parsed)")
 PY
 # Regenerate the plan audit FROM the gate so it can never trail the
 # registry (round-7 defect: two queries committed after the last

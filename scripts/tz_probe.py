@@ -35,6 +35,9 @@ PROBE = [
     "cusum_revenue_shift",
     "variant_extract_props",
     "flagship_datamart",
+    # Round-16 promotions on the day/event-time grain:
+    "seasonal_decompose_revenue",
+    "weighted_median_prices",
 ]
 
 
@@ -75,6 +78,14 @@ def main() -> None:
     )
     if failures:
         raise SystemExit(1)
+    # Round-16 (the probe now runs inside round_gate.sh): rotation must
+    # not hollow the probe out — if fewer than 3 timestamp-heavy names
+    # remain in the driver set, refresh PROBE with current slots.
+    if driven < 3:
+        raise SystemExit(
+            f"tz probe drove only {driven} queries — update PROBE for "
+            "the current rotation"
+        )
 
 
 if __name__ == "__main__":
