@@ -1,0 +1,142 @@
+"""Decade scale smoke for the two 10x-artifact watch items (round-16,
+r15 verdict item 6; r14 item 5): ``text_token_count`` and
+``sql_rollup_rank_share`` crept from ~4.2x/4.0x to ~5.5x/5.5x in the
+10x artifacts across two rounds — still far under their linear(xlog)
+limits, but the trend needed a decade run (50k -> 500k docs; 150k ->
+1.5M orders at sf0.1) to settle whether the curve is linear with
+fixed-cost amortization noise or genuinely super-linear.
+
+Both plans are structurally linear: token_count is a pure regex
+projection (no shuffle, output row per input row) and the rollup is
+join + one rollup aggregate to a FIXED grain (nation x year) + windows
+over that bounded grain — so decade-over-decade wall clock should track
+corpus growth with slack only for fixed costs.
+
+Run:  python scripts/scale_smoke_watch.py [copies_lo] [copies_hi] [sf_dir]
+Defaults: 10 100 /root/testdata/sf0.1.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import tempfile
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from scala_data_pipeline_spark.ext.textstats import token_count  # noqa: E402
+from scala_data_pipeline_spark.queries.sql_api import (  # noqa: E402
+    SQL_ROLLUP_RANK_SHARE,
+)
+from scala_data_pipeline_spark.session import get_session  # noqa: E402
+from scripts.scale_smoke_pairs import dense_corpus, timed  # noqa: E402
+
+FLAG_SLACK = 1.3  # the dsir-smoke precedent: linear +30% amortization
+
+
+def synth_orders(spark, sf_dir: str, n_copies: int, out_dir: str):
+    """n_copies of sf orders with distinct order keys, custkeys (and so
+    the customer->nation join fan-out) preserved; dates shifted a few
+    days per copy so the year grain keeps its selectivity. Written to
+    parquet so the scan splits like a real corpus."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    copies = spark.range(n_copies).withColumnRenamed("id", "copy")
+    (
+        orders.crossJoin(F.broadcast(copies))
+        .select(
+            (F.col("o_orderkey") * n_copies + F.col("copy")).alias(
+                "o_orderkey"
+            ),
+            "o_custkey",
+            "o_totalprice",
+            F.date_add("o_orderdate", (F.col("copy") % 7).cast("int")).alias(
+                "o_orderdate"
+            ),
+        )
+        .write.mode("overwrite")
+        .parquet(out_dir)
+    )
+    return spark.read.parquet(out_dir)
+
+
+def run_decade(spark, sf_dir: str, n_copies: int, tmp: str) -> dict:
+    corpus = dense_corpus(
+        spark, sf_dir, n_copies, f"{tmp}/docs{n_copies}", prefix_all=True
+    )
+    n_docs = corpus.count()
+    t_tok, _ = timed(
+        f"text_token_count {n_copies}x ({n_docs} docs)",
+        lambda: token_count(corpus)
+        .write.format("noop")
+        .mode("overwrite")
+        .save(),
+    )
+
+    orders = synth_orders(spark, sf_dir, n_copies, f"{tmp}/orders{n_copies}")
+    n_orders = orders.count()
+    orders.createOrReplaceTempView("orders")
+    spark.read.parquet(f"{sf_dir}/customer.parquet").createOrReplaceTempView(
+        "customer"
+    )
+    spark.read.parquet(f"{sf_dir}/nation.parquet").createOrReplaceTempView(
+        "nation"
+    )
+    t_roll, n_roll = timed(
+        f"sql_rollup_rank_share {n_copies}x ({n_orders} orders)",
+        lambda: spark.sql(SQL_ROLLUP_RANK_SHARE)
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+        or spark.sql(SQL_ROLLUP_RANK_SHARE).count(),
+    )
+    return {
+        "n_copies": n_copies,
+        "n_docs": n_docs,
+        "n_orders": n_orders,
+        "t_token_count": t_tok,
+        "t_rollup": t_roll,
+        "n_rollup_rows": n_roll,
+    }
+
+
+def main() -> None:
+    lo = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    hi = int(sys.argv[2]) if len(sys.argv) > 2 else 100
+    sf_dir = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.1"
+    spark = get_session(app_name=f"scale-smoke-watch-{lo}-{hi}")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    with tempfile.TemporaryDirectory() as tmp:
+        a = run_decade(spark, sf_dir, lo, tmp)
+        b = run_decade(spark, sf_dir, hi, tmp)
+
+    growth = hi / lo
+    report = {
+        "sf_dir": sf_dir,
+        "decades": [a, b],
+        "growth": growth,
+        "ratio_token_count": round(
+            b["t_token_count"] / max(a["t_token_count"], 0.1), 2
+        ),
+        "ratio_rollup": round(b["t_rollup"] / max(a["t_rollup"], 0.1), 2),
+    }
+    # The rollup's output grain must stay FIXED across decades — if row
+    # counts diverge, the decade comparison is comparing different
+    # queries (dates shift within a week, so years are unchanged).
+    assert a["n_rollup_rows"] == b["n_rollup_rows"], (
+        a["n_rollup_rows"],
+        b["n_rollup_rows"],
+    )
+    report["flag_threshold"] = round(growth * FLAG_SLACK, 2)
+    report["flagged"] = [
+        k
+        for k in ("ratio_token_count", "ratio_rollup")
+        if report[k] > report["flag_threshold"]
+    ]
+    print(json.dumps(report), flush=True)
+
+
+if __name__ == "__main__":
+    main()
