@@ -750,3 +750,145 @@ BOUNDS = {
         " — each approximate percentile within rank-error of exact"
     ),
 }
+
+
+# ---------------------------------------------------------------------------
+# Poisson bootstrap (round-16): uncertainty for massive data in ONE pass
+# ---------------------------------------------------------------------------
+
+# Poisson(1) CDF at k = 0..7 (inverse-transform thresholds). Literal
+# doubles, identical in the DuckDB twin, so the k decision is the same
+# branch in both engines; draws land above CDF(7) with p ~ 1e-5 and are
+# capped at k = 8 — the SAME truncation on both sides.
+_POIS1_CDF = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.9999167588507119,
+    0.9999897508033253,
+)
+_U52F = float(16**13)  # the house 52-bit md5-uniform granularity
+
+
+def _pois1_draw(u):
+    """Poisson(1) inverse CDF as a literal CASE chain over ``u``."""
+    k = F.lit(8)
+    for i in range(len(_POIS1_CDF) - 1, -1, -1):
+        k = F.when(u < F.lit(_POIS1_CDF[i]), i).otherwise(k)
+    return k
+
+
+def _pois1_draw_sql(u: str) -> str:
+    whens = " ".join(
+        f"WHEN {u} < {c!r} THEN {i}" for i, c in enumerate(_POIS1_CDF)
+    )
+    return f"(CASE {whens} ELSE 8 END)"
+
+
+def poisson_bootstrap_ci(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    key_col: str,
+    n_boot: int = 100,
+    alpha: float = 0.05,
+    salt: str = "",
+) -> DataFrame:
+    """Percentile-bootstrap CI for the per-group MEAN via the Poisson
+    bootstrap (Chamandy et al. 2012, "Estimating Uncertainty for
+    Massive Data Streams" — the resampling scheme that works in one
+    pass over data too large to index): instead of drawing n rows with
+    replacement per replicate (which needs global coordination), each
+    row independently contributes Poisson(1) copies to each of the
+    ``n_boot`` replicates. Made deterministic with the house
+    md5-uniform over (salt, row key, replicate id), so the same corpus
+    yields the same CI under any partitioning — and the DuckDB twin is
+    exact, branch for branch.
+
+    Scale shape: the explode to (row x n_boot) is MAP-SIDE ONLY —
+    partial aggregation collapses it to (group x n_boot) partial sums
+    before the one shuffle, so shuffled rows are bounded by the group
+    count times ``n_boot`` regardless of corpus size. Replicate sums
+    are exact DECIMAL (order-independent, the dsum house rule); only
+    the final mean and percentile interpolation are float, computed
+    identically in both engines.
+    """
+    b = F.explode(F.sequence(F.lit(0), F.lit(n_boot - 1))).alias("b")
+    long = df.select(
+        *group_cols,
+        F.col(key_col).cast("string").alias("_k"),
+        F.col(value_col).cast("decimal(18,2)").alias("_v"),
+        b,
+    )
+    digest = F.md5(
+        F.concat(F.lit(salt), F.col("_k"), F.lit(":"), F.col("b").cast("string"))
+    )
+    u = (F.conv(F.substring(digest, 1, 13), 16, 10).cast("long") + 1) / F.lit(
+        _U52F
+    )
+    reps = long.select(
+        *group_cols, "b", "_v", _pois1_draw(u).alias("_cnt")
+    )
+    agg = reps.groupBy(*group_cols, "b").agg(
+        F.sum(F.col("_cnt") * F.col("_v")).alias("_s"),
+        F.sum("_cnt").cast("long").alias("_n"),
+    )
+    means = agg.select(
+        *group_cols,
+        F.try_divide(F.col("_s").cast("double"), F.col("_n")).alias("_m"),
+    )
+    lo, hi = alpha / 2, 1 - alpha / 2
+    return means.groupBy(*group_cols).agg(
+        F.round(F.expr(f"percentile(_m, {lo!r})"), 4).alias("ci_lo"),
+        F.round(F.expr("percentile(_m, 0.5)"), 4).alias("boot_median"),
+        F.round(F.expr(f"percentile(_m, {hi!r})"), 4).alias("ci_hi"),
+        F.count(F.lit(1)).cast("long").alias("n_replicates"),
+    )
+
+
+def bootstrap_ci_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap 95% CI of mean order value per order priority
+    (5 groups x 100 replicates; deterministic md5 draws)."""
+    return poisson_bootstrap_ci(
+        load_table(spark, sf_dir, "orders"),
+        value_col="o_totalprice",
+        group_cols=["o_orderpriority"],
+        key_col="o_orderkey",
+    )
+
+
+def _bootstrap_ci_sql(n_boot: int = 100, alpha: float = 0.05) -> str:
+    u = (
+        "(CAST(concat('0x', substr(md5(concat('', CAST(o_orderkey AS"
+        " VARCHAR), ':', CAST(t.b AS VARCHAR))), 1, 13)) AS BIGINT) + 1)"
+        f" / {_U52F!r}"
+    )
+    lo, hi = alpha / 2, 1 - alpha / 2
+    return f"""
+WITH reps AS (
+  SELECT o_orderpriority, t.b AS b,
+         {_pois1_draw_sql(u)} AS cnt,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS v
+  FROM orders, (SELECT unnest(range({n_boot})) AS b) t
+), agg AS (
+  SELECT o_orderpriority, b,
+         CAST(SUM(cnt * v) AS DOUBLE) AS s,
+         CAST(SUM(cnt) AS BIGINT) AS n
+  FROM reps GROUP BY 1, 2
+), means AS (
+  SELECT o_orderpriority, s / NULLIF(n, 0) AS m FROM agg
+)
+SELECT o_orderpriority,
+       ROUND(quantile_cont(m, {lo!r}), 4) AS ci_lo,
+       ROUND(quantile_cont(m, 0.5), 4) AS boot_median,
+       ROUND(quantile_cont(m, {hi!r}), 4) AS ci_hi,
+       CAST(COUNT(*) AS BIGINT) AS n_replicates
+FROM means GROUP BY 1
+"""
+
+
+EXTRA_QUERIES["bootstrap_ci_revenue"] = bootstrap_ci_revenue
+EXTRA_ORACLES["bootstrap_ci_revenue"] = _bootstrap_ci_sql()

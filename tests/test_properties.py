@@ -198,3 +198,46 @@ def test_table_diff_partitions_keyspace(spark, old, new):
     if old:
         same = table_diff(mk(old), mk(old), key="k", attrs=["val"])
         assert same.filter(F.col("change_type") != "unchanged").count() == 0
+
+
+def test_bootstrap_ci_brackets_true_mean(spark, sf_dir):
+    """Round-16: the Poisson-bootstrap 95% CI must bracket the exact
+    per-group mean (a property the DuckDB twin cannot check — both
+    engines would share a mis-specified draw), be properly ordered
+    (lo <= median <= hi), and carry every replicate. With n >= 1000
+    rows per priority group the bootstrap distribution is tight around
+    the truth; a broken draw (wrong CDF constants, biased uniform)
+    shifts or collapses the interval."""
+    import duckdb
+
+    from scala_data_pipeline_spark.queries.stats import (
+        bootstrap_ci_revenue,
+    )
+
+    got = {
+        r["o_orderpriority"]: r
+        for r in bootstrap_ci_revenue(spark, sf_dir).collect()
+    }
+    con = duckdb.connect()
+    try:
+        truth = dict(
+            con.execute(
+                f"SELECT o_orderpriority, AVG(o_totalprice) FROM "
+                f"'{sf_dir}/orders.parquet' GROUP BY 1"
+            ).fetchall()
+        )
+    finally:
+        con.close()
+    assert set(got) == set(truth)
+    for grp, r in got.items():
+        assert r["n_replicates"] == 100
+        assert r["ci_lo"] <= r["boot_median"] <= r["ci_hi"], grp
+        assert r["ci_lo"] <= truth[grp] <= r["ci_hi"], (
+            grp,
+            truth[grp],
+            r["ci_lo"],
+            r["ci_hi"],
+        )
+        # The interval is INFORMATIVE, not degenerate or vacuous:
+        # half-width within 15% of the mean at fixture n.
+        assert (r["ci_hi"] - r["ci_lo"]) / truth[grp] < 0.30, grp
