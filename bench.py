@@ -282,7 +282,10 @@ def main() -> None:
         # than reintroduce the parsed:null truncation.
         contract["queries"] = {}
         line = json.dumps(contract, separators=(",", ":"))
-    assert len(line) <= 1900, f"contract line {len(line)} chars"
+    if len(line) > 1900:
+        # Explicit raise, not assert: the driver may run python -O,
+        # which strips asserts — this guard must survive (advisor r16).
+        raise SystemExit(f"contract line {len(line)} chars exceeds 1900")
     print(line)
 
 

@@ -4,6 +4,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+from py4j.protocol import Py4JError
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -40,7 +41,11 @@ def memoized_checkpoint(
                 continue
             try:
                 stopped = stale_df.sparkSession.sparkContext._jsc.sc().isStopped()
-            except Exception:  # JVM handle already torn down
+            except (AttributeError, Py4JError):
+                # Torn-down handle (gateway gone / _jsc None). Narrowed
+                # from bare Exception (advisor r16): a transient probe
+                # error on a LIVE foreign session must not evict its
+                # hub and reintroduce cross-session rebuild thrash.
                 stopped = True
             if stopped:
                 del cache[stale_k]

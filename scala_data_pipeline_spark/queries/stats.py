@@ -860,9 +860,15 @@ def bootstrap_ci_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bootstrap_ci_sql(n_boot: int = 100, alpha: float = 0.05) -> str:
+def _bootstrap_ci_sql(
+    n_boot: int = 100, alpha: float = 0.05, salt: str = ""
+) -> str:
+    # salt is threaded (not hardcoded '') so a future registration of a
+    # non-default-salt poisson_bootstrap_ci variant stays oracled —
+    # mirroring simhash_neardup_sql's bits/block parameterization
+    # (advisor r16).
     u = (
-        "(CAST(concat('0x', substr(md5(concat('', CAST(o_orderkey AS"
+        f"(CAST(concat('0x', substr(md5(concat({salt!r}, CAST(o_orderkey AS"
         " VARCHAR), ':', CAST(t.b AS VARCHAR))), 1, 13)) AS BIGINT) + 1)"
         f" / {_U52F!r}"
     )

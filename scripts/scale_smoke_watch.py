@@ -83,14 +83,17 @@ def run_decade(spark, sf_dir: str, n_copies: int, tmp: str) -> dict:
     spark.read.parquet(f"{sf_dir}/nation.parquet").createOrReplaceTempView(
         "nation"
     )
-    t_roll, n_roll = timed(
+    t_roll, _ = timed(
         f"sql_rollup_rank_share {n_copies}x ({n_orders} orders)",
         lambda: spark.sql(SQL_ROLLUP_RANK_SHARE)
         .write.format("noop")
         .mode("overwrite")
-        .save()
-        or spark.sql(SQL_ROLLUP_RANK_SHARE).count(),
+        .save(),
     )
+    # Row count computed OUTSIDE the timed thunk (advisor r16: the old
+    # `save() or .count()` form executed the query twice inside timed(),
+    # inflating t_rollup ~2x vs t_token_count's single-run methodology).
+    n_roll = spark.sql(SQL_ROLLUP_RANK_SHARE).count()
     return {
         "n_copies": n_copies,
         "n_docs": n_docs,
