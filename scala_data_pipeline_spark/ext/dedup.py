@@ -278,18 +278,28 @@ def simhash(
     docs: DataFrame, text_col: str = "text", bits: int = 16
 ) -> DataFrame:
     """``bits``-bit SimHash: bit i = majority over tokens of the high
-    bit of md5(token)'s i-th hex digit (bits <= 32, one digit per bit).
-    Emitted as a ``bits``-char 0/1 string (engine-independent; no
-    integer hex parsing needed)."""
-    # A bare assert is stripped under ``python -O``; bits > 32 would
-    # then silently read past md5's 32 hex digits (F.substring returns
-    # '' -> every extra bit reads 0) and produce WRONG signatures.
-    if bits > 32:
-        raise ValueError(f"bits must be <= 32 (md5 has 32 hex digits), got {bits}")
+    bit of the token digest's i-th hex digit (one digit per bit).
+    Digest: md5 (32 hex digits) for bits <= 32; sha2-256 (64 hex
+    digits) for bits in (32, 64] — the r16 verdict's width rung: the
+    32-bit layout's 2^16 block-key space measurably saturates at 500k
+    docs (SCALE_NOTES), and 64-bit signatures with 32-bit blocks widen
+    the key space to 2^32. Emitted as a ``bits``-char 0/1 string
+    (engine-independent; no integer hex parsing needed)."""
+    # An explicit raise, never a bare assert (stripped under ``python
+    # -O``): bits past the digest width would silently read '' from
+    # F.substring -> every extra bit reads 0 -> WRONG signatures.
+    if bits > 64:
+        raise ValueError(
+            f"bits must be <= 64 (sha2-256 has 64 hex digits), got {bits}"
+        )
     tokens = fan_out(docs).select(
         "doc_id", F.explode(F.split(F.col(text_col), " ")).alias("token")
     ).filter(F.col("token") != "")
-    h = F.md5("token")
+    # One digest per signature — mixing digests across bit positions
+    # would make the signature depend on the width, breaking the
+    # "widen without re-fingerprinting narrower deployments" property
+    # for <=32-bit users while giving the wide rung its own stable hash.
+    h = F.md5("token") if bits <= 32 else F.sha2(F.col("token"), 256)
     bit_sums = [
         F.sum(
             F.when(F.substring(h, i + 1, 1).isin(*_HIGH_HEX), 1).otherwise(-1)
@@ -311,8 +321,12 @@ def simhash16(docs: DataFrame, text_col: str = "text") -> DataFrame:
 def simhash_sql(
     text_col: str = "text", table: str = "documents", bits: int = 16
 ) -> str:
+    # Digest selection mirrors :func:`simhash` exactly: md5 for
+    # bits <= 32, sha256 for the wide rung (DuckDB's sha256() emits the
+    # same lowercase hex as Spark's sha2(col, 256)).
+    digest = "md5(token)" if bits <= 32 else "sha256(token)"
     bit_sums = ",\n      ".join(
-        f"SUM(CASE WHEN substr(md5(token), {i + 1}, 1) IN "
+        f"SUM(CASE WHEN substr({digest}, {i + 1}, 1) IN "
         f"('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS s_{i}"
         for i in range(bits)
     )
@@ -353,8 +367,13 @@ def _hamming16(a: Column, b: Column) -> Column:
     return _hamming(a, b, 16)
 
 
-SIMHASH_PAIR_BITS = 32  # signature width for the near-dup pair op
-SIMHASH_PAIR_BLOCK = 16  # bits per LSH block (2 blocks -> hamming<=1)
+# Signature width for the near-dup pair op. 64-bit sha2-256 signatures
+# with 32-bit blocks (2 blocks -> hamming<=1, 2^32 block-key space):
+# the r16 500k-doc probe measured the previous 32/16 layout saturating
+# (2^16 keys, max bucket 38,693, 3.38e9 uncapped candidates); 2^32 keys
+# push saturation past any corpus where doc_id fits in a long.
+SIMHASH_PAIR_BITS = 64
+SIMHASH_PAIR_BLOCK = 32
 
 
 def simhash_neardup_pairs(
@@ -368,7 +387,7 @@ def simhash_neardup_pairs(
     """Near-duplicate pairs by SimHash: block-LSH candidates verified by
     exact Hamming distance.
 
-    Candidates: the 32-bit signature splits into two 16-bit halves; by
+    Candidates: the 64-bit signature splits into two 32-bit halves; by
     pigeonhole, Hamming distance ≤ 1 implies the pair agrees on at least
     one half, so bucketing on (half_index, half_value) loses no true
     pair. Verification joins the signatures back and keeps pairs with

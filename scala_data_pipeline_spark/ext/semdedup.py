@@ -38,6 +38,9 @@ anchor, and bit-parity with a pure-python greedy reference at k=1.
 
 from __future__ import annotations
 
+import math
+from functools import reduce
+
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -47,6 +50,7 @@ from .similarity import prep_vectors
 
 DEFAULT_EPS = 0.05
 DEFAULT_CLUSTER_CAP = 65536
+_SPLIT_MAX_DEPTH = 4
 
 OUT_SCHEMA = (
     "vec_id long, cluster int, centroid_sim double, keep boolean, "
@@ -92,17 +96,116 @@ def _greedy_cluster(pdf: pd.DataFrame, eps: float) -> pd.DataFrame:
     )
 
 
+def _split_over_cap(
+    assigned: DataFrame,
+    centers: list[list[float]],
+    cluster_cap: int,
+    seed: int,
+) -> tuple[DataFrame, list[list[float]]]:
+    """Recursively split clusters larger than ``cluster_cap`` so the
+    per-cluster greedy's Arrow batch always fits an executor (r16
+    verdict item 3: a 100 TB corpus WILL have over-cap clusters and
+    must not abort).
+
+    Each round: one size aggregate finds over-cap clusters (driver list
+    bounded by the live cluster count); each is re-clustered with a
+    seeded KMeans on just its rows (sub-clustering IS the paper's own
+    recipe applied recursively — the new invisible cross-sub-cluster
+    pairs are the same class of trade SemDeDup already makes across
+    top-level clusters). Sub-cluster ids extend ``centers`` so rank
+    order uses the true sub-centroid. Target size ``cluster_cap // 2``
+    leaves headroom for KMeans imbalance.
+
+    Degenerate corpora (e.g. one point repeated past the cap — KMeans
+    cannot separate identical vectors) stop making progress; after
+    ``_SPLIT_MAX_DEPTH`` rounds the remainder is hash-sharded on
+    md5(vec_id) into deterministic sub-shards that inherit the parent
+    centroid. Within such a shard all near-dups are still found; across
+    shards they are invisible — for identical points the result is one
+    keeper per shard instead of one total, the documented last-resort
+    degradation (strict callers pass ``over_cap='raise'`` upstream).
+
+    Lineage is flattened with an eager localCheckpoint per round so
+    repeated splitting cannot stack unions into a deep plan.
+    """
+    target = max(1, cluster_cap // 2)
+    for depth in range(_SPLIT_MAX_DEPTH + 1):
+        sizes = (
+            assigned.groupBy("cluster")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > cluster_cap)
+        )
+        over = sorted(
+            (r["cluster"], r["n"]) for r in sizes.collect()
+        )  # bounded: one row per over-cap cluster
+        if not over:
+            return assigned, centers
+        over_ids = [c for c, _ in over]
+        pieces = [assigned.filter(~F.col("cluster").isin(over_ids))]
+        for c, n in over:
+            sub = assigned.filter(F.col("cluster") == c)
+            base = len(centers)
+            n_shards = max(2, math.ceil(n / target))
+            if depth < _SPLIT_MAX_DEPTH:
+                # Deterministic per-(seed, cluster, depth) KMeans.
+                model = fit_ivf(
+                    sub, k=n_shards, seed=seed * 1_000_003 + c * 31 + depth
+                )
+                pieces.append(
+                    assign_buckets(sub, model)
+                    .withColumn(
+                        "cluster",
+                        (F.col("ivf_bucket") + F.lit(base)).cast("int"),
+                    )
+                    .drop("ivf_bucket")
+                )
+                centers.extend(
+                    [float(v) for v in cc] for cc in model.clusterCenters()
+                )
+            else:
+                shard = F.pmod(
+                    F.conv(
+                        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 13),
+                        16,
+                        10,
+                    ).cast("long"),
+                    F.lit(n_shards),
+                )
+                pieces.append(
+                    sub.withColumn(
+                        "cluster", (shard + F.lit(base)).cast("int")
+                    )
+                )
+                centers.extend([centers[c]] * n_shards)
+        assigned = reduce(DataFrame.unionByName, pieces).localCheckpoint(
+            eager=True
+        )
+    return assigned, centers
+
+
 def semantic_dedup(
     corpus: DataFrame,
     k: int = 16,
     eps: float = DEFAULT_EPS,
     seed: int = 42,
     cluster_cap: int = DEFAULT_CLUSTER_CAP,
+    over_cap: str = "split",
 ) -> DataFrame:
     """(vec_id, cluster, centroid_sim, keep, dup_of) for every corpus
     vector. ``keep=False`` rows carry the kept ``dup_of`` vector that
     shadowed them (cosine >= 1 - eps, same cluster, earlier in rank
-    order)."""
+    order).
+
+    ``over_cap`` governs clusters larger than ``cluster_cap`` (the
+    executor-memory bound on the per-cluster Arrow batch):
+    ``'split'`` (default) recursively sub-clusters them via
+    :func:`_split_over_cap` so the job completes at any corpus size;
+    ``'raise'`` is the r16 strict mode — abort rather than alter the
+    pair-visibility trade."""
+    if over_cap not in ("split", "raise"):
+        raise ValueError(
+            f"over_cap must be 'split' or 'raise', got {over_cap!r}"
+        )
     if k == 1:
         # No quantizer (MLlib KMeans needs k >= 2): one global cluster,
         # centroid = the corpus mean — the pure-greedy mode the k=1
@@ -129,6 +232,10 @@ def semantic_dedup(
             "ivf_bucket", "cluster"
         )
         centers = [[float(v) for v in c] for c in model.clusterCenters()]
+    if over_cap == "split":
+        assigned, centers = _split_over_cap(
+            assigned, centers, cluster_cap, seed
+        )
     prepped = prep_vectors(assigned)
 
     # Map-side cosine to the own-cluster centroid (broadcast literal).

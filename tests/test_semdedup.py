@@ -167,9 +167,66 @@ def test_k1_matches_pure_python_greedy(spark, sf_dir):
     assert dd == expect
 
 
-def test_cluster_cap_raises(spark, sf_dir):
+def test_cluster_cap_raises_in_strict_mode(spark, sf_dir):
+    """over_cap='raise' preserves the r16 abort-over-degrade posture."""
     with pytest.raises(Exception, match="cluster_cap"):
-        semantic_dedup(_corpus(spark, sf_dir), k=1, cluster_cap=10).collect()
+        semantic_dedup(
+            _corpus(spark, sf_dir), k=1, cluster_cap=10, over_cap="raise"
+        ).collect()
+    with pytest.raises(ValueError, match="over_cap"):
+        semantic_dedup(_corpus(spark, sf_dir), over_cap="abort")
+
+
+def test_over_cap_split_completes_and_holds_invariants(spark, sf_dir):
+    """r16 verdict item 3 done-condition: a planted over-cap cluster
+    that previously raised now dedups. k=1 + tiny cap forces the whole
+    corpus through the splitter; every vector must come back exactly
+    once, every final cluster must respect the cap, the shadow
+    contract must hold within clusters, and the run is deterministic."""
+    corpus = _corpus(spark, sf_dir)
+    n = corpus.count()
+    dd = semantic_dedup(corpus, k=1, eps=EPS, cluster_cap=64)
+    rows = {r.vec_id: r for r in dd.collect()}
+    assert len(rows) == n  # no vector lost or duplicated by the split
+    from collections import Counter
+
+    sizes = Counter(r.cluster for r in rows.values())
+    assert max(sizes.values()) <= 64
+    assert len(sizes) >= 2  # the split actually happened
+    for r in rows.values():
+        if r.keep:
+            assert r.dup_of is None
+        else:
+            shadow = rows[r.dup_of]
+            assert shadow.keep and shadow.cluster == r.cluster
+    again = {
+        r.vec_id: tuple(r)
+        for r in semantic_dedup(
+            corpus, k=1, eps=EPS, cluster_cap=64
+        ).collect()
+    }
+    assert {k: tuple(v) for k, v in rows.items()} == again
+
+
+def test_over_cap_identical_points_hash_shard_fallback(spark):
+    """KMeans cannot separate identical vectors, so a one-point cluster
+    repeated past the cap must fall through to the deterministic
+    md5(vec_id) hash shards instead of looping or raising: the job
+    completes, shards respect the cap, and each shard keeps exactly
+    one copy (cross-shard invisibility is the documented last-resort
+    trade)."""
+    rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(120)]
+    corpus = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    dd = semantic_dedup(corpus, k=1, eps=EPS, cluster_cap=30).collect()
+    assert len(dd) == 120
+    from collections import Counter
+
+    sizes = Counter(r.cluster for r in dd)
+    assert max(sizes.values()) <= 30
+    kept_per_cluster = Counter(r.cluster for r in dd if r.keep)
+    # identical points: exactly one keeper per non-empty shard
+    assert set(kept_per_cluster) == set(sizes)
+    assert all(v == 1 for v in kept_per_cluster.values())
 
 
 def test_stats_partition(spark, sf_dir):
