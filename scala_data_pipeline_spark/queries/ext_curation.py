@@ -343,8 +343,9 @@ FROM tagged GROUP BY 1
 
 # Round-12 rotation: promoted to a driver slot (never driver-checked;
 # temporal-embargo train/test split — day-grain windows).
-QUERIES["curation_time_split"] = curation_time_split
-ORACLES["curation_time_split"] = TIME_SPLIT_ORACLE
+# Round-17 rotation: demoted after 5 green driver rounds (r12-r16).
+EXTRA_QUERIES["curation_time_split"] = curation_time_split
+EXTRA_ORACLES["curation_time_split"] = TIME_SPLIT_ORACLE
 
 
 def curation_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -425,8 +426,10 @@ SELECT lang, doc_id, CAST(rn AS BIGINT) AS rn
 FROM ranked, m WHERE rn <= min_size
 """
 
-EXTRA_QUERIES["curation_class_balance"] = curation_class_balance
-EXTRA_ORACLES["curation_class_balance"] = CLASS_BALANCE_ORACLE
+# Round-17 rotation: promoted (never driver-checked; per-class
+# downsampling to the minority class size).
+QUERIES["curation_class_balance"] = curation_class_balance
+ORACLES["curation_class_balance"] = CLASS_BALANCE_ORACLE
 
 
 def curation_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:

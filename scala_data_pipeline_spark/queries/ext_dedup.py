@@ -234,12 +234,17 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["dedup_span_excise_intervals"] = dedup_span_excise_intervals
 ORACLES["dedup_span_excise_intervals"] = _span_excise_intervals_oracle()
 
+# Round-17 rotation: dedup_lsh_quality promoted (never driver-checked;
+# the LSH precision/recall audit — the "measure, don't guess" row for
+# the near-dup family).
+QUERIES["dedup_lsh_quality"] = dedup_lsh_quality
+ORACLES["dedup_lsh_quality"] = lsh_quality_metrics_sql()
+
 EXTRA_QUERIES = {
     "dedup_common_spans": dedup_common_spans,
     "dedup_span_excise": dedup_span_excise,
     "dedup_hot_ngrams": dedup_hot_ngrams,
     "dedup_components_star": dedup_components_star,
-    "dedup_lsh_quality": dedup_lsh_quality,
     "dedup_exact": dedup_exact,
     "dedup_containment": dedup_containment,
     # Round-7 demotions (long-green; see rotation comments above):
@@ -254,7 +259,6 @@ EXTRA_ORACLES = {
     "dedup_span_excise": excise_duplicated_spans_sql(),
     "dedup_hot_ngrams": hot_ngram_flags_sql(),
     "dedup_components_star": _components_oracle(),
-    "dedup_lsh_quality": lsh_quality_metrics_sql(),
     "dedup_exact": DEDUP_EXACT_ORACLE,
     "dedup_containment": ngram_containment_sql(),
     "dedup_minhash_lsh": minhash_lsh_sql(),
@@ -547,8 +551,9 @@ def _clustering_oracle() -> str:
     return clustering_coefficients_sql(minhash_lsh_sql())
 
 
-QUERIES["graph_clustering"] = graph_clustering
-ORACLES["graph_clustering"] = _clustering_oracle()
+# Round-17 rotation: demoted after 6 green driver rounds (r11-r16).
+EXTRA_QUERIES["graph_clustering"] = graph_clustering
+EXTRA_ORACLES["graph_clustering"] = _clustering_oracle()
 
 
 def dedup_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -740,8 +745,9 @@ def _bfs_oracle() -> str:
 # Round-12 rotation: promoted to a driver slot (round-11 addition,
 # never driver-checked; iterative frontier expansion vs unrolled-CTE
 # oracle).
-QUERIES["graph_bfs_hops"] = graph_bfs_hops
-ORACLES["graph_bfs_hops"] = _bfs_oracle()
+# Round-17 rotation: demoted after 5 green driver rounds (r12-r16).
+EXTRA_QUERIES["graph_bfs_hops"] = graph_bfs_hops
+EXTRA_ORACLES["graph_bfs_hops"] = _bfs_oracle()
 
 
 def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -777,5 +783,6 @@ def _ppr_oracle() -> str:
 # Round-12 rotation: promoted to a driver slot (round-11 addition,
 # never driver-checked; power-iteration PageRank vs unrolled-CTE
 # oracle).
-QUERIES["graph_personalized_pagerank"] = graph_personalized_pagerank
-ORACLES["graph_personalized_pagerank"] = _ppr_oracle()
+# Round-17 rotation: demoted after 5 green driver rounds (r12-r16).
+EXTRA_QUERIES["graph_personalized_pagerank"] = graph_personalized_pagerank
+EXTRA_ORACLES["graph_personalized_pagerank"] = _ppr_oracle()

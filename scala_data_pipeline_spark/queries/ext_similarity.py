@@ -173,8 +173,10 @@ def _knn_recall_oracle() -> str:
     return knn_recall_eval_sql()
 
 
-EXTRA_QUERIES["sim_knn_recall_eval"] = sim_knn_recall_eval
-EXTRA_ORACLES["sim_knn_recall_eval"] = _knn_recall_oracle()
+# Round-17 rotation: promoted (never driver-checked; the ANN recall@k
+# audit — the quality-eval row for the similarity family).
+QUERIES["sim_knn_recall_eval"] = sim_knn_recall_eval
+ORACLES["sim_knn_recall_eval"] = _knn_recall_oracle()
 
 
 def sim_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -178,9 +178,13 @@ def _retrieval_eval_oracle() -> str:
 QUERIES["text_token_count"] = text_token_count
 ORACLES["text_token_count"] = token_count_sql()
 
+# Round-17 rotation: text_chunks promoted (never driver-checked; the
+# training-sequence chunking op had no driver row before r17).
+QUERIES["text_chunks"] = text_chunks
+ORACLES["text_chunks"] = _chunks_oracle()
+
 EXTRA_QUERIES.update({
     "text_fingerprint": text_fingerprint,
-    "text_chunks": text_chunks,
     "text_surprisal": text_surprisal,
     "text_ppl_buckets": text_ppl_buckets,
     "text_retrieval_eval": text_retrieval_eval,
@@ -193,7 +197,6 @@ EXTRA_ORACLES.update({
     "text_tfidf": tf_idf_sql(),
     "multimodal_features": MULTIMODAL_ORACLE,
     "text_fingerprint": fingerprint_sql(),
-    "text_chunks": _chunks_oracle(),
     "text_surprisal": unigram_surprisal_sql(),
     "text_ppl_buckets": perplexity_buckets_sql(),
     "text_retrieval_eval": _retrieval_eval_oracle(),
@@ -362,8 +365,10 @@ def _zipf_oracle() -> str:
     return zipf_spectrum_sql()
 
 
-EXTRA_QUERIES["text_zipf_spectrum"] = text_zipf_spectrum
-EXTRA_ORACLES["text_zipf_spectrum"] = _zipf_oracle()
+# Round-17 rotation: promoted (never driver-checked; the Zipf
+# rank-frequency spectrum over the corpus vocabulary).
+QUERIES["text_zipf_spectrum"] = text_zipf_spectrum
+ORACLES["text_zipf_spectrum"] = _zipf_oracle()
 
 
 def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -594,9 +599,9 @@ SELECT source_a, source_b,
 FROM pairs GROUP BY 1, 2
 """
 
-# Round-10 rotation: promoted to a driver slot (never driver-checked).
-QUERIES["text_source_divergence"] = text_source_divergence
-ORACLES["text_source_divergence"] = SOURCE_DIVERGENCE_ORACLE
+# Round-17 rotation: demoted after 6 green driver rounds (r11-r16).
+EXTRA_QUERIES["text_source_divergence"] = text_source_divergence
+EXTRA_ORACLES["text_source_divergence"] = SOURCE_DIVERGENCE_ORACLE
 
 
 def text_normalize_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -641,8 +646,9 @@ FROM documents
 """
 
 
-QUERIES["text_normalize_clean"] = text_normalize_clean
-ORACLES["text_normalize_clean"] = _textnorm_oracle()
+# Round-17 rotation: demoted after 6 green driver rounds (r11-r16).
+EXTRA_QUERIES["text_normalize_clean"] = text_normalize_clean
+EXTRA_ORACLES["text_normalize_clean"] = _textnorm_oracle()
 
 
 def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:

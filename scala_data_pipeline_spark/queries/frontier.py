@@ -424,11 +424,19 @@ def name_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall only, the standard ER tradeoff, mirrored exactly in the
     oracle so parity stays total.
     """
-    c = load_table(spark, sf_dir, "customer").select(
-        F.col("c_custkey").alias("k"),
-        F.col("c_name").alias("nm"),
-        F.col("c_nationkey").alias("nat"),
-        F.substring("c_name", 1, NAME_BLOCK_LEN).alias("blk"),
+    from ..ext.util import fan_out
+
+    # fan_out (r17): the small dim broadcasts, so the join's
+    # parallelism is the PROBE side's scan partitioning — a single-file
+    # customer scan ran all block-pair DPs on one task (measured 15.6 s
+    # at sf0.1; ~1 s fanned out). No-op on real multi-file inputs.
+    c = fan_out(
+        load_table(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("k"),
+            F.col("c_name").alias("nm"),
+            F.col("c_nationkey").alias("nat"),
+            F.substring("c_name", 1, NAME_BLOCK_LEN).alias("blk"),
+        )
     )
     a, b = c.alias("a"), c.alias("b")
     pairs = a.join(
@@ -437,8 +445,14 @@ def name_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("a.nat") == F.col("b.nat"))
         & (F.col("a.k") < F.col("b.k")),
     )
-    dist = F.levenshtein(F.col("a.nm"), F.col("b.nm"))
-    return pairs.where(dist <= NAME_MAX_DIST).select(
+    # Bounded DP (threshold form): abandons a pair once its distance
+    # provably exceeds NAME_MAX_DIST, returning -1 — a surviving pair
+    # always carries its exact distance, so the unbounded oracle
+    # matches row for row. The -1 sentinel must be excluded explicitly.
+    dist = F.levenshtein(F.col("a.nm"), F.col("b.nm"), NAME_MAX_DIST)
+    return pairs.where(
+        (dist >= 0) & (dist <= NAME_MAX_DIST)
+    ).select(
         F.col("a.k").cast("long").alias("custkey_a"),
         F.col("b.k").cast("long").alias("custkey_b"),
         dist.cast("int").alias("edit_dist"),
@@ -457,8 +471,10 @@ JOIN customer b
 WHERE levenshtein(a.c_name, b.c_name) <= {NAME_MAX_DIST}
 """
 
-EXTRA_QUERIES["name_match_pairs"] = name_match_pairs
-EXTRA_ORACLES["name_match_pairs"] = NAME_MATCH_ORACLE
+# Round-17 rotation: promoted (never driver-checked; fuzzy name join
+# via blocking + edit-distance verify).
+QUERIES["name_match_pairs"] = name_match_pairs
+ORACLES["name_match_pairs"] = NAME_MATCH_ORACLE
 
 
 # --------------------------------------------------------------------
@@ -696,8 +712,9 @@ FROM {child_t} c""")
 
 # Round-12 rotation: promoted to a driver slot (round-11 addition,
 # never driver-checked; the only FK-orphan audit plan shape).
-QUERIES["ri_audit"] = ri_audit
-ORACLES["ri_audit"] = _ri_oracle()
+# Round-17 rotation: demoted after multiple green driver rounds.
+EXTRA_QUERIES["ri_audit"] = ri_audit
+EXTRA_ORACLES["ri_audit"] = _ri_oracle()
 
 
 _FD_CANDIDATES = [
@@ -762,8 +779,9 @@ FROM (
 
 # Round-12 rotation: promoted to a driver slot (round-11 addition,
 # never driver-checked; functional-dependency violation audit).
-QUERIES["fd_audit"] = fd_audit
-ORACLES["fd_audit"] = _fd_oracle()
+# Round-17 rotation: demoted after multiple green driver rounds.
+EXTRA_QUERIES["fd_audit"] = fd_audit
+EXTRA_ORACLES["fd_audit"] = _fd_oracle()
 
 
 # --------------------------------------------------------------------

@@ -399,8 +399,10 @@ def sql_customer_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(SQL_CUSTOMER_SET_OPS)
 
 
-EXTRA_QUERIES["sql_customer_set_ops"] = sql_customer_set_ops
-EXTRA_ORACLES["sql_customer_set_ops"] = SQL_CUSTOMER_SET_OPS
+# Round-17 rotation: promoted (never driver-checked; INTERSECT/EXCEPT
+# set-operator shapes).
+QUERIES["sql_customer_set_ops"] = sql_customer_set_ops
+ORACLES["sql_customer_set_ops"] = SQL_CUSTOMER_SET_OPS
 
 
 def _rfm_sql(percentile_fn: str, datediff: str) -> str:
@@ -626,8 +628,10 @@ def sql_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(SQL_WAITING_SUPPLIERS)
 
 
-EXTRA_QUERIES["sql_waiting_suppliers"] = sql_waiting_suppliers
-EXTRA_ORACLES["sql_waiting_suppliers"] = SQL_WAITING_SUPPLIERS
+# Round-17 rotation: promoted (never driver-checked; the TPC-H Q21
+# double-EXISTS/NOT-EXISTS shape).
+QUERIES["sql_waiting_suppliers"] = sql_waiting_suppliers
+ORACLES["sql_waiting_suppliers"] = SQL_WAITING_SUPPLIERS
 
 
 # TPC-H Q22 shape (global sales opportunity): an UNCORRELATED SCALAR

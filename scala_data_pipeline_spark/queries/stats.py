@@ -302,8 +302,10 @@ SELECT l_linestatus,
 FROM clipped GROUP BY l_linestatus
 """
 
-EXTRA_QUERIES["winsorize_prices"] = winsorize_prices
-EXTRA_ORACLES["winsorize_prices"] = WINSORIZE_ORACLE
+# Round-17 rotation: promoted (never driver-checked; percentile-clamp
+# robust statistics).
+QUERIES["winsorize_prices"] = winsorize_prices
+ORACLES["winsorize_prices"] = WINSORIZE_ORACLE
 
 
 def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -816,8 +818,14 @@ def poisson_bootstrap_ci(
     the final mean and percentile interpolation are float, computed
     identically in both engines.
     """
+    from ..ext.util import fan_out
+
+    # fan_out (r17): a single-row-group scan would run the whole
+    # (rows x n_boot) explode + md5 pipeline on ONE task — measured
+    # 30.9 s for 150k x 100 at sf0.1; parallel + the _u fix below it
+    # is ~1.5 s. No-op on multi-partition inputs (the 100 TB case).
     b = F.explode(F.sequence(F.lit(0), F.lit(n_boot - 1))).alias("b")
-    long = df.select(
+    long = fan_out(df).select(
         *group_cols,
         F.col(key_col).cast("string").alias("_k"),
         F.col(value_col).cast("decimal(18,2)").alias("_v"),
@@ -829,8 +837,12 @@ def poisson_bootstrap_ci(
     u = (F.conv(F.substring(digest, 1, 13), 16, 10).cast("long") + 1) / F.lit(
         _U52F
     )
-    reps = long.select(
-        *group_cols, "b", "_v", _pois1_draw(u).alias("_cnt")
+    # Materialize the md5-uniform ONCE per row in a projection: inlining
+    # ``u`` into the 9-branch Poisson CASE chain re-evaluates the
+    # md5+conv per branch (no CSE across WHEN conditions — measured
+    # 1.7x slower end-to-end).
+    reps = long.withColumn("_u", u).select(
+        *group_cols, "b", "_v", _pois1_draw(F.col("_u")).alias("_cnt")
     )
     agg = reps.groupBy(*group_cols, "b").agg(
         F.sum(F.col("_cnt") * F.col("_v")).alias("_s"),
@@ -896,5 +908,7 @@ FROM means GROUP BY 1
 """
 
 
-EXTRA_QUERIES["bootstrap_ci_revenue"] = bootstrap_ci_revenue
-EXTRA_ORACLES["bootstrap_ci_revenue"] = _bootstrap_ci_sql()
+# Round-17 rotation: promoted (new in r16, never driver-checked; the
+# one-pass Poisson-bootstrap CI).
+QUERIES["bootstrap_ci_revenue"] = bootstrap_ci_revenue
+ORACLES["bootstrap_ci_revenue"] = _bootstrap_ci_sql()

@@ -351,8 +351,9 @@ EXTRA_ORACLES["survival_km_users"] = KM_ORACLE
 # Round-12 rotation: promoted to a driver slot (never driver-checked;
 # leading-digit distribution vs Benford expectation — a log10/floor
 # digit-extraction plan shape nothing else exercises).
-QUERIES["benford_prices"] = benford_prices
-ORACLES["benford_prices"] = BENFORD_ORACLE
+# Round-17 rotation: demoted after multiple green driver rounds.
+EXTRA_QUERIES["benford_prices"] = benford_prices
+EXTRA_ORACLES["benford_prices"] = BENFORD_ORACLE
 
 
 # --------------------------------------------------------------------
@@ -948,8 +949,10 @@ SELECT d AS day,
 FROM pairs GROUP BY d
 """
 
-EXTRA_QUERIES["ewma_daily_revenue"] = ewma_daily_revenue
-EXTRA_ORACLES["ewma_daily_revenue"] = EWMA_ORACLE
+# Round-17 rotation: promoted (never driver-checked; recursive EWMA
+# smoothing over the day grain).
+QUERIES["ewma_daily_revenue"] = ewma_daily_revenue
+ORACLES["ewma_daily_revenue"] = EWMA_ORACLE
 
 
 # --------------------------------------------------------------------
@@ -1798,8 +1801,9 @@ FROM sums WHERE lag >= 1
 
 # Round-12 rotation: promoted to a driver slot (never driver-checked;
 # the registry's only autocorrelation / lagged-self-join shape).
-QUERIES["acf_daily_revenue"] = acf_daily_revenue
-ORACLES["acf_daily_revenue"] = _acf_oracle()
+# Round-17 rotation: demoted after multiple green driver rounds.
+EXTRA_QUERIES["acf_daily_revenue"] = acf_daily_revenue
+EXTRA_ORACLES["acf_daily_revenue"] = _acf_oracle()
 
 
 # ---------------------------------------------------------------------------
@@ -1874,8 +1878,10 @@ SELECT user_id, n_intervals,
 FROM agg
 """
 
-EXTRA_QUERIES["twap_user_value"] = twap_user_value
-EXTRA_ORACLES["twap_user_value"] = TWAP_ORACLE
+# Round-17 rotation: promoted (never driver-checked; time-weighted
+# average over irregular event intervals).
+QUERIES["twap_user_value"] = twap_user_value
+ORACLES["twap_user_value"] = TWAP_ORACLE
 
 
 # ---------------------------------------------------------------------------
@@ -2537,8 +2543,9 @@ SELECT p.cohort_month, p.age_months,
 FROM per_cell p JOIN sizes s USING (cohort_month)
 """
 
-QUERIES["cohort_ltv"] = cohort_ltv
-ORACLES["cohort_ltv"] = COHORT_LTV_ORACLE
+# Round-17 rotation: demoted after multiple green driver rounds.
+EXTRA_QUERIES["cohort_ltv"] = cohort_ltv
+EXTRA_ORACLES["cohort_ltv"] = COHORT_LTV_ORACLE
 
 
 # ---------------------------------------------------------------------------
@@ -3122,8 +3129,9 @@ FROM daily, mad
 """
 
 # Round-10 rotation: promoted to a driver slot (never driver-checked).
-QUERIES["mad_anomaly_revenue"] = mad_anomaly_revenue
-ORACLES["mad_anomaly_revenue"] = MAD_ANOMALY_ORACLE
+# Round-17 rotation: demoted after multiple green driver rounds.
+EXTRA_QUERIES["mad_anomaly_revenue"] = mad_anomaly_revenue
+EXTRA_ORACLES["mad_anomaly_revenue"] = MAD_ANOMALY_ORACLE
 
 
 def cusum_revenue_shift(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,4 +1,4 @@
-"""Decade scale smoke for the two 10x-artifact watch items (round-16,
+"""Decade scale smoke for the 10x-artifact watch items (round-16,
 r15 verdict item 6; r14 item 5): ``text_token_count`` and
 ``sql_rollup_rank_share`` crept from ~4.2x/4.0x to ~5.5x/5.5x in the
 10x artifacts across two rounds — still far under their linear(xlog)
@@ -11,6 +11,17 @@ projection (no shuffle, output row per input row) and the rollup is
 join + one rollup aggregate to a FIXED grain (nation x year) + windows
 over that bounded grain — so decade-over-decade wall clock should track
 corpus growth with slack only for fixed costs.
+
+Round-17 adds ``edit_distance_verify`` (r16 watch: 10.97x measured at
+10x against a 12.0 TIGHT limit — a sub-second base inflated the
+ratio). Here the LSH candidate frame is built and checkpointed
+UNTIMED, so the timed thunk is exactly the bounded-DP verify, and the
+ratio is normalized by CANDIDATE growth, not doc growth: on the dense
+corpus candidate pairs grow ~quadratically in copies (each source
+doc's variants cluster), and the verify is linear in |candidates| by
+construction — doc-count normalization would mislabel that input
+growth as super-linearity. The lo decade's multi-second base also
+stops fixed overhead from dominating the numerator.
 
 Run:  python scripts/scale_smoke_watch.py [copies_lo] [copies_hi] [sf_dir]
 Defaults: 10 100 /root/testdata/sf0.1.
@@ -26,6 +37,10 @@ sys.path.insert(0, "/root/repo")
 
 from pyspark.sql import functions as F  # noqa: E402
 
+from scala_data_pipeline_spark.ext.dedup import (  # noqa: E402
+    edit_distance_verify,
+    lsh_candidate_pairs,
+)
 from scala_data_pipeline_spark.ext.textstats import token_count  # noqa: E402
 from scala_data_pipeline_spark.queries.sql_api import (  # noqa: E402
     SQL_ROLLUP_RANK_SHARE,
@@ -94,12 +109,27 @@ def run_decade(spark, sf_dir: str, n_copies: int, tmp: str) -> dict:
     # `save() or .count()` form executed the query twice inside timed(),
     # inflating t_rollup ~2x vs t_token_count's single-run methodology).
     n_roll = spark.sql(SQL_ROLLUP_RANK_SHARE).count()
+
+    # Candidate build is UNTIMED (eager checkpoint) — the watch item is
+    # the verify stage, linear in |candidates|.
+    cand = lsh_candidate_pairs(corpus).localCheckpoint(eager=True)
+    n_cand = cand.count()
+    t_edit, _ = timed(
+        f"edit_distance_verify {n_copies}x ({n_cand} candidate pairs)",
+        lambda: edit_distance_verify(corpus, cand)
+        .write.format("noop")
+        .mode("overwrite")
+        .save(),
+    )
+    cand.unpersist()
     return {
         "n_copies": n_copies,
         "n_docs": n_docs,
         "n_orders": n_orders,
+        "n_candidates": n_cand,
         "t_token_count": t_tok,
         "t_rollup": t_roll,
+        "t_edit_distance": t_edit,
         "n_rollup_rows": n_roll,
     }
 
@@ -124,6 +154,12 @@ def main() -> None:
             b["t_token_count"] / max(a["t_token_count"], 0.1), 2
         ),
         "ratio_rollup": round(b["t_rollup"] / max(a["t_rollup"], 0.1), 2),
+        "ratio_edit_distance": round(
+            b["t_edit_distance"] / max(a["t_edit_distance"], 0.1), 2
+        ),
+        "growth_candidates": round(
+            b["n_candidates"] / max(a["n_candidates"], 1), 2
+        ),
     }
     # The rollup's output grain must stay FIXED across decades — if row
     # counts diverge, the decade comparison is comparing different
@@ -133,11 +169,21 @@ def main() -> None:
         b["n_rollup_rows"],
     )
     report["flag_threshold"] = round(growth * FLAG_SLACK, 2)
+    # edit distance is linear in CANDIDATES; its input grows
+    # quadratically in copies on the dense corpus, so it gets its own
+    # threshold keyed to measured candidate growth.
+    report["flag_threshold_edit"] = round(
+        report["growth_candidates"] * FLAG_SLACK, 2
+    )
     report["flagged"] = [
         k
         for k in ("ratio_token_count", "ratio_rollup")
         if report[k] > report["flag_threshold"]
-    ]
+    ] + (
+        ["ratio_edit_distance"]
+        if report["ratio_edit_distance"] > report["flag_threshold_edit"]
+        else []
+    )
     print(json.dumps(report), flush=True)
 
 

@@ -38,6 +38,11 @@ PROBE = [
     # Round-16 promotions on the day/event-time grain:
     "seasonal_decompose_revenue",
     "weighted_median_prices",
+    # Round-17 promotions on the day/event-time grain (cohort_ltv,
+    # acf_daily_revenue, curation_time_split rotated out to extras —
+    # skipped gracefully above):
+    "twap_user_value",
+    "ewma_daily_revenue",
 ]
 
 
