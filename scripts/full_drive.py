@@ -1,0 +1,83 @@
+"""Drive the FULL 50-query driver contract against the DuckDB oracles
+at sf0.1 — ten times the driver's own correctness SF (round-17, r16
+verdict item 6: the one-off r16 run closed a real blind spot — float
+sum order, window tie-breaks, and percentile interpolation above the
+sf0.01 grain — so it becomes a standing gate step with a committed
+per-round artifact, the same two-step flow as BENCH_r{n}.json).
+
+Writes FULLDRIVE_r{N}.json (N from $ROUND) recording per-query status;
+exits non-zero on any non-exact row. Rows-only queries (no oracle
+entry) record their row count.
+
+Run:  ROUND=17 python scripts/full_drive.py [sf_dir]
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import SparkSession  # noqa: E402
+
+
+def main() -> None:
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    n = int(os.environ["ROUND"])
+    spark = (
+        SparkSession.builder.master("local[16]")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.sql.shuffle.partitions", "16")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    import __spark_entry__ as e
+    from tests.oracle_harness import compare, duckdb_run
+
+    qs, oracles = e.queries(), e.oracle_sql()
+    t0 = time.monotonic()
+    results: dict[str, dict] = {}
+    fails = 0
+    for name in sorted(qs):
+        row: dict = {}
+        try:
+            if name in oracles:
+                compare(
+                    qs[name](spark, sf), duckdb_run(oracles[name], sf), name
+                )
+                row["exact"] = True
+            else:
+                row["rows_only"] = qs[name](spark, sf).count()
+        except Exception as ex:  # noqa: BLE001
+            fails += 1
+            row["err"] = str(ex)[:300]
+            print(f"FAIL {name}: {row['err']}", flush=True)
+        results[name] = row
+    record = {
+        "n": n,
+        "sf_dir": sf,
+        "queries": len(qs),
+        "exact": sum(1 for r in results.values() if r.get("exact")),
+        "rows_only": sum(1 for r in results.values() if "rows_only" in r),
+        "fails": fails,
+        "wall_sec": round(time.monotonic() - t0, 1),
+        "results": results,
+    }
+    path = f"FULLDRIVE_r{n:02d}.json"
+    with open(path, "w") as f:
+        json.dump(record, f, indent=4)
+        f.write("\n")
+    print(
+        f"{path}: {record['exact']} exact + {record['rows_only']} rows-only "
+        f"of {record['queries']} at {sf} in {record['wall_sec']}s, "
+        f"{fails} failures"
+    )
+    if fails:
+        raise SystemExit(1)
+
+
+if __name__ == "__main__":
+    main()

@@ -23,6 +23,15 @@ from scala_data_pipeline_spark.queries import (  # noqa: E402
     rows_only_names,
 )
 
+# Monotonic floor on oracled coverage (round-17, r16 verdict item 8):
+# the extras sweep and the pytest parity suite both derive their scope
+# from the live registry, so a refactor that silently DROPPED oracle
+# registrations would shrink every check's coverage without failing
+# anything. The gate runs this lint; raise the floors when coverage
+# legitimately grows — never lower them.
+MIN_ORACLED_EXTRAS = 182
+MIN_ORACLED_DRIVER = 50
+
 
 def counts() -> dict:
     q, o = all_queries(), all_oracles()
@@ -79,6 +88,16 @@ def main() -> None:
     print(line)
     if "--check" in sys.argv:
         problems = lint_bounds()
+        if c["extras_oracled"] < MIN_ORACLED_EXTRAS:
+            problems.append(
+                f"oracled extras dropped to {c['extras_oracled']} < floor "
+                f"{MIN_ORACLED_EXTRAS} — an oracle registration was lost"
+            )
+        if c["driver_oracled"] < MIN_ORACLED_DRIVER:
+            problems.append(
+                f"oracled driver rows dropped to {c['driver_oracled']} < "
+                f"floor {MIN_ORACLED_DRIVER}"
+            )
         if c["rows_only_unbounded"]:
             unb = sorted(rows_only_names() - set(all_bounds()))
             problems.append(

@@ -46,6 +46,27 @@ TZ=America/New_York python scripts/tz_probe.py
 
 python -m pytest tests/ -q
 
+# Full 50-query contract drive at sf0.1 — 10x the driver's correctness
+# SF (round-17, r16 verdict item 6: float order / tie-breaks above the
+# sf0.01 grain only surface here). Two-step artifact flow like BENCH:
+# first full run writes FULLDRIVE_r<n>.json (failing on any non-exact
+# row) and the commit check below fails; commit it; the re-run skips
+# the ~6 min drive and goes green.
+FULLDRIVE_ARTIFACT="FULLDRIVE_r$(printf '%02d' "$ROUND").json"
+if [ ! -f "$FULLDRIVE_ARTIFACT" ]; then
+  ROUND="$ROUND" python scripts/full_drive.py /root/testdata/sf0.1
+fi
+# The committed artifact must record zero failures for the gate's HEAD.
+FULLDRIVE_ARTIFACT="$FULLDRIVE_ARTIFACT" python - <<'PY'
+import json, os
+path = os.environ["FULLDRIVE_ARTIFACT"]
+rec = json.load(open(path))
+assert rec.get("fails") == 0, f"{path}: records {rec.get('fails')} failures"
+assert rec.get("exact", 0) + rec.get("rows_only", 0) == rec.get("queries"), \
+    f"{path}: incomplete drive"
+print(f"{path}: {rec['exact']} exact + {rec['rows_only']} rows-only OK")
+PY
+
 BENCH_OUT="${SPARK_GRAFT_BENCH_OUT:-/tmp/bench_last.json}"
 rm -f "$BENCH_OUT"
 python bench.py | tee /tmp/bench_gate.out
@@ -143,7 +164,7 @@ fi
 # commits them (artifact-only commits keep the recorded head valid via
 # the ancestry check below) and the second full run goes green.
 MISSING=""
-for a in "$BENCH_ARTIFACT" "$GATE_ARTIFACT"; do
+for a in "$BENCH_ARTIFACT" "$GATE_ARTIFACT" "$FULLDRIVE_ARTIFACT"; do
   git ls-files --error-unmatch "$a" > /dev/null 2>&1 || MISSING="$MISSING $a"
 done
 if [ -n "$MISSING" ]; then
