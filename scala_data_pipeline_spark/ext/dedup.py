@@ -396,9 +396,13 @@ def simhash_neardup_pairs(
     Signature width IS the scale knob: 8-bit blocks give at most 512
     buckets, so candidates grow ~n²/512 regardless of content (measured
     1.53M candidate pairs on 50k docs at sf0.1); 16-bit blocks widen the
-    key space 256× (349k candidates on the same corpus) and the width
-    can grow further for larger corpora — block-LSH candidate volume is
-    governed by key-space size, not by the verifier.
+    key space 256× (349k candidates on the same corpus) but saturate at
+    500k docs (r16 probe: max bucket 38,698, 3.38e9 uncapped
+    candidates); the r17 default 32-bit blocks (2^32 keys, sha2-256
+    digests) measure max bucket 1,264 and 44.8M uncapped candidates on
+    the same 500k-doc corpus — a 75× reduction, full pair run 60.5 s
+    (scripts/scale_smoke_simhash_width.py). Block-LSH candidate volume
+    is governed by key-space size, not by the verifier.
 
     Scale shape mirrors lsh_candidate_pairs: per-bucket pair generation
     from a collected sorted id list (one signature pass, no self-join),
