@@ -410,7 +410,18 @@ EXTRA_ORACLES["table_fingerprint"] = TABLE_FINGERPRINT_ORACLE
 # Blocked fuzzy matching (entity resolution, relational domain)
 # --------------------------------------------------------------------
 
-NAME_BLOCK_LEN = 14
+# The prefix length is the SCALE knob, not a tuning detail: blocked ER
+# stays linear only while the block-key cardinality grows with the
+# corpus. TPC-H names are 'Customer#%09d', so a 14-char prefix pins the
+# first 5 digits — at sf0.1 (15k keys) that is ~2 blocks/nation, and
+# block POPULATIONS grow linearly with the corpus → candidate pairs
+# quadratic (measured: 52.7x wall at 10x data, the one flagged row of
+# the first r17 sfx10 run). At 16 chars the key covers all but the last
+# 2 digits: block cardinality grows with the key RANGE, populations
+# stay ~O(keys per 100-key span / nations), pairs linear. The recall
+# trade narrows correspondingly (edits confined to the unblocked
+# suffix) — the standard blocked-ER contract, mirrored in the oracle.
+NAME_BLOCK_LEN = 16
 NAME_MAX_DIST = 2
 
 
@@ -422,7 +433,8 @@ def name_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the scoring). Blocking keys (name prefix × nation) turn the O(n²)
     all-pairs into bounded per-block equi-join work — same-block
     recall only, the standard ER tradeoff, mirrored exactly in the
-    oracle so parity stays total.
+    oracle so parity stays total. See NAME_BLOCK_LEN above for why the
+    prefix length governs whether the pair space is linear at 100 TB.
     """
     from ..ext.util import fan_out
 
