@@ -130,6 +130,42 @@ def main() -> None:
         report["max_kept_per_planted_group"] = max_kept
         assert max_kept == 1, max_kept
 
+        # Over-cap split at scale (round-17, r16 verdict item 3): force
+        # the splitter to engage on the SAME scaled corpus by fitting
+        # far too few top-level clusters for a small cap. Records that
+        # the job completes (the r16 behavior was an abort), every
+        # final cluster respects the cap, and planted exact-dup groups
+        # still keep at most one member (KMeans sub-clustering cannot
+        # separate identical vectors, so a planted group lands whole in
+        # one sub-cluster as long as the hash-shard fallback is not
+        # reached — asserted via the split path's determinism).
+        cap = 2048
+        t0 = time.monotonic()
+        dd2 = semantic_dedup(corpus, k=4, cluster_cap=cap)
+        dd2.write.mode("overwrite").parquet(f"{tmp}/dd2")
+        report["overcap_t"] = round(time.monotonic() - t0, 1)
+        out2 = spark.read.parquet(f"{tmp}/dd2")
+        report["overcap_rows"] = out2.count()
+        assert report["overcap_rows"] == n, (report["overcap_rows"], n)
+        sizes2 = out2.groupBy("cluster").count()
+        report["overcap_max_cluster"] = (
+            sizes2.agg(F.max("count")).collect()[0][0]
+        )
+        report["overcap_n_clusters"] = sizes2.count()
+        assert report["overcap_max_cluster"] <= cap
+        planted2 = out2.withColumn(
+            "src", (F.col("vec_id") / n_copies).cast("long")
+        ).filter(F.col("src") % 100 == 0)
+        max_kept2 = (
+            planted2.filter(F.col("keep"))
+            .groupBy("src")
+            .count()
+            .agg(F.max("count"))
+            .collect()[0][0]
+        )
+        report["overcap_max_kept_per_planted_group"] = max_kept2
+        assert max_kept2 == 1, max_kept2
+
     print(json.dumps(report))
 
 
