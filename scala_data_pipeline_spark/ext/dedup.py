@@ -544,7 +544,11 @@ WHERE {ham} <= {max_hamming}
 
 
 def lsh_quality_metrics(
-    docs: DataFrame, text_col: str = "text", threshold: float = 0.1
+    docs: DataFrame,
+    text_col: str = "text",
+    threshold: float = 0.1,
+    candidates: DataFrame | None = None,
+    pair_core: DataFrame | None = None,
 ) -> DataFrame:
     """One-row quality report for the MinHash+LSH candidate generator —
     the "measure, don't guess" check that should accompany any
@@ -570,10 +574,29 @@ def lsh_quality_metrics(
     be released before returning — a lazy return would leak the persist
     for the session or force a recompute per downstream action.
     """
-    cand = lsh_candidate_pairs(docs, text_col).persist()
+    # ``candidates`` lets callers hand in an already-materialized pair
+    # frame (the query layer's session-memoized _lsh_pairs hub — r17:
+    # without it, this audit rebuilt the identical candidate pipeline
+    # the hub already holds, ~2 s per bench rep). An owned build is
+    # persisted AND unpersisted here; a caller-provided frame is the
+    # caller's storage to manage.
+    owned = candidates is None
+    cand = (
+        lsh_candidate_pairs(docs, text_col).persist()
+        if owned
+        else candidates
+    )
     try:
         verified = jaccard_verify_pairs(docs, cand, text_col, threshold)
-        truth = ngram_jaccard_pairs(docs, text_col, threshold=threshold)
+        # ``pair_core``: an already-materialized block_pair_intersections
+        # frame (the _pair_core hub) — the truth branch is exactly its
+        # jaccard scoring at this threshold, so a provided core skips the
+        # corpus-wide shingle-equality join rebuild.
+        truth = (
+            jaccard_from_intersections(pair_core, threshold)
+            if pair_core is not None
+            else ngram_jaccard_pairs(docs, text_col, threshold=threshold)
+        )
         matched = truth.join(cand, on=["doc_a", "doc_b"], how="left_semi")
         counts = (
             cand.agg(F.count(F.lit(1)).alias("n_candidates"))
@@ -598,7 +621,8 @@ def lsh_quality_metrics(
         rows = report.collect()
         return docs.sparkSession.createDataFrame(rows, report.schema)
     finally:
-        cand.unpersist()
+        if owned:
+            cand.unpersist()
 
 
 def lsh_quality_metrics_sql(

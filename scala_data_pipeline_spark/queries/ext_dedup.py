@@ -166,8 +166,14 @@ def dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def dedup_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Precision/recall of the LSH candidate generator vs exact
-    Jaccard."""
-    return lsh_quality_metrics(load_table(spark, sf_dir, "documents"))
+    Jaccard. Candidates come from the session-memoized _lsh_pairs hub
+    (r17): the audit consumes the SAME pair frame the dedup family
+    serves, instead of rebuilding the candidate pipeline per call."""
+    return lsh_quality_metrics(
+        load_table(spark, sf_dir, "documents"),
+        candidates=_lsh_pairs(spark, sf_dir),
+        pair_core=_pair_core(spark, sf_dir),
+    )
 
 
 def dedup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
