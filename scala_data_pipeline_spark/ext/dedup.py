@@ -380,7 +380,7 @@ def simhash_neardup_pairs(
     docs: DataFrame,
     text_col: str = "text",
     max_hamming: int = 1,
-    bucket_cap: int = 1024,
+    bucket_cap: int = 4096,
     bits: int = SIMHASH_PAIR_BITS,
     block: int = SIMHASH_PAIR_BLOCK,
 ) -> DataFrame:
@@ -408,14 +408,23 @@ def simhash_neardup_pairs(
     from a collected sorted id list (one signature pass, no self-join),
     with oversized buckets (> ``bucket_cap``) degraded to keeper stars —
     linear output on degenerate corpora at the cost of completeness
-    inside those buckets (connected components are preserved). The cap
-    is also a MEMORY bound, not just an output bound: a bucket's pair
-    array materializes C(n,2) structs in one row before the explode, so
-    the cap must keep that array in task memory — 1024 → ≤524k structs
-    (~16 MB), verified by a 10× scale smoke that OOMed at cap 4096.
-    (Minhash band buckets are near-exact matches and use a far smaller
-    cap; simhash halves legitimately cluster, hence the larger default
-    here.)
+    inside those buckets (connected components are preserved). Pairs
+    emit per ANCHOR (explode the 1-based anchor positions, then explode
+    each anchor's suffix slice), so per-row memory is O(bucket), not the
+    r17 one-array form's O(bucket²) — that form made the cap an
+    ALLOCATION bound (1024 → ≤524k structs ~16 MB; a 10× smoke OOMed at
+    cap 4096) and the r17 500k-doc probe then measured max bucket 1,264:
+    realistic corpora silently engaged the keeper-star degradation
+    (round-18 advisor item). With chunked emission the cap is purely an
+    OUTPUT bound (≤ C(cap,2) pairs from one degenerate bucket's task),
+    so the default rises to 4096 — above any measured realistic bucket
+    (500 k docs: 1,264; the 2^32 key space keeps growth sublinear) —
+    and capped buckets are OBSERVABLE: the plan carries
+    ``oversized_buckets`` / ``max_bucket`` observe metrics (same
+    pattern as lsh_candidate_pairs), so completeness loss is a metric,
+    never silent. (Minhash band buckets are near-exact matches and use
+    a far smaller cap; simhash halves legitimately cluster, hence the
+    larger default here.)
 
     ``bits``/``block`` parameterize the signature width and LSH block
     width (round-15 verdict item 8: width is THE scale knob, so a 100×
@@ -463,18 +472,32 @@ def simhash_neardup_pairs(
         halves.groupBy("block", "key")
         .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
         .filter(F.size("ids") >= 2)
+        .observe(
+            _next_obs_name(),
+            F.sum(F.when(F.size("ids") > bucket_cap, 1).otherwise(0)).alias(
+                "oversized_buckets"
+            ),
+            F.max(F.size("ids")).alias("max_bucket"),
+        )
     )
+    # Per-anchor chunked emission: full buckets explode every 1-based
+    # anchor position 1..n-1 and pair the anchor with its sorted suffix;
+    # star buckets emit anchor 1 only (keeper star). One conditional,
+    # NOT a union of two branches (a union executes the signature
+    # pipeline once per branch), and never a C(n,2) array in one row.
     ids = F.col("ids")
-    star_pairs = F.transform(
-        F.slice(ids, 2, F.size(ids)),
-        lambda y: F.struct(F.element_at(ids, 1).alias("a"), y.alias("b")),
-    )
-    pairs_arr = F.when(
-        F.size(ids) <= bucket_cap, _pairs_from_sorted_ids(ids)
-    ).otherwise(star_pairs)
+    anchor_idx = F.when(
+        F.size(ids) <= bucket_cap,
+        F.sequence(F.lit(1), F.size(ids) - 1),
+    ).otherwise(F.array(F.lit(1)))
     cand = (
-        grouped.select(F.explode(pairs_arr).alias("p"))
-        .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
+        grouped.select(ids.alias("ids"), F.explode(anchor_idx).alias("i"))
+        .select(
+            F.element_at("ids", F.col("i")).alias("doc_a"),
+            F.explode(
+                F.slice("ids", F.col("i") + 1, F.size("ids"))
+            ).alias("doc_b"),
+        )
         .distinct()
     )
     sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"))

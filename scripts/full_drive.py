@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -56,8 +57,19 @@ def main() -> None:
             row["err"] = str(ex)[:300]
             print(f"FAIL {name}: {row['err']}", flush=True)
         results[name] = row
+    # Record the exact HEAD this drive describes (round-18 advisor item:
+    # FULLDRIVE_r17.json was recorded at 4a80d0a, a later source commit
+    # changed dedup_lsh_quality, and the gate re-validated the stale
+    # artifact — the gate now enforces the same merge-base ancestry
+    # check it applies to GATE_r*.json, so the artifact can never
+    # silently outlive a source change).
+    head = subprocess.run(
+        ["git", "rev-parse", "HEAD"],
+        capture_output=True, text=True, cwd="/root/repo", check=True,
+    ).stdout.strip()
     record = {
         "n": n,
+        "head": head,
         "sf_dir": sf,
         "queries": len(qs),
         "exact": sum(1 for r in results.values() if r.get("exact")),

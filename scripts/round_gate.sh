@@ -181,4 +181,18 @@ if ! git merge-base --is-ancestor "$LAST_SOURCE_COMMIT" "$RECORDED_HEAD"; then
   echo "round gate: $GATE_ARTIFACT records head $RECORDED_HEAD but source was committed later ($LAST_SOURCE_COMMIT) — delete the artifact and re-run the full gate" >&2
   exit 1
 fi
+# The FULLDRIVE artifact gets the SAME staleness guard (round-18
+# advisor item, medium: full_drive.py previously recorded no head, so
+# an existing artifact was reused verbatim across later source commits
+# — FULLDRIVE_r17's "50/50 exact at sf0.1" was recorded at 4a80d0a and
+# survived the f25b20f dedup_lsh_quality change unre-verified).
+FULLDRIVE_HEAD=$(python -c "import json;print(json.load(open('$FULLDRIVE_ARTIFACT')).get('head') or '')")
+if [ -z "$FULLDRIVE_HEAD" ]; then
+  echo "round gate: $FULLDRIVE_ARTIFACT records no head sha (pre-r18 format) — delete the artifact and re-run the full gate" >&2
+  exit 1
+fi
+if ! git merge-base --is-ancestor "$LAST_SOURCE_COMMIT" "$FULLDRIVE_HEAD"; then
+  echo "round gate: $FULLDRIVE_ARTIFACT records head $FULLDRIVE_HEAD but source was committed later ($LAST_SOURCE_COMMIT) — delete the artifact and re-run the full gate" >&2
+  exit 1
+fi
 echo "round gate: GREEN"

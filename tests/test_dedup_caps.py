@@ -117,3 +117,30 @@ def test_knn_small_buckets_unaffected_by_cap(spark, sf_dir):
     uncapped = knn_join(emb, k=5, bucket_cap=10**9)
     assert capped.exceptAll(uncapped).count() == 0
     assert uncapped.exceptAll(capped).count() == 0
+
+
+def test_simhash_oversized_bucket_emits_star_not_clique(spark, boiler_docs):
+    """r18: simhash pair-gen moved to per-anchor chunked emission (per-
+    row memory O(bucket), cap raised 1024 -> 4096 as a pure OUTPUT
+    bound). The keeper-star degradation above the cap must still hold:
+    identical docs share every half-signature bucket, so a tiny cap
+    yields the min-id star, not the clique."""
+    from scala_data_pipeline_spark.ext.dedup import simhash_neardup_pairs
+
+    docs = boiler_docs.select("doc_id", "text")
+    got = simhash_neardup_pairs(docs, bucket_cap=16).collect()
+    assert len(got) == N_BOILER - 1
+    assert {r["doc_a"] for r in got} == {0}
+    assert {r["doc_b"] for r in got} == set(range(1, N_BOILER))
+    # identical texts: every pair is hamming 0
+    assert {r["hamming"] for r in got} == {0}
+
+
+def test_simhash_small_buckets_unaffected_by_cap(spark, sf_dir):
+    from scala_data_pipeline_spark.ext.dedup import simhash_neardup_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    capped = simhash_neardup_pairs(docs, bucket_cap=4096)
+    uncapped = simhash_neardup_pairs(docs, bucket_cap=10**9)
+    assert capped.exceptAll(uncapped).count() == 0
+    assert uncapped.exceptAll(capped).count() == 0

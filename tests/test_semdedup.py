@@ -217,7 +217,8 @@ def test_over_cap_identical_points_hash_shard_fallback(spark):
     trade)."""
     rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(120)]
     corpus = spark.createDataFrame(rows, ["vec_id", "embedding"])
-    dd = semantic_dedup(corpus, k=1, eps=EPS, cluster_cap=30).collect()
+    dd_df = semantic_dedup(corpus, k=1, eps=EPS, cluster_cap=30)
+    dd = dd_df.collect()
     assert len(dd) == 120
     from collections import Counter
 
@@ -227,6 +228,45 @@ def test_over_cap_identical_points_hash_shard_fallback(spark):
     # identical points: exactly one keeper per non-empty shard
     assert set(kept_per_cluster) == set(sizes)
     assert all(v == 1 for v in kept_per_cluster.values())
+    # r17 verdict item 3: the fallback is OBSERVABLE — the result frame
+    # names the hash-sharded cluster ids, and semantic_dedup_stats flags
+    # exactly those clusters so n_hash_sharded_clusters / rows affected
+    # are one filter away for a production run.
+    hash_ids = set(dd_df.semdedup_hash_sharded_clusters)
+    assert set(sizes) <= hash_ids  # every live cluster came from hashing
+    stats = semantic_dedup_stats(dd_df).collect()
+    assert all(r.hash_sharded for r in stats)
+    n_hash_sharded_clusters = sum(1 for r in stats if r.hash_sharded)
+    rows_affected = sum(r.n_vectors for r in stats if r.hash_sharded)
+    assert n_hash_sharded_clusters == len(sizes)
+    assert rows_affected == 120
+
+
+def test_over_cap_duplicate_vec_ids_raise_names_split_fallback(spark):
+    """r18 advisor item: when even the hash-shard rounds cannot satisfy
+    the cap (only possible with DUPLICATED vec_ids — every copy hashes
+    to the same shard), the error must name the split fallback and the
+    actual cause, never the misleading 'increase k'."""
+    rows = [(7, [1.0, 0.0, 0.0, 0.0]) for _ in range(120)]
+    corpus = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    with pytest.raises(ValueError, match="hash-shard.*deduplicate vec_id"):
+        semantic_dedup(corpus, k=1, eps=EPS, cluster_cap=30).collect()
+
+
+def test_centroid_broadcast_join_path_matches_literal(spark, sf_dir, monkeypatch):
+    """r18 advisor item: past _CENTER_LITERAL_MAX_DOUBLES the own-
+    cluster centroid lookup becomes a broadcast join instead of a plan
+    literal — the two paths must produce identical decisions."""
+    import scala_data_pipeline_spark.ext.semdedup as sd
+
+    corpus = _corpus(spark, sf_dir)
+    lit = {r.vec_id: tuple(r) for r in semantic_dedup(corpus, k=8, eps=EPS).collect()}
+    monkeypatch.setattr(sd, "_CENTER_LITERAL_MAX_DOUBLES", 1)
+    joined = {
+        r.vec_id: tuple(r)
+        for r in semantic_dedup(corpus, k=8, eps=EPS).collect()
+    }
+    assert lit == joined
 
 
 def test_stats_partition(spark, sf_dir):
