@@ -262,12 +262,64 @@ EXTRA_QUERIES["approx_percentile_prices"] = approx_percentile_prices
 def winsorize_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winsorization: clip values to their group's [p05, p95] — the
     outlier treatment applied before training on heavy-tailed numerics.
-    Exact percentiles compute per group in one agg; the clip is a
-    broadcast join back + clamp (no second wide shuffle)."""
+
+    Exact interpolated percentiles compute on the range-partitioned
+    grouped-rank machinery (operators/ranking.py::with_grouped_rank —
+    the same scheme weighted_median_prices uses): the (group, price)
+    value grain carries count weights and exact running counts, and the
+    percentile is the standard weighted interpolation
+    ``v[FRN]*(CRN-RN) + v[CRN]*(RN-FRN)`` at RN = (n-1)*p — double-for-
+    double the formula both Spark's ``percentile`` and DuckDB's
+    ``quantile_cont`` implement, so the oracle stays hash-exact. The
+    r17 form's single ``F.percentile`` agg held each group's full
+    distinct-value histogram in ONE aggregation buffer (bounded by
+    distinct cent values, but the 100 TB memory ceiling — r17 verdict
+    item 3); here no task ever sees more than its contiguous price
+    range, and the driver-side offset collect stays bounded by
+    partitions x groups. The clip is a broadcast join back + clamp
+    (no second wide shuffle)."""
+    from ..operators.ranking import with_grouped_rank
+
     lineitem = load_table(spark, sf_dir, "lineitem")
-    bounds = lineitem.groupBy("l_linestatus").agg(
-        F.round(F.percentile("l_extendedprice", 0.05), 4).alias("lo"),
-        F.round(F.percentile("l_extendedprice", 0.95), 4).alias("hi"),
+    grain = lineitem.groupBy(
+        "l_linestatus", F.col("l_extendedprice").alias("price")
+    ).agg(F.count(F.lit(1)).alias("w"))
+    ranked = with_grouped_rank(
+        grain, ["l_linestatus"], ["price"], rank_col="_i", cum_cols=["w"]
+    )
+    for tag, p in (("05", 0.05), ("95", 0.95)):
+        ranked = ranked.withColumn(
+            f"rn{tag}",
+            (F.col("total_w").cast("double") - F.lit(1.0)) * F.lit(p),
+        )
+
+    def pct(tag: str):
+        rn = F.min(f"rn{tag}")
+        frn, crn = F.floor(rn), F.ceil(rn)
+        # 0-based index k -> the min price whose running count reaches
+        # the 1-based position k+1 (prices ascend within the group).
+        vlo = F.min(
+            F.when(
+                F.col("cum_w") >= F.floor(F.col(f"rn{tag}")) + 1,
+                F.col("price"),
+            )
+        )
+        vhi = F.min(
+            F.when(
+                F.col("cum_w") >= F.ceil(F.col(f"rn{tag}")) + 1,
+                F.col("price"),
+            )
+        )
+        return F.round(
+            F.when(crn == frn, vlo).otherwise(
+                vlo * (crn.cast("double") - rn)
+                + vhi * (rn - frn.cast("double"))
+            ),
+            4,
+        )
+
+    bounds = ranked.groupBy("l_linestatus").agg(
+        pct("05").alias("lo"), pct("95").alias("hi")
     )
     clipped = lineitem.join(F.broadcast(bounds), on="l_linestatus").select(
         "l_linestatus",
