@@ -46,6 +46,8 @@ _MODULES = [
     "frontier",
     "seqmine",
     "tsstats",
+    "tsstats_infer",
+    "tsstats_rank",
 ]
 
 

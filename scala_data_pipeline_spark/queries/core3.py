@@ -410,12 +410,14 @@ EXTRA_ORACLES = {
     "count_distinct_family": COUNT_DISTINCT_ORACLE,
 }
 
-QUERIES["grouping_sets_orders"] = grouping_sets_orders
-ORACLES["grouping_sets_orders"] = GROUPING_SETS_ORACLE
-QUERIES["lateral_topn_nations"] = lateral_topn_nations
-ORACLES["lateral_topn_nations"] = LATERAL_ORACLE
-QUERIES["window_rank_family"] = window_rank_family
-ORACLES["window_rank_family"] = WINDOW_FAMILY_ORACLE
+# Round-18 rotation: demoted after 5 green driver rounds (r13-r17) —
+# still oracle-checked locally by tests/test_oracle_parity.py.
+EXTRA_QUERIES["grouping_sets_orders"] = grouping_sets_orders
+EXTRA_ORACLES["grouping_sets_orders"] = GROUPING_SETS_ORACLE
+EXTRA_QUERIES["lateral_topn_nations"] = lateral_topn_nations
+EXTRA_ORACLES["lateral_topn_nations"] = LATERAL_ORACLE
+EXTRA_QUERIES["window_rank_family"] = window_rank_family
+EXTRA_ORACLES["window_rank_family"] = WINDOW_FAMILY_ORACLE
 
 
 def rolling_revenue_7d(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -222,5 +222,7 @@ GROUP BY stage
 """
 
 
-EXTRA_QUERIES["recipe_funnel_accounting"] = recipe_funnel_accounting
-EXTRA_ORACLES["recipe_funnel_accounting"] = _funnel_oracle()
+# Round-18 rotation: promoted (never driver-checked; the per-stage
+# doc/token accounting over the chained curation recipe).
+QUERIES["recipe_funnel_accounting"] = recipe_funnel_accounting
+ORACLES["recipe_funnel_accounting"] = _funnel_oracle()

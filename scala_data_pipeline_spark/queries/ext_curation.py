@@ -188,7 +188,6 @@ def _cluster_split_oracle() -> str:
 
 EXTRA_QUERIES.update({
     "curation_training_shuffle": curation_training_shuffle,
-    "curation_sample": curation_sample,
     "curation_source_quota": curation_source_quota,
     "curation_repetition": curation_repetition,
     # Round-9 demotion (green r4-r8):
@@ -197,11 +196,15 @@ EXTRA_QUERIES.update({
 
 EXTRA_ORACLES.update({
     "curation_training_shuffle": training_shuffle_sql(),
-    "curation_sample": SAMPLE_ORACLE,
     "curation_source_quota": QUOTA_ORACLE,
     "curation_repetition": repetition_ratio_sql(),
     "curation_stratified": STRATIFIED_ORACLE,
 })
+
+# Round-18 rotation: promoted (never driver-checked; hash-deterministic
+# Bernoulli document sampling).
+QUERIES["curation_sample"] = curation_sample
+ORACLES["curation_sample"] = SAMPLE_ORACLE
 
 # Round-16 rotation: promoted to a driver slot (never driver-checked;
 # the language-mixture downsampler over the UniMax-style target).
@@ -242,8 +245,10 @@ def _epoch_oracle() -> str:
     return epoch_oversample_sql(EPOCH_RATES)
 
 
-EXTRA_QUERIES["curation_epoch_mixture"] = curation_epoch_mixture
-EXTRA_ORACLES["curation_epoch_mixture"] = _epoch_oracle()
+# Round-18 rotation: promoted (never driver-checked; deterministic
+# epoch-rate oversampling — the fractional-epoch replication step).
+QUERIES["curation_epoch_mixture"] = curation_epoch_mixture
+ORACLES["curation_epoch_mixture"] = _epoch_oracle()
 
 
 def curation_source_reputation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -451,10 +456,10 @@ def _dsir_weights_oracle() -> str:
     return dsir_weights_sql("lang = 'en'")
 
 
-# Round-13 rotation: promoted to a driver slot (round-12 verdict lead
-# item — brand-new DSIR family, never driver-checked, full oracle).
-QUERIES["curation_dsir_weights"] = curation_dsir_weights
-ORACLES["curation_dsir_weights"] = _dsir_weights_oracle()
+# Round-13 rotation: promoted; round-18 rotation: demoted after 5
+# green driver rounds (r13-r17) — still oracle-checked locally.
+EXTRA_QUERIES["curation_dsir_weights"] = curation_dsir_weights
+EXTRA_ORACLES["curation_dsir_weights"] = _dsir_weights_oracle()
 
 
 def curation_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -476,10 +481,10 @@ def _dsir_sample_oracle() -> str:
     return dsir_sample_sql("lang = 'en'", k=50)
 
 
-# Round-13 rotation: promoted to a driver slot (round-12 verdict lead
-# item — Gumbel-top-k selection, never driver-checked, full oracle).
-QUERIES["curation_dsir_sample"] = curation_dsir_sample
-ORACLES["curation_dsir_sample"] = _dsir_sample_oracle()
+# Round-13 rotation: promoted; round-18 rotation: demoted after 5
+# green driver rounds (r13-r17) — still oracle-checked locally.
+EXTRA_QUERIES["curation_dsir_sample"] = curation_dsir_sample
+EXTRA_ORACLES["curation_dsir_sample"] = _dsir_sample_oracle()
 
 
 def curation_unimax_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:

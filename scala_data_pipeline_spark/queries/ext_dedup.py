@@ -249,7 +249,6 @@ ORACLES["dedup_lsh_quality"] = lsh_quality_metrics_sql()
 EXTRA_QUERIES = {
     "dedup_common_spans": dedup_common_spans,
     "dedup_span_excise": dedup_span_excise,
-    "dedup_hot_ngrams": dedup_hot_ngrams,
     "dedup_components_star": dedup_components_star,
     "dedup_exact": dedup_exact,
     "dedup_containment": dedup_containment,
@@ -260,10 +259,14 @@ EXTRA_QUERIES = {
     # Round-9 demotion (green r4-r8):
     "dedup_segments": dedup_segments,
 }
+# Round-18 rotation: promoted (never driver-checked; corpus-wide hot
+# n-gram flags — the boilerplate-detection screen).
+QUERIES["dedup_hot_ngrams"] = dedup_hot_ngrams
+ORACLES["dedup_hot_ngrams"] = hot_ngram_flags_sql()
+
 EXTRA_ORACLES = {
     "dedup_common_spans": duplicated_spans_sql(),
     "dedup_span_excise": excise_duplicated_spans_sql(),
-    "dedup_hot_ngrams": hot_ngram_flags_sql(),
     "dedup_components_star": _components_oracle(),
     "dedup_exact": DEDUP_EXACT_ORACLE,
     "dedup_containment": ngram_containment_sql(),
@@ -712,11 +715,11 @@ def _prefix_jaccard_oracle() -> str:
     return prefix_jaccard_sql(t_num=95, t_den=100)
 
 
-# Round-12 rotation: promoted to a driver slot (never driver-checked;
-# PPJoin-style prefix set-similarity join — structurally bounded pair
-# space, a plan family distinct from the LSH hub).
-QUERIES["dedup_prefix_jaccard"] = dedup_prefix_jaccard
-ORACLES["dedup_prefix_jaccard"] = _prefix_jaccard_oracle()
+# Round-12 rotation: promoted to a driver slot; round-18 rotation:
+# demoted after 6 green driver rounds (r12-r17) — still oracle-checked
+# locally by tests/test_oracle_parity.py.
+EXTRA_QUERIES["dedup_prefix_jaccard"] = dedup_prefix_jaccard
+EXTRA_ORACLES["dedup_prefix_jaccard"] = _prefix_jaccard_oracle()
 
 
 def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -129,8 +129,10 @@ def sim_semantic_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup_keepers(load_table(spark, sf_dir, "embeddings"))
 
 
-EXTRA_QUERIES["sim_semantic_keepers"] = sim_semantic_keepers
-EXTRA_ORACLES["sim_semantic_keepers"] = semantic_dedup_keepers_sql()
+# Round-18 rotation: promoted (never driver-checked; the LSH-pairs ->
+# components -> keeper formulation of semantic dedup).
+QUERIES["sim_semantic_keepers"] = sim_semantic_keepers
+ORACLES["sim_semantic_keepers"] = semantic_dedup_keepers_sql()
 
 
 def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -175,8 +175,9 @@ def _retrieval_eval_oracle() -> str:
 # Round-14 rotation: text_token_count promoted (never driver-checked;
 # the BPE-pretokenizer count was touched by the round-13 NULL-text fix
 # wave) in place of the demoted lorenz_customer_spend.
-QUERIES["text_token_count"] = text_token_count
-ORACLES["text_token_count"] = token_count_sql()
+# Round-18 rotation: demoted after 4 green driver rounds (r14-r17).
+EXTRA_QUERIES["text_token_count"] = text_token_count
+EXTRA_ORACLES["text_token_count"] = token_count_sql()
 
 # Round-17 rotation: text_chunks promoted (never driver-checked; the
 # training-sequence chunking op had no driver row before r17).
@@ -185,7 +186,6 @@ ORACLES["text_chunks"] = _chunks_oracle()
 
 EXTRA_QUERIES.update({
     "text_fingerprint": text_fingerprint,
-    "text_surprisal": text_surprisal,
     "text_ppl_buckets": text_ppl_buckets,
     "text_retrieval_eval": text_retrieval_eval,
     "text_lang_id": text_lang_id,
@@ -197,10 +197,14 @@ EXTRA_ORACLES.update({
     "text_tfidf": tf_idf_sql(),
     "multimodal_features": MULTIMODAL_ORACLE,
     "text_fingerprint": fingerprint_sql(),
-    "text_surprisal": unigram_surprisal_sql(),
     "text_ppl_buckets": perplexity_buckets_sql(),
     "text_retrieval_eval": _retrieval_eval_oracle(),
 })
+
+# Round-18 rotation: promoted (never driver-checked; per-token unigram
+# surprisal — the LM-free quality signal).
+QUERIES["text_surprisal"] = text_surprisal
+ORACLES["text_surprisal"] = unigram_surprisal_sql()
 # Round-16 rotation: promoted to a driver slot (never driver-checked;
 # the registry's only UDTF bin-packing shape).
 QUERIES["text_pack_bins"] = text_pack_bins

@@ -249,8 +249,9 @@ EXTRA_ORACLES = {
 # Round-13 rotation: promoted to a driver slot (per round-12 verdict:
 # never driver-checked; the VARIANT-style semi-structured extraction —
 # parse_json/variant_get — is a plan shape no driver query exercises).
-QUERIES["variant_extract_props"] = variant_extract_props
-ORACLES["variant_extract_props"] = JSON_PROPS_ORACLE
+# Round-18 rotation: demoted after 5 green driver rounds (r13-r17).
+EXTRA_QUERIES["variant_extract_props"] = variant_extract_props
+EXTRA_ORACLES["variant_extract_props"] = JSON_PROPS_ORACLE
 
 # Round-6 rotation: json_extract_props (F14, green rounds 1-4; the
 # from_json machinery also backs variant_extract_props' shared oracle)

@@ -189,8 +189,9 @@ WHERE CAST(effective_from AS DATE) <= DATE '{LOAD_DATE}'
 
 # Round-13 rotation: promoted to a driver slot (per round-12 verdict:
 # never driver-checked; the as-of slice over the SCD2 interval build).
-QUERIES["scd2_customer_asof"] = scd2_customer_asof
-ORACLES["scd2_customer_asof"] = SCD2_ASOF_ORACLE
+# Round-18 rotation: demoted after 5 green driver rounds (r13-r17).
+EXTRA_QUERIES["scd2_customer_asof"] = scd2_customer_asof
+EXTRA_ORACLES["scd2_customer_asof"] = SCD2_ASOF_ORACLE
 
 
 def feature_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -254,8 +254,10 @@ def sql_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(SQL_SHIPPING_PRIORITY)
 
 
-EXTRA_QUERIES["sql_shipping_priority"] = sql_shipping_priority
-EXTRA_ORACLES["sql_shipping_priority"] = SQL_SHIPPING_PRIORITY
+# Round-18 rotation: promoted to a driver slot (never driver-checked;
+# TPC-H Q3 shape — 3-way fact join + top-10 unshipped orders).
+QUERIES["sql_shipping_priority"] = sql_shipping_priority
+ORACLES["sql_shipping_priority"] = SQL_SHIPPING_PRIORITY
 
 
 # TPC-H Q18 shape (large-volume customers): IN-subquery over a HAVING
@@ -674,8 +676,9 @@ def sql_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Round-14 rotation: promoted (never driver-checked; the anti-join +
 # HAVING shape was touched by the dea0e7e fix wave) in place of the
 # demoted backlog_open_lineitems.
-QUERIES["sql_idle_rich_customers"] = sql_idle_rich_customers
-ORACLES["sql_idle_rich_customers"] = SQL_IDLE_RICH_CUSTOMERS
+# Round-18 rotation: demoted after 4 green driver rounds (r14-r17).
+EXTRA_QUERIES["sql_idle_rich_customers"] = sql_idle_rich_customers
+EXTRA_ORACLES["sql_idle_rich_customers"] = SQL_IDLE_RICH_CUSTOMERS
 
 
 # TPC-H Q7 shape (volume shipping / cross-nation trade flows): the
@@ -768,8 +771,10 @@ def sql_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(SQL_TOP_SUPPLIER)
 
 
-EXTRA_QUERIES["sql_top_supplier"] = sql_top_supplier
-EXTRA_ORACLES["sql_top_supplier"] = SQL_TOP_SUPPLIER
+# Round-18 rotation: promoted (never driver-checked; TPC-H Q15 shape
+# — scalar-subquery max over a revenue view).
+QUERIES["sql_top_supplier"] = sql_top_supplier
+ORACLES["sql_top_supplier"] = SQL_TOP_SUPPLIER
 
 
 # TPC-H Q10 shape (returned-item reporting): revenue lost to returns
@@ -982,8 +987,10 @@ def sql_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(SQL_PRODUCT_TYPE_PROFIT)
 
 
-EXTRA_QUERIES["sql_product_type_profit"] = sql_product_type_profit
-EXTRA_ORACLES["sql_product_type_profit"] = SQL_PRODUCT_TYPE_PROFIT
+# Round-18 rotation: promoted (never driver-checked; TPC-H Q9 shape —
+# 5-way join with computed profit and per-nation/year rollup).
+QUERIES["sql_product_type_profit"] = sql_product_type_profit
+ORACLES["sql_product_type_profit"] = SQL_PRODUCT_TYPE_PROFIT
 
 
 # TPC-H Q12 shape (shipmode / order-priority checking): one fact join
@@ -1113,5 +1120,6 @@ def sql_rollup_rank_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Round-14 rotation: promoted (never driver-checked; its true-rollup
 # parents were rewritten in dea0e7e — the post-fix semantics deserve
 # the hard signal) in place of the demoted event_trigrams.
-QUERIES["sql_rollup_rank_share"] = sql_rollup_rank_share
-ORACLES["sql_rollup_rank_share"] = SQL_ROLLUP_RANK_SHARE
+# Round-18 rotation: demoted after 4 green driver rounds (r14-r17).
+EXTRA_QUERIES["sql_rollup_rank_share"] = sql_rollup_rank_share
+EXTRA_ORACLES["sql_rollup_rank_share"] = SQL_ROLLUP_RANK_SHARE

@@ -794,8 +794,9 @@ FROM mi CROSS JOIN hl CROSS JOIN hs
 # Round-13 rotation: promoted to a driver slot (per round-12 verdict:
 # never driver-checked; normalized mutual information over the
 # lang x source contingency grid).
-QUERIES["mutual_info_lang_source"] = mutual_info_lang_source
-ORACLES["mutual_info_lang_source"] = MUTUAL_INFO_ORACLE
+# Round-18 rotation: demoted after 5 green driver rounds (r13-r17).
+EXTRA_QUERIES["mutual_info_lang_source"] = mutual_info_lang_source
+EXTRA_ORACLES["mutual_info_lang_source"] = MUTUAL_INFO_ORACLE
 
 
 BOUNDS = {

@@ -25,7 +25,7 @@ def drift_append_sink(target_dir: str):
     click/view count partials into ``batch-{batch_id}/`` (overwrite →
     retry-idempotent; a replayed append would double-count the long
     sums, see streaming/partial_store.py)."""
-    from ..queries.tsstats import ks_value_counts
+    from ..queries.tsstats_infer import ks_value_counts
 
     return per_batch_writer(target_dir, ks_value_counts)
 
@@ -45,6 +45,6 @@ def merged_value_counts(spark: SparkSession, target_dir: str) -> DataFrame:
 def read_ks_drift(spark: SparkSession, target_dir: str) -> DataFrame:
     """The monitor's query surface: the exact KS statistic from the
     maintained partial store."""
-    from ..queries.tsstats import ks_from_value_counts
+    from ..queries.tsstats_infer import ks_from_value_counts
 
     return ks_from_value_counts(merged_value_counts(spark, target_dir))

@@ -23,7 +23,7 @@ sys.path.insert(0, "/root/repo")
 
 from pyspark.sql import functions as F  # noqa: E402
 
-from scala_data_pipeline_spark.queries.tsstats import (  # noqa: E402
+from scala_data_pipeline_spark.queries.tsstats_infer import (  # noqa: E402
     ks_from_value_counts,
     ks_value_counts,
 )
@@ -84,7 +84,7 @@ def main() -> None:
             .asDict(),
         )
 
-        from scala_data_pipeline_spark.queries.tsstats import twap_user_value
+        from scala_data_pipeline_spark.queries.tsstats_infer import twap_user_value
 
         # twap_user_value loads from a sf_dir; time the operator body
         # over the replicated frame directly instead.

@@ -23,6 +23,14 @@ construction — doc-count normalization would mislabel that input
 growth as super-linearity. The lo decade's multi-second base also
 stops fixed overhead from dominating the numerator.
 
+Round-18 adds ``name_match_pairs`` (r17 watch item 7): the prefix-16
+blocked-ER fix measured 8.07x at 10x, but that run's output grew 122x
+(the sfx10 composite multiplies near-identical names) — here the synth
+corpus regenerates names from DISTINCT keys ('Customer#%09d' over a
+key range that grows with copies, exactly how a larger TPC-H SF looks),
+so block cardinality grows with the range and the ratio is normalized
+by max(row growth, output-pair growth).
+
 Run:  python scripts/scale_smoke_watch.py [copies_lo] [copies_hi] [sf_dir]
 Defaults: 10 100 /root/testdata/sf0.1.
 """
@@ -42,6 +50,9 @@ from scala_data_pipeline_spark.ext.dedup import (  # noqa: E402
     lsh_candidate_pairs,
 )
 from scala_data_pipeline_spark.ext.textstats import token_count  # noqa: E402
+from scala_data_pipeline_spark.queries.frontier import (  # noqa: E402
+    name_match_pairs,
+)
 from scala_data_pipeline_spark.queries.sql_api import (  # noqa: E402
     SQL_ROLLUP_RANK_SHARE,
 )
@@ -74,6 +85,54 @@ def synth_orders(spark, sf_dir: str, n_copies: int, out_dir: str):
         .parquet(out_dir)
     )
     return spark.read.parquet(out_dir)
+
+
+def synth_customers(spark, sf_dir: str, n_copies: int, out_dir: str):
+    """n_copies of sf customers with DISTINCT keys and names regenerated
+    from those keys ('Customer#%09d' — the TPC-H generator's own form),
+    so the name key RANGE grows with the corpus and prefix-16 block
+    cardinality grows with it (the r17 blocked-ER lesson). Written to
+    <out_dir>/customer.parquet so name_match_pairs' own load_table path
+    reads it — the watch times the REAL registered query."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    copies = spark.range(n_copies).withColumnRenamed("id", "copy")
+    key = F.col("c_custkey") * n_copies + F.col("copy")
+    (
+        cust.crossJoin(F.broadcast(copies))
+        .select(
+            key.alias("c_custkey"),
+            F.concat(
+                F.lit("Customer#"), F.lpad(key.cast("string"), 9, "0")
+            ).alias("c_name"),
+            "c_nationkey",
+        )
+        .write.mode("overwrite")
+        .parquet(f"{out_dir}/customer.parquet")
+    )
+
+
+def name_match_decade(spark, sf_dir: str, n_copies: int, tmp: str) -> dict:
+    out_dir = f"{tmp}/cust{n_copies}"
+    synth_customers(spark, sf_dir, n_copies, out_dir)
+    n_cust = spark.read.parquet(f"{out_dir}/customer.parquet").count()
+    # Untimed warm rep on the lo decade's shape (bench methodology).
+    name_match_pairs(spark, out_dir).limit(100).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    t_nm, _ = timed(
+        f"name_match_pairs {n_copies}x ({n_cust} customers)",
+        lambda: name_match_pairs(spark, out_dir)
+        .write.format("noop")
+        .mode("overwrite")
+        .save(),
+    )
+    n_pairs = name_match_pairs(spark, out_dir).count()
+    return {
+        "n_copies": n_copies,
+        "n_customers": n_cust,
+        "n_pairs": n_pairs,
+        "t_name_match": t_nm,
+    }
 
 
 def run_decade(spark, sf_dir: str, n_copies: int, tmp: str) -> dict:
@@ -151,6 +210,8 @@ def main() -> None:
     with tempfile.TemporaryDirectory() as tmp:
         a = run_decade(spark, sf_dir, lo, tmp)
         b = run_decade(spark, sf_dir, hi, tmp)
+        nm_a = name_match_decade(spark, sf_dir, lo, tmp)
+        nm_b = name_match_decade(spark, sf_dir, hi, tmp)
 
     growth = hi / lo
     report = {
@@ -167,6 +228,13 @@ def main() -> None:
         "growth_candidates": round(
             b["n_candidates"] / max(a["n_candidates"], 1), 2
         ),
+        "name_match": [nm_a, nm_b],
+        "ratio_name_match": round(
+            nm_b["t_name_match"] / max(nm_a["t_name_match"], 0.1), 2
+        ),
+        "growth_name_pairs": round(
+            nm_b["n_pairs"] / max(nm_a["n_pairs"], 1), 2
+        ),
     }
     # The rollup's output grain must stay FIXED across decades — if row
     # counts diverge, the decade comparison is comparing different
@@ -182,6 +250,11 @@ def main() -> None:
     report["flag_threshold_edit"] = round(
         report["growth_candidates"] * FLAG_SLACK, 2
     )
+    # name_match is linear in max(rows, true pairs) under corpus-scaling
+    # block cardinality — normalize by whichever grew more.
+    report["flag_threshold_name_match"] = round(
+        max(growth, report["growth_name_pairs"]) * FLAG_SLACK, 2
+    )
     report["flagged"] = [
         k
         for k in ("ratio_token_count", "ratio_rollup")
@@ -189,6 +262,10 @@ def main() -> None:
     ] + (
         ["ratio_edit_distance"]
         if report["ratio_edit_distance"] > report["flag_threshold_edit"]
+        else []
+    ) + (
+        ["ratio_name_match"]
+        if report["ratio_name_match"] > report["flag_threshold_name_match"]
         else []
     )
     print(json.dumps(report), flush=True)

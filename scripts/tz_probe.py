@@ -43,6 +43,11 @@ PROBE = [
     # skipped gracefully above):
     "twap_user_value",
     "ewma_daily_revenue",
+    # Round-18 promotions on the day/event-time grain (scd2_customer_asof
+    # and variant_extract_props rotated out to extras — skipped
+    # gracefully above):
+    "dow_seasonality",
+    "yoy_revenue_growth",
 ]
 
 

@@ -8,7 +8,7 @@ finish through the same ks_from_value_counts code."""
 
 from __future__ import annotations
 
-from scala_data_pipeline_spark.queries.tsstats import (
+from scala_data_pipeline_spark.queries.tsstats_infer import (
     ks_from_value_counts,
     ks_value_counts,
 )
