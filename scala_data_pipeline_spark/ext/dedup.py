@@ -485,6 +485,20 @@ def simhash_neardup_pairs(
     # star buckets emit anchor 1 only (keeper star). One conditional,
     # NOT a union of two branches (a union executes the signature
     # pipeline once per branch), and never a C(n,2) array in one row.
+    #
+    # r19 adjudication of the r18 verdict's "size-dispatched fast path"
+    # item (one-array emission for buckets <= 256 to recover the
+    # 2.36 s -> 3.44 s sf0.1 delta): IMPLEMENTED, MEASURED, REJECTED.
+    # Same-session interleaved A/B on one container: r17 one-array
+    # 3.07-3.61 s, r18 chunked 2.97-3.98 s, dispatched 3.21-3.61 s —
+    # indistinguishable; the r17->r18 "regression" was container drift.
+    # The floor is the signature stage itself (~2.4-2.7 s warm for the
+    # ~12M-token sha2+64-bit-sum aggregate; a projected-digest variant
+    # and a packed-lane 22-long aggregate both measured within noise of
+    # it), not pair emission. On a clique-heavy corpus (100 buckets x
+    # 200 docs) the dispatched form was 5-8% SLOWER (20.6-21.5 s
+    # chunked vs 22.2-23.4 s dispatched). Full numbers in
+    # SCALE_NOTES.md r19.
     ids = F.col("ids")
     anchor_idx = F.when(
         F.size(ids) <= bucket_cap,

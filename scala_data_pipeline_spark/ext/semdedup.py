@@ -39,6 +39,7 @@ anchor, and bit-parity with a pure-python greedy reference at k=1.
 from __future__ import annotations
 
 import math
+import warnings
 from functools import reduce
 
 import pandas as pd
@@ -204,12 +205,31 @@ def _split_over_cap(
                 )
             else:
                 # Doubling per re-shard round strictly spreads md5 skew.
+                # The hash is salted with the round number: an unsalted
+                # md5(vec_id) reused under a new modulus keeps every row
+                # of a stuck shard congruent mod the OLD modulus, so the
+                # rows land in only n_new/gcd(n_old, n_new) of the new
+                # shards (2-way when n_new is a multiple, ZERO progress
+                # when n_new divides n_old). Salting makes each round's
+                # assignment independent, so doubling genuinely halves
+                # the worst shard in expectation and the terminal
+                # ValueError's duplicated-vec_id diagnosis is accurate.
                 n_shards = max(2, math.ceil(n / hash_target)) * (
                     2**hash_round
                 )
                 shard = F.pmod(
                     F.conv(
-                        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 13),
+                        F.substring(
+                            F.md5(
+                                F.concat_ws(
+                                    ":",
+                                    F.col("vec_id").cast("string"),
+                                    F.lit(str(hash_round)),
+                                )
+                            ),
+                            1,
+                            13,
+                        ),
                         16,
                         10,
                     ).cast("long"),
@@ -335,7 +355,11 @@ def semantic_dedup(
     # Side-channel for semantic_dedup_stats (round-17 verdict item 3):
     # which final cluster ids came from the md5 hash-shard fallback —
     # a bounded driver-side list, so a production run can SEE when the
-    # last-resort degradation fired instead of inferring it.
+    # last-resort degradation fired instead of inferring it. The
+    # attribute lives on THIS DataFrame object only: ANY derived frame
+    # (.filter/.select/.cache/...) and any persistence round-trip drops
+    # it — semantic_dedup_stats detects the absence (vs present-but-
+    # empty) and warns callers to pass the list explicitly.
     out.semdedup_hash_sharded_clusters = tuple(hash_ids)
     return out
 
@@ -586,10 +610,30 @@ def semantic_dedup_stats(
     are ``sum(n_vectors) where hash_sharded``).
 
     ``hash_sharded`` defaults to the id list :func:`semantic_dedup`
-    attached to its result; pass it explicitly when stats are computed
-    over a round-tripped (e.g. parquet-persisted) dedup frame."""
+    attached to its result. The attribute is a plain Python attribute
+    on that exact DataFrame object: ANY derived frame
+    (``.filter``/``.select``/``.cache``/...) — not only a persistence
+    round-trip — silently drops it, and :func:`semantic_dedup` always
+    attaches it (empty tuple when no shard fired), so an ABSENT
+    attribute means the caller is holding a derived/round-tripped
+    frame. That case warns and defaults to no flags; pass
+    ``hash_sharded`` explicitly there (round-18 advisor item 2: the
+    silent ``hash_sharded=False`` on derived frames is now
+    observable)."""
     if hash_sharded is None:
-        hash_sharded = getattr(dedup, "semdedup_hash_sharded_clusters", ())
+        _MISSING = object()
+        attr = getattr(dedup, "semdedup_hash_sharded_clusters", _MISSING)
+        if attr is _MISSING:
+            warnings.warn(
+                "semantic_dedup_stats: this frame does not carry"
+                " semedup's hash-shard side-channel (derived or"
+                " round-tripped frame?) — hash_sharded flags default to"
+                " False; pass hash_sharded= explicitly",
+                stacklevel=2,
+            )
+            hash_sharded = ()
+        else:
+            hash_sharded = attr
     flag = (
         F.col("cluster").isin(list(hash_sharded))
         if hash_sharded

@@ -27,6 +27,26 @@ from pyspark.sql import SparkSession  # noqa: E402
 def main() -> None:
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     n = int(os.environ["ROUND"])
+    # A standalone run over uncommitted source would record a HEAD sha
+    # that does not describe the code actually driven (round-18 advisor
+    # item 3: only the round_gate.sh path had a DIRTY guard). Mirror
+    # the gate's check — same pathspec — and fail BEFORE the ~8 min
+    # drive, not after.
+    dirty = subprocess.run(
+        [
+            "git", "status", "--porcelain", "--",
+            "scala_data_pipeline_spark", "tests", "scripts",
+            "__spark_entry__.py", "bench.py", "pyproject.toml",
+            "pytest.ini",
+        ],
+        capture_output=True, text=True, cwd="/root/repo", check=True,
+    ).stdout.strip()
+    if dirty:
+        sys.exit(
+            "full_drive.py: uncommitted SOURCE changes — the recorded"
+            f" head would not describe the driven code:\n{dirty}\n"
+            "Commit (or stash) source changes first."
+        )
     spark = (
         SparkSession.builder.master("local[16]")
         .config("spark.ui.enabled", "false")

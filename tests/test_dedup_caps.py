@@ -136,6 +136,23 @@ def test_simhash_oversized_bucket_emits_star_not_clique(spark, boiler_docs):
     assert {r["hamming"] for r in got} == {0}
 
 
+def test_simhash_mid_size_bucket_emits_full_clique(spark):
+    """r19: buckets under the cap must yield the FULL clique at any
+    size (a size-dispatched one-array fast path was prototyped against
+    the r18 verdict's item 3, measured performance-neutral-to-worse,
+    and rejected — see the adjudication note in simhash_neardup_pairs;
+    this pins the semantics the prototype almost broke: its first form
+    gave any bucket <= 256 the clique even ABOVE a caller-shrunk cap)."""
+    from scala_data_pipeline_spark.ext.dedup import simhash_neardup_pairs
+
+    for n in (256, 260):
+        rows = [(i, BOILER_TEXT.strip()) for i in range(n)]
+        docs = spark.createDataFrame(rows, ["doc_id", "text"])
+        got = simhash_neardup_pairs(docs, bucket_cap=4096).collect()
+        assert len(got) == n * (n - 1) // 2
+        assert all(r.doc_a < r.doc_b and r.hamming == 0 for r in got)
+
+
 def test_simhash_small_buckets_unaffected_by_cap(spark, sf_dir):
     from scala_data_pipeline_spark.ext.dedup import simhash_neardup_pairs
 

@@ -242,6 +242,46 @@ def test_over_cap_identical_points_hash_shard_fallback(spark):
     assert rows_affected == 120
 
 
+def test_stats_on_derived_frame_warns_and_accepts_explicit_ids(spark):
+    """r18 advisor item 2: the hash-shard side-channel is a plain
+    attribute on the exact result object — ANY derived frame drops it.
+    semantic_dedup_stats must distinguish absent (derived/round-tripped
+    frame -> warn, default no flags) from present-but-empty (no shard
+    fired -> silent), and honour an explicitly passed id list."""
+    import warnings as _w
+
+    rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(120)]
+    corpus = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    dd_df = semantic_dedup(corpus, k=1, eps=EPS, cluster_cap=30)
+    hash_ids = tuple(dd_df.semdedup_hash_sharded_clusters)
+    assert hash_ids  # the 120-identical-points corpus hash-shards
+    derived = dd_df.filter(F.lit(True))  # attribute silently dropped
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        stats = semantic_dedup_stats(derived).collect()
+    assert any("side-channel" in str(c.message) for c in caught)
+    assert not any(r.hash_sharded for r in stats)  # defaulted, flagged 0
+    # explicit pass-through restores the flags with no warning
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        stats2 = semantic_dedup_stats(derived, hash_sharded=hash_ids)
+        flagged = {r.cluster for r in stats2.collect() if r.hash_sharded}
+    assert not any("side-channel" in str(c.message) for c in caught)
+    assert flagged == set(hash_ids) & {r.cluster for r in stats2.collect()}
+    # present-but-empty (no shard fired) stays silent
+    small = semantic_dedup(
+        spark.createDataFrame(rows[:10], ["vec_id", "embedding"]),
+        k=1,
+        eps=EPS,
+        cluster_cap=30,
+    )
+    assert small.semdedup_hash_sharded_clusters == ()
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        semantic_dedup_stats(small).collect()
+    assert not any("side-channel" in str(c.message) for c in caught)
+
+
 def test_over_cap_duplicate_vec_ids_raise_names_split_fallback(spark):
     """r18 advisor item: when even the hash-shard rounds cannot satisfy
     the cap (only possible with DUPLICATED vec_ids — every copy hashes
