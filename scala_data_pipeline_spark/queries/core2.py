@@ -280,5 +280,6 @@ GROUP BY e.user_id
 """
 
 # Round-15 promotion (never driver-checked):
-QUERIES["join_null_safe"] = join_null_safe
-ORACLES["join_null_safe"] = JOIN_NULL_SAFE_ORACLE
+# Round-19 demotion (green r15-r18).
+EXTRA_QUERIES["join_null_safe"] = join_null_safe
+EXTRA_ORACLES["join_null_safe"] = JOIN_NULL_SAFE_ORACLE

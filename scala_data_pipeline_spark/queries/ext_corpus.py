@@ -115,12 +115,14 @@ FROM chunks c JOIN bins b USING (doc_id)
 
 EXTRA_QUERIES = {
     "corpus_curate": corpus_curate,
-    "corpus_export_chain": corpus_export_chain,
 }
 EXTRA_ORACLES = {
     "corpus_curate": CORPUS_ORACLE,
-    "corpus_export_chain": _export_chain_oracle(),
 }
+# Round-19 rotation: promoted (never driver-checked; the full
+# chunk->pack->export chain over documents).
+QUERIES["corpus_export_chain"] = corpus_export_chain
+ORACLES["corpus_export_chain"] = _export_chain_oracle()
 
 
 def recipe_funnel_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:

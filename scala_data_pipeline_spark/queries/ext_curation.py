@@ -186,8 +186,11 @@ def _cluster_split_oracle() -> str:
     return cluster_split_sql(minhash_lsh_sql())
 
 
+# Round-19 rotation: promoted (never driver-checked).
+QUERIES["curation_training_shuffle"] = curation_training_shuffle
+ORACLES["curation_training_shuffle"] = training_shuffle_sql()
+
 EXTRA_QUERIES.update({
-    "curation_training_shuffle": curation_training_shuffle,
     "curation_source_quota": curation_source_quota,
     "curation_repetition": curation_repetition,
     # Round-9 demotion (green r4-r8):
@@ -195,7 +198,6 @@ EXTRA_QUERIES.update({
 })
 
 EXTRA_ORACLES.update({
-    "curation_training_shuffle": training_shuffle_sql(),
     "curation_source_quota": QUOTA_ORACLE,
     "curation_repetition": repetition_ratio_sql(),
     "curation_stratified": STRATIFIED_ORACLE,
@@ -380,8 +382,9 @@ def _calibration_oracle() -> str:
 # rounds), pii_redact promoted (never driver-checked).
 EXTRA_QUERIES["curation_score_calibration"] = curation_score_calibration
 EXTRA_ORACLES["curation_score_calibration"] = _calibration_oracle()
-QUERIES["curation_pii_redact"] = curation_pii_redact
-ORACLES["curation_pii_redact"] = PII_ORACLE
+# Round-19 demotion (green r15-r18).
+EXTRA_QUERIES["curation_pii_redact"] = curation_pii_redact
+EXTRA_ORACLES["curation_pii_redact"] = PII_ORACLE
 
 
 def curation_class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -512,8 +515,9 @@ def _unimax_oracle() -> str:
 # Round-14 rotation: promoted (never driver-checked; the epochs
 # column switched to try_divide this round — the hard hash signal
 # belongs on the changed code) in place of the demoted table_fingerprint.
-QUERIES["curation_unimax_alloc"] = curation_unimax_alloc
-ORACLES["curation_unimax_alloc"] = _unimax_oracle()
+# Round-19 demotion (green r14-r18).
+EXTRA_QUERIES["curation_unimax_alloc"] = curation_unimax_alloc
+EXTRA_ORACLES["curation_unimax_alloc"] = _unimax_oracle()
 
 
 def curation_semantic_decon(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -546,5 +550,6 @@ def _semantic_decon_oracle() -> str:
 # Round-14 rotation: promoted (round-13 feature, landed after that
 # round's sweep — never driver-checked) in place of the demoted
 # running_distinct_users.
-QUERIES["curation_semantic_decon"] = curation_semantic_decon
-ORACLES["curation_semantic_decon"] = _semantic_decon_oracle()
+# Round-19 demotion (green r14-r18).
+EXTRA_QUERIES["curation_semantic_decon"] = curation_semantic_decon
+EXTRA_ORACLES["curation_semantic_decon"] = _semantic_decon_oracle()

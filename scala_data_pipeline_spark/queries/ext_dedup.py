@@ -237,9 +237,6 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 # variant of the same ExactSubstr family (6.3x cheaper at 10x), never
 # driver-checked. Both stay bench watch items via
 # SPARK_GRAFT_BENCH_EXTRAS.
-QUERIES["dedup_span_excise_intervals"] = dedup_span_excise_intervals
-ORACLES["dedup_span_excise_intervals"] = _span_excise_intervals_oracle()
-
 # Round-17 rotation: dedup_lsh_quality promoted (never driver-checked;
 # the LSH precision/recall audit — the "measure, don't guess" row for
 # the near-dup family).
@@ -249,7 +246,8 @@ ORACLES["dedup_lsh_quality"] = lsh_quality_metrics_sql()
 EXTRA_QUERIES = {
     "dedup_common_spans": dedup_common_spans,
     "dedup_span_excise": dedup_span_excise,
-    "dedup_components_star": dedup_components_star,
+    # Round-19 demotion (green r14-r18):
+    "dedup_span_excise_intervals": dedup_span_excise_intervals,
     "dedup_exact": dedup_exact,
     "dedup_containment": dedup_containment,
     # Round-7 demotions (long-green; see rotation comments above):
@@ -263,11 +261,15 @@ EXTRA_QUERIES = {
 # n-gram flags — the boilerplate-detection screen).
 QUERIES["dedup_hot_ngrams"] = dedup_hot_ngrams
 ORACLES["dedup_hot_ngrams"] = hot_ngram_flags_sql()
+# Round-19 rotation: promoted (never driver-checked; the bounded
+# union-find / min-label-propagation connected-components surface).
+QUERIES["dedup_components_star"] = dedup_components_star
+ORACLES["dedup_components_star"] = _components_oracle()
 
 EXTRA_ORACLES = {
     "dedup_common_spans": duplicated_spans_sql(),
     "dedup_span_excise": excise_duplicated_spans_sql(),
-    "dedup_components_star": _components_oracle(),
+    "dedup_span_excise_intervals": _span_excise_intervals_oracle(),
     "dedup_exact": DEDUP_EXACT_ORACLE,
     "dedup_containment": ngram_containment_sql(),
     "dedup_minhash_lsh": minhash_lsh_sql(),

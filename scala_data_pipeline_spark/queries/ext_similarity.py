@@ -119,8 +119,9 @@ def _topk_quantized_oracle() -> str:
     return topk_quantized_sql()
 
 
-EXTRA_QUERIES["sim_topk_quantized"] = sim_topk_quantized
-EXTRA_ORACLES["sim_topk_quantized"] = _topk_quantized_oracle()
+# Round-19 rotation: promoted (never driver-checked).
+QUERIES["sim_topk_quantized"] = sim_topk_quantized
+ORACLES["sim_topk_quantized"] = _topk_quantized_oracle()
 
 
 def sim_semantic_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -583,10 +584,11 @@ FROM ({semantic_dedup_k1_sql(eps=_SEMDEDUP_EPS)})
 # driver-checked; the recursive-CTE greedy twin is the hardest oracle
 # in the similarity family and its zero-norm guard changed this
 # round) in place of the demoted graph_kcore / feature_point_in_time.
-QUERIES["sim_semdedup_k1"] = sim_semdedup_k1
-ORACLES["sim_semdedup_k1"] = _semdedup_k1_oracle()
-QUERIES["sim_semdedup_report"] = sim_semdedup_report
-ORACLES["sim_semdedup_report"] = _semdedup_report_oracle()
+# Round-19 demotion (green r14-r18).
+EXTRA_QUERIES["sim_semdedup_k1"] = sim_semdedup_k1
+EXTRA_ORACLES["sim_semdedup_k1"] = _semdedup_k1_oracle()
+EXTRA_QUERIES["sim_semdedup_report"] = sim_semdedup_report
+EXTRA_ORACLES["sim_semdedup_report"] = _semdedup_report_oracle()
 
 
 BOUNDS = {

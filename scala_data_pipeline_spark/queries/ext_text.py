@@ -287,8 +287,9 @@ def _thumb_oracle() -> str:
 
 
 # Round-15 promotion (never driver-checked):
-QUERIES["multimodal_frame_sample"] = multimodal_frame_sample
-ORACLES["multimodal_frame_sample"] = _frame_oracle()
+# Round-19 demotion (green r15-r18).
+EXTRA_QUERIES["multimodal_frame_sample"] = multimodal_frame_sample
+EXTRA_ORACLES["multimodal_frame_sample"] = _frame_oracle()
 # Round-16 rotation: promoted to a driver slot (never driver-checked).
 QUERIES["multimodal_thumbnail"] = multimodal_thumbnail
 ORACLES["multimodal_thumbnail"] = _thumb_oracle()
@@ -424,8 +425,9 @@ SELECT true_lang, predicted_lang, n,
 FROM conf
 """
 
-EXTRA_QUERIES["text_lang_confusion"] = text_lang_confusion
-EXTRA_ORACLES["text_lang_confusion"] = LANG_CONFUSION_ORACLE
+# Round-19 rotation: promoted (never driver-checked).
+QUERIES["text_lang_confusion"] = text_lang_confusion
+ORACLES["text_lang_confusion"] = LANG_CONFUSION_ORACLE
 
 
 def quality_reliability_curve(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -620,11 +620,11 @@ SELECT layout,
 FROM flagged GROUP BY 1
 """
 
-# Round-15 promotion (never driver-checked):
-QUERIES["layout_skipping_effectiveness"] = (
+# Round-19 demotion (green r15-r18).
+EXTRA_QUERIES["layout_skipping_effectiveness"] = (
     layout_skipping_effectiveness
 )
-ORACLES["layout_skipping_effectiveness"] = LAYOUT_SKIPPING_ORACLE
+EXTRA_ORACLES["layout_skipping_effectiveness"] = LAYOUT_SKIPPING_ORACLE
 
 
 # --- cross-table data-quality audits (round 11): the two checks

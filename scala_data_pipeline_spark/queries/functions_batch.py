@@ -311,5 +311,6 @@ FROM events
 """
 
 # Round-15 promotion (never driver-checked):
-QUERIES["map_functions_props"] = map_functions_props
-ORACLES["map_functions_props"] = MAP_FUNCTIONS_ORACLE
+# Round-19 demotion (green r15-r18).
+EXTRA_QUERIES["map_functions_props"] = map_functions_props
+EXTRA_ORACLES["map_functions_props"] = MAP_FUNCTIONS_ORACLE

@@ -194,13 +194,16 @@ def ml_quality_pareto_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EXTRA_QUERIES = {
-    "ml_confusion_matrix": ml_confusion_matrix,
     "ml_quality_score": ml_quality_score,
     "ml_quality_pareto_sample": ml_quality_pareto_sample,
 }
 EXTRA_ORACLES: dict[str, str] = {}
+# Round-19 rotation: promoted (r18 verdict item 2 — M1-M5 is the one
+# §2 family that never had a driver-checked row; the frozen-matrix
+# oracle makes this the ML family's hash-checked representative).
+QUERIES["ml_confusion_matrix"] = ml_confusion_matrix
 if ML_CONFUSION_SF001:
-    EXTRA_ORACLES["ml_confusion_matrix"] = _frozen_oracle()
+    ORACLES["ml_confusion_matrix"] = _frozen_oracle()
 
 
 if __name__ == "__main__":

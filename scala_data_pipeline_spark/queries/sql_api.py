@@ -713,8 +713,9 @@ def sql_nation_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(SQL_NATION_TRADE_FLOWS)
 
 
-EXTRA_QUERIES["sql_nation_trade_flows"] = sql_nation_trade_flows
-EXTRA_ORACLES["sql_nation_trade_flows"] = SQL_NATION_TRADE_FLOWS
+# Round-19 rotation: promoted (never driver-checked).
+QUERIES["sql_nation_trade_flows"] = sql_nation_trade_flows
+ORACLES["sql_nation_trade_flows"] = SQL_NATION_TRADE_FLOWS
 
 
 # TPC-H Q2 shape (min-cost supplier): a CORRELATED SCALAR subquery —
@@ -826,8 +827,9 @@ def sql_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(SQL_PROMO_REVENUE_SHARE)
 
 
-EXTRA_QUERIES["sql_promo_revenue_share"] = sql_promo_revenue_share
-EXTRA_ORACLES["sql_promo_revenue_share"] = SQL_PROMO_REVENUE_SHARE
+# Round-19 rotation: promoted (never driver-checked).
+QUERIES["sql_promo_revenue_share"] = sql_promo_revenue_share
+ORACLES["sql_promo_revenue_share"] = SQL_PROMO_REVENUE_SHARE
 
 
 # TPC-H Q19 shape (discounted revenue, disjunctive predicates): an
@@ -1019,8 +1021,9 @@ def sql_priority_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(SQL_PRIORITY_SHIPMENTS)
 
 
-EXTRA_QUERIES["sql_priority_shipments"] = sql_priority_shipments
-EXTRA_ORACLES["sql_priority_shipments"] = SQL_PRIORITY_SHIPMENTS
+# Round-19 rotation: promoted (never driver-checked).
+QUERIES["sql_priority_shipments"] = sql_priority_shipments
+ORACLES["sql_priority_shipments"] = SQL_PRIORITY_SHIPMENTS
 
 
 # TPC-H Q17 shape (small-quantity-order revenue): a correlated

@@ -339,8 +339,9 @@ FROM counts
 """
 
 # Round-15 promotion (never driver-checked):
-QUERIES["anomaly_daily_revenue"] = anomaly_daily_revenue
-ORACLES["anomaly_daily_revenue"] = ANOMALY_ORACLE
+# Round-19 demotion (green r15-r18).
+EXTRA_QUERIES["anomaly_daily_revenue"] = anomaly_daily_revenue
+EXTRA_ORACLES["anomaly_daily_revenue"] = ANOMALY_ORACLE
 # Round-6 rotation: promoted to a driver slot (per-verdict: never
 # driver-checked; now carries the deaths==at_risk terminal-step guard
 # from the round-5 advisor finding, mirrored in the oracle).
@@ -566,12 +567,14 @@ FROM s
 """
 
 # Round-15 promotion (never driver-checked):
-QUERIES["attribution_last_touch"] = attribution_last_touch
-ORACLES["attribution_last_touch"] = ATTRIBUTION_ORACLE
+# Round-19 demotion (green r15-r18).
+EXTRA_QUERIES["attribution_last_touch"] = attribution_last_touch
+EXTRA_ORACLES["attribution_last_touch"] = ATTRIBUTION_ORACLE
 EXTRA_QUERIES["abc_parts"] = abc_parts
 EXTRA_ORACLES["abc_parts"] = ABC_ORACLE
-EXTRA_QUERIES["skew_profile_orders"] = skew_profile_orders
-EXTRA_ORACLES["skew_profile_orders"] = SKEW_PROFILE_ORACLE
+# Round-19 rotation: promoted (never driver-checked).
+QUERIES["skew_profile_orders"] = skew_profile_orders
+ORACLES["skew_profile_orders"] = SKEW_PROFILE_ORACLE
 
 
 # --------------------------------------------------------------------
@@ -818,8 +821,9 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
 FROM lat
 """
 
-EXTRA_QUERIES["conversion_latency"] = conversion_latency
-EXTRA_ORACLES["conversion_latency"] = CONVERSION_LATENCY_ORACLE
+# Round-19 rotation: promoted (never driver-checked).
+QUERIES["conversion_latency"] = conversion_latency
+ORACLES["conversion_latency"] = CONVERSION_LATENCY_ORACLE
 
 
 # --------------------------------------------------------------------
@@ -1358,8 +1362,9 @@ FROM joined GROUP BY yr
 """
 
 # Round-15 promotion (never driver-checked):
-QUERIES["hhi_supplier_concentration"] = hhi_supplier_concentration
-ORACLES["hhi_supplier_concentration"] = HHI_ORACLE
+# Round-19 demotion (green r15-r18).
+EXTRA_QUERIES["hhi_supplier_concentration"] = hhi_supplier_concentration
+EXTRA_ORACLES["hhi_supplier_concentration"] = HHI_ORACLE
 EXTRA_QUERIES["drift_priority_mix"] = drift_priority_mix
 EXTRA_ORACLES["drift_priority_mix"] = DRIFT_ORACLE
 

@@ -681,8 +681,9 @@ FROM stepped GROUP BY type_a, type_b
 """
 
 
-EXTRA_QUERIES["ks_pairwise_events"] = ks_pairwise_events
-EXTRA_ORACLES["ks_pairwise_events"] = _ks_pairwise_oracle()
+# Round-19 rotation: promoted (never driver-checked).
+QUERIES["ks_pairwise_events"] = ks_pairwise_events
+ORACLES["ks_pairwise_events"] = _ks_pairwise_oracle()
 
 
 # ---------------------------------------------------------------------------
@@ -777,8 +778,9 @@ SELECT p_brand, CAST(n AS BIGINT) AS n,
 FROM sums
 """
 
-EXTRA_QUERIES["spearman_brand_price"] = spearman_brand_price
-EXTRA_ORACLES["spearman_brand_price"] = SPEARMAN_ORACLE
+# Round-19 rotation: promoted (never driver-checked).
+QUERIES["spearman_brand_price"] = spearman_brand_price
+ORACLES["spearman_brand_price"] = SPEARMAN_ORACLE
 
 
 # ---------------------------------------------------------------------------

@@ -48,6 +48,11 @@ PROBE = [
     # gracefully above):
     "dow_seasonality",
     "yoy_revenue_growth",
+    # Round-19 promotions on the event-time grain (anomaly_daily_revenue
+    # and attribution_last_touch rotated out to extras — skipped
+    # gracefully above): conversion_latency differences unix_timestamp
+    # seconds between view and purchase events.
+    "conversion_latency",
 ]
 
 
