@@ -209,6 +209,7 @@ def connected_components_star(
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_iter: int = 40,
+    small_graph_bound: int = SMALL_GRAPH_EDGES,
 ) -> DataFrame:
     """(doc_id, cluster_id) via alternating large-star / small-star
     contraction (Kiveris et al. 2014, "Connected Components in MapReduce
@@ -230,7 +231,30 @@ def connected_components_star(
     src/dst sums) with a one-off exact ``exceptAll`` confirmation when
     the probe stabilizes — sums alone could collide, the exact check
     never lies and runs once.
+
+    ``small_graph_bound``: the same bounded-driver dispatch as
+    :func:`connected_components` — at or below this bidirectional-edge
+    count the graph is solved exactly in one driver union-find pass
+    (identical labels; the post-LSH pair graph is edges-bounded by the
+    capped generators, and each avoided star round costs ~6 shuffles +
+    a checkpoint + a probe job). Pass 0 to force star contraction
+    (tests of the O(log n) iteration semantics do; above the bound the
+    iterative path always runs).
     """
+    if small_graph_bound:
+        bi = (
+            pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+            .union(
+                pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+            )
+            .distinct()
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        try:
+            if bi.count() <= small_graph_bound:
+                return _solve_small_graph(bi)
+        finally:
+            bi.unpersist()
     # Vertices seen ONLY in self-pairs survive the a != b edge filter as
     # nothing — remember the full vertex set so they re-enter the output
     # labeled with their own id, matching connected_components (whose

@@ -24,7 +24,7 @@ JVM-side:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import shingles, shingles_sql
@@ -306,6 +306,18 @@ PII_PATTERNS = {
 }
 
 
+def pii_redacted_col(text: Column) -> Column:
+    """The redacted text as a bare column expression — the same chained
+    email → phone → ipv4 replacement :func:`pii_redact` applies, for
+    pipelines that only need the scrubbed text and would otherwise
+    self-join the redaction frame back on doc_id (r19: the export
+    chain's clean stage)."""
+    red = text
+    for kind in ("email", "phone", "ipv4"):
+        red = F.regexp_replace(red, PII_PATTERNS[kind], f"<{kind.upper()}>")
+    return red
+
+
 def pii_redact(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Scrub emails, phone numbers and IPv4 addresses, replacing each
     with a typed placeholder, and count redactions per document.
@@ -315,14 +327,15 @@ def pii_redact(docs: DataFrame, text_col: str = "text") -> DataFrame:
     redacted before IPs so ``user@1.2.3.4``-style hostnames never leave
     a partial address behind.
     """
-    red = F.col(text_col)
+    red = pii_redacted_col(F.col(text_col))
     counts = {}
+    probe = F.col(text_col)
     for kind in ("email", "phone", "ipv4"):
         # Count on the text as redacted so far, so an IP inside an
         # already-redacted email host is not double-counted: each count
         # equals the number of replacements actually applied.
-        counts[kind] = F.regexp_count(red, F.lit(PII_PATTERNS[kind])).cast("long")
-        red = F.regexp_replace(red, PII_PATTERNS[kind], f"<{kind.upper()}>")
+        counts[kind] = F.regexp_count(probe, F.lit(PII_PATTERNS[kind])).cast("long")
+        probe = F.regexp_replace(probe, PII_PATTERNS[kind], f"<{kind.upper()}>")
     return docs.select(
         "doc_id",
         red.alias("redacted"),

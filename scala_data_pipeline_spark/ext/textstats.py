@@ -30,6 +30,29 @@ def tokens_col(text: Column) -> Column:
     return F.filter(F.split(text, " "), lambda t: t != "")
 
 
+def quality_score_col(text: Column) -> Column:
+    """The [0,1] quality score as a bare column expression — identical
+    branch-for-branch to the score :func:`quality_features` emits, so
+    pipelines that only need the gate can append it in place instead of
+    self-joining the feature frame back on doc_id (r19: the corpus
+    export chain paid that join once per branch)."""
+    toks = tokens_col(text)
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*ENGLISH_STOPWORDS)))
+    stop_ratio = F.round(F.try_divide(n_stop, n_tokens), 6)
+    return F.when(
+        (n_tokens == 0) | n_tokens.isNull(), F.lit(0.0)
+    ).otherwise(
+        F.round(
+            F.least(
+                F.lit(1.0),
+                (n_tokens / F.lit(50.0)) * 0.5 + stop_ratio * 2.0,
+            ),
+            6,
+        )
+    )
+
+
 def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document quality stats: char/token counts (whitespace + a
     regex word tokenizer), average token length, stopword ratio, and a
@@ -51,15 +74,9 @@ def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
     # ignores the NULL stop_ratio on both engines, which would
     # otherwise score it a perfect 1.0 — and for NULL text n_tokens is
     # itself NULL, so the ==0 test alone falls through to otherwise).
-    score = F.when((n_tokens == 0) | n_tokens.isNull(), F.lit(0.0)).otherwise(
-        F.round(
-            F.least(
-                F.lit(1.0),
-                (n_tokens / F.lit(50.0)) * 0.5 + stop_ratio * 2.0,
-            ),
-            6,
-        )
-    )
+    # Shared with quality_score_col so the frame and the bare-column
+    # forms cannot drift.
+    score = quality_score_col(text)
     return docs.select(
         "doc_id",
         F.length(text).alias("n_chars"),

@@ -27,18 +27,26 @@ from ..ext.dedup import (
     jaccard_verify_pairs,
     lsh_candidate_pairs,
 )
-from ..ext.textstats import fingerprint, quality_features
+from ..ext.textstats import fingerprint, quality_score_col, tokens_col
 
 
-def curate(
+def gated_corpus(
     docs: DataFrame,
     min_quality: float = 0.5,
     langs: tuple[str, ...] = ("en", "de", "fr", "es"),
     near_dup: bool = False,
     jaccard_threshold: float = 0.5,
 ) -> DataFrame:
-    """Returns the curated corpus: one row per kept doc with
-    (doc_id, lang, n_tokens, quality_score, fingerprint)."""
+    """The kept rows BEFORE fingerprint enrichment: exact-dedup keepers
+    passing the quality and language gates, carrying every input column
+    plus (n_tokens, quality_score).
+
+    The quality gate appends bare column expressions
+    (textstats.quality_score_col) instead of self-joining the
+    quality_features frame back on doc_id — identical rows, one fewer
+    evaluation of the dedup subtree per consumer (r19; Catalyst does
+    not deduplicate common subtrees, so the old self-join doubled the
+    scan → digest-shuffle pipeline)."""
     keepers = exact_dedup_groups(docs).select(
         F.col("keeper_id").alias("doc_id")
     )
@@ -53,13 +61,32 @@ def curate(
             .distinct()
         )
         deduped = deduped.join(confirmed, on="doc_id", how="left_anti")
-    quality = quality_features(deduped).select(
-        "doc_id", "n_tokens", "quality_score"
-    )
-    gated = (
-        deduped.join(quality, on="doc_id")
+    text = F.col("text")
+    return (
+        deduped.withColumn(
+            "n_tokens", F.size(tokens_col(text)).cast("long")
+        )
+        .withColumn("quality_score", quality_score_col(text))
         .filter(F.col("quality_score") >= min_quality)
         .filter(F.col("lang").isin(*langs))
+    )
+
+
+def curate(
+    docs: DataFrame,
+    min_quality: float = 0.5,
+    langs: tuple[str, ...] = ("en", "de", "fr", "es"),
+    near_dup: bool = False,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Returns the curated corpus: one row per kept doc with
+    (doc_id, lang, n_tokens, quality_score, fingerprint)."""
+    gated = gated_corpus(
+        docs,
+        min_quality=min_quality,
+        langs=langs,
+        near_dup=near_dup,
+        jaccard_threshold=jaccard_threshold,
     )
     prints = fingerprint(gated)
     return gated.join(prints, on="doc_id").select(

@@ -19,10 +19,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..ext.chunking import STRIDE, WINDOW, chunk_documents, pack_sequences
-from ..ext.curation import pii_redact
+from ..ext.curation import pii_redacted_col
 from ..sources import load_table
 from ..sources.sinks import write_partitioned
-from .corpus_job import curate
+from .corpus_job import gated_corpus
 
 
 def build_export(
@@ -34,13 +34,21 @@ def build_export(
     """documents → (shard, bin_id, doc_id, chunk_idx, chunk, n_tokens).
 
     The cleaned frame feeds TWO consumers (chunks and bins) that meet in
-    a join; Catalyst does not deduplicate common subtrees, so the input
-    ``docs`` subtree evaluates once per branch. Persist ``docs`` before
-    calling when its upstream is expensive (run() persists the curated
-    corpus for exactly this reason — measured 2× wall-clock otherwise)."""
-    clean = pii_redact(docs).select(
-        "doc_id", F.col("redacted").alias("text")
-    ).join(docs.select("doc_id", "source"), on="doc_id")
+    a join; Catalyst does not deduplicate common subtrees, so without a
+    barrier the input ``docs`` subtree would evaluate once per branch
+    (measured 2× wall-clock when the upstream is the curated corpus).
+    ``clean`` is therefore localCheckpoint'ed (lazy): the scan → redact
+    pipeline materializes once on first action and both branches read
+    the materialized rows — the production shape is persisting the
+    cleaned corpus between the redaction and packing stages. Redaction
+    itself is a bare column expression (curation.pii_redacted_col), not
+    the pii_redact frame self-joined back on doc_id (r19: that join
+    re-evaluated ``docs`` a second time per branch)."""
+    clean = docs.select(
+        "doc_id",
+        pii_redacted_col(F.col("text")).alias("text"),
+        "source",
+    ).localCheckpoint(eager=False)
     bins = pack_sequences(clean, budget=budget).select(
         "doc_id", "shard", "bin_id"
     )
@@ -58,18 +66,16 @@ def run(
     min_quality: float = 0.3,
     langs: tuple[str, ...] = ("en", "de", "fr", "es"),
 ) -> DataFrame:
-    from pyspark import StorageLevel
-
     docs = load_table(spark, sf_dir, "documents")
-    kept = curate(docs, min_quality=min_quality, langs=langs).select("doc_id")
-    curated = (
-        docs.join(kept, on="doc_id")
-        .select("doc_id", "text", "source")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    # gated_corpus is the kept set curate() computes MINUS the
+    # fingerprint enrichment the export never reads (fingerprint() emits
+    # exactly one row per doc — shingles() yields ≥1 shingle for every
+    # document — so dropping that inner join cannot change membership).
+    # build_export materializes its cleaned frame itself (localCheckpoint
+    # in build_export), so no caller-side persist is needed anymore.
+    curated = gated_corpus(docs, min_quality=min_quality, langs=langs).select(
+        "doc_id", "text", "source"
     )
-    try:
-        export = build_export(curated, budget=budget)
-        write_partitioned(export, out_path, ["shard"], files_per_partition=1)
-    finally:
-        curated.unpersist()
+    export = build_export(curated, budget=budget)
+    write_partitioned(export, out_path, ["shard"], files_per_partition=1)
     return export

@@ -70,14 +70,22 @@ ORACLES: dict = {}
 def corpus_export_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full export tail under the hash gate: curate → PII-redact →
     chunk → pack, exactly jobs/export_job.build_export over the curated
-    corpus (write step elided — the driver compares the frame)."""
-    from pyspark.sql import functions as F
+    corpus (write step elided — the driver compares the frame).
 
+    r19: the kept set comes from jobs.corpus_job.gated_corpus — the
+    exact-dedup + quality + lang gates WITHOUT curate()'s fingerprint
+    enrichment, which this chain never reads and which cannot change
+    membership (fingerprint() is exactly one row per doc because
+    shingles() emits ≥1 shingle per document). The old form evaluated
+    the full curate subtree, fingerprint shuffle included, once per
+    export branch: 42 exchanges → 3."""
+    from ..jobs.corpus_job import gated_corpus
     from ..jobs.export_job import build_export
 
     docs = load_table(spark, sf_dir, "documents")
-    kept = curate(docs, min_quality=MIN_QUALITY, langs=LANGS).select("doc_id")
-    curated = docs.join(kept, on="doc_id").select("doc_id", "text", "source")
+    curated = gated_corpus(docs, min_quality=MIN_QUALITY, langs=LANGS).select(
+        "doc_id", "text", "source"
+    )
     return build_export(curated).select(
         "shard", "bin_id", "doc_id", "chunk_idx", "chunk", "n_tokens"
     )

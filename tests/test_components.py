@@ -109,7 +109,11 @@ def test_star_components_long_chain_logarithmic(spark):
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(30)], ["doc_a", "doc_b"]
     )
-    got = connected_components_star(pairs, max_iter=12).collect()
+    # small_graph_bound=0 forces star contraction (the default would
+    # dispatch this tiny graph to the single-pass driver solve).
+    got = connected_components_star(
+        pairs, max_iter=12, small_graph_bound=0
+    ).collect()
     assert {r["cluster_id"] for r in got} == {0}
     assert len(got) == 31
 
@@ -132,11 +136,16 @@ def test_star_components_random_graphs_match_union_find(spark):
             continue
         want = _union_find_components(edges)
         pairs = spark.createDataFrame(edges, ["doc_a", "doc_b"])
-        got = {
-            r["doc_id"]: r["cluster_id"]
-            for r in connected_components_star(pairs).collect()
-        }
-        assert got == want, f"trial {trial}: {sorted(edges)}"
+        # Both paths must agree with the reference union-find: the
+        # default (small-graph single-pass solve, r19) and the forced
+        # star contraction.
+        for bound in (None, 0):
+            kwargs = {} if bound is None else {"small_graph_bound": 0}
+            got = {
+                r["doc_id"]: r["cluster_id"]
+                for r in connected_components_star(pairs, **kwargs).collect()
+            }
+            assert got == want, f"trial {trial} bound={bound}: {sorted(edges)}"
 
 
 def test_star_components_self_loop_only_vertices_labeled(spark):
@@ -150,13 +159,17 @@ def test_star_components_self_loop_only_vertices_labeled(spark):
     pairs = spark.createDataFrame(
         [(1, 2), (7, 7), (9, 9)], ["doc_a", "doc_b"]
     )
-    star = {
-        r["doc_id"]: r["cluster_id"]
-        for r in connected_components_star(pairs).collect()
-    }
+    # Self-loop handling must hold on BOTH star paths (driver dispatch
+    # and forced contraction) and match the propagation variant.
+    for bound in (None, 0):
+        kwargs = {} if bound is None else {"small_graph_bound": 0}
+        star = {
+            r["doc_id"]: r["cluster_id"]
+            for r in connected_components_star(pairs, **kwargs).collect()
+        }
+        assert star == {1: 1, 2: 1, 7: 7, 9: 9}, f"bound={bound}"
     prop = {
         r["doc_id"]: r["cluster_id"]
         for r in connected_components(pairs).collect()
     }
-    assert star == {1: 1, 2: 1, 7: 7, 9: 9}
     assert star == prop
