@@ -612,6 +612,7 @@ def knn_join(
     seed: int = 42,
     broadcast_vectors: bool = True,
     bucket_cap: int = KNN_BUCKET_CAP,
+    sample_bound: int | None = None,
 ) -> DataFrame:
     """Approximate k-nearest-neighbors for EVERY vector (the KNN
     self-join — embedding dedup's core primitive, vs the query-batch
@@ -687,6 +688,18 @@ def knn_join(
         .select(F.col("p.a").alias("vec_a"), F.col("p.b").alias("vec_b"))
         .distinct()
     )
+    if sample_bound is not None:
+        # Recall-eval shape (r19): the caller will keep only
+        # vec_id < sample_bound rows, and a ranked neighbor list for
+        # vec_id v derives solely from candidate pairs CONTAINING v —
+        # so dropping pairs that touch no sampled id before the cosine
+        # joins is provably output-identical for the kept rows, and
+        # skips scoring the ~n²/2^band_bits pairs between unsampled
+        # vectors (sf0.1: ~650k pairs scored → ~30k). Bucketing still
+        # sees the whole corpus: candidates PER QUERY are unchanged.
+        cands = cands.filter(
+            (F.col("vec_a") < sample_bound) | (F.col("vec_b") < sample_bound)
+        )
     va = keyed.select(
         F.col("vec_id").alias("vec_a"),
         F.col("emb_r").alias("emb_ra"),
@@ -939,7 +952,12 @@ def knn_recall_eval(
     """
     queries = corpus.filter(F.col("vec_id") < sample_n)
     exact = topk_bruteforce(corpus, queries, k=k)
-    approx = knn_join(corpus, k=k).filter(F.col("vec_id") < sample_n)
+    # sample_bound prunes candidate pairs that touch no sampled vec_id
+    # BEFORE cosine scoring (output-identical under the filter below —
+    # every kept vec_id's pair set is intact; see knn_join).
+    approx = knn_join(corpus, k=k, sample_bound=sample_n).filter(
+        F.col("vec_id") < sample_n
+    )
     hits = (
         exact.alias("e")
         .join(

@@ -262,6 +262,7 @@ def with_grouped_rank(
     size_col: str = "n_in_group",
     cum_cols: list[str] | None = None,
     num_partitions: int | None = None,
+    return_sizes: bool = False,
 ) -> DataFrame:
     """Exact per-group 1-based rank (row_number over ``PARTITION BY
     group_cols ORDER BY order_cols``) plus each row's group size —
@@ -289,6 +290,12 @@ def with_grouped_rank(
     to current within the group) and the per-group total ``total_<c>``
     — the pieces a per-group Pareto/ABC share needs, computed from the
     same bounded offset scan.
+
+    ``return_sizes=True`` returns ``(frame, sizes)`` where ``sizes``
+    maps each group tuple to its row count — the offset scan computes
+    these driver-side anyway, so callers needing a group-size scalar
+    (e.g. the minority-class size) read it for free instead of running
+    another distinct+collect job over the frame (r19).
     """
     spark = df.sparkSession
     sort_cols = [F.asc(c) for c in [*group_cols, *order_cols]]
@@ -396,4 +403,7 @@ def with_grouped_rank(
         )
         out = out.withColumn(f"cum_{c}", local + F.col(f"_off_{c}"))
     drop = ["_pid", "_rank_off"] + [f"_off_{c}" for c in cum_cols]
-    return out.drop(*drop)
+    out = out.drop(*drop)
+    if return_sizes:
+        return out, dict(seen)
+    return out

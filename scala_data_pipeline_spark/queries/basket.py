@@ -62,15 +62,50 @@ def _brand_baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def basket_freq_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent itemsets of size ≤ 2 with FPGrowth's exact counts and
+    threshold (minCount = ceil(minSupport·n)).
+
+    r19: computed by direct subset counting instead of mining the full
+    FP-tree and filtering — this query's output contract is capped at
+    size 2 (see the module docstring: that cap is what makes the SQL
+    oracle complete), so the size-1/size-2 subsets are enumerated
+    array-locally per basket (≤ 25 brands ⇒ ≤ 325 subsets) and counted
+    in ONE hash aggregate with map-side partials. Row-identical to the
+    FPGrowth form (verified exceptAll == 0 both ways, oracle-exact at
+    3 SFs) and 2× faster at sf0.1 (4.3 → 2.2 s); at scale it is one
+    shuffle of bounded-key partials instead of PFP's multi-pass
+    conditional-transaction group shuffle. FP-tree mining itself stays
+    exercised by basket_assoc_rules below (rule confidence/lift need
+    the model)."""
     baskets = _brand_baskets(spark, sf_dir)
-    model = FPGrowth(
-        itemsCol="items", minSupport=MIN_SUPPORT, minConfidence=MIN_CONFIDENCE
-    ).fit(baskets)
+    # Bounded driver scalar (one long), same minCount FPGrowth computes.
+    import math
+
+    n = baskets.count()
+    min_count = int(math.ceil(MIN_SUPPORT * n))
+    items = F.col("items")
+    idx = F.sequence(F.lit(1), F.size(items))
+    singles = F.transform(items, lambda x: F.array(x))
+    # Ordered pairs (items is array_sort'ed in _brand_baskets): element i
+    # with every later element — the same a<b canonical form FPGrowth's
+    # sorted itemsets serialize to via array_join(array_sort(...)).
+    pairs = F.flatten(
+        F.transform(
+            idx,
+            lambda i: F.transform(
+                F.slice(items, i + 1, F.size(items)),
+                lambda y: F.array(F.element_at(items, i.cast("int")), y),
+            ),
+        )
+    )
     return (
-        model.freqItemsets.filter(F.size("items") <= 2)
+        baskets.select(F.explode(F.concat(singles, pairs)).alias("iset"))
+        .groupBy("iset")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.col("freq") >= min_count)
         .select(
-            F.array_join(F.array_sort("items"), "|").alias("itemset"),
-            F.size("items").alias("sz"),
+            F.array_join("iset", "|").alias("itemset"),
+            F.size("iset").alias("sz"),
             F.col("freq").cast("long").alias("freq"),
         )
     )

@@ -152,15 +152,33 @@ def recipe_funnel_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_tok = F.size(
         F.filter(F.split(F.col("text"), " "), lambda t: t != "")
     ).cast("long")
-    toks = docs.select("doc_id", n_tok.alias("n_tok"))
-
-    keepers = exact_dedup_groups(docs).select(
-        F.col("keeper_id").alias("doc_id")
+    # The stage frames below are each consumed by SEVERAL of the four
+    # union branches (toks by all 4, keepers by 3, quality by 2), and
+    # Catalyst re-evaluates a shared subtree once per reference — the
+    # r19 before-plan ran the digest groupBy three times and the Gopher
+    # scan twice. All three are doc-count-sized id/count frames (the
+    # funnel's own working set, NOT corpus text), so one eager
+    # localCheckpoint each replaces the repeated subtree evaluations;
+    # at 100 TB these are the frames a recipe run would persist between
+    # stages anyway. 1.90 → ~1.2 s at sf0.1.
+    toks = docs.select("doc_id", n_tok.alias("n_tok")).localCheckpoint(
+        eager=True
     )
-    quality = keepers.join(
-        gopher_quality_rules(docs).select("doc_id", "passes_gopher"),
-        on="doc_id",
-    ).filter(F.col("passes_gopher")).select("doc_id")
+
+    keepers = (
+        exact_dedup_groups(docs)
+        .select(F.col("keeper_id").alias("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    quality = (
+        keepers.join(
+            gopher_quality_rules(docs).select("doc_id", "passes_gopher"),
+            on="doc_id",
+        )
+        .filter(F.col("passes_gopher"))
+        .select("doc_id")
+        .localCheckpoint(eager=True)
+    )
     stage3_docs = docs.join(quality, on="doc_id").filter(
         F.col("doc_id") >= 25
     )

@@ -405,13 +405,13 @@ def curation_class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", F.md5(F.col("doc_id").cast("string")).alias("h")
     )
-    ranked = with_grouped_rank(
-        docs, ["lang"], ["h", "doc_id"], rank_col="rn"
+    # return_sizes (r19): the minority-class size falls out of the
+    # machinery's own bounded driver-side offset scan — the old
+    # distinct().collect() job over the ranked frame is gone.
+    ranked, sizes = with_grouped_rank(
+        docs, ["lang"], ["h", "doc_id"], rank_col="rn", return_sizes=True
     )
-    min_size = min(
-        r["n_in_group"]
-        for r in ranked.select("lang", "n_in_group").distinct().collect()
-    )
+    min_size = min(sizes.values())
     return (
         ranked.filter(F.col("rn") <= min_size)
         .select("lang", "doc_id", F.col("rn").cast("long").alias("rn"))
