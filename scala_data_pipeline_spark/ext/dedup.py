@@ -300,13 +300,34 @@ def simhash(
     # "widen without re-fingerprinting narrower deployments" property
     # for <=32-bit users while giving the wide rung its own stable hash.
     h = F.md5("token") if bits <= 32 else F.sha2(F.col("token"), 256)
-    bit_sums = [
-        F.sum(
-            F.when(F.substring(h, i + 1, 1).isin(*_HIGH_HEX), 1).otherwise(-1)
-        ).alias(f"s_{i}")
-        for i in range(bits)
-    ]
-    per_doc = tokens.groupBy("doc_id").agg(*bit_sums)
+    # Per-token digest bits as packed integer words (r19): hex digit i
+    # is "high" iff >= 8, so ONE translate maps the digest to a 0/1
+    # string and conv packs it into <=32-bit words; each per-bit
+    # aggregate is then an integer shift-and-test. The previous form
+    # ran substring(h, i+1, 1).isin(8 hex chars) inside all ``bits``
+    # aggregates — bits × tokens short-string allocations per corpus
+    # pass (the measured signature-aggregate floor of the r18
+    # adjudication; 2.3 → 2.0 s at sf0.1, identical signatures).
+    bit01 = F.translate(h, "0123456789abcdef", "0000000011111111")
+    n_words = (bits + 31) // 32
+    word_lens = [min(32, bits - j * 32) for j in range(n_words)]
+    words = tokens.select(
+        "doc_id",
+        *[
+            F.conv(F.substring(bit01, j * 32 + 1, word_lens[j]), 2, 10)
+            .cast("long")
+            .alias(f"w_{j}")
+            for j in range(n_words)
+        ],
+    )
+
+    def _bit_sum(i: int):
+        j = i // 32
+        shift = word_lens[j] - 1 - (i - j * 32)
+        is_high = F.shiftright(F.col(f"w_{j}"), shift).bitwiseAND(F.lit(1)) == 1
+        return F.sum(F.when(is_high, 1).otherwise(-1)).alias(f"s_{i}")
+
+    per_doc = words.groupBy("doc_id").agg(*[_bit_sum(i) for i in range(bits)])
     sig = F.concat(
         *[F.when(F.col(f"s_{i}") > 0, "1").otherwise("0") for i in range(bits)]
     )

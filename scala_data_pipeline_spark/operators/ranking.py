@@ -351,50 +351,46 @@ def with_grouped_rank(
         for f in df.schema.fields
         if f.name in group_cols
     }
-    # The offset/size frames carry the group columns under `_g_` /
-    # `_s_` aliases and join back with eqNullSafe: NULL group keys form
-    # their own group (Window.partitionBy semantics, which this
-    # operator claims bit-parity with) — a plain equi-join would
-    # silently drop every NULL-keyed row (advisor round-9 finding).
+    # ONE broadcast frame carries both the per-(partition, group)
+    # exclusive prefixes AND the group-level size/totals (repeated per
+    # partition row — a few dozen extra literals, one fewer broadcast
+    # join in every caller's plan; r19, was two joins). The group
+    # columns ride under `_g_` aliases and join back with eqNullSafe:
+    # NULL group keys form their own group (Window.partitionBy
+    # semantics, which this operator claims bit-parity with) — a plain
+    # equi-join would silently drop every NULL-keyed row (advisor
+    # round-9 finding).
     off_schema = ", ".join(
         ["_opid int"]
         + [f"_g_{c} {gtypes[c]}" for c in group_cols]
         + ["_rank_off long"]
         + [f"_off_{c} {gsum_types[c]}" for c in cum_cols]
+        + [f"{size_col} long"]
+        + [f"total_{c} {gsum_types[c]}" for c in cum_cols]
     )
-    off_df = spark.createDataFrame(offsets, off_schema)
-    size_df = spark.createDataFrame(
-        [
+    off_rows = []
+    for row in offsets:
+        g = tuple(row[1 : 1 + len(group_cols)])
+        off_rows.append(
             (
-                *g,
+                *row,
                 seen[g],
                 *[
                     _emit(p, gsum_types[c])
                     for p, c in zip(run[g], cum_cols)
                 ],
             )
-            for g in seen
-        ],
-        ", ".join(
-            [f"_s_{c} {gtypes[c]}" for c in group_cols]
-            + [f"{size_col} long"]
-            + [f"total_{c} {gsum_types[c]}" for c in cum_cols]
-        ),
-    )
+        )
+    off_df = spark.createDataFrame(off_rows, off_schema)
     off_cond = F.col("_pid") == F.col("_opid")
     for c in group_cols:
         off_cond = off_cond & F.col(c).eqNullSafe(F.col(f"_g_{c}"))
-    size_cond = F.lit(True)
-    for c in group_cols:
-        size_cond = size_cond & F.col(c).eqNullSafe(F.col(f"_s_{c}"))
     w = Window.partitionBy("_pid", *group_cols).orderBy(
         *[F.asc(c) for c in order_cols]
     )
     out = (
         ranged.join(F.broadcast(off_df), on=off_cond)
         .drop("_opid", *[f"_g_{c}" for c in group_cols])
-        .join(F.broadcast(size_df), on=size_cond)
-        .drop(*[f"_s_{c}" for c in group_cols])
         .withColumn(rank_col, F.row_number().over(w) + F.col("_rank_off"))
     )
     for c in cum_cols:
