@@ -352,12 +352,19 @@ def embedding_neardup_pairs(
     corpus: DataFrame,
     threshold: float = 0.3,
     bucket_col: str = "label",
+    prepped: DataFrame | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs within coarse buckets — the
     embedding twin of MinHash candidate generation (dedup.py). Uses the
     prepped fast path: element rounding + norms amortized per ROW, so
-    the O(pairs) inner loop is a single multiply-sum."""
-    prepped = prep_vectors(fan_out(corpus))
+    the O(pairs) inner loop is a single multiply-sum.
+
+    ``prepped`` lets a caller that already materialized the
+    prep_vectors frame (e.g. semantic_dedup_keepers, which also needs
+    the norms) share it across the self-join's two sides instead of
+    re-evaluating the prep pipeline per reference (r19)."""
+    if prepped is None:
+        prepped = prep_vectors(fan_out(corpus))
     a = prepped.select(
         F.col(bucket_col).alias("bucket"),
         F.col("vec_id").alias("vec_a"),
@@ -427,11 +434,20 @@ def semantic_dedup_keepers(
     """
     from .components import connected_components
 
-    pairs = embedding_neardup_pairs(corpus, threshold, bucket_col)
+    # One materialized prep frame serves the pair self-join's BOTH
+    # sides and the keeper-norm lookup (three references that each
+    # re-ran scan + rounding + norm before r19); the corpus-sized
+    # checkpoint is the "persist the prepared index" step a production
+    # SemDeDup run stores anyway, and storage is GC-released with the
+    # frame.
+    prepped = prep_vectors(fan_out(corpus)).localCheckpoint(eager=True)
+    pairs = embedding_neardup_pairs(
+        corpus, threshold, bucket_col, prepped=prepped
+    )
     comp = connected_components(
         pairs, a_col="vec_a", b_col="vec_b"
     ).withColumnRenamed("doc_id", "vec_id")
-    norms = prep_vectors(fan_out(corpus)).select(
+    norms = prepped.select(
         "vec_id", F.round(F.col("emb_norm"), 6).alias("nrm")
     )
     scored = comp.join(norms, on="vec_id")
@@ -528,12 +544,13 @@ def _srp_projections_spark(emb: Column, planes: list[list[int]]) -> Column:
     """
     n_planes = len(planes)
     dim = len(planes[0])
-    # transposed: for each dim i, the 24 signs that multiply emb[i]
-    tsigns = F.array(
-        *[
-            F.array(*[F.lit(float(planes[p][i])) for p in range(n_planes)])
-            for i in range(dim)
-        ]
+    # transposed: for each dim i, the 24 signs that multiply emb[i].
+    # One nested F.lit instead of dim × n_planes individual literal
+    # nodes (r19): the values are identical (verified exceptAll == 0),
+    # but Catalyst analyzes a single literal tree instead of ~1,536
+    # nodes per call — ~0.4 s less per-call planning at 24×64.
+    tsigns = F.lit(
+        [[float(planes[p][i]) for p in range(n_planes)] for i in range(dim)]
     )
     return F.aggregate(
         F.zip_with(emb, tsigns, lambda x, svec: F.transform(svec, lambda s: s * x)),
