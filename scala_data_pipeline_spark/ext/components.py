@@ -241,6 +241,7 @@ def connected_components_star(
     (tests of the O(log n) iteration semantics do; above the bound the
     iterative path always runs).
     """
+    bi = None
     if small_graph_bound:
         bi = (
             pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
@@ -250,30 +251,61 @@ def connected_components_star(
             .distinct()
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        try:
-            if bi.count() <= small_graph_bound:
+        if bi.count() <= small_graph_bound:
+            try:
                 return _solve_small_graph(bi)
-        finally:
-            bi.unpersist()
+            finally:
+                bi.unpersist()
     # Vertices seen ONLY in self-pairs survive the a != b edge filter as
     # nothing — remember the full vertex set so they re-enter the output
     # labeled with their own id, matching connected_components (whose
     # fused first round labels them least(v, v) = v) and the
     # recursive-CTE oracle.
-    vertices = (
-        pairs.select(F.col(a_col).alias("doc_id"))
-        .union(pairs.select(F.col(b_col).alias("doc_id")))
-        .distinct()
-    )
-    edges = (
-        pairs.select(
-            F.greatest(F.col(a_col), F.col(b_col)).alias("a"),
-            F.least(F.col(a_col), F.col(b_col)).alias("b"),
+    #
+    # Above the bound the persisted bidirectional frame is REUSED for
+    # both derivations instead of re-deriving the (potentially
+    # expensive LSH) pair pipeline from scratch — the r19 advisor's
+    # finding: the old finally-unpersist threw away one full pair-
+    # pipeline evaluation exactly in the large-graph regime the bound
+    # protects. `bi` is already distinct and holds both directions, so
+    # the canonical a>b edge set is one filter over it; it stays
+    # persisted until the eager edge checkpoint has materialized (and
+    # through the lazy `vertices` read at labeling time via the cache).
+    if bi is not None:
+        try:
+            # Both frames materialize off the cached bi while it is
+            # hot; vertices is vertex-count bounded, so its checkpoint
+            # is no bigger than the labels this function returns. bi
+            # is then released deterministically instead of leaking a
+            # persist whose lifetime would depend on when the caller
+            # finally acts on the (lazy) result.
+            edges = (
+                bi.filter(F.col("src") > F.col("dst"))
+                .select(F.col("src").alias("a"), F.col("dst").alias("b"))
+                .localCheckpoint(eager=True)
+            )
+            vertices = (
+                bi.select(F.col("src").alias("doc_id"))
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+        finally:
+            bi.unpersist()
+    else:  # small_graph_bound == 0: star path forced, no bi frame built
+        vertices = (
+            pairs.select(F.col(a_col).alias("doc_id"))
+            .union(pairs.select(F.col(b_col).alias("doc_id")))
+            .distinct()
         )
-        .filter(F.col("a") != F.col("b"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+        edges = (
+            pairs.select(
+                F.greatest(F.col(a_col), F.col(b_col)).alias("a"),
+                F.least(F.col(a_col), F.col(b_col)).alias("b"),
+            )
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
 
     def _nbrs(e: DataFrame) -> DataFrame:
         return e.select(F.col("a").alias("u"), F.col("b").alias("v")).union(

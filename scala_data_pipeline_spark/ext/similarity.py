@@ -362,9 +362,23 @@ def embedding_neardup_pairs(
     ``prepped`` lets a caller that already materialized the
     prep_vectors frame (e.g. semantic_dedup_keepers, which also needs
     the norms) share it across the self-join's two sides instead of
-    re-evaluating the prep pipeline per reference (r19)."""
+    re-evaluating the prep pipeline per reference (r19). It MUST be
+    ``prep_vectors(corpus)`` (any fan-out/repartition is fine) with the
+    SAME bucket_col — a frame from a different corpus silently yields
+    wrong pairs, so the expected columns are asserted here (r19
+    advisor)."""
     if prepped is None:
         prepped = prep_vectors(fan_out(corpus))
+    else:
+        missing = {bucket_col, "vec_id", "emb_r", "emb_norm"} - set(
+            prepped.columns
+        )
+        if missing:
+            raise ValueError(
+                "embedding_neardup_pairs: prepped frame lacks columns "
+                f"{sorted(missing)} — pass prep_vectors(corpus) built "
+                f"from the same corpus with bucket_col={bucket_col!r}"
+            )
     a = prepped.select(
         F.col(bucket_col).alias("bucket"),
         F.col("vec_id").alias("vec_a"),
@@ -439,8 +453,13 @@ def semantic_dedup_keepers(
     # re-ran scan + rounding + norm before r19); the corpus-sized
     # checkpoint is the "persist the prepared index" step a production
     # SemDeDup run stores anyway, and storage is GC-released with the
-    # frame.
-    prepped = prep_vectors(fan_out(corpus)).localCheckpoint(eager=True)
+    # frame. LAZY (r20): the eager form ran a construction-time job
+    # whose serial materialization the r19 verdict flagged across the
+    # checkpoint family; the fresh-session A/B (plans/r20/ab2_*) has
+    # lazy at least as fast on every rep (min 1.98 vs 2.25 s eager,
+    # no-checkpoint 2.16 s), and a lazy builder runs no jobs until the
+    # query itself is acted on.
+    prepped = prep_vectors(fan_out(corpus)).localCheckpoint(eager=False)
     pairs = embedding_neardup_pairs(
         corpus, threshold, bucket_col, prepped=prepped
     )
@@ -586,7 +605,13 @@ def srp_index(
     prepped = prep_vectors(fan_out(corpus))
     projs = _srp_projections_spark(F.col("emb_r"), planes)
     keyed = prepped.select("vec_id", "emb_r", "emb_norm", projs.alias("projs"))
-    keyed = keyed.localCheckpoint(eager=True)
+    # LAZY checkpoint (r20): materializes once on the first consumer's
+    # action instead of at construction — cold A/B (plans/r20/ab3_*)
+    # shows no penalty (3.10 vs 3.23 s min over 4 fresh sessions), and
+    # the builder stops running an index-build job before the query is
+    # even acted on (r19 advisor: side-effecting builders pin
+    # construction-time data and surprise plan dumps).
+    keyed = keyed.localCheckpoint(eager=False)
 
     def _bit(p: int) -> Column:
         return (F.element_at("projs", p + 1) >= 0).cast("int")

@@ -40,7 +40,16 @@ def build_export(
     ``clean`` is therefore localCheckpoint'ed (lazy): the scan → redact
     pipeline materializes once on first action and both branches read
     the materialized rows — the production shape is persisting the
-    cleaned corpus between the redaction and packing stages. Redaction
+    cleaned corpus between the redaction and packing stages.
+
+    Fault-tolerance tradeoff (r19 advisor): localCheckpoint storage is
+    NOT replayable — an executor lost mid-export fails the job instead
+    of recomputing from lineage, and the blocks free when the frame is
+    GC'd rather than at a deterministic unpersist. The right dial at
+    100 TB is a reliable ``checkpoint()`` to the checkpoint dir (or a
+    write + read-back of the cleaned corpus, which a multi-stage
+    production export does anyway); localCheckpoint is the
+    local/bench-run shape. Redaction
     itself is a bare column expression (curation.pii_redacted_col), not
     the pii_redact frame self-joined back on doc_id (r19: that join
     re-evaluated ``docs`` a second time per branch)."""

@@ -263,6 +263,7 @@ def with_grouped_rank(
     cum_cols: list[str] | None = None,
     num_partitions: int | None = None,
     return_sizes: bool = False,
+    return_offsets: bool = False,
 ) -> DataFrame:
     """Exact per-group 1-based rank (row_number over ``PARTITION BY
     group_cols ORDER BY order_cols``) plus each row's group size —
@@ -296,6 +297,18 @@ def with_grouped_rank(
     these driver-side anyway, so callers needing a group-size scalar
     (e.g. the minority-class size) read it for free instead of running
     another distinct+collect job over the frame (r19).
+
+    ``return_offsets=True`` additionally returns the per-(partition,
+    group) layout the offset scan collected — a list of dicts
+    ``{"pid", "group", "rank_off", "cnt", "off": {c: Decimal},
+    "sum": {c: Decimal}}`` — and KEEPS the ``_pid`` column on the
+    output frame. A consumer that only needs the rows around specific
+    cumulative positions (an exact percentile, a weighted median) can
+    compute the crossing partitions driver-side
+    (:func:`crossing_pids`) and filter ``_pid`` to them: the predicate
+    pushes below the rank window (it is on the window's partition key)
+    and below the broadcast offset join, so every other range
+    partition skips the sort/cumsum work entirely (r20; guide §2.4).
     """
     spark = df.sparkSession
     sort_cols = [F.asc(c) for c in [*group_cols, *order_cols]]
@@ -327,6 +340,7 @@ def with_grouped_rank(
     seen: dict[tuple, int] = {}  # group -> rows in earlier partitions
     run: dict[tuple, list] = {}  # group -> per-cum-col prefix sums
     offsets = []
+    parts: list[dict] = []  # return_offsets records (driver-bounded)
     for r in part_rows:
         g = tuple(r[c] for c in group_cols)
         prefix = run.setdefault(g, [Decimal(0)] * len(cum_cols))
@@ -341,6 +355,19 @@ def with_grouped_rank(
                 ],
             )
         )
+        if return_offsets:
+            parts.append(
+                {
+                    "pid": r["_pid"],
+                    "group": g,
+                    "rank_off": seen.get(g, 0),
+                    "cnt": r["_cnt"],
+                    "off": dict(zip(cum_cols, prefix)),
+                    "sum": {
+                        c: _to_dec(r[f"_sum_{c}"]) for c in cum_cols
+                    },
+                }
+            )
         seen[g] = seen.get(g, 0) + r["_cnt"]
         run[g] = [
             p + _to_dec(r[f"_sum_{c}"])
@@ -398,8 +425,47 @@ def with_grouped_rank(
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
         out = out.withColumn(f"cum_{c}", local + F.col(f"_off_{c}"))
-    drop = ["_pid", "_rank_off"] + [f"_off_{c}" for c in cum_cols]
+    drop = ["_rank_off"] + [f"_off_{c}" for c in cum_cols]
+    if not return_offsets:
+        drop.append("_pid")
     out = out.drop(*drop)
+    if return_sizes and return_offsets:
+        return out, dict(seen), parts
     if return_sizes:
         return out, dict(seen)
+    if return_offsets:
+        return out, parts
+    return out
+
+
+def crossing_pids(
+    parts: list[dict],
+    cum_col: str,
+    positions_by_group: dict[tuple, list],
+) -> set[int]:
+    """The range-partition ids that contain the given 1-based
+    cumulative positions, per group, from a ``return_offsets`` layout.
+
+    A position ``P`` (in ``cum_<cum_col>`` units — weighted row
+    positions) lives in the partition whose exclusive prefix satisfies
+    ``off < P <= off + sum``: the first row of the group whose running
+    sum reaches ``P`` is in that partition. Rows in LATER partitions
+    also satisfy ``cum >= P`` but carry strictly later order keys, so a
+    consumer taking ``min(order_key)`` / the first crossing row may
+    filter the frame to exactly these pids — everything it reads is in
+    them, and the filter pushes below the rank window and the offset
+    join (both keyed on ``_pid``). Driver-side, bounded by the offset
+    scan's own size."""
+    out: set[int] = set()
+    by_group: dict[tuple, list[dict]] = {}
+    for p in parts:
+        by_group.setdefault(p["group"], []).append(p)
+    for g, positions in positions_by_group.items():
+        rows = sorted(by_group.get(g, []), key=lambda p: p["pid"])
+        for pos in positions:
+            pos = Decimal(pos)
+            for p in rows:
+                if p["off"][cum_col] < pos <= p["off"][cum_col] + p["sum"][cum_col]:
+                    out.add(p["pid"])
+                    break
     return out

@@ -152,23 +152,22 @@ def recipe_funnel_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_tok = F.size(
         F.filter(F.split(F.col("text"), " "), lambda t: t != "")
     ).cast("long")
-    # The stage frames below are each consumed by SEVERAL of the four
-    # union branches (toks by all 4, keepers by 3, quality by 2), and
-    # Catalyst re-evaluates a shared subtree once per reference — the
-    # r19 before-plan ran the digest groupBy three times and the Gopher
-    # scan twice. All three are doc-count-sized id/count frames (the
-    # funnel's own working set, NOT corpus text), so one eager
-    # localCheckpoint each replaces the repeated subtree evaluations;
-    # at 100 TB these are the frames a recipe run would persist between
-    # stages anyway. 1.90 → ~1.2 s at sf0.1.
-    toks = docs.select("doc_id", n_tok.alias("n_tok")).localCheckpoint(
-        eager=True
-    )
+    # Shared stage frames (toks ×4, keepers ×3, quality ×2 across the
+    # union branches) are left as PLAIN expressions: the repeated
+    # subtrees share their shuffle output via ReusedExchange (the
+    # digest groupBy's exchange is byte-identical in every reference),
+    # and the per-branch tails are cheap id-set merges. The r19 eager
+    # localCheckpoints forced three SERIAL construction-time
+    # materialization jobs before the main plan could start — the
+    # driver measured 1.27 → 2.21 s, the round's one real regression
+    # (r19 verdict item 1) — because at this working-set size the fixed
+    # job cost exceeds the recompute the checkpoints save. At 100 TB a
+    # recipe run persists these stage frames between stages; that is
+    # the production shape, not a per-query construction job.
+    toks = docs.select("doc_id", n_tok.alias("n_tok"))
 
-    keepers = (
-        exact_dedup_groups(docs)
-        .select(F.col("keeper_id").alias("doc_id"))
-        .localCheckpoint(eager=True)
+    keepers = exact_dedup_groups(docs).select(
+        F.col("keeper_id").alias("doc_id")
     )
     quality = (
         keepers.join(
@@ -177,7 +176,6 @@ def recipe_funnel_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("passes_gopher"))
         .select("doc_id")
-        .localCheckpoint(eager=True)
     )
     stage3_docs = docs.join(quality, on="doc_id").filter(
         F.col("doc_id") >= 25

@@ -278,15 +278,44 @@ def winsorize_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     range, and the driver-side offset collect stays bounded by
     partitions x groups. The clip is a broadcast join back + clamp
     (no second wide shuffle)."""
-    from ..operators.ranking import with_grouped_rank
+    import math
+
+    from ..operators.ranking import crossing_pids, with_grouped_rank
 
     lineitem = load_table(spark, sf_dir, "lineitem")
     grain = lineitem.groupBy(
         "l_linestatus", F.col("l_extendedprice").alias("price")
     ).agg(F.count(F.lit(1)).alias("w"))
-    ranked = with_grouped_rank(
-        grain, ["l_linestatus"], ["price"], rank_col="_i", cum_cols=["w"]
+    ranked, parts = with_grouped_rank(
+        grain,
+        ["l_linestatus"],
+        ["price"],
+        rank_col="_i",
+        cum_cols=["w"],
+        return_offsets=True,
     )
+    # Percentile partition pruning (r20; guide §2.4): the offset scan
+    # already knows which range partition holds each percentile's
+    # weighted position — vlo/vhi below read only the FIRST row whose
+    # running count reaches floor(rn)+1 / ceil(rn)+1, and every later
+    # partition holds strictly larger prices, so the bounds aggregation
+    # needs just the crossing partitions (≤4 per group of the full
+    # range-partitioned grain). The rn arithmetic replays the column
+    # expression below in IEEE doubles, so the positions agree exactly.
+    positions: dict[tuple, list[int]] = {}
+    totals: dict[tuple, int] = {}
+    for prt in parts:
+        totals[prt["group"]] = totals.get(prt["group"], 0) + int(
+            prt["sum"]["w"]
+        )
+    for g, tw in totals.items():
+        pos: set[int] = set()
+        for p in (0.05, 0.95):
+            rn = (float(tw) - 1.0) * p
+            pos.update((math.floor(rn) + 1, math.ceil(rn) + 1))
+        positions[g] = sorted(pos)
+    keep = sorted(crossing_pids(parts, "w", positions))
+    ranked = ranked.filter(F.col("_pid").isin(keep)).drop("_pid")
     for tag, p in (("05", 0.05), ("95", 0.95)):
         ranked = ranked.withColumn(
             f"rn{tag}",

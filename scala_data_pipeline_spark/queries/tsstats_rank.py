@@ -490,15 +490,37 @@ def weighted_median_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     the few-huge-groups case Window.partitionBy mishandles at scale);
     the half-total comparison is exact long arithmetic
     (2*cum >= total), no float boundary."""
-    from ..operators.ranking import with_grouped_rank
+    from ..operators.ranking import crossing_pids, with_grouped_rank
 
     li = load_table(spark, sf_dir, "lineitem")
     grain = li.groupBy(
         "l_returnflag", F.col("l_extendedprice").alias("price")
     ).agg(F.sum(F.col("l_quantity").cast("long")).alias("w"))
-    ranked = with_grouped_rank(
-        grain, ["l_returnflag"], ["price"], rank_col="_i", cum_cols=["w"]
+    ranked, parts = with_grouped_rank(
+        grain,
+        ["l_returnflag"],
+        ["price"],
+        rank_col="_i",
+        cum_cols=["w"],
+        return_offsets=True,
     )
+    # Median partition pruning (r20; guide §2.4): 2*cum >= total over
+    # integer weights first holds at weighted position ceil(total/2),
+    # and min(price)/min(total_w) read only that first crossing row
+    # (later partitions hold strictly larger prices and the same
+    # total), so the final aggregation needs just the crossing range
+    # partition per group — computed driver-side from the offset scan.
+    totals: dict[tuple, int] = {}
+    for prt in parts:
+        totals[prt["group"]] = totals.get(prt["group"], 0) + int(
+            prt["sum"]["w"]
+        )
+    keep = sorted(
+        crossing_pids(
+            parts, "w", {g: [(tw + 1) // 2] for g, tw in totals.items()}
+        )
+    )
+    ranked = ranked.filter(F.col("_pid").isin(keep)).drop("_pid")
     return (
         ranked.filter(2 * F.col("cum_w") >= F.col("total_w"))
         .groupBy("l_returnflag")

@@ -2,20 +2,25 @@
 ``plans/r{N}/<query>_<tag>.txt`` — the before/after plan evidence the
 optimization rounds commit alongside code changes.
 
-Run:  ROUND=19 python scripts/dump_plans.py before [sf_dir]
+Run:  ROUND=20 python scripts/dump_plans.py before [sf_dir]
 
-Plan capture is analysis-only (no job runs), so it is cheap and safe to
-run while other Spark work is in flight; the sf_dir defaults to the
-bench SF so the captured plans are the ones the bench actually executes
-(AQE initial plans — ``isFinalPlan=false`` — as §7.2 of the guide
-describes for pre-execution capture).
+Plan capture is analysis-time for most queries, but a few builders run
+real jobs at DataFrame-construction time (eager localCheckpoints of
+index frames, the bounded driver collects in the ranking machinery and
+small-graph components) — so a full dump costs a handful of small jobs,
+not zero. The sf_dir defaults to the bench SF so the captured plans are
+the ones the bench actually executes (AQE initial plans —
+``isFinalPlan=false`` — as §7.2 of the guide describes for
+pre-execution capture).
 """
 from __future__ import annotations
 
 import os
 import sys
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
 
 from scala_data_pipeline_spark.plans.inspect import explain_str  # noqa: E402
 from scala_data_pipeline_spark.session import get_session  # noqa: E402

@@ -173,3 +173,27 @@ def test_star_components_self_loop_only_vertices_labeled(spark):
         for r in connected_components(pairs).collect()
     }
     assert star == prop
+
+
+def test_star_components_above_bound_reuses_bi_and_matches(spark):
+    """small_graph_bound EXCEEDED: the star path must run off the
+    already-persisted bidirectional frame (r19 advisor: the old code
+    unpersisted it and re-derived the pair pipeline from scratch) and
+    still produce union-find-identical labels — including self-loop-only
+    vertices, which only survive via the bi-derived vertex set."""
+    from scala_data_pipeline_spark.ext.components import (
+        connected_components_star,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (7, 7)], ["doc_a", "doc_b"]
+    )
+    # 3 undirected non-loop edges -> 6 bidirectional + 1 self row = 7
+    # distinct bi rows > bound, forcing the star path through bi.
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components_star(
+            pairs, small_graph_bound=2
+        ).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 7: 7}

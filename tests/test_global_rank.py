@@ -549,3 +549,136 @@ def test_aqe_coalesced_grouped_matches_pinned(spark):
     base = run(64)
     assert run(None) == base
     assert run(2) == base
+
+
+def test_return_offsets_layout_and_crossing_pids(spark):
+    """return_offsets: the per-(partition, group) layout must tile each
+    group exactly (contiguous rank offsets, partials summing to the
+    group total), and crossing_pids must name the partition whose range
+    holds each weighted position — verified by reading the rows back
+    with the _pid column the flag preserves."""
+    from scala_data_pipeline_spark.operators.ranking import (
+        crossing_pids,
+        with_grouped_rank,
+    )
+
+    df = _per_cust(spark).withColumn(
+        "g", (F.col("o_custkey") % 3).cast("int")
+    ).withColumn("w", (F.col("o_custkey") % 7 + 1).cast("long"))
+    out, parts = with_grouped_rank(
+        df,
+        ["g"],
+        ["v", "o_custkey"],
+        rank_col="i",
+        cum_cols=["w"],
+        num_partitions=8,
+        return_offsets=True,
+    )
+    assert "_pid" in out.columns
+    rows = out.collect()
+    # Layout tiles each group: per-group rank offsets are contiguous
+    # and the per-partition partial sums add up to the group total.
+    by_group: dict = {}
+    for p in sorted(parts, key=lambda p: p["pid"]):
+        by_group.setdefault(p["group"], []).append(p)
+    for g, ps in by_group.items():
+        n = 0
+        cum = Decimal(0)
+        for p in ps:
+            assert p["rank_off"] == n
+            assert p["off"]["w"] == cum
+            n += p["cnt"]
+            cum += p["sum"]["w"]
+        g_rows = [r for r in rows if (r["g"],) == g]
+        assert n == len(g_rows)
+        assert cum == Decimal(sum(r["w"] for r in g_rows))
+    # crossing_pids: for a spread of weighted positions, the named pid
+    # really contains the first row whose cum_w reaches the position.
+    for g, ps in by_group.items():
+        total = int(sum(p["sum"]["w"] for p in ps))
+        for pos in {1, (total + 1) // 2, total}:
+            (pid,) = crossing_pids(ps, "w", {g: [pos]})
+            first = min(
+                (r for r in rows if (r["g"],) == g and r["cum_w"] >= pos),
+                key=lambda r: r["cum_w"],
+            )
+            assert first["_pid"] == pid, (g, pos)
+
+
+def test_percentile_prune_matches_unpruned_bounds(spark):
+    """The winsorize-style crossing-partition prune must not change the
+    percentile bounds: replaying the vlo/vhi interpolation over ONLY
+    the crossing partitions equals the full-frame computation."""
+    import math
+
+    from scala_data_pipeline_spark.operators.ranking import (
+        crossing_pids,
+        with_grouped_rank,
+    )
+
+    li = load_table(spark, SF, "lineitem")
+    grain = li.groupBy(
+        "l_linestatus", F.col("l_extendedprice").alias("price")
+    ).agg(F.count(F.lit(1)).alias("w"))
+    ranked, parts = with_grouped_rank(
+        grain,
+        ["l_linestatus"],
+        ["price"],
+        rank_col="_i",
+        cum_cols=["w"],
+        num_partitions=16,
+        return_offsets=True,
+    )
+
+    def bounds(frame):
+        for tag, p in (("05", 0.05), ("95", 0.95)):
+            frame = frame.withColumn(
+                f"rn{tag}",
+                (F.col("total_w").cast("double") - F.lit(1.0)) * F.lit(p),
+            )
+
+        def pct(tag):
+            rn = F.min(f"rn{tag}")
+            frn, crn = F.floor(rn), F.ceil(rn)
+            vlo = F.min(
+                F.when(
+                    F.col("cum_w") >= F.floor(F.col(f"rn{tag}")) + 1,
+                    F.col("price"),
+                )
+            )
+            vhi = F.min(
+                F.when(
+                    F.col("cum_w") >= F.ceil(F.col(f"rn{tag}")) + 1,
+                    F.col("price"),
+                )
+            )
+            return F.round(
+                F.when(crn == frn, vlo).otherwise(
+                    vlo * (crn.cast("double") - rn)
+                    + vhi * (rn - frn.cast("double"))
+                ),
+                4,
+            )
+
+        return {
+            r["l_linestatus"]: (r["lo"], r["hi"])
+            for r in frame.groupBy("l_linestatus")
+            .agg(pct("05").alias("lo"), pct("95").alias("hi"))
+            .collect()
+        }
+
+    totals: dict = {}
+    for prt in parts:
+        totals[prt["group"]] = totals.get(prt["group"], 0) + int(
+            prt["sum"]["w"]
+        )
+    positions = {}
+    for g, tw in totals.items():
+        pos = set()
+        for p in (0.05, 0.95):
+            rn = (float(tw) - 1.0) * p
+            pos.update((math.floor(rn) + 1, math.ceil(rn) + 1))
+        positions[g] = sorted(pos)
+    keep = sorted(crossing_pids(parts, "w", positions))
+    pruned = ranked.filter(F.col("_pid").isin(keep)).drop("_pid")
+    assert bounds(pruned) == bounds(ranked.drop("_pid"))
