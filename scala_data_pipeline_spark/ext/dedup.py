@@ -321,15 +321,32 @@ def simhash(
         ],
     )
 
-    def _bit_sum(i: int):
+    # Per-bit aggregates and the signature concat as PARSED SQL text
+    # (r20 construction-cost pass, guide §4 applied to the driver
+    # process): the Column form spent ~6 py4j round-trips per bit —
+    # ~400 of this query's ~6,000 construction round-trips — while one
+    # F.expr per aggregate (and ONE for the concat) hands the same
+    # expressions to the JVM parser wholesale. Values are identical:
+    # same shift-and-test, same CASE arms, same left-to-right concat.
+    def _bit_sum(i: int) -> str:
         j = i // 32
         shift = word_lens[j] - 1 - (i - j * 32)
-        is_high = F.shiftright(F.col(f"w_{j}"), shift).bitwiseAND(F.lit(1)) == 1
-        return F.sum(F.when(is_high, 1).otherwise(-1)).alias(f"s_{i}")
+        return (
+            f"SUM(CASE WHEN (shiftright(w_{j}, {shift}) & 1) = 1 "
+            f"THEN 1 ELSE -1 END) AS s_{i}"
+        )
 
-    per_doc = words.groupBy("doc_id").agg(*[_bit_sum(i) for i in range(bits)])
-    sig = F.concat(
-        *[F.when(F.col(f"s_{i}") > 0, "1").otherwise("0") for i in range(bits)]
+    per_doc = words.groupBy("doc_id").agg(
+        F.expr(_bit_sum(0)),
+        *[F.expr(_bit_sum(i)) for i in range(1, bits)],
+    )
+    sig = F.expr(
+        "concat("
+        + ", ".join(
+            f"CASE WHEN s_{i} > 0 THEN '1' ELSE '0' END"
+            for i in range(bits)
+        )
+        + ")"
     )
     return per_doc.select("doc_id", sig.alias("simhash"))
 
@@ -372,19 +389,22 @@ def simhash16_sql(text_col: str = "text", table: str = "documents") -> str:
     return simhash_sql(text_col, table, bits=16)
 
 
-def _hamming(a: Column, b: Column, bits: int) -> Column:
-    """Hamming distance between two bits-char 0/1 signature strings —
-    codegen'd substr compares, identical expression in the oracle."""
-    terms = [
-        F.when(
-            F.substring(a, i + 1, 1) != F.substring(b, i + 1, 1), 1
-        ).otherwise(0)
-        for i in range(bits)
-    ]
-    return sum(terms[1:], terms[0])
+def _hamming(a: str, b: str, bits: int) -> Column:
+    """Hamming distance between two bits-char 0/1 signature string
+    COLUMNS (named by ``a``/``b``) — codegen'd substr compares,
+    identical expression in the oracle. Built as one parsed SQL string:
+    the Column form cost ~5 py4j round-trips per bit (~320 per call at
+    64 bits; r20 construction-cost pass), the text form one."""
+    return F.expr(
+        " + ".join(
+            f"(CASE WHEN substring({a}, {i + 1}, 1) != "
+            f"substring({b}, {i + 1}, 1) THEN 1 ELSE 0 END)"
+            for i in range(bits)
+        )
+    )
 
 
-def _hamming16(a: Column, b: Column) -> Column:
+def _hamming16(a: str, b: str) -> Column:
     return _hamming(a, b, 16)
 
 
@@ -473,22 +493,18 @@ def simhash_neardup_pairs(
     # the signature table is exactly the intermediate you'd materialize
     # between the hash and pair stages.
     sigs = simhash(docs, text_col, bits=bits).localCheckpoint(eager=True)
-    halves = sigs.select(
+    # One parsed unpivot expression (r20 construction-cost pass;
+    # value-identical named_struct explode).
+    halves = sigs.selectExpr(
         "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("block"),
-                        F.substring(
-                            "simhash", block * i + 1, block
-                        ).alias("key"),
-                    )
-                    for i in range(bits // block)
-                ]
-            )
-        ).alias("b"),
-    ).select("doc_id", "b.block", "b.key")
+        "explode(array("
+        + ",".join(
+            f"named_struct('block', {i}, 'key', "
+            f"substring(simhash, {block * i + 1}, {block}))"
+            for i in range(bits // block)
+        )
+        + ")) AS b",
+    ).selectExpr("doc_id", "b.block AS block", "b.key AS key")
     grouped = (
         halves.groupBy("block", "key")
         .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
@@ -549,9 +565,7 @@ def simhash_neardup_pairs(
         .select(
             "doc_a",
             "doc_b",
-            _hamming(F.col("sig_a"), F.col("sig_b"), bits)
-            .cast("long")
-            .alias("hamming"),
+            _hamming("sig_a", "sig_b", bits).cast("long").alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
     )

@@ -565,11 +565,25 @@ def _srp_projections_spark(emb: Column, planes: list[list[int]]) -> Column:
     dim = len(planes[0])
     # transposed: for each dim i, the 24 signs that multiply emb[i].
     # One nested F.lit instead of dim × n_planes individual literal
-    # nodes (r19): the values are identical (verified exceptAll == 0),
-    # but Catalyst analyzes a single literal tree instead of ~1,536
-    # nodes per call — ~0.4 s less per-call planning at 24×64.
-    tsigns = F.lit(
-        [[float(planes[p][i]) for p in range(n_planes)] for i in range(dim)]
+    # nodes (r19) cut Catalyst's per-call analysis; but PySpark's
+    # lit(list) still recurses into ~1,536 per-element py4j lit calls —
+    # profiled at 1.3 s of the 3.3 s construction time of
+    # sim_knn_recall_eval (r20). One F.expr string hands the whole
+    # matrix to the JVM parser in a SINGLE round-trip; entries are
+    # exact ±1.0 doubles, so the text round-trip is value-identical
+    # (constant-folded to the same nested array literal; oracle
+    # hash-exact at 3 SFs).
+    tsigns = F.expr(
+        "array("
+        + ",".join(
+            "array("
+            + ",".join(
+                f"{float(planes[p][i]):.1f}D" for p in range(n_planes)
+            )
+            + ")"
+            for i in range(dim)
+        )
+        + ")"
     )
     return F.aggregate(
         F.zip_with(emb, tsigns, lambda x, svec: F.transform(svec, lambda s: s * x)),
@@ -613,37 +627,43 @@ def srp_index(
     # construction-time data and surprise plan dumps).
     keyed = keyed.localCheckpoint(eager=False)
 
-    def _bit(p: int) -> Column:
-        return (F.element_at("projs", p + 1) >= 0).cast("int")
+    # Band keys as ONE selectExpr: the Column form built ~6 py4j calls
+    # per bit (~144 round-trips per srp_index call, profiled at ~0.5 s
+    # of pure construction time on this container); the SQL text is the
+    # same left-associated integer sum of CAST(proj >= 0 AS INT) * 2^i
+    # terms, handed to the JVM parser in a single round-trip (r20,
+    # same lesson as the projection matrix literal above).
+    def _bit(p: int) -> str:
+        return f"CAST(element_at(projs, {p + 1}) >= 0 AS INT)"
 
     bands = [
-        sum(
-            (_bit(b * band_bits + i) * (2**i) for i in range(1, band_bits)),
-            _bit(b * band_bits),
-        ).alias(f"band_{b}")
+        "("
+        + " + ".join(
+            _bit(b * band_bits) if i == 0
+            else f"{_bit(b * band_bits + i)} * {2 ** i}"
+            for i in range(band_bits)
+        )
+        + f") AS band_{b}"
         for b in range(n_bands)
     ]
-    return keyed.select("vec_id", "emb_r", "emb_norm", *bands)
+    return keyed.selectExpr("vec_id", "emb_r", "emb_norm", *bands)
 
 
 def srp_memberships(keyed: DataFrame, n_bands: int) -> DataFrame:
     """(vec_id, band, bk) membership rows from an srp_index frame — the
     unpivot knn_join aggregates into buckets; exposed so scale smokes
     can count cap engagement through the exact production code path."""
-    return keyed.select(
+    # One selectExpr per step instead of ~5 py4j calls per band (r20
+    # construction-cost pass; value-identical named_struct unpivot).
+    return keyed.selectExpr(
         "vec_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.col(f"band_{b}").alias("bk"),
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("m"),
-    ).select("vec_id", F.col("m.band").alias("band"), F.col("m.bk").alias("bk"))
+        "explode(array("
+        + ",".join(
+            f"named_struct('band', {b}, 'bk', band_{b})"
+            for b in range(n_bands)
+        )
+        + ")) AS m",
+    ).selectExpr("vec_id", "m.band AS band", "m.bk AS bk")
 
 
 def knn_join(

@@ -58,6 +58,18 @@ def get_session(
         # staying far below JIT method-size trouble (Spark splits
         # generated methods; the hugeMethodLimit fallback still guards).
         .config("spark.sql.codegen.maxFields", "300")
+        # PySpark 4's DataFrame-debugging origin capture wraps EVERY
+        # DataFrame/Column API call with call-site bookkeeping that
+        # costs ~4 py4j round-trips per call (getActiveSession + a
+        # stackTracesInDataFrameContext conf read + origin set/clear) —
+        # profiled at 0.5-1 s of pure query-CONSTRUCTION time on the
+        # expression-heavy similarity/dedup builders (r20, guide §4
+        # "the Python boundary" applied to the driver process itself).
+        # The engine's error surface is the oracle harness, not
+        # call-site decoration, so turn it off; errors still carry the
+        # full JVM stack, only the "called from user code line N"
+        # annotation is lost.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # Embedded Derby (JDBC tests) writes derby.log to
