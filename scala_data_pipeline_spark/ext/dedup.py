@@ -641,10 +641,12 @@ def lsh_quality_metrics(
 
     Scale shape: candidates are persisted and reused by both branches
     (the signature pipeline runs once); everything downstream joins on
-    doc ids or (doc_a, doc_b) — no new pair space is created. The
-    report is EAGER (one row, computed here) so the candidate cache can
-    be released before returning — a lazy return would leak the persist
-    for the session or force a recompute per downstream action.
+    doc ids or (doc_a, doc_b) — no new pair space is created. With an
+    OWNED candidate build the report is EAGER (one row, computed here)
+    so the candidate cache can be released before returning — a lazy
+    return would leak the persist for the session or force a recompute
+    per downstream action. With caller-provided frames (the memoized
+    hubs) there is nothing to release and the report stays lazy (r20).
     """
     # ``candidates`` lets callers hand in an already-materialized pair
     # frame (the query layer's session-memoized _lsh_pairs hub — r17:
@@ -670,13 +672,25 @@ def lsh_quality_metrics(
             else ngram_jaccard_pairs(docs, text_col, threshold=threshold)
         )
         matched = truth.join(cand, on=["doc_a", "doc_b"], how="left_semi")
-        counts = (
-            cand.agg(F.count(F.lit(1)).alias("n_candidates"))
-            .crossJoin(verified.agg(F.count(F.lit(1)).alias("n_verified")))
-            .crossJoin(truth.agg(F.count(F.lit(1)).alias("n_truth")))
-            .crossJoin(
-                matched.agg(F.count(F.lit(1)).alias("n_truth_matched"))
-            )
+        # ONE tagged-union aggregate instead of four separate aggregate
+        # jobs crossJoined together (r20): the old shape scheduled 14
+        # jobs for a one-row report — each ~50-100 ms of fixed driver
+        # cost at bench SF, and pure scheduler overhead at any scale.
+        # Each branch is pruned to a constant tag column, so the union
+        # moves 4 branch row-counts' worth of 1-byte tags into a single
+        # conditional count pass. Counts are identical (count(when)
+        # counts non-nulls, exactly count(*) per tag).
+        tagged = (
+            cand.select(F.lit("c").alias("_k"))
+            .unionByName(verified.select(F.lit("v").alias("_k")))
+            .unionByName(truth.select(F.lit("t").alias("_k")))
+            .unionByName(matched.select(F.lit("m").alias("_k")))
+        )
+        counts = tagged.agg(
+            F.count(F.when(F.col("_k") == "c", 1)).alias("n_candidates"),
+            F.count(F.when(F.col("_k") == "v", 1)).alias("n_verified"),
+            F.count(F.when(F.col("_k") == "t", 1)).alias("n_truth"),
+            F.count(F.when(F.col("_k") == "m", 1)).alias("n_truth_matched"),
         )
         report = counts.select(
             "n_candidates",
@@ -690,6 +704,12 @@ def lsh_quality_metrics(
                 F.try_divide(F.col("n_truth_matched"), F.col("n_truth")), 6
             ).alias("recall"),
         )
+        if not owned:
+            # Hub-provided candidates: nothing to release, so the report
+            # stays LAZY — the builder runs no jobs (r20; the eager
+            # collect existed only so an owned candidate cache could be
+            # freed before returning).
+            return report
         rows = report.collect()
         return docs.sparkSession.createDataFrame(rows, report.schema)
     finally:

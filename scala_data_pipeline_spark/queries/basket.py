@@ -57,8 +57,10 @@ def _brand_baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
     # build, rule generation); materialize the join+groupBy once so the
     # fit doesn't re-execute it per pass (measured 5.1 -> 3.9 s at
     # sf0.1). Same build-the-input-once idiom as the SRP/triangle
-    # indexes; storage is GC-released with the frame.
-    return baskets.localCheckpoint(eager=True)
+    # indexes; storage is GC-released with the frame. LAZY (r20, like
+    # the other index checkpoints this round): the first consumer's
+    # action materializes it once; the builder itself runs no job.
+    return baskets.localCheckpoint(eager=False)
 
 
 def basket_freq_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -78,11 +80,20 @@ def basket_freq_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     exercised by basket_assoc_rules below (rule confidence/lift need
     the model)."""
     baskets = _brand_baskets(spark, sf_dir)
-    # Bounded driver scalar (one long), same minCount FPGrowth computes.
-    import math
-
-    n = baskets.count()
-    min_count = int(math.ceil(MIN_SUPPORT * n))
+    # minCount as a broadcast one-row frame instead of a driver count()
+    # scalar (r20): the count job forced a separate serial evaluation
+    # before the main plan could even be built; as a crossJoined column
+    # the same ceil(minSupport * n) long rides the plan, the basket
+    # checkpoint materializes ONCE (first use), and the builder runs no
+    # jobs. F.ceil(double) is the identical IEEE product + ceiling
+    # FPGrowth's driver-side math.ceil computed.
+    min_count = F.broadcast(
+        baskets.agg(
+            F.ceil(F.lit(MIN_SUPPORT) * F.count(F.lit(1)))
+            .cast("long")
+            .alias("_min_count")
+        )
+    )
     items = F.col("items")
     idx = F.sequence(F.lit(1), F.size(items))
     singles = F.transform(items, lambda x: F.array(x))
@@ -102,7 +113,8 @@ def basket_freq_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
         baskets.select(F.explode(F.concat(singles, pairs)).alias("iset"))
         .groupBy("iset")
         .agg(F.count(F.lit(1)).alias("freq"))
-        .filter(F.col("freq") >= min_count)
+        .crossJoin(min_count)
+        .filter(F.col("freq") >= F.col("_min_count"))
         .select(
             F.array_join("iset", "|").alias("itemset"),
             F.size("iset").alias("sz"),

@@ -408,12 +408,23 @@ def curation_class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     # return_sizes (r19): the minority-class size falls out of the
     # machinery's own bounded driver-side offset scan — the old
     # distinct().collect() job over the ranked frame is gone.
-    ranked, sizes = with_grouped_rank(
-        docs, ["lang"], ["h", "doc_id"], rank_col="rn", return_sizes=True
+    ranked, sizes, parts = with_grouped_rank(
+        docs,
+        ["lang"],
+        ["h", "doc_id"],
+        rank_col="rn",
+        return_sizes=True,
+        return_offsets=True,
     )
     min_size = min(sizes.values())
+    # Partition prune (r20, guide §2.4): a row with rn <= min_size sits
+    # in a partition whose exclusive rank offset is < min_size — the
+    # majority classes' tail partitions can contain no kept row, so the
+    # rank window never touches them (the filter pushes below it).
+    keep = sorted({p["pid"] for p in parts if p["rank_off"] < min_size})
     return (
-        ranked.filter(F.col("rn") <= min_size)
+        ranked.filter(F.col("_pid").isin(keep))
+        .filter(F.col("rn") <= min_size)
         .select("lang", "doc_id", F.col("rn").cast("long").alias("rn"))
     )
 

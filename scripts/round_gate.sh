@@ -67,6 +67,30 @@ assert rec.get("exact", 0) + rec.get("rows_only", 0) == rec.get("queries"), \
 print(f"{path}: {rec['exact']} exact + {rec['rows_only']} rows-only OK")
 PY
 
+# Oracled-EXTRAS sweep at sf0.1 (round-20, r19 verdict item 7: the
+# sweep was only a committed log; rotations demote driver queries into
+# extra slots, so "dropped" rows are the sweep's responsibility and its
+# record gets the same artifact treatment as FULLDRIVE). Same two-step
+# flow: first run writes SWEEP_r<n>.json and the commit check below
+# fails; commit it; the re-run skips the drive.
+SWEEP_ARTIFACT="SWEEP_r$(printf '%02d' "$ROUND").json"
+if [ ! -f "$SWEEP_ARTIFACT" ]; then
+  ROUND="$ROUND" python scripts/sweep_extra_oracles.py /root/testdata/sf0.1
+fi
+SWEEP_ARTIFACT="$SWEEP_ARTIFACT" python - <<'PY'
+import json, os, sys
+sys.path.insert(0, os.getcwd())
+from scala_data_pipeline_spark.queries import extra_oracles
+path = os.environ["SWEEP_ARTIFACT"]
+rec = json.load(open(path))
+assert rec.get("fails") == 0, f"{path}: records {rec.get('fails')} failures"
+expected = set(extra_oracles())
+got = set(rec.get("results", {}))
+missing = expected - got
+assert not missing, f"{path}: extras missing from sweep: {sorted(missing)}"
+print(f"{path}: {rec['exact']}/{rec['queries']} oracled extras exact")
+PY
+
 BENCH_OUT="${SPARK_GRAFT_BENCH_OUT:-/tmp/bench_last.json}"
 rm -f "$BENCH_OUT"
 python bench.py | tee /tmp/bench_gate.out
@@ -164,7 +188,7 @@ fi
 # commits them (artifact-only commits keep the recorded head valid via
 # the ancestry check below) and the second full run goes green.
 MISSING=""
-for a in "$BENCH_ARTIFACT" "$GATE_ARTIFACT" "$FULLDRIVE_ARTIFACT"; do
+for a in "$BENCH_ARTIFACT" "$GATE_ARTIFACT" "$FULLDRIVE_ARTIFACT" "$SWEEP_ARTIFACT"; do
   git ls-files --error-unmatch "$a" > /dev/null 2>&1 || MISSING="$MISSING $a"
 done
 if [ -n "$MISSING" ]; then
@@ -193,6 +217,17 @@ if [ -z "$FULLDRIVE_HEAD" ]; then
 fi
 if ! git merge-base --is-ancestor "$LAST_SOURCE_COMMIT" "$FULLDRIVE_HEAD"; then
   echo "round gate: $FULLDRIVE_ARTIFACT records head $FULLDRIVE_HEAD but source was committed later ($LAST_SOURCE_COMMIT) — delete the artifact and re-run the full gate" >&2
+  exit 1
+fi
+# The SWEEP artifact gets the same staleness guard (r20): ancestry-
+# checked against the last source commit like GATE/FULLDRIVE.
+SWEEP_HEAD=$(python -c "import json;print(json.load(open('$SWEEP_ARTIFACT')).get('head') or '')")
+if [ -z "$SWEEP_HEAD" ]; then
+  echo "round gate: $SWEEP_ARTIFACT records no head sha — delete the artifact and re-run the full gate" >&2
+  exit 1
+fi
+if ! git merge-base --is-ancestor "$LAST_SOURCE_COMMIT" "$SWEEP_HEAD"; then
+  echo "round gate: $SWEEP_ARTIFACT records head $SWEEP_HEAD but source was committed later ($LAST_SOURCE_COMMIT) — delete the artifact and re-run the full gate" >&2
   exit 1
 fi
 echo "round gate: GREEN"
